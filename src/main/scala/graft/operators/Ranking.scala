@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking / dedup / argmin operators (SURVEY.md §2.5 A1, §2.6 W1–W3).
+  *
+  * The reference's sort-then-drop_duplicates-keep-first idiom is
+  * exactly `row_number() == 1` over an explicit ordering; we always
+  * give the window deterministic tie-break keys so the result is
+  * stable across partitionings (pandas keep-first depends on input
+  * order; a nondeterministic Spark plan would flake the oracle —
+  * SURVEY.md §7.4.3).
+  */
+object Ranking {
+
+  /** W1 — keep the first row per group under `order` (pandas
+    * `sort_values(...).drop_duplicates(subset, keep="first")`).
+    * Ref: /root/reference/src/data_processing.py:282-284. */
+  def keepFirst(df: DataFrame, partition: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A1 — whole-row argmin per group with deterministic first-on-tie:
+    * `min(struct(orderKeys..., payload))` — struct ordering is
+    * lexicographic so the tie-break keys decide, and min-aggregation
+    * is partial+final (map-side combine, one shuffle, no window sort).
+    * Pandas `idxmin` skips NaN and drops all-NaN groups; nulls in
+    * `orderKeys` would sort first in a struct-min, so callers must
+    * pre-filter nulls on the primary key (we do).
+    * Ref: /root/reference/src/session_object.py:156-165. */
+  def argminRow(df: DataFrame, groupCols: Seq[String],
+                orderCols: Seq[String]): DataFrame = {
+    val filtered = df.filter(col(orderCols.head).isNotNull)
+    val payload = struct(df.columns.map(col): _*)
+    val key = struct(orderCols.map(col) :+ payload.as("__row"): _*)
+    val agged = filtered.groupBy(groupCols.map(col): _*)
+      .agg(min(key).as("__k"))
+    agged.select(df.columns.map(c => col(s"__k.__row.$c").as(c)): _*)
+  }
+
+  /** W2 — bottom-k rows under an ascending-nulls-last sort (reference:
+    * ascending sort then `tail(5)`, so NaN rows — which pandas puts
+    * last — land in the tail first). Expressed as a descending
+    * (nulls-first) top-k so Spark plans a TakeOrderedAndProject (no
+    * global sort materialization), then re-sorted to pandas frame
+    * order. Callers pass direction-free columns.
+    * Ref: /root/reference/src/data_processing.py:287-288. */
+  def bottomK(df: DataFrame, k: Int, cols: Seq[Column]): DataFrame =
+    df.orderBy(cols.map(_.desc_nulls_first): _*).limit(k)
+      .orderBy(cols.map(_.asc_nulls_last): _*)
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+/** DuckDB oracle SQL — one entry per StarQueries key, same column
+  * aliases as the Spark side (the driver's compare sorts columns by
+  * name before hashing values). Kept in lockstep with StarQueries;
+  * every numeric aggregate goes through the identical DECIMAL → DOUBLE
+  * path as the Spark plan so values are bit-equal.
+  */
+object StarOracles {
+
+  val sql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_fastest_leaderboard" ->
+      """SELECT l_suppkey, l_extendedprice AS best_price, l_shipdate, l_orderkey, l_linenumber
+        |FROM (
+        |  SELECT l_suppkey, l_extendedprice, l_shipdate, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice, l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL) t
+        |WHERE rn = 1
+        |ORDER BY best_price, l_suppkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT band, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |LEFT JOIN (VALUES ('small', 1.0, 10.0), ('mid', 11.0, 25.0),
+        |                  ('large', 26.0, 50.0)) AS b(band, lo, hi)
+        |  ON l.l_quantity BETWEEN b.lo AND b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT n_name,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT n_name,
+        |    COUNT(*) FILTER (o_orderstatus = 'F') AS f,
+        |    COUNT(*) FILTER (o_orderstatus = 'O') AS o,
+        |    COUNT(*) FILTER (o_orderstatus = 'P') AS p
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, o_orderstatus, n_orders FROM (
+        |  SELECT n_name, 'F' AS o_orderstatus, f AS n_orders FROM m
+        |  UNION ALL SELECT n_name, 'O', o FROM m
+        |  UNION ALL SELECT n_name, 'P', p FROM m) t
+        |ORDER BY n_name, o_orderstatus""".stripMargin,
+
+    "q_union_grid" ->
+      """WITH urgent AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS grid_position
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 5),
+        |rest AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    5 + row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS grid_position
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+        |SELECT * FROM urgent UNION ALL SELECT * FROM rest ORDER BY grid_position""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q_minmax_stats" ->
+      """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,
+        |  COUNT(*) AS n_rows,
+        |  max(CASE WHEN l_quantity IS NULL OR l_discount IS NULL THEN 1 ELSE 0 END) AS has_nulls
+        |FROM lineitem""".stripMargin,
+
+    "q_avg_by_group" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_format_lap_time" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  printf('%d:%02d.%03d',
+        |    CAST(floor(l_extendedprice / 100.0 * 1000) AS BIGINT) // 60000,
+        |    (CAST(floor(l_extendedprice / 100.0 * 1000) AS BIGINT) % 60000) // 1000,
+        |    CAST(floor(l_extendedprice / 100.0 * 1000) AS BIGINT) % 1000) AS lap_str
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_phase_label" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 'Q1'
+        |            WHEN ts < TIMESTAMP '2024-01-20' THEN 'Q2'
+        |            ELSE 'Q3' END AS phase,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events GROUP BY phase ORDER BY phase""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Ranking}
+import graft.functions.F1Functions
+
+/** The driver-checked query inventory: every SURVEY.md §2 operator
+  * re-expressed over the star-schema fixtures, each with a DuckDB
+  * oracle (StarOracles).
+  *
+  * Float-parity policy (SURVEY.md §7.4.2): all SUMs/AVGs go through an
+  * exact DECIMAL domain (`cast(x as decimal)` → sum → `cast as
+  * double`), never raw double accumulation — double sums are
+  * order-dependent and would flake the hash compare between Spark and
+  * DuckDB. Products of raw doubles are IEEE-deterministic and safe to
+  * cast AFTER multiplying. Every ranking carries explicit tie-break
+  * keys (orderkey/linenumber/ids) so plans stay deterministic under
+  * any partitioning.
+  */
+object StarQueries {
+
+  private val dec = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  // ---------------------------------------------------------------
+  // §2.5 A2-style aggregation (TPC-H Q1 shape): P1 arithmetic + F
+  // filters + group agg. Map-side partial agg + single shuffle on the
+  // (tiny-cardinality) group keys — the canonical scale-safe agg.
+  // ---------------------------------------------------------------
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .withColumn("disc_price",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("disc_price")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------
+  // §2.5 A1 + §2.7 O1 — the flagship "fastest lap leaderboard"
+  // analogue: whole-row argmin per supplier (min-struct aggregation:
+  // one shuffle, partial agg; NO window sort), deterministic
+  // first-on-tie, NaN/null-last final ordering.
+  // ---------------------------------------------------------------
+  def fastestLeaderboard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_extendedprice", "l_shipdate", "l_orderkey", "l_linenumber")
+    Ranking.argminRow(li, groupCols = Seq("l_suppkey"),
+        orderCols = Seq("l_extendedprice", "l_shipdate", "l_orderkey", "l_linenumber"))
+      .select(col("l_suppkey"), col("l_extendedprice").as("best_price"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("best_price").asc_nulls_last, col("l_suppkey").asc)
+  }
+
+  // §2.7 O3 — top-k with deterministic tie-break; plans as
+  // TakeOrderedAndProject (no global sort/shuffle of the full table).
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5)
+
+  // §2.6 W1 — keep-first per group under explicit ordering
+  // (sort+drop_duplicates idiom): first order per customer.
+  def windowRank(spark: SparkSession, dir: String): DataFrame =
+    Ranking.keepFirst(
+        Tables.orders(spark, dir)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        partition = Seq("o_custkey"),
+        order = Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+      .orderBy("o_custkey")
+
+  // §2.4 J2 — interval join against a tiny in-line band dimension
+  // (broadcast; the range predicate runs map-side, no shuffle of the
+  // fact table beyond the final 3-group agg).
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("small", 1.0, 10.0), ("mid", 11.0, 25.0), ("large", 26.0, 50.0)))
+      .toDF("band", "lo", "hi")
+    val li = Tables.lineitem(spark, dir)
+    AsOfJoin.intervalJoin(li, bands, by = Nil,
+        valueCol = "l_quantity", loCol = "lo", hiCol = "hi")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+      .orderBy("band")
+  }
+
+  // §2.9 R1 — pivot: nation × order-status counts (drivers×compounds
+  // matrix analogue). Broadcast dims; explicit pivot values (no extra
+  // distinct-scan job).
+  def pivotMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    val pivoted = joined.groupBy("n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+    pivoted.select(col("n_name"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("n_name")
+  }
+
+  // §2.9 R2 — unpivot (melt) the matrix back to long form.
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    pivotMatrix(spark, dir)
+      .unpivot(Array(col("n_name")), Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n_orders")
+      .orderBy("n_name", "o_orderstatus")
+
+  // §2.6 W2/W3 + §2.8 U2 — grid-order construction analogue: top-5
+  // urgent orders take positions 1-5, top-5 non-urgent take 6-10.
+  def unionGrid(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    def top5(df: DataFrame, offset: Int) = df
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(5)
+      .withColumn("grid_position",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+          + lit(offset))
+    val urgent = top5(o.filter(col("o_orderpriority") === "1-URGENT"), 0)
+    val rest   = top5(o.filter(col("o_orderpriority") =!= "1-URGENT"), 5)
+    urgent.unionByName(rest).orderBy("grid_position")
+  }
+
+  // §2.5 A4 — distinct.
+  def distinctTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select("event_type").distinct().orderBy("event_type")
+
+  // §2.5 A5/A6/A7 — global min/max/count + any-null detection flag.
+  def minmaxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      min(col("l_shipdate")).as("min_shipdate"),
+      max(col("l_shipdate")).as("max_shipdate"),
+      count(lit(1)).as("n_rows"),
+      max(when(col("l_quantity").isNull || col("l_discount").isNull, 1)
+        .otherwise(0)).as("has_nulls"))
+
+  // §2.5 A2 — group average through the exact decimal domain.
+  def avgByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        (sum(col("o_totalprice").cast(dec)).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  // §2.2 P9 — M:SS.mmm lap-time formatting (truncating) applied to a
+  // deterministic subset; pure codegen'd column expressions.
+  def formatLapTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        F1Functions.formatLapTime(col("l_extendedprice") / lit(100.0)).as("lap_str"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // §2.2 P7 — qualifying-phase CASE labeling over event time.
+  def phaseLabel(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    val phase = when(ts < lit("2024-01-10").cast("timestamp"), "Q1")
+      .when(ts < lit("2024-01-20").cast("timestamp"), "Q2")
+      .otherwise("Q3")
+    Tables.events(spark, dir)
+      .withColumn("phase", phase)
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy("phase")
+  }
+
+  // §2.10 — JSON extraction from events.props.
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  // §2.11 — tumbling event-time window (batch form; the streaming
+  // form shares semantics, pinned by StreamingSpec).
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy("ws", "event_type")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"               -> (q1Agg _),
+    "q_fastest_leaderboard" -> (fastestLeaderboard _),
+    "q_topk"               -> (topK _),
+    "q_window_rank"        -> (windowRank _),
+    "q_interval_join"      -> (intervalJoin _),
+    "q_pivot"              -> (pivotMatrix _),
+    "q_unpivot"            -> (unpivotMelt _),
+    "q_union_grid"         -> (unionGrid _),
+    "q_distinct"           -> (distinctTypes _),
+    "q_minmax_stats"       -> (minmaxStats _),
+    "q_avg_by_group"       -> (avgByGroup _),
+    "q_format_lap_time"    -> (formatLapTime _),
+    "q_phase_label"        -> (phaseLabel _),
+    "q_json_extract"       -> (jsonExtract _),
+    "q_tumbling_window"    -> (tumblingWindow _),
+  )
+
+  val oracles: Map[String, String] = StarOracles.sql
+}
