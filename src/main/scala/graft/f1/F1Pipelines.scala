@@ -34,13 +34,15 @@ object F1Pipelines {
     val withDriver = withTime.join(broadcast(dim),
       Seq("session_key", "driver_number"), "left")
 
-    // J3 — as-of backward on lap_number vs stint lap_start, then F7:
-    // null-out matches past lap_end (stint intervals are
+    // J3 — as-of backward on laps.lap_number vs stints.lap_start
+    // (pandas left_on/right_on, /root/reference/src/session_object.py:62-63),
+    // then F7: null-out matches past lap_end (stint intervals are
     // non-overlapping so this equals the J2 interval join; pinned by
     // F1PipelinesSpec).
     val stintCols = stints.select("session_key", "driver_number",
       "lap_start", "lap_end", "compound", "tyre_age_at_start", "stint_number")
-    val asof = AsOfJoin.backward(withDriver, stintCols, on = "lap_number",
+    val asof = AsOfJoin.backwardOn(withDriver, stintCols,
+      leftOn = "lap_number", rightOn = "lap_start",
       by = Seq("session_key", "driver_number"))
     val inStint = col("lap_number") <= col("lap_end")
     asof
@@ -87,12 +89,16 @@ object F1Pipelines {
       .withColumn("rank_in_phase", row_number().over(wAsc))
       .withColumn("rank_from_bottom", row_number().over(wDesc))
 
+    // The reference takes tail(5) of each ASCENDING-sorted phase and
+    // appends those rows in ascending order — so P11 is the FASTEST of
+    // the five eliminated Q2 drivers and P15 the slowest (same for Q1
+    // at P16-20): grid = 16 - rank_from_bottom / 21 - rank_from_bottom.
     val q3 = ranked.filter(col("phase") === "Q3")
       .withColumn("grid_position", col("rank_in_phase"))
     val q2Out = ranked.filter(col("phase") === "Q2" && col("rank_from_bottom") <= 5)
-      .withColumn("grid_position", lit(10) + col("rank_from_bottom"))
+      .withColumn("grid_position", lit(16) - col("rank_from_bottom"))
     val q1Out = ranked.filter(col("phase") === "Q1" && col("rank_from_bottom") <= 5)
-      .withColumn("grid_position", lit(15) + col("rank_from_bottom"))
+      .withColumn("grid_position", lit(21) - col("rank_from_bottom"))
 
     q3.unionByName(q2Out).unionByName(q1Out)
       .drop("rank_in_phase", "rank_from_bottom")

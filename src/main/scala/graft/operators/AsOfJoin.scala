@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** As-of joins (SURVEY.md §2.4 J3/J4) re-expressed Spark-first.
   *
@@ -15,7 +15,10 @@ import org.apache.spark.sql.types.StructType
   * cost profile as a sort-merge join, and it scales horizontally with
   * the number of `by` groups (driver_number here; at 100 TB the `by`
   * key keeps every partition independent; no broadcast, no skew
-  * amplification beyond what the grouping key itself has).
+  * amplification beyond what the grouping key itself has). `by` must
+  * be non-empty: an empty partition spec would funnel both inputs
+  * through a single task — a global as-of needs an explicit constant
+  * key and a conscious decision that the data fits one partition.
   *
   * Semantics pinned to pandas `merge_asof` (the reference's engine):
   *   - backward: right row with the greatest `on` <= left `on`
@@ -24,6 +27,9 @@ import org.apache.spark.sql.types.StructType
   *   - nearest: smaller |Δon| wins; EQUIDISTANT → the backward (prior)
   *     row wins, matching pandas. Ref: /root/reference/src/session_object.py:240-250.
   *
+  * The as-of key may be named differently on each side (pandas
+  * `left_on`/`right_on` — the reference joins laps.lap_number against
+  * stints.lap_start, /root/reference/src/session_object.py:62-63).
   * Right-side columns that collide with left-side names get `rsuffix`.
   */
 object AsOfJoin {
@@ -35,34 +41,43 @@ object AsOfJoin {
   private val RROW = "__asof_r"
 
   def backward(left: DataFrame, right: DataFrame, on: String,
-               by: Seq[String] = Nil, rsuffix: String = "_right",
+               by: Seq[String], rsuffix: String = "_right",
                tiebreak: Option[String] = None): DataFrame =
-    asof(left, right, on, by, "backward", rsuffix, tiebreak)
+    asof(left, right, on, on, by, "backward", rsuffix, tiebreak)
+
+  def backwardOn(left: DataFrame, right: DataFrame, leftOn: String,
+                 rightOn: String, by: Seq[String], rsuffix: String = "_right",
+                 tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, leftOn, rightOn, by, "backward", rsuffix, tiebreak)
 
   def forward(left: DataFrame, right: DataFrame, on: String,
-              by: Seq[String] = Nil, rsuffix: String = "_right",
+              by: Seq[String], rsuffix: String = "_right",
               tiebreak: Option[String] = None): DataFrame =
-    asof(left, right, on, by, "forward", rsuffix, tiebreak)
+    asof(left, right, on, on, by, "forward", rsuffix, tiebreak)
 
   def nearest(left: DataFrame, right: DataFrame, on: String,
-              by: Seq[String] = Nil, rsuffix: String = "_right",
+              by: Seq[String], rsuffix: String = "_right",
               tiebreak: Option[String] = None): DataFrame =
-    asof(left, right, on, by, "nearest", rsuffix, tiebreak)
+    asof(left, right, on, on, by, "nearest", rsuffix, tiebreak)
 
   /** `tiebreak` disambiguates duplicate right-side `on` values (pandas
     * resolves them positionally, which has no distributed meaning):
     * among equal-`on` right rows, backward takes the row with the
     * GREATEST tiebreak, forward the LEAST — i.e. the positional
     * behavior when the right side is ordered by the tiebreak column. */
-  def asof(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
-           direction: String, rsuffix: String = "_right",
+  def asof(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
+           by: Seq[String], direction: String, rsuffix: String = "_right",
            tiebreak: Option[String] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction: $direction")
+    require(by.nonEmpty,
+      "asof: `by` must be non-empty — an empty partition spec would run " +
+      "both inputs through one task; add a constant key column for a " +
+      "deliberately-global (single-partition) as-of")
 
     val leftCols  = left.columns.toSeq
-    // Right payload keeps its own `on` (needed for nearest's |Δ|) but
-    // not the `by` keys (equal by construction).
+    // Right payload keeps its own `on` key (needed for nearest's |Δ|)
+    // but not the `by` keys (equal by construction).
     val rightPayloadCols = right.columns.toSeq.filterNot(by.contains)
     val lSchema = StructType(left.schema.fields)
     val rSchema = StructType(right.schema.filter(f => rightPayloadCols.contains(f.name)))
@@ -74,12 +89,12 @@ object AsOfJoin {
     val tb: DataFrame => Column = df => tiebreak.map(df(_)).getOrElse(lit(0))
     val lTagged = left.select(
       by.map(col) ++ Seq(
-        col(on).as(ON), lit(1).as(TAG), lit(null).cast("double").as(TB),
+        col(leftOn).as(ON), lit(1).as(TAG), lit(null).cast("double").as(TB),
         struct(leftCols.map(col): _*).as(LROW),
         lit(null).cast(rSchema).as(RROW)): _*)
     def rTagged(tag: Int) = right.select(
       by.map(col) ++ Seq(
-        col(on).as(ON), lit(tag).as(TAG), tb(right).cast("double").as(TB),
+        col(rightOn).as(ON), lit(tag).as(TAG), tb(right).cast("double").as(TB),
         lit(null).cast(lSchema).as(LROW),
         struct(rightPayloadCols.map(col): _*).as(RROW)): _*)
 
@@ -101,15 +116,19 @@ object AsOfJoin {
         val both = lTagged.unionByName(rTagged(0)).unionByName(rTagged(2))
         val bwd = last(when(col(TAG) === 0, col(RROW)), ignoreNulls = true).over(wB)
         val fwd = first(when(col(TAG) === 2, col(RROW)), ignoreNulls = true).over(wF)
-        // |Δon| in an exact integer domain: micros for timestamps,
-        // the value itself for numerics (long arithmetic, no FP ties).
-        val toNum: Column => Column =
-          if (left.schema(on).dataType == org.apache.spark.sql.types.TimestampType)
-            unix_micros _
-          else
+        // |Δon| in the key's native comparison domain: micros (exact
+        // long) for timestamps, long for integral keys, double for
+        // fractional keys — double subtraction preserves the ordering
+        // of |Δ| (a long cast would TRUNCATE fractional keys and pick
+        // the wrong side, e.g. left=2.6 vs right {2.0, 3.0}).
+        val toNum: Column => Column = left.schema(leftOn).dataType match {
+          case TimestampType => unix_micros _
+          case ByteType | ShortType | IntegerType | LongType | DateType =>
             _.cast("long")
-        val dB = toNum(col(ON)) - toNum(col("__b")(on))
-        val dF = toNum(col("__f")(on)) - toNum(col(ON))
+          case _ => _.cast("double")
+        }
+        val dB = toNum(col(ON)) - toNum(col("__b")(rightOn))
+        val dF = toNum(col("__f")(rightOn)) - toNum(col(ON))
         both
           .withColumn("__b", bwd).withColumn("__f", fwd)
           .withColumn(RROW,

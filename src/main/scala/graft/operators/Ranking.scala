@@ -28,28 +28,23 @@ object Ranking {
     * `min(struct(orderKeys..., payload))` — struct ordering is
     * lexicographic so the tie-break keys decide, and min-aggregation
     * is partial+final (map-side combine, one shuffle, no window sort).
-    * Pandas `idxmin` skips NaN and drops all-NaN groups; nulls in
-    * `orderKeys` would sort first in a struct-min, so callers must
-    * pre-filter nulls on the primary key (we do).
+    * Pandas `idxmin` skips NaN and drops all-NaN groups; we filter
+    * nulls on the primary key ourselves. Secondary tie-break keys are
+    * wrapped as (isNull, value) pairs so a NULL tie-break sorts LAST
+    * (pandas/DuckDB row_number ORDER BY default), not first as raw
+    * struct-min ordering would.
     * Ref: /root/reference/src/session_object.py:156-165. */
   def argminRow(df: DataFrame, groupCols: Seq[String],
                 orderCols: Seq[String]): DataFrame = {
     val filtered = df.filter(col(orderCols.head).isNotNull)
     val payload = struct(df.columns.map(col): _*)
-    val key = struct(orderCols.map(col) :+ payload.as("__row"): _*)
+    val orderKey = col(orderCols.head).as("__k0") +:
+      orderCols.tail.zipWithIndex.flatMap { case (c, i) =>
+        Seq(col(c).isNull.as(s"__n${i + 1}"), col(c).as(s"__k${i + 1}"))
+      }
+    val key = struct(orderKey :+ payload.as("__row"): _*)
     val agged = filtered.groupBy(groupCols.map(col): _*)
       .agg(min(key).as("__k"))
     agged.select(df.columns.map(c => col(s"__k.__row.$c").as(c)): _*)
   }
-
-  /** W2 — bottom-k rows under an ascending-nulls-last sort (reference:
-    * ascending sort then `tail(5)`, so NaN rows — which pandas puts
-    * last — land in the tail first). Expressed as a descending
-    * (nulls-first) top-k so Spark plans a TakeOrderedAndProject (no
-    * global sort materialization), then re-sorted to pandas frame
-    * order. Callers pass direction-free columns.
-    * Ref: /root/reference/src/data_processing.py:287-288. */
-  def bottomK(df: DataFrame, k: Int, cols: Seq[Column]): DataFrame =
-    df.orderBy(cols.map(_.desc_nulls_first): _*).limit(k)
-      .orderBy(cols.map(_.asc_nulls_last): _*)
 }

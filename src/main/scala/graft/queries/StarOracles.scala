@@ -129,7 +129,33 @@ object StarOracles {
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events""".stripMargin,
+
+    "q_asof_backward" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type IN ('view','click','error')),
+        |r AS (SELECT user_id, ts, value AS cp_value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ts_right, r.cp_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'signup'),
+        |r AS (SELECT user_id, ts, value AS cp_value FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT l.event_id, r.ts AS bts, r.cp_value AS bval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.cp_value AS fval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+        |       WHEN epoch_us(l.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(l.ts)
+        |       THEN bts ELSE fts END AS ts_right,
+        |  CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+        |       WHEN epoch_us(l.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(l.ts)
+        |       THEN bval ELSE fval END AS cp_value
+        |FROM l LEFT JOIN b USING(event_id) LEFT JOIN f USING(event_id)""".stripMargin,
 
     "q_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,

@@ -102,7 +102,10 @@ object StarQueries {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val o = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer scales with the fact tables — no forced broadcast (AQE
+    // picks broadcast vs SMJ from runtime stats); nation is a fixed
+    // 25-row dim, always broadcast.
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
     val pivoted = joined.groupBy("n_name")
       .pivot("o_orderstatus", Seq("F", "O", "P")).count()
@@ -184,12 +187,40 @@ object StarQueries {
       .orderBy("phase")
   }
 
-  // §2.10 — JSON extraction from events.props.
+  // §2.10 — JSON extraction from events.props. No output ordering: the
+  // driver's compare canon-sorts rows, and a global sort of the whole
+  // table purely for presentation is a wasted range-shuffle at scale.
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
-      .orderBy("event_id")
+
+  // ---------------------------------------------------------------
+  // §2.4 J3/J4 — as-of joins over the star schema: every non-purchase
+  // event matched to the user's latest prior purchase (backward), and
+  // every signup matched to the user's nearest purchase in time
+  // (nearest, prior-wins on equidistant). One shuffle on user_id; the
+  // window never sees more than one user's rows per group — scales
+  // with user cardinality. Oracle: DuckDB native ASOF JOIN.
+  // ---------------------------------------------------------------
+  private def purchases(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("cp_value"))
+
+  def asofBackward(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "error"))
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.backward(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
+  }
+
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.nearest(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
+  }
 
   // §2.11 — tumbling event-time window (batch form; the streaming
   // form shares semantics, pinned by StreamingSpec).
@@ -217,6 +248,8 @@ object StarQueries {
     "q_phase_label"        -> (phaseLabel _),
     "q_json_extract"       -> (jsonExtract _),
     "q_tumbling_window"    -> (tumblingWindow _),
+    "q_asof_backward"      -> (asofBackward _),
+    "q_asof_nearest"       -> (asofNearest _),
   )
 
   val oracles: Map[String, String] = StarOracles.sql
