@@ -62,7 +62,10 @@ object F1Functions {
     val m  = floor(totalMillis / 60000L).cast("long")
     val s  = floor((totalMillis % 60000L) / 1000L).cast("long")
     val ms = totalMillis % 1000L
-    coalesce(format_string("%d:%02d.%03d", m, s, ms), lit(""))
+    // format_string renders a NULL %d arg as the string "null", so the
+    // null input case must short-circuit explicitly.
+    when(seconds.isNull, lit(""))
+      .otherwise(format_string("%d:%02d.%03d", m, s, ms))
   }
 
   /** P12 — `str.capitalize()`: first char upper, rest lower.
