@@ -3,6 +3,7 @@ package graft.f1
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.F1Functions._
 import graft.operators.{AsOfJoin, Ranking}
@@ -39,19 +40,23 @@ object F1Pipelines {
     // then F7: null-out matches past lap_end (stint intervals are
     // non-overlapping so this equals the J2 interval join; pinned by
     // F1PipelinesSpec).
-    val stintCols = stints.select("session_key", "driver_number",
-      "lap_start", "lap_end", "compound", "tyre_age_at_start", "stint_number")
+    // "compound" is renamed before the join: withColumn("Compound", ...)
+    // would case-insensitively REPLACE a joined "compound" column in
+    // place instead of adding the reference's capitalized column.
+    val stintCols = stints.select(col("session_key"), col("driver_number"),
+      col("lap_start"), col("lap_end"), col("compound").as("__compound"),
+      col("tyre_age_at_start"), col("stint_number"))
     val asof = AsOfJoin.backwardOn(withDriver, stintCols,
       leftOn = "lap_number", rightOn = "lap_start",
       by = Seq("session_key", "driver_number"))
     val inStint = col("lap_number") <= col("lap_end")
     asof
-      .withColumn("Compound", when(inStint, col("compound")))
+      .withColumn("Compound", when(inStint, col("__compound")))
       .withColumn("Tire Age", when(inStint,
         tireAge(col("lap_number"), col("lap_start"), col("lap_end"),
           col("tyre_age_at_start"))))
       .withColumn("Stint Number", when(inStint, col("stint_number")))
-      .drop("lap_start", "lap_end", "compound", "tyre_age_at_start", "stint_number")
+      .drop("lap_start", "lap_end", "__compound", "tyre_age_at_start", "stint_number")
   }
 
   /** E1 — A1 fastest lap per driver (whole-row argmin on
@@ -136,7 +141,10 @@ object F1Pipelines {
       .filter(col("actual_lap_time").isNotNull)
       .filter(!col("Compound").isin("TEST_UNKNOWN", "UNKNOWN"))
       .groupBy("driver_number", "name_acronym", "Compound")
-      .agg(avg(col("actual_lap_time")).as("avg_lap_time"))
+      // exact decimal-domain mean: raw double sums are order-dependent
+      // and would flake the oracle hash under re-partitioning
+      .agg((sum(col("actual_lap_time").cast(DecimalType(18, 4))).cast("double")
+        / count(lit(1))).as("avg_lap_time"))
 
   def avgLapMatrix(enriched: DataFrame, compounds: Seq[String]): DataFrame = {
     val long = avgLapByCompound(enriched)

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.f1.F1Pipelines
+import graft.functions.F1Functions
+import graft.sources.F1Tables
+
+/** The reference's F1 entity pipelines (SURVEY.md §3 E1/E2/E3) run
+  * end-to-end over the committed fixtures (fixtures/f1, written by
+  * FixtureGen) and checked against DuckDB oracles reading the same
+  * files. The `dir` argument every query receives is the star-schema
+  * sf dir — unused here; the F1 fixture set is fixed.
+  */
+object F1Queries {
+
+  private def enriched(spark: SparkSession): DataFrame =
+    F1Pipelines.enrichLaps(F1Tables.laps(spark), F1Tables.stints(spark),
+      F1Tables.drivers(spark))
+
+  /** E1 — lap enrichment: P1 bround, J1 broadcast driver dim, J3
+    * backward as-of vs stints + F7 null-out + P13 tire age. */
+  def f1Enrich(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark).select(
+      col("session_key"), col("driver_number"), col("lap_number"),
+      col("date_start"), col("actual_lap_time"), col("name_acronym"),
+      col("driver_color"), col("Compound").as("compound"),
+      col("Tire Age").as("tire_age"), col("Stint Number").as("stint_number"))
+
+  /** E1 — A1 whole-row argmin fastest lap per driver. */
+  def f1Fastest(spark: SparkSession, dir: String): DataFrame =
+    F1Pipelines.fastestLapPerDriver(enriched(spark)).select(
+      col("driver_number"), col("lap_number"), col("date_start"),
+      col("actual_lap_time"), col("name_acronym"),
+      col("Compound").as("compound"))
+
+  /** E2 — qualifying classification + grid order. The session start
+    * (J5 scalar) stays in-plan via a broadcast single-row cross join —
+    * no driver-side collect. */
+  def f1Grid(spark: SparkSession, dir: String): DataFrame = {
+    val sessionStart = F1Tables.sessions(spark)
+      .filter(col("session_type") === "Qualifying")
+      .select(col("date_start").as("__session_start"))
+    val withStart = enriched(spark).crossJoin(broadcast(sessionStart))
+    F1Pipelines.qualifyingGrid(withStart, col("__session_start"))
+      .select(col("grid_position"), col("phase"), col("driver_number"),
+        col("name_acronym"), col("actual_lap_time"))
+  }
+
+  /** classes.py surface — A2 per-(driver, compound) average lap time
+    * through the exact decimal domain. */
+  def f1AvgCompound(spark: SparkSession, dir: String): DataFrame =
+    F1Pipelines.avgLapByCompound(enriched(spark)).select(
+      col("driver_number"), col("name_acronym"),
+      col("Compound").as("compound"), col("avg_lap_time"))
+
+  /** E3 — one lap's telemetry (F5 time mask + P4 seconds column, J5
+    * scalar lap window via broadcast) + J4 nearest as-of with track
+    * location. */
+  def f1Telemetry(spark: SparkSession, dir: String): DataFrame = {
+    val lap = F1Tables.laps(spark)
+      .filter(col("driver_number") === 7 && col("lap_number") === 7)
+      .select(col("date_start").as("__ls"),
+        F1Functions.addSeconds(col("date_start"), col("lap_duration")).as("__le"))
+    val windowed = F1Pipelines.lapTelemetry(
+      F1Tables.carData(spark).crossJoin(broadcast(lap)),
+      col("__ls"), col("__le")).drop("__ls", "__le")
+    F1Pipelines.telemetryWithTrackPosition(windowed, F1Tables.location(spark))
+  }
+
+  /** S8 — meetings catalog distinct projection. */
+  def f1Meetings(spark: SparkSession, dir: String): DataFrame =
+    F1Tables.meetings(spark)
+      .select("meeting_official_name", "meeting_key").distinct()
+
+  /** S7 + S12 — pit scan with dropped export columns. */
+  def f1Pit(spark: SparkSession, dir: String): DataFrame =
+    F1Tables.pit(spark).drop("meeting_key", "session_key")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_f1_enrich"       -> (f1Enrich _),
+    "q_f1_fastest"      -> (f1Fastest _),
+    "q_f1_grid"         -> (f1Grid _),
+    "q_f1_avg_compound" -> (f1AvgCompound _),
+    "q_f1_telemetry"    -> (f1Telemetry _),
+    "q_f1_meetings"     -> (f1Meetings _),
+    "q_f1_pit"          -> (f1Pit _),
+  )
+}
