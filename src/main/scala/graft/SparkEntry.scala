@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{F1Oracles, F1Queries, StarQueries}
+import graft.queries.{ExtOracles, ExtQueries, F1Oracles, F1Queries, StarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    StarQueries.all ++ F1Queries.all
+    StarQueries.all ++ F1Queries.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (F1 oracles read the committed fixture
     * parquet by absolute path). Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    StarQueries.oracles ++ F1Oracles.sql
+    StarQueries.oracles ++ F1Oracles.sql ++ ExtOracles.sql
 }

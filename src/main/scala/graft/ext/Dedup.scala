@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deduplication operators (brief §ext): exact content-hash dedup,
+  * MinHash-LSH banded near-dup detection, SimHash fingerprints, and
+  * blocked n-gram Jaccard.
+  *
+  * Scale posture — the non-negotiable at 100 TB is NEVER all-pairs:
+  * - exact dedup is one hash-groupBy (map-side partial agg);
+  * - MinHash-LSH shuffles by (band, band-key); only same-bucket pairs
+  *   are ever materialized, and exact Jaccard runs on candidates only;
+  * - n-gram Jaccard uses explicit blocking keys the caller chooses;
+  * - SimHash is a per-doc projection; pairing again goes through
+  *   bucket keys (prefix bands of the fingerprint), not cross joins.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(text); keeper = lowest id. Returns
+    * (keeper_id, n_copies) per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .drop("content_hash")
+
+  /** Distinct word n-gram shingles, one row per (id, shingle). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signature rows: for each of `numHashes` seeds, the
+    * lexicographic min of md5(seed || '|' || shingle) — a string-min
+    * is a valid minhash and is engine-portable (no 128-bit ints). */
+  def minhashRows(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    shingles
+      .select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col(idCol), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(idCol, "seed")
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH bands of 2 rows each: band b's key is the concatenation of
+    * minhashes 2b and 2b+1. Docs sharing any (band, key) are
+    * candidates — the join shuffles on the band key, never all-pairs. */
+  def lshBands(minhashes: DataFrame, idCol: String): DataFrame =
+    minhashes
+      .groupBy(col(idCol), (col("seed") / 2).cast("long").as("band"))
+      .agg(concat(
+        min(when(col("seed") % 2 === 0, col("mh"))),
+        min(when(col("seed") % 2 === 1, col("mh")))).as("bkey"))
+
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard on a bounded candidate-pair set (from LSH bands or
+    * blocking): |A∩B| via a shingle equi-join restricted to the
+    * candidates, |A∪B| from per-doc sizes. */
+  def jaccardOnCandidates(candidates: DataFrame, shingles: DataFrame,
+                          idCol: String): DataFrame = {
+    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = candidates
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    * bucket-join → exact-Jaccard filter on candidates. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 8,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val cand = lshCandidates(lshBands(minhashRows(sh, idCol, numHashes), idCol), idCol)
+    jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 16-bit SimHash over token unigrams: each token votes ±1 on the 16
+    * bits of its md5-derived hash; the fingerprint sets bit b iff the
+    * vote sum is positive. 16 bits keeps the oracle SQL tractable while
+    * exercising the full mechanism; widening is a constant change. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokRows = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long").as("h"))
+    val votes = tokRows
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+      .select(col(idCol), col("b"),
+        (expr("shiftright(h, CAST(b AS INT)) & 1") * 2 - 1).as("vote"))
+      .groupBy(idCol, "b").agg(sum(col("vote")).as("s"))
+    votes.groupBy(idCol)
+      .agg(sum(when(col("s") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (brief §ext): media payloads travel as
+  * opaque `binary` columns next to typed metadata; decode /
+  * feature-extract / frame-sample run as partition-local batch
+  * transforms over a typed Dataset (`mapPartitions` — the Scala
+  * analogue of `mapInPandas` batch processing: one iterator per
+  * partition, no per-row serialization round-trips, executor-local
+  * libraries loadable once per partition).
+  *
+  * The actual codec is STUBBED — this container ships no image/audio
+  * libraries — behind `decodeStub`, a deterministic fake that derives
+  * "features" from the bytes. Everything around it (schema, typed
+  * rows, partition batching, downstream relational ops) is real and
+  * tested; swapping `decodeStub` for a JNI/ffmpeg call changes no
+  * plumbing.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           first_byte: Int, checksum: Long,
+                           frame_sample: Array[Byte])
+
+  /** STUB decoder: real decoders would parse the container format
+    * here. The fake is deterministic from the payload bytes so tests
+    * and oracles can pin it. */
+  def decodeStub(payload: Array[Byte]): (Int, Long) = {
+    val first = if (payload.nonEmpty) payload(0) & 0xff else -1
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) { checksum += (payload(i) & 0xff).toLong * (i + 1); i += 1 }
+    (first, checksum % 1000003L)
+  }
+
+  /** "Frame sampling": every k-th byte — stands in for keyframe /
+    * audio-window extraction, preserving the batch shape. */
+  def frameSample(payload: Array[Byte], k: Int): Array[Byte] =
+    payload.indices.collect { case i if i % k == 0 => payload(i) }.toArray
+
+  /** Partition-batched decode + feature extraction over a typed
+    * Dataset. One pass per partition; at 100 TB this is the shape that
+    * lets a real codec initialize once per task, not once per row. */
+  def extractFeatures(media: Dataset[MediaRow], sampleEvery: Int = 16)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (first, checksum) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, first, checksum,
+          frameSample(r.payload, sampleEvery))
+      }
+    }
+  }
+
+  /** Column-only variant of the stub feature extraction — the same
+    * semantics expressed relationally (codegen'd, oracle-checkable):
+    * used by q_multimodal_meta so the contract is pinned by DuckDB.
+    * Bytes are recovered positionally from the hex encoding of the
+    * payload (two hex chars per byte). */
+  def featureColumns(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val n = octet_length(p)
+    val emptyLongs = array().cast("array<bigint>")
+    val bytes = when(n > 0,
+      transform(sequence(lit(1), n),
+        i => conv(substr(hex(p), i * 2 - 1, lit(2)), 16, 10).cast("long")))
+      .otherwise(emptyLongs)
+    val positions = when(n > 0,
+      transform(sequence(lit(1), n), i => i.cast("long"))).otherwise(emptyLongs)
+    val checksum = aggregate(zip_with(bytes, positions, (b, i) => b * i),
+      lit(0L), (acc, x) => acc + x) % lit(1000003L)
+    df.select(col(idCol),
+      n.as("n_bytes"),
+      // element_at on an empty array throws under ANSI mode — guard
+      when(n > 0, element_at(bytes, 1)).otherwise(lit(-1L)).as("first_byte"),
+      checksum.as("checksum"))
+  }
+}

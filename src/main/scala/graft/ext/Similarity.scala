@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators (brief §ext): exact cosine, brute
+  * top-k (broadcast query set), and sign-bucket LSH for near-dup
+  * candidate generation.
+  *
+  * Float policy: element-wise products and the running sum happen in
+  * double, strictly left-to-right (`aggregate` HOF) — the identical
+  * sequential reduction DuckDB's list_sum/list_dot_product performs,
+  * so scores are bit-equal across engines. sqrt/division are IEEE
+  * correctly-rounded, hence also stable.
+  *
+  * Scale posture: brute top-k broadcasts the (small) query set and
+  * never shuffles the candidate corpus; the LSH path buckets by a
+  * hyperplane sign-signature key, so candidate pairing shuffles on the
+  * bucket key and exact cosine runs on same-bucket pairs only.
+  */
+object Similarity {
+
+  /** Element-wise double view of a float-array embedding column. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. Queries are expected
+    * to be a small set (broadcast); candidates stream map-side. */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("__qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG over plane×dim) in
+    * [-32768, 32767]; pure integer arithmetic so any engine reproduces
+    * them exactly. */
+  def planeComponent(p: Int, d: Int): Long =
+    (1103515245L * (p * 64 + d) + 12345L) % 65536L - 32768L
+
+  def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (0 until dim).map(d => planeComponent(p, d).toDouble))
+
+  /** Sign-bucket id: bit p set iff dot(vec, plane_p) >= 0. Similar
+    * vectors land in the same bucket with high probability; identical
+    * vectors always do. */
+  def signBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    planes(numPlanes, dim).zipWithIndex.map { case (plane, p) =>
+      when(dot(vec, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH near-duplicate pairs: bucket on the sign signature, pair
+    * within buckets only, keep pairs above the cosine threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
+    val withBucket = df.select(col(idCol), toDouble(col(vecCol)).as("__v"),
+      signBucket(toDouble(col(vecCol)), numPlanes, dim).as("__bucket"))
+    val a = withBucket.select(col(idCol).as("vec_a"), col("__v").as("__va"),
+      col("__bucket"))
+    val b = withBucket.select(col(idCol).as("vec_b"), col("__v").as("__vb"),
+      col("__bucket"))
+    // each vector lives in exactly one bucket, so a pair can only
+    // surface once — no distinct (and no extra shuffle) needed
+    a.join(b, Seq("__bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * surface (brief §ext): tokenization, token statistics, heuristic
+  * language-ID, quality scoring, document fingerprinting. All pure
+  * `Column` combinators — codegen'd, no UDFs, no collects — so they
+  * run unchanged over 100 TB of documents: every op is a narrow
+  * projection except the explicit groupBys, which aggregate partially
+  * map-side.
+  *
+  * Hashing policy: md5 (identical across Spark and DuckDB) drives
+  * every fingerprint; hex→int goes through the first 15 hex chars
+  * (< 2^60, fits a signed long in both engines).
+  */
+object TextOps {
+
+  /** Corpus documents are single-space separated (verified: no
+    * leading/trailing/double whitespace in the fixture corpus), so a
+    * literal-space split is exact and locale-free. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** First 15 hex chars of md5 as a non-negative long. */
+  def hex15(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  private val FpMod = 1000003L
+
+  def tokenHash(tok: Column): Column = hex15(tok) % FpMod
+
+  /** Word n-gram shingles (space-joined). Empty array when the doc has
+    * fewer than n tokens — `sequence(0, size-n)` would otherwise count
+    * DOWN and fabricate shingles. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(0), length(text) - n), i =>
+        substr(text, i + 1, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token statistics per document: token count, distinct count, and
+    * average token length derived from char count (single-space
+    * separation makes `chars - (tokens-1)` the exact glyph total). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      length(col(textCol)).as("n_chars"),
+      ((length(col(textCol)) - (size(toks) - lit(1))).cast("double") / size(toks))
+        .as("avg_token_len"))
+  }
+
+  /** Tiny function-word inventory for the heuristic language scorer;
+    * ratio-of-stopwords is the classic cheap LID signal. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "data")
+
+  def stopwordRatio(toks: Column): Column = {
+    val stops = filter(toks, t => t.isin(stopwords.map(lit): _*))
+    size(stops).cast("double") / size(toks)
+  }
+
+  /** Heuristic language ID + quality score (length and stopword
+    * signals, both bounded to [0,1]; fixed multiply-add order keeps
+    * the double result bit-stable across engines). */
+  def langQuality(df: DataFrame, idCol: String, textCol: String,
+                  langCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ratio = stopwordRatio(toks)
+    val quality = least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5) +
+      ratio * lit(0.5)
+    df.select(
+      col(idCol), col(langCol).as("lang"),
+      when(ratio >= 0.05, "en_like").otherwise("other").as("heur_lang"),
+      size(toks).as("n_tokens"),
+      ratio.as("stop_ratio"),
+      quality.as("quality"))
+  }
+
+  /** Positional document fingerprint: Σ position·hash(token) mod p.
+    * Pure integer arithmetic — order-independent addition, exact in
+    * any engine, and position-sensitive unlike a bag-of-words sum. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .select(col(idCol),
+        ((col("__pos") + 1) * tokenHash(col("__tok"))).as("__contrib"))
+      .groupBy(idCol)
+      .agg((sum(col("__contrib")) % FpMod).as("fingerprint"))
+}

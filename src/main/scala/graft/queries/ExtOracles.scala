@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.ext.Similarity
+
+/** DuckDB oracle SQL for the ext (LLM-pipeline) queries. Every
+  * fingerprint goes through md5 (bit-identical in both engines);
+  * hex→int uses the '0x'||hex cast; float reductions use
+  * list_transform + list_sum, which reduces sequentially exactly like
+  * Spark's aggregate() HOF — verified bit-equal. The LSH hyperplanes
+  * are generated from the same Scala LCG as the Spark side and
+  * inlined as a literal.
+  */
+object ExtOracles {
+
+  private val dupCorpus =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  private val nearCorpus =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  /** Same hyperplanes as Similarity.planes(8, 64), inlined. */
+  private val planesLit: String =
+    Similarity.planes(8, 64)
+      .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  private val bucketTerms: String =
+    (0 until 8).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         |   i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  val sql: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      s"""WITH $dupCorpus
+         |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         |FROM corpus GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $nearCorpus,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+         |  FROM toks WHERE len(w) >= 3) t),
+         |mh AS (SELECT doc_id, sd.seed,
+         |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+         |  GROUP BY doc_id, sd.seed),
+         |bands AS (SELECT doc_id, seed // 2 AS band,
+         |    min(CASE WHEN seed % 2 = 0 THEN h END)
+         |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH corpus AS (SELECT doc_id, text, source, n_chars FROM documents
+         |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end', source, n_chars
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM corpus a JOIN corpus b
+         |    ON a.source = b.source AND a.n_chars = b.n_chars
+         |    AND a.doc_id < b.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+         |    i -> substr(text, i, 5))) AS shingle
+         |  FROM corpus WHERE length(text) >= 5) t),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.6""".stripMargin,
+
+    "q_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h
+        |  FROM toks),
+        |votes AS (SELECT doc_id, bb.b, SUM(((h >> bb.b) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+        |  GROUP BY doc_id, bb.b)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  length(text) AS n_chars,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q_lang_quality" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ratio >= 0.05 THEN 'en_like' ELSE 'other' END AS heur_lang,
+        |  n_tokens, ratio AS stop_ratio,
+        |  least(1.0, n_tokens / 100.0) * 0.5 + ratio * 0.5 AS quality
+        |FROM (SELECT doc_id, lang, len(w) AS n_tokens,
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the','a','of','and','to','in','is','data'))) AS DOUBLE) / len(w) AS ratio
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t) t2""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+        |  FROM toks)
+        |SELECT doc_id,
+        |  SUM(i * (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1000003))
+        |    % 1000003 AS fingerprint
+        |FROM pos GROUP BY doc_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+        |      AS cosine
+        |  FROM (SELECT * FROM e WHERE vec_id < 5) q,
+        |       (SELECT * FROM e WHERE vec_id >= 5) c)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding
+         |  FROM embeddings WHERE vec_id % 13 = 0),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM corpus),
+         |pls AS (SELECT $planesLit::DOUBLE[][] AS pl),
+         |b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e CROSS JOIN pls)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |  list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+         |     * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |    AS cosine
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+         |     * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |    >= 0.99""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, length(text) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> i * ascii(substr(text, i, 1)))) % 1000003 AS checksum
+        |FROM documents""".stripMargin,
+  )
+}

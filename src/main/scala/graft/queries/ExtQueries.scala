@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries (brief §ext) over the driver's
+  * `documents` and `embeddings` tables, each with a DuckDB oracle
+  * (ExtOracles).
+  *
+  * The fixture corpus has no natural duplicates, so the dedup queries
+  * operate on a derived corpus: documents unioned with deterministic
+  * copies (exact dups) or marker-suffixed copies (near dups) — derived
+  * identically in the oracle SQL, so the operators are verified doing
+  * real work, not vacuously returning zero pairs.
+  */
+object ExtQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** documents ∪ exact copies of every 7th doc (new ids +100000). */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies of every 11th doc (2 tokens appended). */
+  private def nearCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text")))
+  }
+
+  /** Exact dedup: one hash-groupBy, map-side combinable. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(dupCorpus(spark, dir), "doc_id", "text")
+
+  /** MinHash-LSH banded near-dup: shingle → 8 minhashes → 4 bands →
+    * bucket join (shuffle on band key, never all-pairs) → exact
+    * Jaccard on candidates only. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(nearCorpus(spark, dir), "doc_id", "text")
+
+  /** Blocked char-5-gram Jaccard: candidate pairs come from cheap
+    * metadata blocking (source, n_chars) — near-copies keep the base
+    * doc's recorded n_chars, so each lands in its original's block. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text", "source", "n_chars")
+    val corpus = base.unionByName(base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text"),
+        col("source"), col("n_chars")))
+    val cand = corpus.as("a").join(corpus.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = corpus
+      .select(col("doc_id"), explode(TextOps.charShingles(col("text"), 5)).as("shingle"))
+      .distinct()
+    Dedup.jaccardOnCandidates(cand, sh, "doc_id")
+      .filter(col("jaccard") >= 0.6)
+  }
+
+  /** 16-bit SimHash fingerprint per document. */
+  def simhashFp(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(docs(spark, dir), "doc_id", "text")
+
+  def langQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langQuality(docs(spark, dir), "doc_id", "text", "lang")
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
+
+  /** Brute-force cosine top-3: broadcast 5 query vectors against the
+    * candidate corpus — the exact baseline an ANN path is judged by. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.bruteTopK(
+      e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+      "vec_id", "embedding", k = 3)
+  }
+
+  /** Sign-bucket LSH near-dup over embeddings ∪ exact vector copies:
+    * 8 hyperplanes → 256 buckets; pairs form within buckets only. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = e.unionByName(e.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+      numPlanes = 8, dim = 64, minCosine = 0.99)
+  }
+
+  /** Multimodal metadata extraction over an opaque binary payload
+    * (text bytes stand in for media; the columnar path mirrors the
+    * mapPartitions decode stub pinned by MultimodalSpec). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featureColumns(
+      docs(spark, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"       -> (dedupExact _),
+    "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_ngram_jaccard"     -> (ngramJaccard _),
+    "q_simhash"           -> (simhashFp _),
+    "q_token_stats"       -> (tokenStats _),
+    "q_lang_quality"      -> (langQuality _),
+    "q_fingerprint"       -> (fingerprint _),
+    "q_cosine_topk"       -> (cosineTopK _),
+    "q_embed_neardup"     -> (embedNearDup _),
+    "q_multimodal_meta"   -> (multimodalMeta _),
+  )
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.ExtQueries
+
+/** LLM-pipeline operator semantics: dedup recall/precision on the
+  * derived corpora, position sensitivity of fingerprints, SimHash
+  * locality, cosine sanity, and the multimodal mapPartitions path
+  * agreeing with the relational path.
+  */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup: every derived copy collapses onto its base doc") {
+    val out = ExtQueries.dedupExact(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val dups = out.filter(_._2 == 2L)
+    assert(out.forall(_._2 <= 2L))
+    // every 7th doc was copied; all keepers of dup groups are base ids
+    assert(dups.nonEmpty && dups.forall(_._1 < 100000L))
+    assert(dups.forall { case (id, _) => id % 7 == 0 })
+  }
+
+  test("minhash-LSH finds the planted near-dup pairs with high recall, full precision") {
+    val pairs = ExtQueries.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 200000 }
+    val nPlanted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 11 === 0).count()
+    assert(planted.length >= (nPlanted * 0.9).toInt,
+      s"recall too low: ${planted.length}/$nPlanted")
+    assert(pairs.forall(_._3 >= 0.5)) // precision: threshold enforced
+  }
+
+  test("simhash: a near-identical document lands within small hamming distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words about spark catalyst query planning"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) <= 4)
+    assert(hamming(fp(1L), fp(3L)) > hamming(fp(1L), fp(2L)))
+  }
+
+  test("token stats computes counts and exact average token length") {
+    val df = Seq((1L, "aa bbb cccc")).toDF("doc_id", "text")
+    val r = TextOps.tokenStats(df, "doc_id", "text").collect()(0)
+    assert(r.getInt(1) === 3)           // n_tokens
+    assert(r.getInt(2) === 3)           // distinct
+    assert(r.getInt(3) === 11)          // n_chars
+    assert(r.getDouble(4) === 3.0)      // (11 - 2) / 3
+  }
+
+  test("fingerprint is position-sensitive (rolling, not bag-of-words)") {
+    val df = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) !== fp(2L))
+  }
+
+  test("cosine of a vector with itself is 1; orthogonal vectors score 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)), (3L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(df.filter(col("vec_id") === 1),
+        df.filter(col("vec_id") > 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(1) === 3L)  // parallel vector first
+    assert(math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(top(1).getDouble(3)) < 1e-12)
+  }
+
+  test("embedding LSH: identical vectors always share a bucket -> full recall") {
+    val pairs = ExtQueries.embedNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 13 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).map(id => (id, id + 10000)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("multimodal: mapPartitions decode stub agrees with the relational path") {
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](0x10, 0x7f, 0x33)),
+      Multimodal.MediaRow(3L, "video", Array.empty[Byte])).toDS()
+    val typed = Multimodal.extractFeatures(media)
+      .select("media_id", "n_bytes", "first_byte", "checksum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val relational = Multimodal.featureColumns(
+        media.toDF().withColumnRenamed("payload", "p"), "media_id", "p")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt, r.getLong(3))).toSet
+    assert(typed === relational)
+  }
+
+  test("frame sample takes every k-th byte preserving order") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val sampled = Multimodal.frameSample(payload, 16)
+    assert(sampled.toSeq === Seq(0, 16, 32, 48, 64, 80, 96).map(_.toByte))
+  }
+}
