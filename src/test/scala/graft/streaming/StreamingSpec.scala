@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Streaming semantics pinned by batch equivalence (SURVEY.md §5.6):
+  * the streaming result of each operator must equal the identical
+  * operator run as a batch query, watermarks must drop late data in
+  * append mode, session windows must merge by gap, and streaming
+  * dedup must collapse duplicate ids within the watermark.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  private def runToTable(stream: MemoryStream[Ev], name: String,
+                         mode: String, f: DataFrame => DataFrame,
+                         batches: Seq[Seq[Ev]]): DataFrame = {
+    val q = f(stream.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling window (complete mode) equals the batch aggregation") {
+    val events = Seq(
+      Ev(1, ts(5), 1, "view", 10.0), Ev(2, ts(20), 1, "click", 5.5),
+      Ev(3, ts(65), 2, "view", 2.25), Ev(4, ts(70), 2, "view", 4.0),
+      Ev(5, ts(130), 1, "click", 1.0))
+    val stream = MemoryStream[Ev]
+    val got = runToTable(stream, "t_tumbling", "complete",
+      StreamingOps.tumblingCounts(_), Seq(events.take(2), events.drop(2)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = StreamingOps.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("streaming sliding window equals batch; events land in two windows") {
+    val events = Seq(Ev(1, ts(40), 1, "view", 1.0), Ev(2, ts(50), 1, "view", 1.0))
+    val stream = MemoryStream[Ev]
+    val got = runToTable(stream, "t_sliding", "complete",
+      StreamingOps.slidingCounts(_), Seq(events))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toSet
+    val want = StreamingOps.slidingCounts(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toSet
+    assert(got === want)
+    // 0:40/0:50 fall in both the [0:00,1:00) and [0:30,1:30) windows
+    assert(got === Set((ts(0), 2L), (ts(30), 2L)))
+  }
+
+  test("append mode: a late event behind the watermark is dropped") {
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(stream.toDF()).writeStream
+      .format("memory").queryName("t_late").outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 1:30 - 10min = 1:20 -> the
+      // [0:00,1:00) window is past the watermark and emits count 2
+      stream.addData(Seq(Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(30), 1, "view", 1.0),
+        Ev(3, ts(90), 1, "view", 1.0)))
+      q.processAllAvailable()
+      // batch 2: event at 0:10 is far behind the 1:20 watermark -> must
+      // NOT resurrect the closed [0:00,1:00) window; 3:00 advances the
+      // watermark past [1:00,2:00) so that window emits count 1
+      stream.addData(Seq(Ev(4, ts(10), 1, "view", 99.0), Ev(5, ts(180), 1, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_late")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    assert(rows(ts(0)) === 2L, "late event must not be counted")
+    assert(rows(ts(60)) === 1L)
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "view", 2.0),
+      Ev(3, ts(8), 1, "view", 3.0),   // one session: 0:00 .. 0:18
+      Ev(4, ts(60), 1, "view", 4.0),  // second session: 1:00 .. 1:10
+      Ev(5, ts(240), 2, "view", 0.0)) // watermark pusher
+    val stream = MemoryStream[Ev]
+    val got = runToTable(stream, "t_session", "append",
+      StreamingOps.sessionCounts(_), Seq(events.take(4), events.drop(4)))
+      .filter(col("user_id") === 1)
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3))).toSet
+    assert(got === Set((ts(0), ts(18), 3L), (ts(60), ts(70), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark collapses duplicate ids across batches") {
+    val stream = MemoryStream[Ev]
+    val got = runToTable(stream, "t_dedup", "append",
+      StreamingOps.dedupWithinWatermark(_), Seq(
+        Seq(Ev(1, ts(0), 1, "view", 1.0), Ev(1, ts(1), 1, "view", 1.0),
+          Ev(2, ts(2), 1, "view", 1.0)),
+        Seq(Ev(2, ts(3), 1, "view", 1.0), Ev(3, ts(4), 1, "view", 1.0))))
+    assert(got.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("batch equivalence with the declared q_tumbling_window inventory query") {
+    val dir = "/root/testdata/sf0.001"
+    val viaStreamingOps = StreamingOps.tumblingCounts(
+        graft.sources.Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type", "value"))
+      .select("ws", "event_type", "n", "sum_value")
+    val viaInventory = graft.queries.StarQueries.tumblingWindow(spark, dir)
+      .select(col("ws"), col("event_type"), col("n"), col("sum_value"))
+    assert(viaStreamingOps.exceptAll(viaInventory).isEmpty
+      && viaInventory.exceptAll(viaStreamingOps).isEmpty)
+  }
+}
