@@ -26,33 +26,42 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .drop("content_hash")
 
-  /** Distinct word n-gram shingles, one row per (id, shingle). */
+  /** Distinct word n-gram shingles, one row per (id, shingle). The
+    * token array is materialized into its own projection first: a
+    * `split(...)` referenced inside the shingle lambda would be
+    * re-evaluated per element (no CSE across lambda boundaries) —
+    * ~3 regex splits per shingle instead of 1 per document. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
-        explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordShingles(col("__toks"), n)).as("shingle"))
       .distinct()
 
-  /** MinHash signature rows: for each of `numHashes` seeds, the
+  /** MinHash signature: for each of `numHashes` seeds, the
     * lexicographic min of md5(seed || '|' || shingle) — a string-min
-    * is a valid minhash and is engine-portable (no 128-bit ints). */
-  def minhashRows(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    shingles
-      .select(col(idCol), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col(idCol), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy(idCol, "seed")
-      .agg(min(col("h")).as("mh"))
+    * is a valid minhash and is engine-portable (no 128-bit ints).
+    * All mins are computed in ONE aggregation over the shingle rows
+    * (wide agg, map-side partial) instead of exploding a seed
+    * dimension — an 8× row blowup plus an extra shuffle at scale. */
+  def minhashSignature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    shingles.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+        (1 until numHashes).map(s =>
+          min(md5(concat(lit(s + "|"), col("shingle")))).as(s"mh$s")): _*)
 
   /** LSH bands of 2 rows each: band b's key is the concatenation of
-    * minhashes 2b and 2b+1. Docs sharing any (band, key) are
-    * candidates — the join shuffles on the band key, never all-pairs. */
-  def lshBands(minhashes: DataFrame, idCol: String): DataFrame =
-    minhashes
-      .groupBy(col(idCol), (col("seed") / 2).cast("long").as("band"))
-      .agg(concat(
-        min(when(col("seed") % 2 === 0, col("mh"))),
-        min(when(col("seed") % 2 === 1, col("mh")))).as("bkey"))
+    * minhashes 2b and 2b+1 — a pure projection + explode over the
+    * signature, no shuffle. Docs sharing any (band, key) are
+    * candidates; the candidate join shuffles on the band key, never
+    * all-pairs. */
+  def lshBands(signature: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val bandStructs = (0 until numHashes / 2).map(b =>
+      struct(lit(b.toLong).as("band"),
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+    signature
+      .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+  }
 
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
@@ -86,8 +95,15 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 8,
                    minJaccard: Double = 0.5): DataFrame = {
+    // the shingle relation feeds BOTH the signature branch and the
+    // jaccard verification join on different shuffle keys, so it is
+    // computed twice; measured, recomputing the (cheap, map-side)
+    // explode beats a blocking cache materialization at every tested
+    // scale — callers running many dedup passes over one corpus should
+    // materialize the shingle table themselves
     val sh = shingleRows(df, idCol, textCol, shingleN)
-    val cand = lshCandidates(lshBands(minhashRows(sh, idCol, numHashes), idCol), idCol)
+    val cand = lshCandidates(
+      lshBands(minhashSignature(sh, idCol, numHashes), idCol, numHashes), idCol)
     jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
   }
 

@@ -67,9 +67,12 @@ object Multimodal {
     val p = col(payloadCol)
     val n = octet_length(p)
     val emptyLongs = array().cast("array<bigint>")
+    // one regex pass splits the hex string into byte pairs — substr
+    // per byte would re-scan the string each time (O(n²) per payload);
+    // the trailing empty split piece is filtered out
+    val hexPairs = filter(split(hex(p), "(?<=\\G.{2})"), s => length(s) === 2)
     val bytes = when(n > 0,
-      transform(sequence(lit(1), n),
-        i => conv(substr(hex(p), i * 2 - 1, lit(2)), 16, 10).cast("long")))
+      transform(hexPairs, h => conv(h, 16, 10).cast("long")))
       .otherwise(emptyLongs)
     val positions = when(n > 0,
       transform(sequence(lit(1), n), i => i.cast("long"))).otherwise(emptyLongs)

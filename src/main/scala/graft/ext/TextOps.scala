@@ -50,14 +50,18 @@ object TextOps {
     * average token length derived from char count (single-space
     * separation makes `chars - (tokens-1)` the exact glyph total). */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.select(
-      col(idCol),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      length(col(textCol)).as("n_chars"),
-      ((length(col(textCol)) - (size(toks) - lit(1))).cast("double") / size(toks))
-        .as("avg_token_len"))
+    // tokenize once into a real column; referencing split(...) from
+    // several output expressions would re-run the split per expression
+    val toks = col("__toks")
+    df.select(col(idCol), length(col(textCol)).as("n_chars"),
+        tokens(col(textCol)).as("__toks"))
+      .select(
+        col(idCol),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        col("n_chars"),
+        ((col("n_chars") - (size(toks) - lit(1))).cast("double") / size(toks))
+          .as("avg_token_len"))
   }
 
   /** Tiny function-word inventory for the heuristic language scorer;
@@ -75,16 +79,18 @@ object TextOps {
     * the double result bit-stable across engines). */
   def langQuality(df: DataFrame, idCol: String, textCol: String,
                   langCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val ratio = stopwordRatio(toks)
+    val toks = col("__toks")
+    val ratio = col("__ratio")
     val quality = least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5) +
       ratio * lit(0.5)
-    df.select(
-      col(idCol), col(langCol).as("lang"),
-      when(ratio >= 0.05, "en_like").otherwise("other").as("heur_lang"),
-      size(toks).as("n_tokens"),
-      ratio.as("stop_ratio"),
-      quality.as("quality"))
+    df.select(col(idCol), col(langCol).as("lang"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__ratio", stopwordRatio(toks))
+      .select(
+        col(idCol), col("lang"),
+        when(ratio >= 0.05, "en_like").otherwise("other").as("heur_lang"),
+        size(toks).as("n_tokens"),
+        ratio.as("stop_ratio"),
+        quality.as("quality"))
   }
 
   /** Positional document fingerprint: Σ position·hash(token) mod p.

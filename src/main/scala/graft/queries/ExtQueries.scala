@@ -60,7 +60,12 @@ object ExtQueries {
           col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val sh = corpus
+    // shingle only the docs that appear in a candidate pair — at scale
+    // the blocking prunes most of the corpus, so the (expensive)
+    // char-5-gram expansion must not run over everything
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = corpus.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(TextOps.charShingles(col("text"), 5)).as("shingle"))
       .distinct()
     Dedup.jaccardOnCandidates(cand, sh, "doc_id")
