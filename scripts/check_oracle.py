@@ -74,6 +74,8 @@ def main(sf_dir, out_dir):
             n_pass += 1
     missing = set(k for k in oracle) - set(
         os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    if missing:
+        print(f"== missing spark output dirs: {sorted(missing)}")
     print(f"== {n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

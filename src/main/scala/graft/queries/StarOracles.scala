@@ -118,6 +118,14 @@ object StarOracles {
         |FROM lineitem WHERE l_orderkey % 97 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q_format_lap_time_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  printf('%d:%02d.%03d',
+        |    CAST(floor(l_extendedprice / 100.0 * 1000) AS BIGINT) // 60000,
+        |    (CAST(floor(l_extendedprice / 100.0 * 1000) AS BIGINT) % 60000) // 1000,
+        |    CAST(floor(l_extendedprice / 100.0 * 1000) AS BIGINT) % 1000) AS lap_str
+        |FROM lineitem WHERE l_orderkey % 89 = 0""".stripMargin,
+
     "q_phase_label" ->
       """SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 'Q1'
         |            WHEN ts < TIMESTAMP '2024-01-20' THEN 'Q2'

@@ -172,6 +172,18 @@ object StarQueries {
         F1Functions.formatLapTime(col("l_extendedprice") / lit(100.0)).as("lap_str"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  // §2.12 — same semantics through the native Catalyst expression
+  // (registered in the session function registry, resolved from SQL
+  // text, codegen'd); oracle-checked independently of the builtin
+  // composition path so the two can never silently diverge.
+  def formatLapTimeExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.FormatLapTime.register(spark)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 89 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("format_lap_time(l_extendedprice / 100.0)").as("lap_str"))
+  }
+
   // §2.2 P7 — qualifying-phase CASE labeling over event time.
   def phaseLabel(spark: SparkSession, dir: String): DataFrame = {
     val ts = col("ts")
@@ -245,6 +257,7 @@ object StarQueries {
     "q_minmax_stats"       -> (minmaxStats _),
     "q_avg_by_group"       -> (avgByGroup _),
     "q_format_lap_time"    -> (formatLapTime _),
+    "q_format_lap_time_expr" -> (formatLapTimeExpr _),
     "q_phase_label"        -> (phaseLabel _),
     "q_json_extract"       -> (jsonExtract _),
     "q_tumbling_window"    -> (tumblingWindow _),
