@@ -110,6 +110,25 @@ object F1Pipelines {
       .orderBy("grid_position")
   }
 
+  /** P14 — the v1 reference's POSITIONAL tire age: the i-th lap
+    * matched to a stint (by lap_number order) gets tyre_age_at_start
+    * + i, regardless of gaps in the lap numbers. Diverges from the
+    * canonical P13 lap-arithmetic exactly when laps are missing inside
+    * a stint (P13 ages jump with the gap; P14 ages stay consecutive) —
+    * the divergence the survey pins by test (F1PipelinesSpec).
+    * Ref: /root/reference/src/data_processing.py:164-181. */
+  def tireAgePositional(laps: DataFrame, stints: DataFrame): DataFrame = {
+    val joined = AsOfJoin.intervalJoin(laps, stints,
+      by = Seq("session_key", "driver_number"),
+      valueCol = "lap_number", loCol = "lap_start", hiCol = "lap_end")
+    val w = Window
+      .partitionBy("session_key", "driver_number", "stint_number")
+      .orderBy("lap_number")
+    joined.withColumn("tire_age_positional",
+      when(col("stint_number").isNotNull,
+        row_number().over(w) - 1 + col("tyre_age_at_start")))
+  }
+
   /** P8 — red-flag guard: a qualifying session longer than 70 minutes
     * means a red flag broke the Q1/Q2/Q3 timing model.
     * Ref: /root/reference/src/data_processing.py:218-220. */

@@ -99,6 +99,25 @@ class F1PipelinesSpec extends AnyFunSuite {
     assert(t.filter(col("x").isNull).count() === 0)
   }
 
+  test("P13 vs P14 tire age diverge exactly on in-stint lap gaps (pinned choice)") {
+    import spark.implicits._
+    val laps = Seq((1L, 1L, 6L), (1L, 1L, 8L), (1L, 1L, 9L))
+      .toDF("session_key", "driver_number", "lap_number")
+    val stints = Seq((1L, 1L, 2L, 6L, 10L, "SOFT", 4L))
+      .toDF("session_key", "driver_number", "stint_number",
+        "lap_start", "lap_end", "compound", "tyre_age_at_start")
+    val positional = F1Pipelines.tireAgePositional(laps, stints)
+      .select("lap_number", "tire_age_positional").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // v1 positional: consecutive ages regardless of the missing lap 7
+    assert(positional === Map(6L -> 4L, 8L -> 5L, 9L -> 6L))
+    // canonical v2 lap arithmetic: ages jump with the gap
+    val arithmetic = laps.select(col("lap_number"),
+        graft.functions.F1Functions.tireAge(col("lap_number"), lit(6L), lit(10L), lit(4L)).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arithmetic === Map(6L -> 4L, 8L -> 6L, 9L -> 7L))
+  }
+
   test("red-flag guard rejects sessions longer than 70 minutes") {
     intercept[IllegalArgumentException] {
       F1Pipelines.assertNoRedFlag(
