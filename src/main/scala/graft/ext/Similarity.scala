@@ -66,6 +66,31 @@ object Similarity {
       when(dot(vec, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Approximate top-k: queries only score candidates in their own
+    * sign bucket — the scale path next to bruteTopK's exact baseline.
+    * The join shuffles on the bucket key; per-query ranking shuffles
+    * on query_id only for the (small) same-bucket candidate sets. A
+    * query with fewer than k bucket-mates returns fewer rows — the
+    * standard ANN recall/speed trade. */
+  def annTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__bucket", signBucket(col("__qv"), numPlanes, dim))
+    val c = candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", signBucket(col("__cv"), numPlanes, dim))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("__bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH near-duplicate pairs: bucket on the sign signature, pair
     * within buckets only, keep pairs above the cosine threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

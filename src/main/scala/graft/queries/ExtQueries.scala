@@ -94,6 +94,15 @@ object ExtQueries {
       "vec_id", "embedding", k = 3)
   }
 
+  /** LSH-bucketed approximate top-3 — the scale path beside the brute
+    * baseline: queries score only their own sign-bucket's candidates. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.annTopK(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
+  }
+
   /** Sign-bucket LSH near-dup over embeddings ∪ exact vector copies:
     * 8 hyperplanes → 256 buckets; pairs form within buckets only. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -121,6 +130,7 @@ object ExtQueries {
     "q_lang_quality"      -> (langQuality _),
     "q_fingerprint"       -> (fingerprint _),
     "q_cosine_topk"       -> (cosineTopK _),
+    "q_ann_topk"          -> (annTopK _),
     "q_embed_neardup"     -> (embedNearDup _),
     "q_multimodal_meta"   -> (multimodalMeta _),
   )

@@ -84,6 +84,20 @@ object F1Oracles {
          |  AND compound NOT IN ('TEST_UNKNOWN', 'UNKNOWN')
          |GROUP BY driver_number, name_acronym, compound""".stripMargin,
 
+    "q_f1_avg_matrix" ->
+      s"""$enrichCte,
+         |avgs AS (SELECT driver_number, name_acronym, compound,
+         |    CAST(SUM(CAST(actual_lap_time AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS a
+         |  FROM enrich
+         |  WHERE actual_lap_time IS NOT NULL
+         |    AND compound NOT IN ('TEST_UNKNOWN', 'UNKNOWN')
+         |  GROUP BY driver_number, name_acronym, compound)
+         |SELECT driver_number, name_acronym,
+         |  min(CASE WHEN compound = 'SOFT' THEN a END) AS "SOFT",
+         |  min(CASE WHEN compound = 'MEDIUM' THEN a END) AS "MEDIUM",
+         |  min(CASE WHEN compound = 'HARD' THEN a END) AS "HARD"
+         |FROM avgs GROUP BY driver_number, name_acronym""".stripMargin,
+
     "q_f1_telemetry" ->
       s"""WITH f_car AS (SELECT * FROM read_parquet('$F/car_data.parquet/*.parquet')),
          |f_loc AS (SELECT * FROM read_parquet('$F/location.parquet/*.parquet')),

@@ -55,6 +55,13 @@ object F1Queries {
       col("driver_number"), col("name_acronym"),
       col("Compound").as("compound"), col("avg_lap_time"))
 
+  /** classes.py surface — R1 pivot to the drivers × compounds matrix
+    * with fixed compound order (R3 reindex keeps all-NULL columns),
+    * O5 sort key = best MEDIUM average (A3). */
+  def f1AvgMatrix(spark: SparkSession, dir: String): DataFrame =
+    F1Pipelines.avgLapMatrix(enriched(spark), Seq("SOFT", "MEDIUM", "HARD"))
+      .select("driver_number", "name_acronym", "SOFT", "MEDIUM", "HARD")
+
   /** E3 — one lap's telemetry (F5 time mask + P4 seconds column, J5
     * scalar lap window via broadcast) + J4 nearest as-of with track
     * location. */
@@ -83,6 +90,7 @@ object F1Queries {
     "q_f1_fastest"      -> (f1Fastest _),
     "q_f1_grid"         -> (f1Grid _),
     "q_f1_avg_compound" -> (f1AvgCompound _),
+    "q_f1_avg_matrix"   -> (f1AvgMatrix _),
     "q_f1_telemetry"    -> (f1Telemetry _),
     "q_f1_meetings"     -> (f1Meetings _),
     "q_f1_pit"          -> (f1Pit _),

@@ -96,6 +96,14 @@ object StarOracles {
     "q_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
 
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS g_rf,
+        |  CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
     "q_minmax_stats" ->
       """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         |  min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,

@@ -138,6 +138,17 @@ object StarQueries {
     urgent.unionByName(rest).orderBy("grid_position")
   }
 
+  // §2.5 (engine surface) — ROLLUP grouping sets: free through
+  // Catalyst once the surface is relational; grouping() disambiguates
+  // the NULL subtotal rows.
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"))
+
   // §2.5 A4 — distinct.
   def distinctTypes(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select("event_type").distinct().orderBy("event_type")
@@ -254,6 +265,7 @@ object StarQueries {
     "q_unpivot"            -> (unpivotMelt _),
     "q_union_grid"         -> (unionGrid _),
     "q_distinct"           -> (distinctTypes _),
+    "q_rollup"             -> (rollupAgg _),
     "q_minmax_stats"       -> (minmaxStats _),
     "q_avg_by_group"       -> (avgByGroup _),
     "q_format_lap_time"    -> (formatLapTime _),

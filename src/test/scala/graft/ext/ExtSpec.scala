@@ -80,6 +80,18 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(1).getDouble(3)) < 1e-12)
   }
 
+  test("ANN top-k: an identical vector is always retrieved at rank 1 with cosine ~1") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val ann = Similarity.annTopK(copies, e, "vec_id", "embedding",
+        k = 1, numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val expected = copies.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.map(_._1).toSet === expected, "every query must find a neighbor")
+    assert(ann.forall { case (q, n, c) => n == q - 10000 && c > 0.999999 })
+  }
+
   test("embedding LSH: identical vectors always share a bucket -> full recall") {
     val pairs = ExtQueries.embedNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -110,6 +110,25 @@ class StreamingSpec extends AnyFunSuite {
       === Seq(1L, 2L, 3L))
   }
 
+  test("file-source readStream over events parquet equals the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // readStream needs a directory; stage the (µs-normalized) events
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(staged)
+    val q = StreamingOps.tumblingCounts(stream).writeStream
+      .format("memory").queryName("t_file_src").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_file_src")
+    val want = StreamingOps.tumblingCounts(batchEvents)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("batch equivalence with the declared q_tumbling_window inventory query") {
     val dir = "/root/testdata/sf0.001"
     val viaStreamingOps = StreamingOps.tumblingCounts(
