@@ -131,6 +131,12 @@ object F1Oracles {
          |       THEN bz ELSE fz END AS z
          |FROM t LEFT JOIN b ON t.date = b.tdate LEFT JOIN f ON t.date = f.tdate""".stripMargin,
 
+    "q_openf1_laps" ->
+      s"""SELECT session_key, driver_number, lap_number, date_start,
+         |  lap_duration, is_pit_out_lap
+         |FROM read_parquet('$F/laps.parquet/*.parquet')
+         |WHERE session_key = 9001 AND driver_number <= 3""".stripMargin,
+
     "q_f1_meetings" ->
       s"""SELECT DISTINCT meeting_official_name, meeting_key
          |FROM read_parquet('$F/meetings.parquet/*.parquet')""".stripMargin,

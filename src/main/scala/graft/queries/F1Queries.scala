@@ -76,6 +76,15 @@ object F1Queries {
     F1Pipelines.telemetryWithTrackPosition(windowed, F1Tables.location(spark))
   }
 
+  /** S1–S3/S9 — the openf1 DataSourceV2 connector: per-driver parallel
+    * partitions, pushed-down session/driver predicates, retry-wrapped
+    * transport. Oracle reads the same data from the committed parquet. */
+  def openf1Laps(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("openf1").option("entity", "laps").load()
+      .filter(col("session_key") === 9001 && col("driver_number") <= 3)
+      .select("session_key", "driver_number", "lap_number", "date_start",
+        "lap_duration", "is_pit_out_lap")
+
   /** S8 — meetings catalog distinct projection. */
   def f1Meetings(spark: SparkSession, dir: String): DataFrame =
     F1Tables.meetings(spark)
@@ -93,6 +102,7 @@ object F1Queries {
     "q_f1_avg_matrix"   -> (f1AvgMatrix _),
     "q_f1_telemetry"    -> (f1Telemetry _),
     "q_f1_meetings"     -> (f1Meetings _),
+    "q_openf1_laps"     -> (openf1Laps _),
     "q_f1_pit"          -> (f1Pit _),
   )
 }

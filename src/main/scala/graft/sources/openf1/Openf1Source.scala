@@ -1,0 +1,208 @@
+package graft.sources.openf1
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.f1.{F1Schemas, FixtureGen}
+
+/** `spark.read.format("openf1")` — a DataSourceV2 connector shaped
+  * like the reference's OpenF1 REST ingestion (S1–S3, S9, S10):
+  *
+  * - one InputPartition per (session, driver) — the unit the API
+  *   paginates by and the reference fetches serially in an N+1 loop
+  *   (/root/reference/src/session_object.py:137-154); here the
+  *   partitions read in PARALLEL across executors;
+  * - `session_key` / `driver_number` equality predicates push into
+  *   the source exactly like the API's query parameters
+  *   (/root/reference/src/data_processing.py:36);
+  * - each partition fetch goes through the 429 retry/backoff wrapper
+  *   (/root/reference/src/helper_functions.py:7-31).
+  *
+  * The transport is the deterministic in-memory fixture "API"
+  * (Openf1Api) — the container has no egress — so the connector's
+  * planning, pushdown, partitioning, and retry machinery are all real
+  * and tested while the HTTP layer is a stub with the same contract.
+  */
+class Openf1Source extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "openf1"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Openf1Api.schemaFor(Option(options.get("entity")).getOrElse("laps"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new Openf1Table(
+      Option(properties.get("entity")).getOrElse("laps"),
+      properties.getOrDefault("flaky", "false").toBoolean)
+}
+
+private[openf1] class Openf1Table(entity: String, flaky: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = s"openf1.$entity"
+  override def schema(): StructType = Openf1Api.schemaFor(entity)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Openf1ScanBuilder(entity, flaky)
+}
+
+private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var sessionKey: Option[Long] = None
+  private var driverNumber: Option[Long] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo("session_key", _: Number)   => true
+      case EqualTo("driver_number", _: Number) => true
+      case _                                   => false
+    }
+    ours.foreach {
+      case EqualTo("session_key", v: Number)   => sessionKey = Some(v.longValue())
+      case EqualTo("driver_number", v: Number) => driverNumber = Some(v.longValue())
+      case _                                   =>
+    }
+    accepted = ours
+    rest // Spark re-evaluates everything we did not accept
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new Openf1Scan(entity, sessionKey, driverNumber, flaky)
+}
+
+private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
+                                 driverNumber: Option[Long], flaky: Boolean)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = Openf1Api.schemaFor(entity)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"openf1 entity=$entity pushed=[session_key=$sessionKey, driver_number=$driverNumber]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (entity == "sessions")
+      // session metadata is not per-driver — one partition
+      Array(Openf1Partition(entity, sessionKey, -1L, flaky))
+    else
+      Openf1Api.drivers(sessionKey, driverNumber)
+        .map(d => Openf1Partition(entity, sessionKey, d, flaky): InputPartition)
+        .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Openf1ReaderFactory
+}
+
+private[openf1] case class Openf1Partition(entity: String, sessionKey: Option[Long],
+                                           driverNumber: Long, flaky: Boolean)
+    extends InputPartition
+
+private[openf1] class Openf1ReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[Openf1Partition]
+    val rows = Openf1Api.fetch(p.entity, p.sessionKey, p.driverNumber, p.flaky)
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Deterministic in-memory "API": serves the FixtureGen entities per
+  * (session, driver) — the same data committed under fixtures/f1 — and
+  * simulates a rate-limited transport when `flaky` is on. */
+object Openf1Api {
+
+  final class RateLimitedException extends RuntimeException("HTTP 429")
+
+  /** S9 — retry/backoff contract of helper_functions.get_with_retry:
+    * 429 → sleep and retry until success; anything else propagates. */
+  def withRetry[T](maxAttempts: Int = 5, backoffMs: Long = 10)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case _: RateLimitedException if attempt < maxAttempts - 1 =>
+          attempt += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // first call per (entity, driver) gets a simulated 429
+  private val attempts = new ConcurrentHashMap[(String, Long), Integer]()
+  val retriesServed = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def schemaFor(entity: String): StructType = entity match {
+    case "laps"     => F1Schemas.laps
+    case "stints"   => F1Schemas.stints
+    case "drivers"  => F1Schemas.drivers
+    case "sessions" => F1Schemas.sessions
+    case other => throw new IllegalArgumentException(s"unknown openf1 entity: $other")
+  }
+
+  def drivers(sessionKey: Option[Long], driverNumber: Option[Long]): Seq[Long] = {
+    val all = FixtureGen.drivers
+      .filter(d => sessionKey.forall(_ == d._1)).map(_._2)
+    driverNumber.map(d => all.filter(_ == d)).getOrElse(all)
+  }
+
+  def fetch(entity: String, sessionKey: Option[Long], driver: Long,
+            flaky: Boolean): Seq[InternalRow] = withRetry() {
+    if (flaky && attempts.merge((entity, driver), 1, (a, b) => a + b) == 1) {
+      retriesServed.incrementAndGet()
+      throw new RateLimitedException
+    }
+    rows(entity, sessionKey, driver)
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def rows(entity: String, sessionKey: Option[Long], driver: Long): Seq[InternalRow] = {
+    def keep(sk: Long, d: Long): Boolean = sessionKey.forall(_ == sk) && d == driver
+    entity match {
+      case "laps" => FixtureGen.laps.collect {
+        case (sk, d, lap, start, s1, s2, s3, dur, pit) if keep(sk, d) =>
+          new GenericInternalRow(Array[Any](sk, d, lap, micros(start),
+            s1.orNull, s2.orNull, s3.orNull, dur.orNull, pit))
+      }
+      case "stints" => FixtureGen.stints.collect {
+        case (sk, d, stint, lo, hi, compound, age) if keep(sk, d) =>
+          new GenericInternalRow(Array[Any](sk, d, stint, lo, hi,
+            UTF8String.fromString(compound), age))
+      }
+      case "drivers" => FixtureGen.drivers.collect {
+        case (sk, d, acr, team, color) if keep(sk, d) =>
+          new GenericInternalRow(Array[Any](sk, d, UTF8String.fromString(acr),
+            UTF8String.fromString(team), UTF8String.fromString(color)))
+      }
+      case "sessions" => FixtureGen.sessions.collect {
+        case (sk, mk, name, tpe, circuit, start, end) if sessionKey.forall(_ == sk) =>
+          new GenericInternalRow(Array[Any](sk, mk, UTF8String.fromString(name),
+            UTF8String.fromString(tpe), UTF8String.fromString(circuit),
+            micros(start), micros(end)))
+      }
+    }
+  }
+}
