@@ -191,6 +191,14 @@ object ExtOracles {
          |     * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
          |    >= 0.99""".stripMargin,
 
+    "q_centroid" ->
+      """SELECT label, i - 1 AS pos,
+        |  CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
+        |    / COUNT(*) AS c
+        |FROM (SELECT label, unnest(range(1, 65)) AS i, unnest(embedding) AS e
+        |      FROM embeddings) t
+        |GROUP BY label, i""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, length(text) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte,

@@ -113,6 +113,19 @@ object ExtQueries {
       numPlanes = 8, dim = 64, minCosine = 0.99)
   }
 
+  /** Per-label embedding centroid in the exact relational form
+    * (decimal-domain per-dimension mean); the typed CentroidAggregator
+    * is the fast-path equivalent, pinned to this within 1e-9 by
+    * ExtSpec. Scale shape: explode + one partial/final hash agg on
+    * (label, pos). */
+  def centroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy("label", "pos")
+      .agg((sum(col("e").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8))).cast("double")
+        / count(lit(1))).as("c"))
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -132,6 +145,7 @@ object ExtQueries {
     "q_cosine_topk"       -> (cosineTopK _),
     "q_ann_topk"          -> (annTopK _),
     "q_embed_neardup"     -> (embedNearDup _),
+    "q_centroid"          -> (centroid _),
     "q_multimodal_meta"   -> (multimodalMeta _),
   )
 }

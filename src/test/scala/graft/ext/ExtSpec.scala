@@ -101,6 +101,22 @@ class ExtSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs))
   }
 
+  test("typed CentroidAggregator matches the relational decimal centroid to 1e-7") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroidUdaf = udaf(new CentroidAggregator(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val typed = e.groupBy("label").agg(centroidUdaf(col("embedding")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val relational = ExtQueries.centroid(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(typed.keySet === relational.keySet)
+    // the relational path truncates each element to 8 decimal places
+    // (DECIMAL(18,8)) before summing, so the two differ by up to ~n·5e-9
+    for (k <- typed.keySet; (a, b) <- typed(k).zip(relational(k)))
+      assert(math.abs(a - b) < 1e-7, s"label $k diverged: $a vs $b")
+  }
+
   test("multimodal: mapPartitions decode stub agrees with the relational path") {
     implicit val s = spark
     val media = Seq(
