@@ -68,6 +68,17 @@ object F1Functions {
       .otherwise(format_string("%d:%02d.%03d", m, s, ms))
   }
 
+  /** P11 — axis-label formatter: "M:SS.cc" (centiseconds, truncating),
+    * NULL/NaN → "". Ref: /root/reference/classes.py:38-44. */
+  def formatAxisSeconds(seconds: Column): Column = {
+    val totalCentis = floor(seconds * 100).cast("long")
+    val m = floor(totalCentis / 6000L).cast("long")
+    val s = floor((totalCentis % 6000L) / 100L).cast("long")
+    val c = totalCentis % 100L
+    when(seconds.isNull || isnan(seconds), lit(""))
+      .otherwise(format_string("%d:%02d.%02d", m, s, c))
+  }
+
   /** P12 — `str.capitalize()`: first char upper, rest lower.
     * Ref: /root/reference/src/session_object.py:279-280. */
   def capitalize(c: Column): Column =

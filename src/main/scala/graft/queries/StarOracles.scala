@@ -147,6 +147,20 @@ object StarOracles {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events""".stripMargin,
 
+    "q_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
     "q_asof_backward" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type IN ('view','click','error')),

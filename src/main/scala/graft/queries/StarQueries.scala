@@ -245,6 +245,19 @@ object StarQueries {
     AsOfJoin.nearest(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
   }
 
+  // §2.11 — session windows in batch form (streaming form shares the
+  // operator; StreamingSpec pins equivalence). Oracle re-derives the
+  // sessions with a gaps-and-islands construction — an independent
+  // formulation, so agreement actually checks the merge semantics.
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   // §2.11 — tumbling event-time window (batch form; the streaming
   // form shares semantics, pinned by StreamingSpec).
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
@@ -273,6 +286,7 @@ object StarQueries {
     "q_phase_label"        -> (phaseLabel _),
     "q_json_extract"       -> (jsonExtract _),
     "q_tumbling_window"    -> (tumblingWindow _),
+    "q_session_window"     -> (sessionWindowAgg _),
     "q_asof_backward"      -> (asofBackward _),
     "q_asof_nearest"       -> (asofNearest _),
   )

@@ -41,6 +41,12 @@ class F1FunctionsSpec extends AnyFunSuite {
     assert(eval1[String](formatLapTime(lit(null).cast("double"))) === "")
   }
 
+  test("formatAxisSeconds renders M:SS.cc and blanks NULL/NaN") {
+    assert(eval1[String](formatAxisSeconds(lit(65.459))) === "1:05.45")
+    assert(eval1[String](formatAxisSeconds(lit(null).cast("double"))) === "")
+    assert(eval1[String](formatAxisSeconds(lit(Double.NaN))) === "")
+  }
+
   test("capitalize matches Python str.capitalize") {
     assert(eval1[String](capitalize(lit("MEDIUM"))) === "Medium")
     assert(eval1[String](capitalize(lit("soft"))) === "Soft")
