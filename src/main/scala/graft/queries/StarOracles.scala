@@ -147,6 +147,17 @@ object StarOracles {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events""".stripMargin,
 
+    "q_sliding_window" ->
+      """WITH cand AS (SELECT event_type, value, ts,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+        |  FROM events)
+        |SELECT ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM cand
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY ws, event_type""".stripMargin,
+
     "q_session_window" ->
       """WITH o AS (SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -258,6 +258,18 @@ object StarQueries {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  // §2.11 — sliding event-time window (1 h span / 30 min slide):
+  // every event lands in two windows. Oracle enumerates the candidate
+  // window starts per event and filters by containment — again an
+  // independent formulation of the same semantics.
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
   // §2.11 — tumbling event-time window (batch form; the streaming
   // form shares semantics, pinned by StreamingSpec).
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
@@ -287,6 +299,7 @@ object StarQueries {
     "q_json_extract"       -> (jsonExtract _),
     "q_tumbling_window"    -> (tumblingWindow _),
     "q_session_window"     -> (sessionWindowAgg _),
+    "q_sliding_window"     -> (slidingWindowAgg _),
     "q_asof_backward"      -> (asofBackward _),
     "q_asof_nearest"       -> (asofNearest _),
   )
