@@ -43,6 +43,30 @@ object Multimodal {
   def frameSample(payload: Array[Byte], k: Int): Array[Byte] =
     payload.indices.collect { case i if i % k == 0 => payload(i) }.toArray
 
+  /** Container sniffing from magic bytes — real format detection (no
+    * codec needed): PNG/JPEG/GIF/RIFF-WAV, else "unknown". The
+    * column form runs inside codegen via a hex-prefix comparison. */
+  def sniffKind(payload: Array[Byte]): String = {
+    def startsWith(magic: Int*): Boolean =
+      payload.length >= magic.length &&
+        magic.zipWithIndex.forall { case (m, i) => (payload(i) & 0xff) == m }
+    if (startsWith(0x89, 0x50, 0x4e, 0x47)) "image/png"
+    else if (startsWith(0xff, 0xd8, 0xff)) "image/jpeg"
+    else if (startsWith(0x47, 0x49, 0x46, 0x38)) "image/gif"
+    else if (startsWith(0x52, 0x49, 0x46, 0x46)) "audio/wav"
+    else "unknown"
+  }
+
+  /** Column-expression form of sniffKind. */
+  def sniffKindCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hexPrefix = substring(hex(payload), 1, 8)
+    when(hexPrefix.startsWith("89504E47"), "image/png")
+      .when(hexPrefix.startsWith("FFD8FF"), "image/jpeg")
+      .when(hexPrefix.startsWith("47494638"), "image/gif")
+      .when(hexPrefix.startsWith("52494646"), "audio/wav")
+      .otherwise("unknown")
+  }
+
   /** Partition-batched decode + feature extraction over a typed
     * Dataset. One pass per partition; at 100 TB this is the shape that
     * lets a real codec initialize once per task, not once per row. */

@@ -132,6 +132,23 @@ class ExtSpec extends AnyFunSuite {
     assert(typed === relational)
   }
 
+  test("magic-byte sniffing identifies containers in both typed and column forms") {
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a).map(_.toByte)
+    val jpg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    val wav = "RIFF1234WAVE".getBytes("US-ASCII")
+    val txt = "hello".getBytes("US-ASCII")
+    assert(Multimodal.sniffKind(png) === "image/png")
+    assert(Multimodal.sniffKind(jpg) === "image/jpeg")
+    assert(Multimodal.sniffKind(wav) === "audio/wav")
+    assert(Multimodal.sniffKind(txt) === "unknown")
+    val viaCol = Seq((1L, png), (2L, jpg), (3L, wav), (4L, txt))
+      .toDF("id", "p")
+      .select(col("id"), Multimodal.sniffKindCol(col("p")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCol === Map(1L -> "image/png", 2L -> "image/jpeg",
+      3L -> "audio/wav", 4L -> "unknown"))
+  }
+
   test("frame sample takes every k-th byte preserving order") {
     val payload = (0 until 100).map(_.toByte).toArray
     val sampled = Multimodal.frameSample(payload, 16)
