@@ -64,10 +64,19 @@ object AsOfJoin {
     * resolves them positionally, which has no distributed meaning):
     * among equal-`on` right rows, backward takes the row with the
     * GREATEST tiebreak, forward the LEAST — i.e. the positional
-    * behavior when the right side is ordered by the tiebreak column. */
+    * behavior when the right side is ordered by the tiebreak column.
+    *
+    * `allowExactMatches=false` makes backward strictly `<` and forward
+    * strictly `>` (pandas allow_exact_matches); `tolerance` (in the
+    * key's comparison domain — micros for timestamps) null-pads any
+    * match farther than the given distance (pandas tolerance). Both
+    * are pure ordering/projection changes — the plan stays one
+    * shuffle + one window. */
   def asof(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
            by: Seq[String], direction: String, rsuffix: String = "_right",
-           tiebreak: Option[String] = None): DataFrame = {
+           tiebreak: Option[String] = None,
+           allowExactMatches: Boolean = true,
+           tolerance: Option[Double] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction: $direction")
     require(by.nonEmpty,
@@ -82,19 +91,27 @@ object AsOfJoin {
     val lSchema = StructType(left.schema.fields)
     val rSchema = StructType(right.schema.filter(f => rightPayloadCols.contains(f.name)))
 
-    // backward wants right rows visible at equal `on` in a
-    // (unboundedPreceding → current) frame → right sorts first (tag 0
-    // < 1); forward wants them visible in (current →
-    // unboundedFollowing) → right sorts last (tag 2 > 1).
+    // Sort-tag geometry: left sorts at 1. A right row visible to the
+    // BACKWARD frame (unboundedPreceding → current) at EQUAL `on` must
+    // sort before the left row (tag 0); excluded-at-equal (strict, the
+    // pandas allow_exact_matches=False) means sorting it after (tag 2).
+    // Forward is the mirror image. A separate MARK distinguishes the
+    // two right copies in the nearest case, where sort tags flip with
+    // exactness but identity must not.
+    val MARK = "__asof_mark"
+    val bTag = if (allowExactMatches) 0 else 2
+    val fTag = if (allowExactMatches) 2 else 0
     val tb: DataFrame => Column = df => tiebreak.map(df(_)).getOrElse(lit(0))
     val lTagged = left.select(
       by.map(col) ++ Seq(
-        col(leftOn).as(ON), lit(1).as(TAG), lit(null).cast("double").as(TB),
+        col(leftOn).as(ON), lit(1).as(TAG), lit(null).cast("string").as(MARK),
+        lit(null).cast("double").as(TB),
         struct(leftCols.map(col): _*).as(LROW),
         lit(null).cast(rSchema).as(RROW)): _*)
-    def rTagged(tag: Int) = right.select(
+    def rTagged(tag: Int, mark: String) = right.select(
       by.map(col) ++ Seq(
-        col(rightOn).as(ON), lit(tag).as(TAG), tb(right).cast("double").as(TB),
+        col(rightOn).as(ON), lit(tag).as(TAG), lit(mark).as(MARK),
+        tb(right).cast("double").as(TB),
         lit(null).cast(lSchema).as(LROW),
         struct(rightPayloadCols.map(col): _*).as(RROW)): _*)
 
@@ -103,30 +120,29 @@ object AsOfJoin {
     val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
+    // comparison domain for |Δon|: micros (exact long) for timestamps,
+    // long for integral keys, double for fractional keys — a long cast
+    // would TRUNCATE fractional keys and pick the wrong side.
+    val toNum: Column => Column = left.schema(leftOn).dataType match {
+      case TimestampType => unix_micros _
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        _.cast("long")
+      case _ => _.cast("double")
+    }
+
     val matched: DataFrame = direction match {
       case "backward" =>
-        lTagged.unionByName(rTagged(0))
+        lTagged.unionByName(rTagged(bTag, "b"))
           .withColumn(RROW, last(col(RROW), ignoreNulls = true).over(wB))
       case "forward" =>
-        lTagged.unionByName(rTagged(2))
+        lTagged.unionByName(rTagged(fTag, "f"))
           .withColumn(RROW, first(col(RROW), ignoreNulls = true).over(wF))
       case "nearest" =>
         // Duplicate the right side so one copy is visible backward and
         // one forward, then arbitrate by |Δon| with prior-wins ties.
-        val both = lTagged.unionByName(rTagged(0)).unionByName(rTagged(2))
-        val bwd = last(when(col(TAG) === 0, col(RROW)), ignoreNulls = true).over(wB)
-        val fwd = first(when(col(TAG) === 2, col(RROW)), ignoreNulls = true).over(wF)
-        // |Δon| in the key's native comparison domain: micros (exact
-        // long) for timestamps, long for integral keys, double for
-        // fractional keys — double subtraction preserves the ordering
-        // of |Δ| (a long cast would TRUNCATE fractional keys and pick
-        // the wrong side, e.g. left=2.6 vs right {2.0, 3.0}).
-        val toNum: Column => Column = left.schema(leftOn).dataType match {
-          case TimestampType => unix_micros _
-          case ByteType | ShortType | IntegerType | LongType | DateType =>
-            _.cast("long")
-          case _ => _.cast("double")
-        }
+        val both = lTagged.unionByName(rTagged(bTag, "b")).unionByName(rTagged(fTag, "f"))
+        val bwd = last(when(col(MARK) === "b", col(RROW)), ignoreNulls = true).over(wB)
+        val fwd = first(when(col(MARK) === "f", col(RROW)), ignoreNulls = true).over(wF)
         val dB = toNum(col(ON)) - toNum(col("__b")(rightOn))
         val dF = toNum(col("__f")(rightOn)) - toNum(col(ON))
         both
@@ -139,7 +155,16 @@ object AsOfJoin {
           .drop("__b", "__f")
     }
 
-    val leftOnly = matched.filter(col(TAG) === 1)
+    // pandas tolerance: null-pad matches farther than `tolerance` in
+    // the comparison domain (micros for timestamps)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val d = abs(toNum(col(ON)) - toNum(col(RROW)(rightOn)))
+        matched.withColumn(RROW, when(col(RROW).isNotNull && d <= tol, col(RROW)))
+      case None => matched
+    }
+
+    val leftOnly = bounded.filter(col(TAG) === 1)
     val takenLeft = leftCols.map(c => col(LROW)(c).as(c))
     val takenRight = rightPayloadCols.map { c =>
       val name = if (leftCols.contains(c)) c + rsuffix else c

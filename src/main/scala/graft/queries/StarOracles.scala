@@ -180,6 +180,14 @@ object StarOracles {
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ts_right, r.cp_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    "q_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'signup'),
+        |r AS (SELECT user_id, ts, value AS cp_value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ts_right, r.cp_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
     "q_asof_nearest" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'signup'),

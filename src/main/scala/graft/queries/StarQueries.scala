@@ -245,6 +245,13 @@ object StarQueries {
     AsOfJoin.nearest(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
   }
 
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.forward(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
+  }
+
   // §2.11 — session windows in batch form (streaming form shares the
   // operator; StreamingSpec pins equivalence). Oracle re-derives the
   // sessions with a gaps-and-islands construction — an independent
@@ -302,6 +309,7 @@ object StarQueries {
     "q_sliding_window"     -> (slidingWindowAgg _),
     "q_asof_backward"      -> (asofBackward _),
     "q_asof_nearest"       -> (asofNearest _),
+    "q_asof_forward"       -> (asofForward _),
   )
 
   val oracles: Map[String, String] = StarOracles.sql

@@ -10,22 +10,27 @@ object AsOfBrute {
   case class L[K](by: Int, on: K, id: Int)
   case class R[K](by: Int, on: K, v: Int)
 
-  /** Returns (left.id, matched right.v or None) per left row. */
-  def asof[K](left: Seq[L[K]], right: Seq[R[K]], direction: String)(
+  /** Returns (left.id, matched right.v or None) per left row.
+    * `allowExact`/`tolerance` mirror pandas allow_exact_matches /
+    * tolerance (distance in the numeric domain). */
+  def asof[K](left: Seq[L[K]], right: Seq[R[K]], direction: String,
+              allowExact: Boolean = true, tolerance: Option[Double] = None)(
       implicit num: Numeric[K]): Seq[(Int, Option[Int])] = {
     import num._
     left.map { l =>
       val grp = right.filter(_.by == l.by)
+      def le(r: R[K]) = if (allowExact) r.on <= l.on else r.on < l.on
+      def ge(r: R[K]) = if (allowExact) r.on >= l.on else r.on > l.on
       val m: Option[R[K]] = direction match {
         case "backward" =>
-          val c = grp.filter(r => r.on <= l.on)
+          val c = grp.filter(le)
           if (c.isEmpty) None else Some(c.maxBy(_.on))
         case "forward" =>
-          val c = grp.filter(r => r.on >= l.on)
+          val c = grp.filter(ge)
           if (c.isEmpty) None else Some(c.minBy(_.on))
         case "nearest" =>
-          val b = grp.filter(r => r.on <= l.on).sortBy(_.on).lastOption
-          val f = grp.filter(r => r.on > l.on).sortBy(_.on).headOption
+          val b = grp.filter(le).sortBy(_.on).lastOption
+          val f = grp.filter(r => ge(r) && !le(r)).sortBy(_.on).headOption
           (b, f) match {
             case (None, x) => x
             case (x, None) => x
@@ -35,7 +40,9 @@ object AsOfBrute {
               if (dB <= dF) Some(bb) else Some(ff) // equidistant: prior wins
           }
       }
-      (l.id, m.map(_.v))
+      val bounded = m.filter(r =>
+        tolerance.forall(t => math.abs(l.on.toDouble - r.on.toDouble) <= t))
+      (l.id, bounded.map(_.v))
     }
   }
 }

@@ -29,25 +29,30 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
     Gen.resize(25, Gen.listOf(Gen.zip(Gen.choose(1, nGroups), keyGen)))
 
   private def runSpark[K](left: Seq[L[K]], right: Seq[R[K]], direction: String,
+                          allowExact: Boolean, tolerance: Option[Double],
                           toDf: (Seq[L[K]], Seq[R[K]]) => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Map[Int, Option[Int]] = {
     val (l, r) = toDf(left, right)
-    AsOfJoin.asof(l, r, "on", "on", Seq("g"), direction)
+    AsOfJoin.asof(l, r, "on", "on", Seq("g"), direction,
+        allowExactMatches = allowExact, tolerance = tolerance)
       .select("id", "v").collect()
       .map(row => row.getInt(0) -> (if (row.isNullAt(1)) None else Some(row.getInt(1))))
       .toMap
   }
 
-  private def check[K: Numeric](rawL: List[(Int, K)], rawR: List[(Int, K)],
+  private def checkEq[K: Numeric](rawL: List[(Int, K)], rawR: List[(Int, K)],
                                 direction: String,
-                                toDf: (Seq[L[K]], Seq[R[K]]) => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Prop = {
+                                toDf: (Seq[L[K]], Seq[R[K]]) => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+                                allowExact: Boolean = true,
+                                tolerance: Option[Double] = None): Prop = {
     val left = rawL.zipWithIndex.map { case ((g, k), i) => L(g, k, i) }
     // dedupe right (by, on): positional tiebreak among exact dups has
     // no distributed meaning (covered by the explicit tiebreak test)
     val right = rawR.distinctBy(x => (x._1, x._2))
       .zipWithIndex.map { case ((g, k), i) => R(g, k, i * 10) }
-    val expected = AsOfBrute.asof(left, right, direction).toMap
-    val got = runSpark(left, right, direction, toDf)
-    Prop(got == expected) :| s"got=$got expected=$expected l=$left r=$right"
+    val expected = AsOfBrute.asof(left, right, direction, allowExact, tolerance).toMap
+    val got = runSpark(left, right, direction, allowExact, tolerance, toDf)
+    Prop(got == expected) :|
+      s"got=$got expected=$expected l=$left r=$right exact=$allowExact tol=$tolerance"
   }
 
   private def longDfs(l: Seq[L[Long]], r: Seq[R[Long]]) = {
@@ -70,11 +75,19 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
   for (dir <- Seq("backward", "forward", "nearest")) {
     property(s"$dir equals nested-loop reference (long keys)") =
       forAll(leftGen(longKey), rightGen(longKey)) { (l, r) =>
-        check[Long](l, r, dir, longDfs)
+        checkEq[Long](l, r, dir, longDfs)
       }
     property(s"$dir equals nested-loop reference (double keys)") =
       forAll(leftGen(doubleKey), rightGen(doubleKey)) { (l, r) =>
-        check[Double](l, r, dir, doubleDfs)
+        checkEq[Double](l, r, dir, doubleDfs)
+      }
+    property(s"$dir strict (allow_exact_matches=false) equals reference") =
+      forAll(leftGen(longKey), rightGen(longKey)) { (l, r) =>
+        checkEq[Long](l, r, dir, longDfs, allowExact = false)
+      }
+    property(s"$dir with tolerance equals reference") =
+      forAll(leftGen(longKey), rightGen(longKey), Gen.choose(0, 20)) { (l, r, tol) =>
+        checkEq[Long](l, r, dir, longDfs, tolerance = Some(tol.toDouble))
       }
   }
 }
