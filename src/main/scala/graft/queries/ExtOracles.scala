@@ -199,6 +199,50 @@ object ExtOracles {
         |      FROM embeddings) t
         |GROUP BY label, i""".stripMargin,
 
+    "q_training_prep" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text, lang
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end', lang
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |ex AS (SELECT c.* FROM corpus c JOIN keepers k ON c.doc_id = k.doc_id),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |mh AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |losers AS (SELECT DISTINCT i.doc_b AS doc_id
+        |  FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+        |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |q AS (SELECT doc_id, lang, len(w) AS n_tokens,
+        |    least(1.0, len(w) / 100.0) * 0.5 +
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the','a','of','and','to','in','is','data'))) AS DOUBLE) / len(w) * 0.5
+        |      AS quality
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM nd) t)
+        |SELECT doc_id, lang, n_tokens, quality FROM q WHERE quality >= 0.25""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, length(text) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps, TrainingDataPipeline}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -113,6 +113,20 @@ object ExtQueries {
       numPlanes = 8, dim = 64, minCosine = 0.99)
   }
 
+  /** The composed training-data preparation pipeline over a corpus
+    * with planted exact AND near duplicates: exact dedup → LSH
+    * near-dup removal → quality gate → stats. */
+  def trainingPrep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text", "lang")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker end")).as("text"), col("lang")))
+    TrainingDataPipeline.prepare(corpus, minJaccard = 0.5, minQuality = 0.25)
+  }
+
   /** Per-label embedding centroid in the exact relational form
     * (decimal-domain per-dimension mean); the typed CentroidAggregator
     * is the fast-path equivalent, pinned to this within 1e-9 by
@@ -146,6 +160,7 @@ object ExtQueries {
     "q_ann_topk"          -> (annTopK _),
     "q_embed_neardup"     -> (embedNearDup _),
     "q_centroid"          -> (centroid _),
+    "q_training_prep"     -> (trainingPrep _),
     "q_multimodal_meta"   -> (multimodalMeta _),
   )
 }

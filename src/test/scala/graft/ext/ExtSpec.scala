@@ -101,6 +101,19 @@ class ExtSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs))
   }
 
+  test("training pipeline drops exact copies, near copies, and low-quality docs") {
+    val out = ExtQueries.trainingPrep(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every exact copy (+100000) lost to its base at stage 1
+    assert(!out.keys.exists(id => id >= 100000 && id < 200000))
+    // near copies (+200000) lost to LSH near-dup removal at stage 2
+    assert(!out.keys.exists(_ >= 200000))
+    // survivors all pass the quality gate
+    assert(out.values.forall(_ >= 0.25))
+    assert(out.nonEmpty)
+  }
+
   test("typed CentroidAggregator matches the relational decimal centroid to 1e-7") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroidUdaf = udaf(new CentroidAggregator(64),
