@@ -19,8 +19,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One throwaway action to pay JVM/codegen warmup outside the timings.
+    // Throwaway actions pay JVM/codegen warmup AND the one-time parquet
+    // footer/OS-cache cost outside the timings — otherwise the first
+    // query alphabetically absorbs it and its number stops meaning
+    // anything about its plan. Later queries share the page cache
+    // either way; this just levels the field.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
