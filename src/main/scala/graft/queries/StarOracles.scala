@@ -206,6 +206,23 @@ object StarOracles {
         |       THEN bval ELSE fval END AS cp_value
         |FROM l LEFT JOIN b USING(event_id) LEFT JOIN f USING(event_id)""".stripMargin,
 
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ws, event_type""".stripMargin,
+
+    "q_sql_surface" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  printf('%d:%02d.%03d',
+        |    CAST(floor(min(l_extendedprice) / 100.0 * 1000) AS BIGINT) // 60000,
+        |    (CAST(floor(min(l_extendedprice) / 100.0 * 1000) AS BIGINT) % 60000) // 1000,
+        |    CAST(floor(min(l_extendedprice) / 100.0 * 1000) AS BIGINT) % 1000) AS min_price_fmt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
     "q_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  COUNT(*) AS n,

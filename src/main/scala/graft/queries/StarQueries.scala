@@ -287,7 +287,43 @@ object StarQueries {
         sum(col("value").cast(dec)).cast("double").as("sum_value"))
       .orderBy("ws", "event_type")
 
+  // §2.11 — STREAMING through the correctness gate: a real
+  // readStream (file source) drives the watermarked tumbling
+  // aggregation to completion; the returned table must match the
+  // BATCH oracle SQL — the batch-equivalence contract, enforced by
+  // DuckDB rather than by a unit test.
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val batchEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val staged = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamingOps.tumblingCounts(
+        spark.readStream.schema(batchEvents.schema).parquet(staged))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // §2.12 — the SQL front end: the same engine surface through
+  // spark.sql text, including the natively-registered format_lap_time.
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.FormatLapTime.register(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  format_lap_time(MIN(l_extendedprice) / 100.0) AS min_price_fmt
+        |FROM lineitem_v
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling"    -> (streamTumbling _),
+    "q_sql_surface"        -> (sqlSurface _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
     "q_topk"               -> (topK _),
