@@ -64,6 +64,14 @@ object TextOps {
           .as("avg_token_len"))
   }
 
+  /** Text normalization for dedup/tokenization robustness: lowercase,
+    * strip everything outside [a-z0-9 ], collapse whitespace runs,
+    * trim. Simple character classes only — identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Tiny function-word inventory for the heuristic language scorer;
     * ratio-of-stopwords is the classic cheap LID signal. */
   val stopwords: Seq[String] =

@@ -107,6 +107,16 @@ object ExtOracles {
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
 
+    "q_normalize" ->
+      """WITH rough AS (SELECT doc_id,
+        |    '  NOISE?! ' || upper(substr(text, 1, 40)) || ' ## ' || text AS rough
+        |  FROM documents),
+        |cleaned AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(rough), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS clean_text
+        |  FROM rough)
+        |SELECT doc_id, clean_text, length(clean_text) AS clean_len FROM cleaned""".stripMargin,
+
     "q_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

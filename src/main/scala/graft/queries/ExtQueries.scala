@@ -79,6 +79,15 @@ object ExtQueries {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenStats(docs(spark, dir), "doc_id", "text")
 
+  /** Normalization demo over a roughened corpus (mixed case + noise
+    * injected deterministically, then cleaned). */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        concat(lit("  NOISE?! "), upper(substr(col("text"), lit(1), lit(40))),
+          lit(" ## "), col("text")).as("rough"))
+      .select(col("doc_id"), TextOps.normalize(col("rough")).as("clean_text"),
+        length(TextOps.normalize(col("rough"))).as("clean_len"))
+
   def langQuality(spark: SparkSession, dir: String): DataFrame =
     TextOps.langQuality(docs(spark, dir), "doc_id", "text", "lang")
 
@@ -154,6 +163,7 @@ object ExtQueries {
     "q_ngram_jaccard"     -> (ngramJaccard _),
     "q_simhash"           -> (simhashFp _),
     "q_token_stats"       -> (tokenStats _),
+    "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),
     "q_fingerprint"       -> (fingerprint _),
     "q_cosine_topk"       -> (cosineTopK _),
