@@ -84,6 +84,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(matches(fwd) === Map(1 -> Some(100)))
   }
 
+  test("allowExactMatches=false skips the equal-key row (strict backward/forward)") {
+    val l = leftDf((1, 5.0, 1))
+    val r = rightDf((1, 5.0, 50), (1, 3.0, 30), (1, 8.0, 80))
+    val strictB = AsOfJoin.asof(l, r, "on", "on", Seq("g"), "backward",
+      allowExactMatches = false)
+    assert(matches(strictB) === Map(1 -> Some(30)))
+    val strictF = AsOfJoin.asof(l, r, "on", "on", Seq("g"), "forward",
+      allowExactMatches = false)
+    assert(matches(strictF) === Map(1 -> Some(80)))
+  }
+
+  test("tolerance null-pads matches beyond the distance (micros for timestamps)") {
+    val l = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1))
+      .toDF("g", "on", "id")
+    val r = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 50))
+      .toDF("g", "on", "v")
+    val within = AsOfJoin.asof(l, r, "on", "on", Seq("g"), "backward",
+      tolerance = Some(6e6)) // 6 s in micros
+    assert(matches(within) === Map(1 -> Some(50)))
+    val beyond = AsOfJoin.asof(l, r, "on", "on", Seq("g"), "backward",
+      tolerance = Some(4e6)) // 4 s in micros
+    assert(matches(beyond) === Map(1 -> None))
+  }
+
   test("empty by is rejected (single-partition scale hazard)") {
     val l = leftDf((1, 5.0, 1))
     val r = rightDf((1, 4.0, 40))
