@@ -25,7 +25,8 @@ object Bench {
     // anything about its plan. Later queries share the page cache
     // either way; this just levels the field.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+    Seq("lineitem", "orders", "events", "documents", "embeddings",
+        "customer", "supplier", "part", "nation", "region").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -62,14 +62,21 @@ case class FormatLapTime(child: Expression) extends UnaryExpression {
 
 object FormatLapTime {
   /** Shared by interpreted eval and generated code (static forwarder).
-    * floorDiv/floorMod match the builtin path's floor-of-double-
-    * division semantics on negatives as well as positives. */
+    * The arithmetic mirrors the builtin path EXACTLY — floor division
+    * for minutes/seconds but sign-of-dividend remainders — so the two
+    * paths agree on any input, including (nonsensical but legal)
+    * negative seconds. Locale.US pins the digits: Spark's
+    * format_string and DuckDB printf never localize, and a default
+    * locale with non-ASCII digits would otherwise diverge. */
   def format(seconds: Double): UTF8String = {
     val tm = Math.floor(seconds * 1000.0).toLong
     val m = Math.floorDiv(tm, 60000L)
-    val s = Math.floorDiv(Math.floorMod(tm, 60000L), 1000L)
-    val ms = Math.floorMod(tm, 1000L)
-    UTF8String.fromString("%d:%02d.%03d".format(m, s, ms))
+    val s = Math.floorDiv(tm % 60000L, 1000L)
+    val ms = tm % 1000L
+    UTF8String.fromString(
+      String.format(java.util.Locale.US, "%d:%02d.%03d",
+        java.lang.Long.valueOf(m), java.lang.Long.valueOf(s),
+        java.lang.Long.valueOf(ms)))
   }
 
   private val info = new ExpressionInfo(classOf[FormatLapTime].getName,

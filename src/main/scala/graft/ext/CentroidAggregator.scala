@@ -20,6 +20,7 @@ class CentroidAggregator(dim: Int)
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
   override def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+    if (a == null) return b // skip NULL rows like builtin aggregates
     var i = 0
     while (i < dim && i < a.length) { b._1(i) += a(i); i += 1 }
     (b._1, b._2 + 1)

@@ -125,8 +125,8 @@ object AsOfJoin {
     // would TRUNCATE fractional keys and pick the wrong side.
     val toNum: Column => Column = left.schema(leftOn).dataType match {
       case TimestampType => unix_micros _
-      case ByteType | ShortType | IntegerType | LongType | DateType =>
-        _.cast("long")
+      case DateType      => unix_date(_).cast("long") // DATE can't cast to BIGINT
+      case ByteType | ShortType | IntegerType | LongType => _.cast("long")
       case _ => _.cast("double")
     }
 

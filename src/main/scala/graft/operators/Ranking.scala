@@ -36,7 +36,16 @@ object Ranking {
     * Ref: /root/reference/src/session_object.py:156-165. */
   def argminRow(df: DataFrame, groupCols: Seq[String],
                 orderCols: Seq[String]): DataFrame = {
-    val filtered = df.filter(col(orderCols.head).isNotNull)
+    // pandas idxmin skips NaN as well as missing values: a float NaN
+    // would sort LAST in Spark (fine) but an all-NaN group must vanish
+    // like an all-null one does
+    val head = col(orderCols.head)
+    val present = df.schema(orderCols.head).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => head.isNotNull && !isnan(head)
+      case _ => head.isNotNull
+    }
+    val filtered = df.filter(present)
     val payload = struct(df.columns.map(col): _*)
     val orderKey = col(orderCols.head).as("__k0") +:
       orderCols.tail.zipWithIndex.flatMap { case (c, i) =>

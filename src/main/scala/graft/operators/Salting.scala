@@ -47,6 +47,14 @@ object Salting {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                      buckets: Int, saltSource: Seq[Column],
                      joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched right row once per
+    // salt replica — result-identity only holds for left-preserving
+    // join types
+    val allowed = Set("inner", "cross", "left", "leftouter",
+      "leftsemi", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin does not support '$joinType': unmatched right rows " +
+      "would duplicate once per salt replica")
     val saltedLeft = left.withColumn("__salt", salt(buckets, saltSource: _*))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

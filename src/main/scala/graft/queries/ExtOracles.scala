@@ -254,10 +254,14 @@ object ExtOracles {
         |SELECT doc_id, lang, n_tokens, quality FROM q WHERE quality >= 0.25""".stripMargin,
 
     "q_multimodal_meta" ->
-      """SELECT doc_id, length(text) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> i * ascii(substr(text, i, 1)))) % 1000003 AS checksum
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) > 0
+        |       THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT)
+        |       ELSE -1 END AS first_byte,
+        |  COALESCE(list_sum(list_transform(
+        |    range(1, octet_length(encode(text)) + 1),
+        |    i -> i * CAST('0x' || substr(hex(encode(text)), i * 2 - 1, 2) AS BIGINT))), 0)
+        |    % 1000003 AS checksum
         |FROM documents""".stripMargin,
   )
 }

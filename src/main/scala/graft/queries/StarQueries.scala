@@ -296,7 +296,10 @@ object StarQueries {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val batchEvents = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val staged = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
+    // deterministic staging path per input dir, overwritten each run —
+    // repeated Verify/Bench invocations must not accumulate temp copies
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-q-stream-${dir.hashCode}").toString
     batchEvents.write.mode("overwrite").parquet(staged)
     val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
     val q = graft.streaming.StreamingOps.tumblingCounts(

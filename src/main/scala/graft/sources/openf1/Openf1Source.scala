@@ -162,8 +162,10 @@ object Openf1Api {
   }
 
   def drivers(sessionKey: Option[Long], driverNumber: Option[Long]): Seq[Long] = {
+    // distinct: a driver present in several sessions must still get
+    // exactly ONE partition (its reader fetches all matching sessions)
     val all = FixtureGen.drivers
-      .filter(d => sessionKey.forall(_ == d._1)).map(_._2)
+      .filter(d => sessionKey.forall(_ == d._1)).map(_._2).distinct
     driverNumber.map(d => all.filter(_ == d)).getOrElse(all)
   }
 
