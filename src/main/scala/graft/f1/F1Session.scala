@@ -1,0 +1,79 @@
+package graft.f1
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F1Functions
+import graft.operators.AsOfJoin
+import graft.sources.F1Tables
+
+/** The reference's `Session` object re-expressed as a lazy facade —
+  * the API a dashboard binds to (`Session(session_key)`,
+  * /root/reference/src/session_object.py:25-53). Every member is a
+  * lazily-built, cached DataFrame: the reference caches the whole
+  * session object across UI interactions (dashboard.py:89-99); here
+  * the first action materializes each plan once and Spark's cache
+  * serves every later chart from memory. Nothing collects to the
+  * driver except what a caller explicitly displays.
+  */
+class F1Session(spark: SparkSession, sessionKey: Long,
+                dir: String = F1Tables.FixtureDir) {
+
+  private def only(df: DataFrame): DataFrame =
+    df.filter(col("session_key") === sessionKey)
+
+  /** Session metadata row (circuit, name, type, start/end). */
+  lazy val info: DataFrame = only(F1Tables.sessions(spark, dir)).cache()
+
+  /** E1 — enriched laps: actual_lap_time, driver dim, stint compound /
+    * tire age via the backward as-of join.
+    * Ref: /root/reference/src/session_object.py:135-154. */
+  lazy val laps: DataFrame = F1Pipelines.enrichLaps(
+    only(F1Tables.laps(spark, dir)),
+    only(F1Tables.stints(spark, dir)),
+    only(F1Tables.drivers(spark, dir))).cache()
+
+  /** E1 — fastest lap per driver (whole-row argmin).
+    * Ref: /root/reference/src/session_object.py:156-174. */
+  lazy val fastestLaps: DataFrame = F1Pipelines.fastestLapPerDriver(laps)
+
+  /** E2 — qualifying grid, only meaningful when the session is a
+    * qualifying session (the reference guards the same way,
+    * /root/reference/src/data_processing.py:270-272). */
+  lazy val qualifyingGrid: DataFrame = {
+    val start = info.filter(col("session_type") === "Qualifying")
+      .select(col("date_start").as("__session_start"))
+    F1Pipelines.qualifyingGrid(
+      laps.crossJoin(broadcast(start)), col("__session_start"))
+      .drop("__session_start")
+  }
+
+  /** E3 — one lap's telemetry with nearest-location track position.
+    * Ref: /root/reference/src/session_object.py:193-250. */
+  def lapTelemetry(driverNumber: Long, lapNumber: Long): DataFrame = {
+    val lap = only(F1Tables.laps(spark, dir))
+      .filter(col("driver_number") === driverNumber &&
+        col("lap_number") === lapNumber)
+      .select(col("date_start").as("__ls"),
+        F1Functions.addSeconds(col("date_start"), col("lap_duration")).as("__le"))
+    val windowed = F1Pipelines.lapTelemetry(
+      only(F1Tables.carData(spark, dir))
+        .filter(col("driver_number") === driverNumber)
+        .crossJoin(broadcast(lap)),
+      col("__ls"), col("__le")).drop("__ls", "__le")
+    F1Pipelines.telemetryWithTrackPosition(windowed,
+      only(F1Tables.location(spark, dir)))
+  }
+
+  /** classes.py surface — per-(driver, compound) averages and the
+    * pivoted matrix. */
+  lazy val avgLapByCompound: DataFrame = F1Pipelines.avgLapByCompound(laps)
+  def avgLapMatrix(compounds: Seq[String]): DataFrame =
+    F1Pipelines.avgLapMatrix(laps, compounds)
+
+  /** Release the cached frames (a dashboard switching sessions). */
+  def release(): Unit = {
+    info.unpersist()
+    laps.unpersist()
+  }
+}
