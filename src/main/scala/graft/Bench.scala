@@ -29,6 +29,12 @@ object Bench {
         "customer", "supplier", "part", "nation", "region").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
+    // the q_f1_* queries read the committed fixture set, not sfDir
+    Seq("laps", "stints", "drivers", "sessions", "meetings", "pit",
+        "car_data", "location").foreach { t =>
+      spark.read.parquet(s"${graft.sources.F1Tables.FixtureDir}/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -22,16 +22,24 @@ class F1Session(spark: SparkSession, sessionKey: Long,
   private def only(df: DataFrame): DataFrame =
     df.filter(col("session_key") === sessionKey)
 
+  // only frames a caller actually touched get cached — and released
+  private val materializedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    materializedCaches += df
+    df
+  }
+
   /** Session metadata row (circuit, name, type, start/end). */
-  lazy val info: DataFrame = only(F1Tables.sessions(spark, dir)).cache()
+  lazy val info: DataFrame = tracked(only(F1Tables.sessions(spark, dir)).cache())
 
   /** E1 — enriched laps: actual_lap_time, driver dim, stint compound /
     * tire age via the backward as-of join.
     * Ref: /root/reference/src/session_object.py:135-154. */
-  lazy val laps: DataFrame = F1Pipelines.enrichLaps(
+  lazy val laps: DataFrame = tracked(F1Pipelines.enrichLaps(
     only(F1Tables.laps(spark, dir)),
     only(F1Tables.stints(spark, dir)),
-    only(F1Tables.drivers(spark, dir))).cache()
+    only(F1Tables.drivers(spark, dir))).cache())
 
   /** E1 — fastest lap per driver (whole-row argmin).
     * Ref: /root/reference/src/session_object.py:156-174. */
@@ -51,7 +59,9 @@ class F1Session(spark: SparkSession, sessionKey: Long,
   /** E3 — one lap's telemetry with nearest-location track position.
     * Ref: /root/reference/src/session_object.py:193-250. */
   def lapTelemetry(driverNumber: Long, lapNumber: Long): DataFrame = {
-    val lap = only(F1Tables.laps(spark, dir))
+    // the lap window comes from the already-cached enriched frame —
+    // repeated dashboard calls must not re-scan the laps parquet
+    val lap = laps
       .filter(col("driver_number") === driverNumber &&
         col("lap_number") === lapNumber)
       .select(col("date_start").as("__ls"),
@@ -71,9 +81,11 @@ class F1Session(spark: SparkSession, sessionKey: Long,
   def avgLapMatrix(compounds: Seq[String]): DataFrame =
     F1Pipelines.avgLapMatrix(laps, compounds)
 
-  /** Release the cached frames (a dashboard switching sessions). */
-  def release(): Unit = {
-    info.unpersist()
-    laps.unpersist()
+  /** Release the cached frames a caller actually materialized (a
+    * dashboard switching sessions). Untouched lazy members are not
+    * forced just to be unpersisted. */
+  def release(): Unit = synchronized {
+    materializedCaches.foreach(_.unpersist())
+    materializedCaches.clear()
   }
 }

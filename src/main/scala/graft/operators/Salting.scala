@@ -51,8 +51,9 @@ object Salting {
     // salt replica — result-identity only holds for left-preserving
     // join types
     val allowed = Set("inner", "cross", "left", "leftouter",
-      "leftsemi", "leftanti")
-    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      "semi", "leftsemi", "anti", "leftanti")
+    require(allowed.contains(
+        joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"saltedEquiJoin does not support '$joinType': unmatched right rows " +
       "would duplicate once per salt replica")
     val saltedLeft = left.withColumn("__salt", salt(buckets, saltSource: _*))

@@ -296,16 +296,23 @@ object StarQueries {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val batchEvents = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    // deterministic staging path per input dir, overwritten each run —
-    // repeated Verify/Bench invocations must not accumulate temp copies
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-q-stream-${dir.hashCode}").toString
-    batchEvents.write.mode("overwrite").parquet(staged)
+    // unique staging dir per run (two concurrent runs must never share
+    // or overwrite each other's staged files), deleted after the
+    // stream completes — no temp accumulation either
+    val staged = java.nio.file.Files.createTempDirectory("graft-q-stream")
+    batchEvents.write.mode("overwrite").parquet(staged.toString)
     val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
     val q = graft.streaming.StreamingOps.tumblingCounts(
-        spark.readStream.schema(batchEvents.schema).parquet(staged))
+        spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
       .writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      // memory sink holds the results; the staged copy is disposable
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     spark.table(name)
   }
 
