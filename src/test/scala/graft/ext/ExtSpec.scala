@@ -52,6 +52,20 @@ class ExtSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) > hamming(fp(1L), fp(2L)))
   }
 
+  test("normalize is idempotent and strips to the [a-z0-9 ] alphabet") {
+    val inputs = Seq("  Hello, WORLD!! 42 ", "a\tb", "ALL CAPS.", "", "###",
+      "mixed   Spaces  and-dashes_under")
+    val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val once = df.select(col("id"), TextOps.normalize(col("s")).as("n1"))
+    val twice = once.select(col("id"), col("n1"),
+      TextOps.normalize(col("n1")).as("n2"))
+    val rows = twice.collect().map(r => (r.getString(1), r.getString(2)))
+    assert(rows.forall { case (a, b) => a == b }, "normalize must be idempotent")
+    assert(rows.forall(_._1.matches("[a-z0-9 ]*")))
+    assert(rows.forall(r => !r._1.startsWith(" ") && !r._1.endsWith(" ")
+      && !r._1.contains("  ")))
+  }
+
   test("token stats computes counts and exact average token length") {
     val df = Seq((1L, "aa bbb cccc")).toDF("doc_id", "text")
     val r = TextOps.tokenStats(df, "doc_id", "text").collect()(0)
