@@ -91,6 +91,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Multi-probe variant: each query also probes the buckets at
+    * Hamming distance 1 from its own (one flipped hyperplane bit) —
+    * the classic recall/cost knob: numPlanes+1 probed buckets instead
+    * of 1, still a bucket-key join, never all-pairs. A neighbor lives
+    * in exactly one bucket, so no dedup is needed. */
+  def annTopKMultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
+                        vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__home", signBucket(col("__qv"), numPlanes, dim))
+      .withColumn("__bucket", explode(array(
+        col("__home") +:
+          (0 until numPlanes).map(p =>
+            col("__home").bitwiseXOR(lit(1L << p))): _*)))
+    val c = candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", signBucket(col("__cv"), numPlanes, dim))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("__bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH near-duplicate pairs: bucket on the sign signature, pair
     * within buckets only, keep pairs above the cosine threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

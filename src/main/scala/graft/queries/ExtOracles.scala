@@ -181,6 +181,29 @@ object ExtOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    "q_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pls AS (SELECT $planesLit::DOUBLE[][] AS pl),
+         |b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e CROSS JOIN pls),
+         |probes AS (SELECT vec_id, v,
+         |    unnest([bucket] || list_transform(range(0, 8),
+         |      p -> xor(bucket, CAST(1 AS BIGINT) << p))) AS bucket
+         |  FROM b WHERE vec_id < 20),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |      AS cosine
+         |  FROM probes q
+         |  JOIN (SELECT * FROM b WHERE vec_id >= 20) c ON q.bucket = c.bucket)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
+
     "q_embed_neardup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 10000, embedding

@@ -112,6 +112,15 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
   }
 
+  /** Multi-probe ANN: the same scale path with Hamming-1 bucket
+    * probing — higher recall for numPlanes+1× the candidate cost. */
+  def annTopKMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.annTopKMultiProbe(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
+  }
+
   /** Sign-bucket LSH near-dup over embeddings ∪ exact vector copies:
     * 8 hyperplanes → 256 buckets; pairs form within buckets only. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -168,6 +177,7 @@ object ExtQueries {
     "q_fingerprint"       -> (fingerprint _),
     "q_cosine_topk"       -> (cosineTopK _),
     "q_ann_topk"          -> (annTopK _),
+    "q_ann_multiprobe"    -> (annTopKMultiProbe _),
     "q_embed_neardup"     -> (embedNearDup _),
     "q_centroid"          -> (centroid _),
     "q_training_prep"     -> (trainingPrep _),

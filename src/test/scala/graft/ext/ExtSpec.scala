@@ -106,6 +106,24 @@ class ExtSpec extends AnyFunSuite {
     assert(ann.forall { case (q, n, c) => n == q - 10000 && c > 0.999999 })
   }
 
+  test("multi-probe ANN recall >= single-probe recall against the brute-force truth") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = top1(Similarity.bruteTopK(q, c, "vec_id", "embedding", 1))
+    val single = top1(Similarity.annTopK(q, c, "vec_id", "embedding", 1, 8, 64))
+    val multi = top1(Similarity.annTopKMultiProbe(q, c, "vec_id", "embedding", 1, 8, 64))
+    def recall(ann: Map[Long, Long]): Double =
+      truth.count { case (k, v) => ann.get(k).contains(v) }.toDouble / truth.size
+    assert(recall(multi) >= recall(single))
+    // multi-probe candidates are a superset, so every single-probe
+    // query that answered still answers
+    assert(single.keySet.subsetOf(multi.keySet))
+  }
+
   test("embedding LSH: identical vectors always share a bucket -> full recall") {
     val pairs = ExtQueries.embedNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
