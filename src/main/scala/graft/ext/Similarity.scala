@@ -28,7 +28,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Reference (builtin-composition) cosine — three HOF reductions.
+    * Kept as the semantic reference; the operators below use the fused
+    * native expression, pinned bit-identical by CosineSimilaritySpec. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fast path: the native single-pass Catalyst expression. */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.catalyst.CosineSimilarity.register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
 
   /** Exact top-k neighbors for each query vector. Queries are expected
     * to be a small set (broadcast); candidates stream map-side. */
@@ -40,7 +49,7 @@ object Similarity {
       toDouble(col(vecCol)).as("__cv"))
     val scored = c.crossJoin(q)
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
+        nativeCosine(candidates)(col("__qv"), col("__cv")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -85,7 +94,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c, Seq("__bucket"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
+        nativeCosine(candidates)(col("__qv"), col("__cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -113,7 +122,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c, Seq("__bucket"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
+        nativeCosine(candidates)(col("__qv"), col("__cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -134,7 +143,7 @@ object Similarity {
     a.join(b, Seq("__bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(col("__va"), col("__vb")).as("cosine"))
+        nativeCosine(df)(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }
