@@ -111,7 +111,17 @@ object Dedup {
     * bits of its md5-derived hash; the fingerprint sets bit b iff the
     * vote sum is positive. 16 bits keeps the oracle SQL tractable while
     * exercising the full mechanism; widening is a constant change. */
+  /** Fast path: the native one-pass expression — a pure projection
+    * (no explode, no shuffle). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.catalyst.SimHash16.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("simhash16", tokens(col(textCol))).as("simhash"))
+  }
+
+  /** Reference composition path (explode × bits → two aggregations),
+    * kept to pin the native expression bit-for-bit in DedupSpec. */
+  def simhashComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokRows = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .select(col(idCol),

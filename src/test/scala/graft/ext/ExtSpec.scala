@@ -39,6 +39,15 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.5)) // precision: threshold enforced
   }
 
+  test("native simhash16 equals the explode+aggregate composition exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val native = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === composed)
+  }
+
   test("simhash: a near-identical document lands within small hamming distance") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
