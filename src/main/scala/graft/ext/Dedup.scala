@@ -90,17 +90,52 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
-    * bucket-join → exact-Jaccard filter on candidates. */
+  /** Full MinHash-LSH near-dup pipeline, native fast path: per-doc
+    * distinct shingle ARRAYS (no explode, no distinct shuffle) feed
+    * the one-pass MinHashSig expression — the whole signature/banding
+    * stage is a projection; the only shuffles left are the band-key
+    * candidate join and the exact-Jaccard verification, which explodes
+    * shingles for CANDIDATE docs only. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 8,
                    minJaccard: Double = 0.5): DataFrame = {
-    // the shingle relation feeds BOTH the signature branch and the
-    // jaccard verification join on different shuffle keys, so it is
-    // computed twice; measured, recomputing the (cheap, map-side)
-    // explode beats a blocking cache materialization at every tested
-    // scale — callers running many dedup passes over one corpus should
-    // materialize the shingle table themselves
+    graft.catalyst.MinHashSig.register(df.sparkSession)
+    // ONE scalar call per document covers tokenize->shingle->hash->min:
+    // building a shingle-array column first looks equivalent, but
+    // CollapseProject inlines such a transform(...) into every
+    // downstream reference, re-running the tokenizing split per
+    // element (measured 4x slower than the composed path; this shape
+    // beats the composed path instead)
+    val sig = df.select(col(idCol),
+      call_function("minhash_sig", tokens(col(textCol)),
+        lit(shingleN), lit(numHashes)).as("__sig"))
+    // Explode FIRST, index after: the Generate node is a collapse
+    // barrier, so the signature array materializes once and the
+    // per-band keys just index it. A NULL signature (doc with fewer
+    // than shingleN tokens) flows to a NULL bkey, which the equi-join
+    // drops -- same semantics as filtering, without re-evaluating the
+    // call in a pushed-down predicate. The repartition is the
+    // deliberate exchange the band self-join reuses for both sides.
+    val bands = sig
+      .select(col(idCol), col("__sig"),
+        explode(sequence(lit(0), lit(numHashes / 2 - 1))).as("band"))
+      .select(col(idCol), col("band"),
+        expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
+          .as("bkey"))
+      .repartition(col("band"), col("bkey"))
+    val cand = lshCandidates(bands, idCol)
+    // verification shingles via the Generate-protected explode path
+    // (its distinct doubles as the exchange all three jaccard
+    // consumers reuse)
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Composed reference pipeline (explode → wide sort-aggregate),
+    * kept to pin the native path's equivalence in ExtSpec. */
+  def nearDupPairsComposed(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 8,
+                           minJaccard: Double = 0.5): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
     val cand = lshCandidates(
       lshBands(minhashSignature(sh, idCol, numHashes), idCol, numHashes), idCol)

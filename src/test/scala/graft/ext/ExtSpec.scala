@@ -39,6 +39,18 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.5)) // precision: threshold enforced
   }
 
+  test("native minhash near-dup pipeline equals the composed reference exactly") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.nearDupPairs(corpus, "doc_id", "text"))
+      === pairs(Dedup.nearDupPairsComposed(corpus, "doc_id", "text")))
+  }
+
   test("native simhash16 equals the explode+aggregate composition exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val native = Dedup.simhash(docs, "doc_id", "text")
