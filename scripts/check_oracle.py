@@ -17,6 +17,20 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def type_class(t):
+    """Collapse an arrow type string to the equivalence class the
+    driver's pandas-based hasher uses."""
+    for prefix, cls in [("int", "int"), ("uint", "int"), ("bool", "bool"),
+                        ("float", "float"), ("double", "float"),
+                        ("halffloat", "float"), ("decimal", "decimal"),
+                        ("string", "str"), ("large_string", "str"),
+                        ("timestamp", "ts"), ("date", "date"),
+                        ("binary", "bin"), ("large_binary", "bin")]:
+        if t.startswith(prefix):
+            return cls
+    return t  # lists/structs/unknown: exact match required
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -48,17 +62,34 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [d[0] for d in con.description]
+        got_tbl = con.execute(f"SELECT * FROM read_parquet({files!r})").arrow()
+        got = [tuple(r.values()) for r in got_tbl.to_pylist()]
+        got_cols = got_tbl.column_names
+        got_types = {f.name: str(f.type) for f in got_tbl.schema}
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            exp_tbl = con.execute(oracle[name]).arrow()
+            exp = [tuple(r.values()) for r in exp_tbl.to_pylist()]
+            exp_cols = exp_tbl.column_names
+            exp_types = {f.name: str(f.type) for f in exp_tbl.schema}
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # Type-strict the way the driver is: its hasher goes through a
+        # pandas-style conversion where every integer width collapses
+        # to int (int32 SUM vs BIGINT count both hash the same), but
+        # DuckDB HUGEINT (arrow decimal128) coerces to float64 and
+        # FAILS against a Spark BIGINT despite equal values (seen in
+        # r02: q_simhash/q_fingerprint/q_multimodal_meta). So compare
+        # type CLASSES: all ints one class, decimals their own class.
+        type_diffs = {c: (got_types[c], exp_types[c]) for c in got_cols
+                      if type_class(got_types[c]) != type_class(exp_types[c])}
+        if type_diffs:
+            print(f"FAIL {name}: column type classes differ (spark, oracle): {type_diffs}")
             n_fail += 1
             continue
         g, e = canon(got, got_cols), canon(exp, exp_cols)

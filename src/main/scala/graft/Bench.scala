@@ -35,7 +35,17 @@ object Bench {
       spark.read.parquet(s"${graft.sources.F1Tables.FixtureDir}/$t.parquet")
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm EVERY query once untimed before any timing starts: the
+    // table-level warmup above levels the I/O field, but the first
+    // query to run still absorbs residual codegen/classloading for
+    // whatever operators only IT uses (r02 showed q1_agg 2.5× slower
+    // purely for running first alphabetically). A full untimed pass
+    // makes each timed number a property of the plan, not the order.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9

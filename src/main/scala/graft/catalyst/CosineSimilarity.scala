@@ -31,12 +31,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // may return NULL for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineSimilarity.computeOrNull(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.catalyst.CosineSimilarity.compute($a, $b);")
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.catalyst.CosineSimilarity.computeOrNull($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CosineSimilarity =
@@ -45,14 +57,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
   /** Shared by interpreted eval and generated code. Zero vectors
-    * yield NaN exactly like the HOF division does. */
-  def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    * yield NaN exactly like the HOF division does. Mismatched lengths
+    * or a null element yield NULL — also exactly like the HOF path
+    * (zip_with pads with nulls; null poisons the running aggregate),
+    * so the bit-identical claim holds on those edges too. */
+  def computeOrNull(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -60,7 +77,7 @@ object CosineSimilarity {
       nb += yi * yi
       i += 1
     }
-    dot / (Math.sqrt(na) * Math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (Math.sqrt(na) * Math.sqrt(nb)))
   }
 
   /** Idempotent session registration (used by the Similarity ops). */

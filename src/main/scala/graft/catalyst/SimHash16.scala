@@ -30,12 +30,25 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash16"
 
+  // NULL when no non-null token contributed a vote (empty / all-null
+  // array): the composed explode path emits no row for such a doc, so
+  // a 0L here would be a value the composition can never produce.
+  // Mirrors MinHashSig's no-shingle NULL.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(tokens: Any): Any =
-    SimHash16.compute(tokens.asInstanceOf[ArrayData])
+    SimHash16.computeOrNull(tokens.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.catalyst.SimHash16.compute($t);")
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.catalyst.SimHash16.computeOrNull($t);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
@@ -48,14 +61,17 @@ object SimHash16 {
   }
 
   /** Shared by interpreted eval and generated code. NULL tokens are
-    * skipped (explode drops them in the composition path too). */
-  def compute(tokens: ArrayData): Long = {
+    * skipped (explode drops them in the composition path too); if NO
+    * token contributes, the result is NULL, not 0. */
+  def computeOrNull(tokens: ArrayData): java.lang.Long = {
     val votes = new Array[Int](16)
     val md = digest.get()
+    var contributed = false
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
+        contributed = true
         md.reset()
         val d = md.digest(tokens.getUTF8String(i).getBytes)
         // first two digest bytes == first four hex chars of md5(tok)
@@ -68,13 +84,14 @@ object SimHash16 {
       }
       i += 1
     }
+    if (!contributed) return null
     var fp = 0L
     var b = 0
     while (b < 16) {
       if (votes(b) > 0) fp |= 1L << b
       b += 1
     }
-    fp
+    java.lang.Long.valueOf(fp)
   }
 
   def register(spark: SparkSession): Unit =

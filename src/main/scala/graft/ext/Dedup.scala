@@ -71,6 +71,33 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Restrict a corpus to blocking groups of at most `maxBlockSize`
+    * members. Blocking-based candidate generation is quadratic WITHIN
+    * a block — fine when blocks are small, but one hot key (e.g. a
+    * dominant (source, n_chars) pair at 100 TB) silently turns the
+    * block self-join into an all-pairs explosion. This guard counts
+    * members per block (one map-side-combinable agg) and drops
+    * oversize blocks from pairing; use [[oversizeBlocks]] to report
+    * what was dropped — at scale those keys need a finer blocking
+    * scheme (extra key column), not a bigger cap. */
+  def boundBlocks(df: DataFrame, blockCols: Seq[String],
+                  maxBlockSize: Int): DataFrame = {
+    require(blockCols.nonEmpty, "boundBlocks needs at least one blocking column")
+    val small = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBlockSize)
+      .select(blockCols.map(col): _*)
+    df.join(small, blockCols, "left_semi")
+  }
+
+  /** The blocks [[boundBlocks]] would drop: (blockCols…, block_size).
+    * Callers log/audit this instead of silently losing recall. */
+  def oversizeBlocks(df: DataFrame, blockCols: Seq[String],
+                     maxBlockSize: Int): DataFrame =
+    df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
+
   /** Exact Jaccard on a bounded candidate-pair set (from LSH bands or
     * blocking): |A∩B| via a shingle equi-join restricted to the
     * candidates, |A∪B| from per-doc sizes. */

@@ -67,13 +67,31 @@ object Similarity {
   def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until numPlanes).map(p => (0 until dim).map(d => planeComponent(p, d).toDouble))
 
+  /** Sizing rule for `numPlanes` — the knob that makes the LSH path
+    * scale. `numPlanes` planes give 2^numPlanes buckets, and pairing
+    * is quadratic WITHIN a bucket, so you want
+    * `numPlanes >= log2(corpusSize / targetBucketSize)`: 8 planes
+    * (256 buckets) is fine for the sf test corpora, but a 10^9-vector
+    * corpus wants >= 20 planes to keep expected bucket size near 10^3.
+    * Upper bound 62 keeps the bucket id a positive Long. Multi-probe
+    * (Hamming-1) is the recall knob to pair with higher plane counts. */
+  def suggestedNumPlanes(corpusSize: Long, targetBucketSize: Long = 1000L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(62, math.max(1, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
   /** Sign-bucket id: bit p set iff dot(vec, plane_p) >= 0. Similar
     * vectors land in the same bucket with high probability; identical
-    * vectors always do. */
+    * vectors always do. See [[suggestedNumPlanes]] for sizing. */
   def signBucket(vec: Column, numPlanes: Int, dim: Int): Column =
-    planes(numPlanes, dim).zipWithIndex.map { case (plane, p) =>
-      when(dot(vec, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    {
+      require(numPlanes >= 1 && numPlanes <= 62,
+        s"numPlanes must be in [1, 62] (bucket id is a Long), got $numPlanes")
+      planes(numPlanes, dim).zipWithIndex.map { case (plane, p) =>
+        when(dot(vec, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
 
   /** Approximate top-k: queries only score candidates in their own
     * sign bucket — the scale path next to bruteTopK's exact baseline.

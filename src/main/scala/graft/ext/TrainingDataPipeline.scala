@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The composed LLM-training-data preparation pipeline — the product
   * shape all the ext operators exist for: exact dedup → near-dup
@@ -28,7 +29,15 @@ object TrainingDataPipeline {
       .groupBy(md5(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .drop("__h")
+    // The exact-deduped corpus feeds FOUR differently-shaped consumers
+    // (MinHash signatures, verification shingles, the anti-join left
+    // side, and the quality gate); exchange reuse is not guaranteed
+    // across them, so without persistence the scan → md5-groupBy →
+    // semi-join subtree re-executes once per consumer. Persisting here
+    // mirrors what a real pipeline does anyway: the post-exact-dedup
+    // corpus is the natural materialization point.
     val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 2. near-dup removal over the exact-deduped corpus
     val losers = nearDupLosers(exactDeduped, "doc_id", "text", minJaccard)

@@ -165,6 +165,33 @@ object F1Pipelines {
       .agg((sum(col("actual_lap_time").cast(DecimalType(18, 4))).cast("double")
         / count(lit(1))).as("avg_lap_time"))
 
+  /** Chart-data assembly for the reference's fastest-lap comparison
+    * chart (compare_fastest_lap_characteristics): one row per plotted
+    * bar, carrying everything the renderer needs — bar order, the bar
+    * height (actual_lap_time) with its M:SS.mmm label, the capitalized
+    * compound annotation, the compound bar color (map-miss → NULL,
+    * like pandas), and the driver tick color ("Unknown"/NULL →
+    * "#000000", the reference's fallback). Rows with NULL lap time are
+    * dropped (the notna() mask). `orderCols` is the branch the
+    * reference takes on session type: grid_position for qualifying,
+    * (actual_lap_time, date_start) for races — see
+    * F1Session.comparisonFrame. Window partitions on session_key, so
+    * the per-session bar numbering (≤ grid size) never funnels a whole
+    * dataset through one task.
+    * Ref: /root/reference/src/session_object.py:259-311. */
+  def comparisonFrame(rows: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy("session_key").orderBy(orderCols: _*)
+    rows.filter(col("actual_lap_time").isNotNull)
+      .withColumn("bar_order", row_number().over(w))
+      .select(col("session_key"), col("bar_order"), col("name_acronym"),
+        col("actual_lap_time"),
+        formatLapTime(col("actual_lap_time")).as("lap_time_label"),
+        capitalize(col("Compound")).as("compound_label"),
+        compoundColor(col("Compound")).as("bar_color"),
+        when(col("driver_color").isNull || col("driver_color") === "Unknown",
+          lit("#000000")).otherwise(col("driver_color")).as("driver_color"))
+  }
+
   def avgLapMatrix(enriched: DataFrame, compounds: Seq[String]): DataFrame = {
     val long = avgLapByCompound(enriched)
     val sortKey = min(when(col("Compound") === "MEDIUM", col("avg_lap_time")))

@@ -81,6 +81,23 @@ class F1Session(spark: SparkSession, sessionKey: Long,
   def avgLapMatrix(compounds: Seq[String]): DataFrame =
     F1Pipelines.avgLapMatrix(laps, compounds)
 
+  /** The chart-ready frame behind the reference's fastest-lap
+    * comparison chart: qualifying sessions plot in grid order, any
+    * other session in fastest-lap order with one bar per driver.
+    * The branch is the reference's own `if self.session_type ==
+    * "Qualifying"` — a one-row scalar read from the cached session
+    * info (bounded driver-side control flow, not a data collect).
+    * Ref: /root/reference/src/session_object.py:259-311. */
+  lazy val comparisonFrame: DataFrame = {
+    val isQualifying =
+      info.select("session_type").head().getString(0) == "Qualifying"
+    if (isQualifying)
+      F1Pipelines.comparisonFrame(qualifyingGrid, Seq(col("grid_position").asc))
+    else
+      F1Pipelines.comparisonFrame(fastestLaps,
+        Seq(col("actual_lap_time").asc_nulls_last, col("date_start").asc))
+  }
+
   /** Release the cached frames a caller actually materialized (a
     * dashboard switching sessions). Untouched lazy members are not
     * forced just to be unpersisted. */

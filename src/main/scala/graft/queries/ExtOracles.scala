@@ -104,7 +104,8 @@ object ExtOracles {
         |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS b) bb
         |  GROUP BY doc_id, bb.b)
         |SELECT doc_id,
-        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |    AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
 
     "q_normalize" ->
@@ -141,8 +142,8 @@ object ExtOracles {
         |pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
         |  FROM toks)
         |SELECT doc_id,
-        |  SUM(i * (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1000003))
-        |    % 1000003 AS fingerprint
+        |  CAST(SUM(i * (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1000003))
+        |    % 1000003 AS BIGINT) AS fingerprint
         |FROM pos GROUP BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
@@ -281,10 +282,10 @@ object ExtOracles {
         |  CASE WHEN octet_length(encode(text)) > 0
         |       THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT)
         |       ELSE -1 END AS first_byte,
-        |  COALESCE(list_sum(list_transform(
+        |  CAST(COALESCE(list_sum(list_transform(
         |    range(1, octet_length(encode(text)) + 1),
         |    i -> i * CAST('0x' || substr(hex(encode(text)), i * 2 - 1, 2) AS BIGINT))), 0)
-        |    % 1000003 AS checksum
+        |    % 1000003 AS BIGINT) AS checksum
         |FROM documents""".stripMargin,
   )
 }

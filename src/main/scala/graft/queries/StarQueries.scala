@@ -128,10 +128,15 @@ object StarQueries {
   def unionGrid(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    // the rank window runs on the ≤5 rows surviving limit(5), so the
+    // single-partition window is bounded by construction; the constant
+    // partition key says so explicitly (and silences the global-window
+    // warning an empty partition spec emits)
     def top5(df: DataFrame, offset: Int) = df
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(5)
       .withColumn("grid_position",
-        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
           + lit(offset))
     val urgent = top5(o.filter(col("o_orderpriority") === "1-URGENT"), 0)
     val rest   = top5(o.filter(col("o_orderpriority") =!= "1-URGENT"), 5)
@@ -231,25 +236,33 @@ object StarQueries {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value").as("cp_value"))
 
+  // tiebreak=cp_value: the fixture's purchase rows are unique per
+  // (user_id, ts), but the operator must not DEPEND on that — with a
+  // tiebreak, duplicate-key right rows resolve deterministically
+  // instead of last()/first() picking whatever the sort happened to
+  // interleave. Pure ordering change: same plan, same fixture results.
   def asofBackward(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "click", "error"))
       .select("event_id", "user_id", "ts", "value")
-    AsOfJoin.backward(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
+    AsOfJoin.backward(l, purchases(spark, dir), on = "ts", by = Seq("user_id"),
+      tiebreak = Some("cp_value"))
   }
 
   def asofNearest(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.events(spark, dir)
       .filter(col("event_type") === "signup")
       .select("event_id", "user_id", "ts", "value")
-    AsOfJoin.nearest(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
+    AsOfJoin.nearest(l, purchases(spark, dir), on = "ts", by = Seq("user_id"),
+      tiebreak = Some("cp_value"))
   }
 
   def asofForward(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.events(spark, dir)
       .filter(col("event_type") === "signup")
       .select("event_id", "user_id", "ts", "value")
-    AsOfJoin.forward(l, purchases(spark, dir), on = "ts", by = Seq("user_id"))
+    AsOfJoin.forward(l, purchases(spark, dir), on = "ts", by = Seq("user_id"),
+      tiebreak = Some("cp_value"))
   }
 
   // §2.11 — session windows in batch form (streaming form shares the
@@ -298,22 +311,28 @@ object StarQueries {
       .select("event_id", "ts", "user_id", "event_type", "value")
     // unique staging dir per run (two concurrent runs must never share
     // or overwrite each other's staged files), deleted after the
-    // stream completes — no temp accumulation either
+    // stream completes — the whole lifecycle from staging write to
+    // stream stop sits inside one try/finally, so a failure at ANY
+    // point (staging write, start(), processing) still removes the dir.
+    // The memory sink with complete mode collects the full result on
+    // the driver — bounded here (aggregated: hours × event_types), by
+    // design not a pattern for unaggregated streams.
     val staged = java.nio.file.Files.createTempDirectory("graft-q-stream")
-    batchEvents.write.mode("overwrite").parquet(staged.toString)
-    val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamingOps.tumblingCounts(
-        spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
-      .writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
+    try {
+      batchEvents.write.mode("overwrite").parquet(staged.toString)
+      val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
+      val q = graft.streaming.StreamingOps.tumblingCounts(
+          spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } finally {
       // memory sink holds the results; the staged copy is disposable
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    spark.table(name)
   }
 
   // §2.12 — the SQL front end: the same engine surface through

@@ -96,27 +96,34 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
   override def description(): String =
     s"openf1 entity=$entity pushed=[session_key=$sessionKey, driver_number=$driverNumber]"
 
+  // one transport per SCAN: flaky-mode state is instance-scoped, so
+  // every flaky read exercises the retry wrapper (a JVM-global counter
+  // would serve its simulated 429 only once per process)
+  private val transport: Openf1Transport =
+    if (flaky) new FlakyTransport(FixtureTransport) else FixtureTransport
+
   override def planInputPartitions(): Array[InputPartition] =
     if (entity == "sessions")
       // session metadata is not per-driver — one partition
-      Array(Openf1Partition(entity, sessionKey, -1L, flaky))
+      Array(Openf1Partition(entity, sessionKey, -1L))
     else
       Openf1Api.drivers(sessionKey, driverNumber)
-        .map(d => Openf1Partition(entity, sessionKey, d, flaky): InputPartition)
+        .map(d => Openf1Partition(entity, sessionKey, d): InputPartition)
         .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Openf1ReaderFactory
+    new Openf1ReaderFactory(transport)
 }
 
 private[openf1] case class Openf1Partition(entity: String, sessionKey: Option[Long],
-                                           driverNumber: Long, flaky: Boolean)
+                                           driverNumber: Long)
     extends InputPartition
 
-private[openf1] class Openf1ReaderFactory extends PartitionReaderFactory {
+private[openf1] class Openf1ReaderFactory(transport: Openf1Transport)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Openf1Partition]
-    val rows = Openf1Api.fetch(p.entity, p.sessionKey, p.driverNumber, p.flaky)
+    val rows = Openf1Api.fetch(transport, p.entity, p.sessionKey, p.driverNumber)
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var current: InternalRow = _
@@ -127,9 +134,50 @@ private[openf1] class Openf1ReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Deterministic in-memory "API": serves the FixtureGen entities per
-  * (session, driver) — the same data committed under fixtures/f1 — and
-  * simulates a rate-limited transport when `flaky` is on. */
+/** The transport seam — the "network" boundary of the connector. A
+  * real deployment implements this with an HTTP GET to
+  * `https://api.openf1.org/v1/{entity}?session_key=&driver_number=`
+  * plus JSON decode (the reference's live path,
+  * /root/reference/src/helper_functions.py:7-31); this sandbox has no
+  * egress, so [[FixtureTransport]] serves the same contract from the
+  * committed fixtures. Everything above the trait — schema, pushdown,
+  * partition planning, the 429 retry wrapper — is transport-agnostic:
+  * swapping in a real HTTP client is one class implementing `get`. */
+trait Openf1Transport extends Serializable {
+  /** One logical GET for a (entity, session?, driver) page.
+    * Implementations signal a 429-equivalent by throwing
+    * [[Openf1Api.RateLimitedException]]; retry policy lives in the
+    * caller ([[Openf1Api.fetch]]), not in transports. */
+  def get(entity: String, sessionKey: Option[Long], driver: Long): Seq[InternalRow]
+}
+
+/** Deterministic in-memory transport: serves the FixtureGen entities —
+  * the same data committed under fixtures/f1. */
+object FixtureTransport extends Openf1Transport {
+  override def get(entity: String, sessionKey: Option[Long],
+                   driver: Long): Seq[InternalRow] =
+    Openf1Api.rows(entity, sessionKey, driver)
+}
+
+/** Decorator simulating a rate-limited API: the FIRST get() per
+  * (entity, driver) on each instance throws 429, then delegates.
+  * State is per-instance (one per scan — and per task after
+  * serialization), so every flaky scan genuinely drives the retry
+  * path. */
+final class FlakyTransport(inner: Openf1Transport) extends Openf1Transport {
+  private val attempts = new ConcurrentHashMap[(String, Long), Integer]()
+  override def get(entity: String, sessionKey: Option[Long],
+                   driver: Long): Seq[InternalRow] = {
+    if (attempts.merge((entity, driver), 1, (a, b) => a + b) == 1) {
+      Openf1Api.retriesServed.incrementAndGet()
+      throw new Openf1Api.RateLimitedException
+    }
+    inner.get(entity, sessionKey, driver)
+  }
+}
+
+/** Connector-side API logic: schemas, partition planning inputs, and
+  * the retry policy wrapped around ANY [[Openf1Transport]]. */
 object Openf1Api {
 
   final class RateLimitedException extends RuntimeException("HTTP 429")
@@ -149,8 +197,7 @@ object Openf1Api {
     throw new IllegalStateException("unreachable")
   }
 
-  // first call per (entity, driver) gets a simulated 429
-  private val attempts = new ConcurrentHashMap[(String, Long), Integer]()
+  /** Observability hook for specs: total simulated 429s served. */
   val retriesServed = new java.util.concurrent.atomic.AtomicLong(0)
 
   def schemaFor(entity: String): StructType = entity match {
@@ -169,19 +216,15 @@ object Openf1Api {
     driverNumber.map(d => all.filter(_ == d)).getOrElse(all)
   }
 
-  def fetch(entity: String, sessionKey: Option[Long], driver: Long,
-            flaky: Boolean): Seq[InternalRow] = withRetry() {
-    if (flaky && attempts.merge((entity, driver), 1, (a, b) => a + b) == 1) {
-      retriesServed.incrementAndGet()
-      throw new RateLimitedException
-    }
-    rows(entity, sessionKey, driver)
-  }
+  /** One retried page fetch through the transport seam. */
+  def fetch(transport: Openf1Transport, entity: String,
+            sessionKey: Option[Long], driver: Long): Seq[InternalRow] =
+    withRetry() { transport.get(entity, sessionKey, driver) }
 
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
-  private def rows(entity: String, sessionKey: Option[Long], driver: Long): Seq[InternalRow] = {
+  private[openf1] def rows(entity: String, sessionKey: Option[Long], driver: Long): Seq[InternalRow] = {
     def keep(sk: Long, d: Long): Boolean = sessionKey.forall(_ == sk) && d == driver
     entity match {
       case "laps" => FixtureGen.laps.collect {

@@ -60,6 +60,18 @@ class ExtSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("simhash of a doc with no contributing tokens is NULL, not 0") {
+    // the composed explode path emits NO row for such a doc, so 0 would
+    // be a value the composition can never produce; NULL marks it
+    graft.catalyst.SimHash16.register(spark)
+    val df = Seq((1L, Seq.empty[String]), (2L, Seq("real", "tokens")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), call_function("simhash16", col("toks")).as("fp"))
+    val byId = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId(1L) === true)
+    assert(byId(2L) === false)
+  }
+
   test("simhash: a near-identical document lands within small hamming distance") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -96,6 +108,21 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 3.0)      // (11 - 2) / 3
   }
 
+  test("boundBlocks drops a skewed block from pairing but keeps small blocks") {
+    // one hot block ("web", 100) with 6 members, one small block with 2
+    val rows = (1L to 6L).map(id => (id, s"doc $id", "web", 100)) ++
+      Seq((7L, "pair a", "books", 50), (8L, "pair b", "books", 50))
+    val df = rows.toDF("doc_id", "text", "source", "n_chars")
+    val bounded = Dedup.boundBlocks(df, Seq("source", "n_chars"), maxBlockSize = 4)
+    assert(bounded.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(7L, 8L), "hot block must be dropped, small block kept")
+    val over = Dedup.oversizeBlocks(df, Seq("source", "n_chars"), 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(over.toSeq === Seq(("web", 100, 6L)), "dropped block must be reported")
+    // a cap above the largest block is a no-op (the oracle-safety property)
+    assert(Dedup.boundBlocks(df, Seq("source", "n_chars"), 1024).count() === 8)
+  }
+
   test("fingerprint is position-sensitive (rolling, not bag-of-words)") {
     val df = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(df, "doc_id", "text")
@@ -124,6 +151,24 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
     val expected = copies.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ann.map(_._1).toSet === expected, "every query must find a neighbor")
+    assert(ann.forall { case (q, n, c) => n == q - 10000 && c > 0.999999 })
+  }
+
+  test("numPlanes scales with corpus size: 20+ planes still give full identical-vector recall") {
+    // the sizing rule itself: 10^9 vectors / 10^3-per-bucket → 20 planes
+    assert(Similarity.suggestedNumPlanes(1000000000L, 1000L) === 20)
+    assert(Similarity.suggestedNumPlanes(100L, 1000L) === 1)   // tiny corpus → floor
+    assert(Similarity.suggestedNumPlanes(Long.MaxValue, 1L) === 62) // Long-bucket cap
+    // identical vectors share a bucket at ANY plane count, so recall
+    // stays full as numPlanes grows — the knob is safe to scale up
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val ann = Similarity.annTopK(copies, e, "vec_id", "embedding",
+        k = 1, numPlanes = 20, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = copies.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.map(_._1).toSet === expected)
     assert(ann.forall { case (q, n, c) => n == q - 10000 && c > 0.999999 })
   }
 

@@ -70,4 +70,28 @@ class Openf1SourceSpec extends AnyFunSuite {
     assert(viaFlaky.exceptAll(viaFiles).isEmpty && viaFiles.exceptAll(viaFlaky).isEmpty)
     assert(Openf1Api.retriesServed.get() > 0, "the flaky transport must have 429'd")
   }
+
+  test("flaky state is per scan: a SECOND flaky read still exercises the retry path") {
+    read("drivers", flaky = true).count()
+    val before = Openf1Api.retriesServed.get()
+    read("drivers", flaky = true).count()
+    assert(Openf1Api.retriesServed.get() > before,
+      "each scan gets its own FlakyTransport, so each must serve fresh 429s")
+  }
+
+  test("a custom transport drops in at the seam; retry policy stays in the caller") {
+    // stand-in for a real HTTP client: 429s twice, then delegates
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val custom = new Openf1Transport {
+      override def get(entity: String, sessionKey: Option[Long],
+                       driver: Long): Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+        if (calls.incrementAndGet() <= 2) throw new Openf1Api.RateLimitedException
+        FixtureTransport.get(entity, sessionKey, driver)
+      }
+    }
+    val rows = Openf1Api.fetch(custom, "drivers", Some(9001L), 7L)
+    assert(calls.get() === 3, "two 429s then success")
+    assert(rows.nonEmpty)
+    assert(rows === FixtureTransport.get("drivers", Some(9001L), 7L))
+  }
 }
