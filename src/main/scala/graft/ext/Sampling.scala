@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for the training-data pipeline
+  * surface (brief §ext): hash-based train/val/test splits and
+  * per-source corpus rebalancing.
+  *
+  * Both operators are pure projections over a content-independent
+  * identity hash — no shuffle, no RNG state, no driver coordination:
+  * the assignment of a document is a function of its id alone, so it
+  * is reproducible across runs, engines, partitionings, and cluster
+  * sizes (the property a 100 TB pipeline actually needs from a
+  * "random" split — `rand()` has none of it). Hash domain: first 15
+  * md5 hex chars (< 2^60, exact in a signed long in Spark and DuckDB
+  * alike), reduced by integer modulus — no floating point anywhere.
+  */
+object Sampling {
+
+  /** Buckets per unit probability: thresholds quantize to 1/10000. */
+  private val Buckets = 10000L
+
+  /** Salted identity hash in [0, Buckets): independent streams for
+    * independent decisions (the split assignment of a doc must not
+    * correlate with its sampling fate — same id, different salt). */
+  def hashBucket(id: Column, salt: String): Column =
+    TextOps.hex15(concat(lit(salt + "|"), id.cast("string"))) % Buckets
+
+  /** Deterministic train/val/test assignment from the id hash.
+    * `valPct`/`testPct` are given in bucket counts out of 10000
+    * (e.g. 100 = 1%). Stable under corpus growth: a document's split
+    * never changes when other documents come or go — the property
+    * that keeps eval sets honest across dataset versions. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  valBuckets: Int = 100, testBuckets: Int = 100): DataFrame = {
+    require(valBuckets >= 0 && testBuckets >= 0 &&
+      valBuckets + testBuckets < Buckets)
+    val b = hashBucket(col(idCol), "split")
+    df.select(col(idCol), b.as("bucket"),
+      when(b < lit(Buckets - valBuckets - testBuckets), "train")
+        .when(b < lit(Buckets - testBuckets), "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-source rebalancing: keep each document with its source's
+    * target probability (quantized to 1/10000), decided by a salted
+    * id hash — deterministic downsampling of over-represented sources
+    * (the "domain mixing" step of corpus assembly). Sources absent
+    * from `targets` keep everything. Returns the kept rows. */
+  def domainMix(df: DataFrame, idCol: String, sourceCol: String,
+                targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(p => p >= 0.0 && p <= 1.0),
+      "keep probabilities must be in [0, 1]")
+    val thresholds: Map[String, Long] =
+      targets.map { case (s, p) => s -> math.round(p * Buckets) }
+    val thr = coalesce(
+      element_at(typedLit(thresholds), col(sourceCol)), lit(Buckets))
+    df.filter(hashBucket(col(idCol), "mix") < thr)
+  }
+}

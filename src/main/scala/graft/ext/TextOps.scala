@@ -101,6 +101,60 @@ object TextOps {
         quality.as("quality"))
   }
 
+  /** Intra-document repetition statistics (the Gopher-rules family):
+    * duplicate-token and duplicate-2-gram fractions per document. High
+    * values mark boilerplate/spam — the repetition filter every
+    * large-scale corpus pass applies before training. Pure projection
+    * (array ops on the row), no explode, no shuffle. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = col("__toks")
+    val grams = col("__grams")
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__grams", wordShingles(toks, 2))
+      .select(col(idCol),
+        size(toks).as("n_tokens"),
+        dupFrac(toks).as("dup_token_frac"),
+        size(grams).as("n_2grams"),
+        dupFrac(grams).as("dup_2gram_frac"))
+  }
+
+  /** Gopher-style quality gate: the classic per-document rule flags —
+    * token-count bounds, mean-word-length bounds, minimum fraction of
+    * alphabetic words, minimum stop-word hits — plus the conjunction.
+    * Each flag is a cheap column predicate; the gate is a projection
+    * that composes with any downstream filter, so at 100 TB it rides
+    * the scan (no separate pass). Thresholds follow the published
+    * Gopher ranges except the token floor, scaled to the fixture's
+    * short documents. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 10, maxTokens: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val toks = col("__toks")
+    val meanLen = (col("__chars") - (size(toks) - lit(1))).cast("double") / size(toks)
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      size(toks)
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    df.select(col(idCol), length(col(textCol)).as("__chars"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(toks).as("n_tokens"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        size(toks).between(minTokens, maxTokens).as("flag_tokens"),
+        meanLen.between(minMeanWordLen, maxMeanWordLen).as("flag_word_len"),
+        (alphaFrac >= minAlphaFrac).as("flag_alpha"),
+        (stopHits >= minStopHits).as("flag_stop"))
+      .withColumn("pass",
+        col("flag_tokens") && col("flag_word_len") &&
+          col("flag_alpha") && col("flag_stop"))
+  }
+
   /** Positional document fingerprint: Σ position·hash(token) mod p.
     * Pure integer arithmetic — order-independent addition, exact in
     * any engine, and position-sensitive unlike a bag-of-words sum. */

@@ -146,6 +146,59 @@ object ExtOracles {
         |    % 1000003 AS BIGINT) AS fingerprint
         |FROM pos GROUP BY doc_id""".stripMargin,
 
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10000 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 10000 < 9800 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 10000 < 9900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10000
+        |  < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000
+        |                WHEN 'src2' THEN 0 ELSE 10000 END""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  CASE WHEN len(w) > 0
+        |    THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+        |    ELSE 0.0 END AS dup_token_frac,
+        |  len(grams) AS n_2grams,
+        |  CASE WHEN len(grams) > 0
+        |    THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END AS dup_2gram_frac
+        |FROM g""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS ch,
+        |    string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, len(w) AS n_tokens,
+        |    CAST(ch - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t2 -> regexp_matches(t2, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_frac,
+        |    len(list_filter(w, t2 -> t2 IN
+        |      ('the','a','of','and','to','in','is','data'))) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, stop_hits,
+        |  n_tokens BETWEEN 30 AND 100000 AS flag_tokens,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS flag_word_len,
+        |  alpha_frac >= 0.8 AS flag_alpha,
+        |  stop_hits >= 2 AS flag_stop,
+        |  (n_tokens BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass
+        |FROM m""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

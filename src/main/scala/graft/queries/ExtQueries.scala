@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps, TrainingDataPipeline}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps, TrainingDataPipeline}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -100,6 +100,29 @@ object ExtQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
 
+  /** Deterministic hash-based train/val/test assignment (1% / 1%). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(docs(spark, dir).select("doc_id"), "doc_id")
+
+  /** Per-source rebalancing: three sources downsampled to fixed target
+    * probabilities (incl. a 0.0 drop-all), the rest kept — the domain
+    * mixing step of corpus assembly, decided by a salted id hash. */
+  val mixTargets: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.0)
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.domainMix(docs(spark, dir).select("doc_id", "source"),
+      "doc_id", "source", mixTargets)
+
+  /** Gopher-family repetition stats: dup token / dup 2-gram fractions. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(spark, dir), "doc_id", "text")
+
+  /** Gopher-style quality rule flags + conjunction gate. The token
+    * floor is 30 (the published 50 would be vacuous against the
+    * fixture's 10-99-token documents). */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherQuality(docs(spark, dir), "doc_id", "text", minTokens = 30)
+
   /** Brute-force cosine top-3: broadcast 5 query vectors against the
     * candidate corpus — the exact baseline an ANN path is judged by. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -181,6 +204,10 @@ object ExtQueries {
     "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),
     "q_fingerprint"       -> (fingerprint _),
+    "q_split_assign"      -> (splitAssign _),
+    "q_domain_mix"        -> (domainMix _),
+    "q_repetition"        -> (repetition _),
+    "q_gopher_quality"    -> (gopherQuality _),
     "q_cosine_topk"       -> (cosineTopK _),
     "q_ann_topk"          -> (annTopK _),
     "q_ann_multiprobe"    -> (annTopKMultiProbe _),

@@ -108,6 +108,70 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 3.0)      // (11 - 2) / 3
   }
 
+  test("splitAssign: deterministic, exhaustive, stable under corpus growth") {
+    val base = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val a = Sampling.splitAssign(base, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.splitAssign(base, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b, "same ids must always get the same split")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.values.count(_ == "train") > a.size * 0.9)
+    // stability: a doc's split is id-local — removing half the corpus
+    // must not move anyone (the property rand()-splits lack)
+    val half = Sampling.splitAssign(base.filter(col("doc_id") % 2 === 0), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(half.forall { case (id, s) => a(id) == s })
+  }
+
+  test("domainMix: targeted sources downsample, 0.0 drops all, others keep all") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source")
+    val kept = ExtQueries.domainMix(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val totalBySrc = d.collect().map(r => r.getString(1))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(!keptBySrc.contains("src2"), "p=0.0 must drop every doc")
+    assert(keptBySrc("src0") < totalBySrc("src0"), "p=0.5 must drop some")
+    assert(keptBySrc("src1") < keptBySrc("src0"), "p=0.2 keeps fewer than p=0.5")
+    for (s <- totalBySrc.keySet -- ExtQueries.mixTargets.keySet)
+      assert(keptBySrc(s) === totalBySrc(s), s"untargeted $s must keep all")
+  }
+
+  test("repetitionStats: hand-computed duplicate fractions") {
+    val df = Seq(
+      (1L, "a a b"),          // dup tokens: 1/3; 2-grams [a a, a b] distinct
+      (2L, "x y x y x"),      // dup tokens: 3/5; 2-grams [x y, y x, x y, y x] -> 2/4
+      (3L, "one"))            // single token: no 2-grams, zero fractions
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((3, 1.0 / 3, 2, 0.0)))
+    assert(got(2L) === ((5, 3.0 / 5, 4, 0.5)))
+    assert(got(3L) === ((1, 0.0, 0, 0.0)))
+  }
+
+  test("gopherQuality: each rule flag trips independently; pass is the conjunction") {
+    val longDoc = ("the of and " + Seq.fill(30)("data").mkString(" "))
+    val df = Seq(
+      (1L, longDoc),                                  // passes everything
+      (2L, "the of tiny"),                            // fails token floor
+      (3L, ("the of " + Seq.fill(31)("a").mkString(" "))),   // mean word len < 3
+      (4L, ("the of " + Seq.fill(31)("12345").mkString(" "))), // alpha frac low
+      (5L, Seq.fill(33)("word").mkString(" ")))       // no stopword hits
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(df, "doc_id", "text", minTokens = 30)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9)))).toMap
+    assert(got(1L) === ((true, true, true, true, true)))
+    assert(got(2L)._1 === false && got(2L)._5 === false)
+    assert(got(3L)._2 === false && got(3L)._5 === false)
+    assert(got(4L)._3 === false && got(4L)._5 === false)
+    assert(got(5L)._4 === false && got(5L)._5 === false)
+  }
+
   test("boundBlocks drops a skewed block from pairing but keeps small blocks") {
     // one hot block ("web", 100) with 6 members, one small block with 2
     val rows = (1L to 6L).map(id => (id, s"doc $id", "web", 100)) ++
