@@ -172,6 +172,24 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    "q_custom_sessions" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |g AS (SELECT user_id, min(ts) AS session_start,
+        |        max(ts) + INTERVAL 10 MINUTE AS session_end,
+        |        epoch_us(max(ts)) + 600000000 AS end_us,
+        |        COUNT(*) AS n
+        |      FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us
+        |       FROM events)
+        |SELECT user_id, session_start, session_end, n
+        |FROM g, wm WHERE g.end_us <= wm.wm_us""".stripMargin,
+
     "q_asof_backward" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type IN ('view','click','error')),

@@ -335,6 +335,33 @@ object StarQueries {
     }
   }
 
+  // §2.11/§2.12 — CUSTOM STREAMING STATE through the correctness
+  // gate: flatMapGroupsWithState sessionization (explicit open-session
+  // state + event-time timeout) driven by a real file-source stream to
+  // completion. The oracle re-derives the sessions with gaps-and-
+  // islands AND the watermark-closure boundary: only sessions whose
+  // end+gap the final watermark passed are emitted — checking both the
+  // session semantics and the state-closure contract in DuckDB.
+  private val customSessRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def customSessionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val batchEvents = Tables.events(spark, dir).select("ts", "user_id")
+    val staged = java.nio.file.Files.createTempDirectory("graft-q-csess")
+    try {
+      batchEvents.write.mode("overwrite").parquet(staged.toString)
+      val name = s"q_custom_sessions_${customSessRuns.incrementAndGet()}"
+      val q = graft.streaming.StreamingOps.customSessions(
+          spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -352,6 +379,7 @@ object StarQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling"    -> (streamTumbling _),
+    "q_custom_sessions"    -> (customSessionsQuery _),
     "q_sql_surface"        -> (sqlSurface _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),

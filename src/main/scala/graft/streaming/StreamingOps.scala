@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Input/state/output rows of the custom-state sessionizer. `lastUs`
+  * is the max event time seen (µs); the session's reported end is
+  * `lastUs + gap`, matching session_window. */
+case class SessEvent(ts: Timestamp, user_id: Long)
+case class OpenSess(startUs: Long, lastUs: Long, n: Long)
+case class ClosedSess(user_id: Long, session_start: Timestamp,
+                      session_end: Timestamp, n: Long)
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md
   * §2.11). Every transform works identically on a batch or streaming
@@ -57,4 +68,77 @@ object StreamingOps {
   def dedupWithinWatermark(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
     df.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** §2.12/§2.11 — CUSTOM state machine via flatMapGroupsWithState:
+    * per-user sessionization with an explicit open-session list and an
+    * event-time timeout, the shape session_window cannot express once
+    * the per-group logic stops being a plain aggregate (here it is
+    * deliberately session_window-equivalent so the semantics are
+    * checkable). Emits a session once the watermark passes its
+    * end+gap; sessions still open when the stream drains are NOT
+    * emitted — that boundary is part of the contract and of the
+    * DuckDB oracle (StarOracles.q_custom_sessions).
+    *
+    * Scale posture: state is a per-user list of OPEN sessions only —
+    * partitioned by the group key across executors, bounded by the
+    * watermark (closed state is removed the batch it closes), so
+    * state size tracks concurrent open sessions, not history. Event
+    * order within a batch does not matter: interval merging with gap
+    * closure is confluent (any merge order yields the same session
+    * set), pinned by StreamingSpec's shuffled-batch test. */
+  def customSessions(df: DataFrame, gapMinutes: Int = 10,
+                     watermark: String = "10 minutes"): Dataset[ClosedSess] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def tsOf(u: Long): Timestamp = {
+      val t = new Timestamp(u / 1000)
+      t.setNanos((u % 1000000L).toInt * 1000)
+      t
+    }
+
+    def update(user: Long, events: Iterator[SessEvent],
+               state: GroupState[List[OpenSess]]): Iterator[ClosedSess] = {
+      var sessions = state.getOption.getOrElse(Nil)
+      if (!state.hasTimedOut) {
+        events.foreach { e =>
+          val t = us(e.ts)
+          // merge the event with every session it touches (gap-close);
+          // two sessions bridged by this event merge into one. STRICT
+          // bounds: session_window's per-event window is [t, t+gap),
+          // so an event exactly `gap` away starts a NEW session —
+          // touching windows do not overlap (same rule as the oracle's
+          // `diff >= gap` island break)
+          val (touched, rest) = sessions.partition(s =>
+            t > s.startUs - gapUs && t < s.lastUs + gapUs)
+          val merged = touched.foldLeft(OpenSess(t, t, 1L)) { (acc, s) =>
+            OpenSess(math.min(acc.startUs, s.startUs),
+              math.max(acc.lastUs, s.lastUs), acc.n + s.n)
+          }
+          sessions = merged :: rest
+        }
+      }
+      // close every session the watermark has passed (µs-exact rule;
+      // the watermark itself is ms-truncated by Spark)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = sessions.partition(_.lastUs + gapUs <= wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        // strictly after the earliest close boundary AND the watermark
+        val nextMs = (open.map(_.lastUs).min + gapUs) / 1000L + 1
+        state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+      }
+      closed.sortBy(_.startUs).iterator.map(s =>
+        ClosedSess(user, tsOf(s.startUs), tsOf(s.lastUs + gapUs), s.n))
+    }
+
+    df.select(col("ts"), col("user_id"))
+      .withWatermark("ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(update _)
+  }
 }

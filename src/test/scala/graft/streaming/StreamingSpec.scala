@@ -110,6 +110,57 @@ class StreamingSpec extends AnyFunSuite {
       === Seq(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState sessions: gap merge, watermark closure, open stays unemitted") {
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "view", 2.0),
+      Ev(3, ts(8), 1, "view", 3.0),   // session 0:00..0:18 (n=3)
+      Ev(4, ts(60), 1, "view", 4.0),  // session 1:00..1:10 (n=1)
+      Ev(5, ts(240), 2, "view", 0.0)) // pushes watermark to 3:50; own session open
+    val stream = MemoryStream[Ev]
+    val got = runToTable(stream, "t_custom_sess", "append",
+      df => StreamingOps.customSessions(df).toDF(),
+      Seq(events.take(4), events.drop(4)))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, ts(0), ts(18), 3L),
+      (1L, ts(60), ts(70), 1L)), "user 2's open session must not be emitted")
+    // matches the session_window streaming operator on the same feed
+    val stream2 = MemoryStream[Ev]
+    val viaWindow = runToTable(stream2, "t_custom_sess_ref", "append",
+      StreamingOps.sessionCounts(_), Seq(events.take(4), events.drop(4)))
+      .filter(col("user_id") === 1)
+      .collect().map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3))).toSet
+    assert(got === viaWindow)
+  }
+
+  test("custom sessions are order-confluent: shuffled delivery yields the same sessions") {
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "view", 1.0),
+      Ev(3, ts(8), 1, "view", 1.0), Ev(4, ts(60), 1, "view", 1.0))
+    val pusher = Ev(9, ts(240), 2, "view", 0.0)
+    def run(order: Seq[Ev], name: String) = {
+      val s = MemoryStream[Ev]
+      runToTable(s, name, "append", df => StreamingOps.customSessions(df).toDF(),
+        Seq(order, Seq(pusher)))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    }
+    // reversed delivery even bridges: event 0:05 arrives LAST, merging
+    // the two fragments its neighbors formed
+    assert(run(events, "t_conf_a") === run(events.reverse, "t_conf_b"))
+  }
+
+  test("an event exactly one gap after the last starts a NEW session (session_window parity)") {
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(10), 1, "view", 1.0), // 0:10 = exactly gap
+      Ev(3, ts(240), 2, "view", 0.0))
+    val stream = MemoryStream[Ev]
+    val got = runToTable(stream, "t_gap_edge", "append",
+      df => StreamingOps.customSessions(df).toDF(), Seq(events))
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got === Set((ts(0), ts(10), 1L), (ts(10), ts(20), 1L)),
+      "touching [t, t+gap) windows must not merge")
+  }
+
   test("file-source readStream over events parquet equals the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.sources.Tables.events(spark, dir)
