@@ -146,6 +146,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF-style ANN: a coarse quantizer of sampled centroid vectors
+    * partitions the candidate corpus into cells; each query probes its
+    * `nprobe` nearest cells and scores exact cosine within probed
+    * cells only — the classic inverted-file trade beside the
+    * sign-bucket LSH path.
+    *
+    * Scale posture: cell ASSIGNMENT is a shuffle-free projection — the
+    * centroid set rides a single-row broadcast (the J5 scalar
+    * pattern: no collect, stays in-plan) and the nearest-centroid
+    * argmax is an in-row array reduction, so the full corpus is never
+    * shuffled to be assigned. The probe join shuffles on the cell id
+    * with ~N/K rows per cell; pick K ~ sqrt(N) (and salt a hot cell
+    * like any skewed key). Ties: equal cosine resolves to the lowest
+    * centroid id — `array_position` takes the FIRST index achieving
+    * the max and the centroid list is in centroid-id order, which is
+    * exactly `row_number() ORDER BY score DESC, cid ASC = 1`. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cos = nativeCosine(candidates) _
+    // one row holding every centroid (cid-ascending: array_sort on a
+    // struct array orders by the leading cid field)
+    val cents = broadcast(
+      centroids.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("__cents")))
+    // single-pass in-row argmax: array_max over struct(score, -cid)
+    // compares lexicographically — max score, then min cid on ties —
+    // with the scored array referenced exactly ONCE (a second
+    // reference would re-evaluate every per-centroid cosine)
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+      .crossJoin(cents)
+      .withColumn("__best", array_max(transform(col("__cents"), c =>
+        struct(cos(col("__cv"), c.getField("cv")).as("s"),
+          (-c.getField("cid")).as("nc")))))
+      .select(col("neighbor_id"), col("__cv"),
+        (-col("__best").getField("nc")).as("__cell"))
+    // probe selection runs over the (small) query set only
+    val qScored = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("__qv"), explode(col("__cents")).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__c.cid").as("__cell"),
+        cos(col("__qv"), col("__c.cv")).as("__cs"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__cs").desc, col("__cell").asc)
+    val probes = qScored.withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "__qv", "__cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // a candidate lives in exactly one cell, so no dedup is needed
+    probes.join(assigned, Seq("__cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH near-duplicate pairs: bucket on the sign signature, pair
     * within buckets only, keep pairs above the cosine threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

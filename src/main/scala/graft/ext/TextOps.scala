@@ -155,6 +155,35 @@ object TextOps {
           col("flag_alpha") && col("flag_stop"))
   }
 
+  /** BPE-ish pre-tokenizer pattern — the GPT-2 family shape
+    * (contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace), but lookahead-free so
+    * Java regex (Spark) and RE2 (DuckDB) agree match-for-match. This
+    * is the split a byte-pair tokenizer applies BEFORE merges, so
+    * counting pretokens is the cheap upper-bound token estimate a
+    * corpus-sizing pass wants; a whitespace count undercounts docs
+    * heavy in digits/punctuation. */
+  val bpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  def bpePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePretokenPattern), lit(0))
+
+  /** Per-document token-count estimates: whitespace tokens vs BPE-ish
+    * pretokens, plus chars-per-pretoken (the compression-ratio-like
+    * signal corpus reports use). Pure projection — one regex pass per
+    * document, no explode, no shuffle. */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pt = col("__pt")
+    df.select(col(idCol), length(col(textCol)).as("__chars"),
+        size(tokens(col(textCol))).as("n_ws_tokens"),
+        bpePretokens(col(textCol)).as("__pt"))
+      .select(col(idCol), col("n_ws_tokens"),
+        size(pt).as("n_pretokens"),
+        size(array_distinct(pt)).as("n_distinct_pretokens"),
+        (col("__chars").cast("double") / size(pt)).as("chars_per_pretoken"))
+  }
+
   /** Positional document fingerprint: Σ position·hash(token) mod p.
     * Pure integer arithmetic — order-independent addition, exact in
     * any engine, and position-sensitive unlike a bag-of-words sum. */

@@ -32,6 +32,12 @@ object ExtOracles {
          |   i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** The bit-stable cosine term (sequential list_sum reduction). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+       |       * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_dedup_exact" ->
@@ -257,6 +263,48 @@ object ExtOracles {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
+
+    "q_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id >= 20 AND vec_id % 25 = 0),
+         |asg AS (SELECT neighbor_id, nv, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, c.v AS nv, ct.cid AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id >= 20) c CROSS JOIN cent ct) t
+         |  WHERE rn = 1),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, ct.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.v", "ct.cv")} DESC, ct.cid ASC) AS pr
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cent ct) t
+         |  WHERE pr <= 3),
+         |scored AS (SELECT p.query_id, a.neighbor_id,
+         |    ${cosSql("p.qv", "a.nv")} AS cosine
+         |  FROM probes p JOIN asg a ON p.cell = a.cell)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_bpe_tokens" ->
+      """WITH rich AS (SELECT doc_id,
+        |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||
+        |      CAST(n_chars AS VARCHAR) || '!' AS rich
+        |  FROM documents),
+        |t AS (SELECT doc_id, length(rich) AS ch,
+        |    len(string_split(rich, ' ')) AS n_ws_tokens,
+        |    regexp_extract_all(rich,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +') AS pt
+        |  FROM rich)
+        |SELECT doc_id, n_ws_tokens, len(pt) AS n_pretokens,
+        |  len(list_distinct(pt)) AS n_distinct_pretokens,
+        |  CAST(ch AS DOUBLE) / len(pt) AS chars_per_pretoken
+        |FROM t""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings

@@ -150,6 +150,31 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
   }
 
+  /** IVF ANN top-3: 20 sampled centroids partition the 480 candidates
+    * into cells (shuffle-free broadcast argmax assignment); queries
+    * probe their 3 nearest cells. The third ANN flavor beside
+    * sign-bucket LSH and multi-probe. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cands = e.filter(col("vec_id") >= 20)
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") < 20), cands,
+      cands.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", k = 3, nprobe = 3)
+  }
+
+  /** BPE-ish pretoken counting next to the whitespace count. The
+    * fixture corpus is pure lowercase+space (the regex would match
+    * whitespace splits exactly), so the demo enriches each doc with
+    * digits, punctuation, and a contraction — derived identically in
+    * the oracle — making the pretokenizer visibly non-vacuous. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val rich = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" doc-"), col("doc_id").cast("string"),
+        lit(" it's v1.2, n="), col("n_chars").cast("string"), lit("!")).as("rich"))
+    TextOps.bpeTokenStats(rich, "doc_id", "rich")
+  }
+
   /** Sign-bucket LSH near-dup over embeddings ∪ exact vector copies:
     * 8 hyperplanes → 256 buckets; pairs form within buckets only. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -211,6 +236,8 @@ object ExtQueries {
     "q_cosine_topk"       -> (cosineTopK _),
     "q_ann_topk"          -> (annTopK _),
     "q_ann_multiprobe"    -> (annTopKMultiProbe _),
+    "q_ivf_topk"          -> (ivfTopK _),
+    "q_bpe_tokens"        -> (bpeTokens _),
     "q_embed_neardup"     -> (embedNearDup _),
     "q_centroid"          -> (centroid _),
     "q_training_prep"     -> (trainingPrep _),

@@ -254,6 +254,47 @@ class ExtSpec extends AnyFunSuite {
     assert(single.keySet.subsetOf(multi.keySet))
   }
 
+  test("IVF with every cell probed equals the exact brute-force top-k") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val cents = c.filter(col("vec_id") % 17 === 0)
+    val nCells = cents.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe = K means no cell is pruned, so IVF must return exactly
+    // the exact-baseline answer (cosine ties broken identically)
+    assert(rows(Similarity.ivfTopK(q, c, cents, "vec_id", "embedding", 3, nCells))
+      === rows(Similarity.bruteTopK(q, c, "vec_id", "embedding", 3)))
+  }
+
+  test("IVF probing fewer cells returns a subset of per-query candidates, never junk") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val cents = c.filter(col("vec_id") % 17 === 0)
+    val ivf = Similarity.ivfTopK(q, c, cents, "vec_id", "embedding", 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // every query still gets rows, ranks are dense from 1, scores sane
+    assert(ivf.map(_._1).distinct.length == 10)
+    assert(ivf.forall { case (_, _, cos) => cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9 })
+  }
+
+  test("bpe pretokenizer: contractions, digit runs, punctuation split as pinned") {
+    val df = Seq((1L, "it's doc-17 v1.2, ok!")).toDF("id", "text")
+    val toks = df.select(TextOps.bpePretokens(col("text")).as("pt"))
+      .collect().head.getSeq[String](0)
+    assert(toks === Seq("it", "'s", " doc", "-", "17", " v", "1", ".", "2",
+      ",", " ok", "!"))
+    val stats = TextOps.bpeTokenStats(df, "id", "text").collect().head
+    assert(stats.getInt(1) === 4)                 // whitespace tokens
+    assert(stats.getInt(2) === 12)                // pretokens
+    assert(stats.getInt(3) === 12)                // all distinct here
+    assert(math.abs(stats.getDouble(4) - 21.0 / 12) < 1e-12)
+  }
+
   test("embedding LSH: identical vectors always share a bucket -> full recall") {
     val pairs = ExtQueries.embedNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
