@@ -158,6 +158,56 @@ object Dedup {
     jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected candidate-pair edge set —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS. Pairwise
+    * removal alone mishandles chains (A~B, B~C, A≁C): dropping the
+    * higher id of every pair can drop B and C when keeping A+C was
+    * valid. Transitive closure fixes the policy: one keeper (min id)
+    * per component.
+    *
+    * Min-label propagation to fixpoint: label(v) ← min(label(v),
+    * min label among v's neighbors). Each iteration is one edge join +
+    * one min-aggregation, both shuffling on the vertex id — never
+    * materializing paths — and the iteration count is the cluster
+    * DIAMETER, which for near-dup graphs is small (dup chains are
+    * short). Lineage is cut per round with an eager localCheckpoint so
+    * plans stay constant-size; convergence is a changed-row existence
+    * check (a scalar action, no data collected).
+    *
+    * Returns (id, component) where component = min id reachable. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("__nc")),
+          Seq("dst"))
+        .groupBy("src").agg(min(col("__nc")).as("__nbc"))
+        .select(col("src").as("id"), col("__nbc"))
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("__nbc"), col("component")))
+            .as("__next"))
+        .localCheckpoint()
+      converged = merged.filter(col("__next") < col("component")).isEmpty
+      labels = merged.select(col("id"), col("__next").as("component"))
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter)")
+    labels
+  }
+
   /** Composed reference pipeline (explode → wide sort-aggregate),
     * kept to pin the native path's equivalence in ExtSpec. */
   def nearDupPairsComposed(df: DataFrame, idCol: String, textCol: String,

@@ -43,6 +43,29 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Exact-count stratified sample: the first `n` documents per
+    * stratum under a salted-id-hash ordering — "take N docs per
+    * domain" with an EXACT output size, where the probabilistic
+    * [[domainMix]] only hits a target in expectation. Deterministic
+    * and content-independent like the other samplers; the id
+    * tiebreak makes the order total even on hash collisions.
+    *
+    * Scale shape: one shuffle on the stratum key for the ranking
+    * window. A stratum's rows all visit one task — for a hot stratum
+    * at extreme scale, pre-filter with [[domainMix]] to cut the
+    * stratum near its target before the exact rank pass. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       n: Int): DataFrame = {
+    require(n > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", hashBucket(col(idCol), "strat"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__h", "__rn")
+  }
+
   /** Per-source rebalancing: keep each document with its source's
     * target probability (quantized to 1/10000), decided by a salted
     * id hash — deterministic downsampling of over-represented sources

@@ -184,6 +184,54 @@ object TextOps {
         (col("__chars").cast("double") / size(pt)).as("chars_per_pretoken"))
   }
 
+  /** TF-IDF top-k terms per document. The "idf" kept here is the
+    * smooth RATIO (N+1)/(df+1) rather than its logarithm: log is
+    * monotone so per-document term RANKING is identical, while the
+    * ratio stays in exact integer-derived double arithmetic (ln() is
+    * libm-implementation-defined in its last ulp, which would make
+    * scores engine-dependent).
+    *
+    * Scale shape: two hash aggregations (per-(doc,term) counts, then
+    * per-term doc frequency — both map-side combinable), a join on the
+    * term (vocabulary is tiny next to the corpus; Spark broadcasts it
+    * when below the threshold), the corpus size as an in-plan
+    * single-row broadcast (no collect), and a per-document ranking
+    * window bounded by each document's distinct-term count. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are one per (doc, term), so counting them per term IS
+    // the document frequency — no extra distinct pass
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.groupBy().agg(count(lit(1)).as("__n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term")).crossJoin(n)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * (col("__n") + 1).cast("double")
+          / (col("df") + 1).cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** PII-shaped redaction: emails, URLs, and long digit runs replaced
+    * by typed placeholder tags — the scrub step a training corpus gets
+    * before tokenization. Patterns use only character classes and
+    * bounded repetition, identical under Java regex and RE2; applied
+    * longest-structure-first (URL before email before number) so a
+    * URL's digits never get partially rewritten by the number rule. */
+  val urlPattern = "https?://[^ ]+"
+  val emailPattern = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  val numberPattern = "[0-9]{4,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      numberPattern, "<NUM>")
+
   /** Positional document fingerprint: Σ position·hash(token) mod p.
     * Pure integer arithmetic — order-independent addition, exact in
     * any engine, and position-sensitive unlike a bag-of-words sum. */

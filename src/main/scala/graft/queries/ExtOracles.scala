@@ -264,6 +264,94 @@ object ExtOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |    FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 300000, text || ' graftmarker two'
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |mh AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component AS keeper_id, COUNT(*) AS cluster_size
+        |FROM comp GROUP BY component""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)
+        |      / CAST(d.df + 1 AS DOUBLE) AS score
+        |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 10000 ASC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5""".stripMargin,
+
+    "q_redact" ->
+      """WITH planted AS (SELECT doc_id,
+        |    'contact u' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR) ||
+        |    '?ref=20260812999 ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS clean_text
+        |FROM planted""".stripMargin,
+
+    "q_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_chars,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
     "q_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

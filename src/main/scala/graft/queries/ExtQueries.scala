@@ -78,6 +78,59 @@ object ExtQueries {
       .filter(col("jaccard") >= 0.6)
   }
 
+  /** Near-dup CLUSTERS: LSH pairs → connected components → one keeper
+    * (min id) per transitive cluster. The corpus plants TWO near-copy
+    * families per 11th doc, so clusters of ≥3 exercise real
+    * transitivity, not just pair echo. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker end")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker two")).as("text")))
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("component").as("keeper_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+  }
+
+  /** TF-IDF top-3 terms per document (ratio-idf, engine-exact). */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", k = 3)
+
+  /** Exact-count stratified sample: 5 docs per source, hash-ordered. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(docs(spark, dir).select("doc_id", "source"),
+      "doc_id", "source", n = 5)
+
+  /** PII-shaped redaction over a corpus with planted emails, URLs and
+    * long digit runs (derived identically in the oracle — the fixture
+    * text itself has none, which would make the scrub vacuous). */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(lit("contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com or https://ex.org/d/"), col("doc_id").cast("string"),
+        lit("?ref=20260812999 "), col("text")).as("t"))
+    planted.select(col("doc_id"), TextOps.redact(col("t")).as("clean_text"))
+  }
+
+  /** Corpus report per source: doc count, token total, mean and
+    * median document length — the sizing numbers a pretraining-mix
+    * decision starts from. One hash agg + an exact median. */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text")))).cast("long").as("total_tokens"),
+        (sum(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double") / count(lit(1))).as("avg_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+
   /** 16-bit SimHash fingerprint per document. */
   def simhashFp(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
@@ -238,6 +291,11 @@ object ExtQueries {
     "q_ann_multiprobe"    -> (annTopKMultiProbe _),
     "q_ivf_topk"          -> (ivfTopK _),
     "q_bpe_tokens"        -> (bpeTokens _),
+    "q_dedup_clusters"    -> (dedupClusters _),
+    "q_tfidf"             -> (tfidfTop _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_redact"            -> (redactPii _),
+    "q_source_stats"      -> (sourceStats _),
     "q_embed_neardup"     -> (embedNearDup _),
     "q_centroid"          -> (centroid _),
     "q_training_prep"     -> (trainingPrep _),

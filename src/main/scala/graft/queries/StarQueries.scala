@@ -128,16 +128,22 @@ object StarQueries {
   def unionGrid(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
-    // the rank window runs on the ≤5 rows surviving limit(5), so the
-    // single-partition window is bounded by construction; the constant
-    // partition key says so explicitly (and silences the global-window
-    // warning an empty partition spec emits)
+    // positions come from a sorted collect + posexplode over the ≤5
+    // rows surviving limit(5) — no WindowExec at all, so nothing ever
+    // funnels the full table through one partition (an unpartitioned
+    // rank window would; a constant partition key gets folded away and
+    // still plans the global window). array_sort orders by the leading
+    // struct field: negated price = price DESC, then o_orderkey ASC.
     def top5(df: DataFrame, offset: Int) = df
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(5)
-      .withColumn("grid_position",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
-          + lit(offset))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(
+        (-col("o_totalprice")).as("np"), col("o_orderkey").as("k"),
+        col("o_orderpriority").as("p"), col("o_totalprice").as("tp")))).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("__i", "__s")))
+      .select(col("__s.k").as("o_orderkey"), col("__s.p").as("o_orderpriority"),
+        col("__s.tp").as("o_totalprice"),
+        (col("__i") + 1 + offset).as("grid_position"))
     val urgent = top5(o.filter(col("o_orderpriority") === "1-URGENT"), 0)
     val rest   = top5(o.filter(col("o_orderpriority") =!= "1-URGENT"), 5)
     urgent.unionByName(rest).orderBy("grid_position")

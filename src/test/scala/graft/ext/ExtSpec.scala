@@ -254,6 +254,62 @@ class ExtSpec extends AnyFunSuite {
     assert(single.keySet.subsetOf(multi.keySet))
   }
 
+  test("connected components: chains, cycles and isolated pairs label by min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 20L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup clusters are transitive: both near-copy families join the base's cluster") {
+    val clusters = ExtQueries.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 11 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    // every planted base is its cluster's keeper with BOTH variants in
+    // (size >= 3) — a pair-only view would report two separate pairs
+    val covered = planted.filter(id => clusters.getOrElse(id, 0L) >= 3L)
+    assert(covered.length >= (planted.length * 0.9).toInt,
+      s"transitive clusters too rare: ${covered.length}/${planted.length}")
+    // no variant id ever shows up as a keeper (min-id policy)
+    assert(clusters.keys.forall(_ < 200000L))
+  }
+
+  test("tf-idf ranks rarity-weighted counts; ratio idf keeps exact arithmetic") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    // N=2; df: a=2, b=1, c=1; score = tf*(N+1)/(df+1)
+    assert(got === Set(
+      (1L, "a", 2L, 2L, 2.0, 1), (1L, "b", 1L, 1L, 1.5, 2),
+      (2L, "c", 1L, 1L, 1.5, 1), (2L, "a", 1L, 2L, 1.0, 2)))
+  }
+
+  test("stratified sample: exactly n per stratum, unaffected by other strata") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source")
+    val all = Sampling.stratifiedSample(d, "doc_id", "source", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perSource = all.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perSource.values.forall(_ == 3))
+    // isolation: sampling one stratum alone returns the same members
+    val src = all.head._2
+    val alone = Sampling.stratifiedSample(
+        d.filter(col("source") === src), "doc_id", "source", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(alone === all.filter(_._2 == src).toSet)
+  }
+
+  test("redact scrubs emails, urls, and long digit runs, leaves short numbers") {
+    val d = Seq((1L, "mail bob.x@corp.io or https://a.b/c?d=9999 pin 123 card 12345678"))
+      .toDF("id", "text")
+    val out = d.select(TextOps.redact(col("text"))).collect().head.getString(0)
+    assert(out === "mail <EMAIL> or <URL> pin 123 card <NUM>")
+  }
+
   test("IVF with every cell probed equals the exact brute-force top-k") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")

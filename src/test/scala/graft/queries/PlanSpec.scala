@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("IVF assignment never shuffles the candidate corpus") {
+    val plan = planOf(ExtQueries.ivfTopK(spark, sf))
+    // exchanges may hash on the cell id (probe join) or query_id
+    // (ranking window) — but the candidate vectors themselves must be
+    // assigned map-side, so no exchange keys on a vector id
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keys.forall(k => !k.startsWith("neighbor_id") && !k.startsWith("vec_id")),
+      s"candidate corpus must not shuffle for cell assignment: $keys\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid set must ride a broadcast:\n$plan")
+  }
+
   test("event filters push into the events scan for as-of inputs") {
     val plan = formattedPlan(StarQueries.asofNearest(spark, sf))
     assert(plan.contains("PushedFilters") && plan.contains("event_type"))
