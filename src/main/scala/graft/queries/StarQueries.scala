@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Ranking}
+import graft.operators.{AsOfJoin, Ranking, Salting}
 import graft.functions.F1Functions
 
 /** The driver-checked query inventory: every SURVEY.md §2 operator
@@ -147,6 +147,94 @@ object StarQueries {
     val urgent = top5(o.filter(col("o_orderpriority") === "1-URGENT"), 0)
     val rest   = top5(o.filter(col("o_orderpriority") =!= "1-URGENT"), 5)
     urgent.unionByName(rest).orderBy("grid_position")
+  }
+
+  // ---------------------------------------------------------------
+  // §2.3/§2.4 — the multi-fact star join (TPC-H Q5 shape): revenue by
+  // nation for one region over a two-year order window. Join
+  // discipline at scale: region and nation are FIXED-cardinality dims
+  // (5/25 rows at any SF) — broadcast explicitly and pre-joined so the
+  // region filter prunes nations before any fact is touched. customer
+  // and supplier SCALE with the data, so they are NOT force-broadcast:
+  // AQE picks broadcast vs shuffle from runtime sizes. The order-date
+  // filter is pushed to the orders scan, shrinking the l_orderkey
+  // shuffle — the largest exchange in the plan — before it happens.
+  // ---------------------------------------------------------------
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      // both-column equi-join: (l_suppkey, c_nationkey) = (s_suppkey,
+      // s_nationkey) — the co-location predicate stays in the hash key
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rev",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // §4.2 — the skew-mitigation surface through the correctness gate:
+  // two-phase salted aggregation over a 5-value group key, the shape
+  // AQE's skew handling cannot split (one giant GROUP, not one skewed
+  // join partition, so it all lands on one task). Phase 1 aggregates
+  // (key, salt-of-event_id) across 16 buckets; phase 2 merges
+  // partials per key. count/decimal-sum are associative, so the
+  // result is bit-identical to the direct GROUP BY — which is exactly
+  // what the oracle runs.
+  def saltedAggQuery(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedAgg(
+        Tables.events(spark, dir).select("event_type", "event_id", "value"),
+        keys = Seq("event_type"), buckets = 16,
+        saltSource = Seq(col("event_id")),
+        aggs = Seq(
+          ("n", count(lit(1)), (c: Column) => sum(c)),
+          ("sum_value", sum(col("value").cast(dec)),
+            (c: Column) => sum(c).cast("double"))))
+      .orderBy("event_type")
+
+  // §2.6 — running (cumulative) aggregate: per-customer spend-to-date
+  // in order-date order. The window is PARTITIONED by o_custkey — one
+  // shuffle on the key, each group sorted locally; no global sort,
+  // no single-partition funnel. Decimal domain keeps the running sum
+  // exact and order-stable for the hash compare.
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(dec).as("__p"))
+      .withColumn("cum_spend", sum(col("__p")).over(w).cast("double"))
+      .drop("__p")
+  }
+
+  // §2.6 — lag/lead offset window: microseconds since the user's
+  // previous event. Partitioned by user_id (same scale shape as the
+  // running total); the gap is computed in exact integer micros on
+  // both sides (unix_micros ↔ epoch_us), no float time arithmetic.
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
   }
 
   // §2.5 (engine surface) — ROLLUP grouping sets: free through
@@ -406,6 +494,10 @@ object StarQueries {
     "q_tumbling_window"    -> (tumblingWindow _),
     "q_session_window"     -> (sessionWindowAgg _),
     "q_sliding_window"     -> (slidingWindowAgg _),
+    "q_star_join"          -> (starJoin _),
+    "q_salted_agg"         -> (saltedAggQuery _),
+    "q_running_total"      -> (runningTotal _),
+    "q_lag_delta"          -> (lagDelta _),
     "q_asof_backward"      -> (asofBackward _),
     "q_asof_nearest"       -> (asofNearest _),
     "q_asof_forward"       -> (asofForward _),

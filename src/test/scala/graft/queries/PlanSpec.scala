@@ -60,6 +60,69 @@ class PlanSpec extends AnyFunSuite {
       s"centroid set must ride a broadcast:\n$plan")
   }
 
+  test("star join broadcasts the fixed dims and pushes the date filter") {
+    val plan = formattedPlan(StarQueries.starJoin(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"nation/region must ride a broadcast:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"order-date filter must reach the orders scan:\n$plan")
+    // pruned: no unused wide columns read from lineitem
+    assert(!plan.contains("l_quantity") && !plan.contains("l_shipdate"))
+  }
+
+  test("star join matches the direct five-table join rewrite") {
+    import org.apache.spark.sql.functions._
+    val got = StarQueries.starJoin(spark, sf).collect()
+    // independent formulation: plain chained joins, no explicit
+    // broadcast hints, revenue through the same decimal domain
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val c = graft.sources.Tables.customer(spark, sf)
+    val s = graft.sources.Tables.supplier(spark, sf)
+    val n = graft.sources.Tables.nation(spark, sf)
+    val r = graft.sources.Tables.region(spark, sf)
+    val exp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+      .collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("salted agg query equals the direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val got = StarQueries.saltedAggQuery(spark, sf).collect()
+    val exp = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("running total and lag windows are partitioned (no global funnel)") {
+    for (df <- Seq(StarQueries.runningTotal(spark, sf),
+                   StarQueries.lagDelta(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("Window"), s"expected a window:\n$plan")
+      // an unpartitioned window plans Exchange SinglePartition before
+      // the WindowExec — the funnel this test forbids
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"window must be partitioned:\n$plan")
+    }
+  }
+
   test("event filters push into the events scan for as-of inputs") {
     val plan = formattedPlan(StarQueries.asofNearest(spark, sf))
     assert(plan.contains("PushedFilters") && plan.contains("event_type"))
