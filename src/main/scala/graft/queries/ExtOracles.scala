@@ -466,6 +466,20 @@ object ExtOracles {
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM nd) t)
         |SELECT doc_id, lang, n_tokens, quality FROM q WHERE quality >= 0.25""".stripMargin,
 
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events),
+        |b AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+        |s AS (SELECT COUNT(*) AS m, max(hv) AS kth FROM b),
+        |x AS (SELECT COUNT(*) AS n_exact FROM h)
+        |SELECT CAST(64 AS BIGINT) AS k,
+        |  CASE WHEN s.m < 64 THEN CAST(s.m AS DOUBLE)
+        |       ELSE (63.0 * power(2.0, 60)) / CAST(s.kth AS DOUBLE) END
+        |    AS est_distinct,
+        |  x.n_exact AS n_exact
+        |FROM s, x""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CASE WHEN octet_length(encode(text)) > 0

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps, TrainingDataPipeline}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -265,6 +265,27 @@ object ExtQueries {
           .cast(org.apache.spark.sql.types.DecimalType(18, 8))).cast("double")
         / count(lit(1))).as("c"))
 
+  /** KMV distinct-count sketch of events.user_id: k=64 smallest
+    * distinct 60-bit hashes → deterministic estimate, checked exactly
+    * by the oracle (same hash domain, same estimator). n_exact rides
+    * along so the sketch's accuracy is visible in the output. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.events(spark, dir)
+      .select(TextOps.hex15(concat(lit("kmv|"), col("user_id").cast("string")))
+        .as("hv"))
+    val sk = hashes.as[Long]
+      .select(new Sketches.KmvAggregator(k).toColumn.name("sk"))
+      .select(col("_1").as("m"), col("_2").as("kth"))
+    val est = when(col("m") < k, col("m").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
+        / col("kth").cast("double"))
+    // both sides are single rows; the exact count is the comparison
+    // column, not part of the sketch (it is the shuffle KMV avoids)
+    sk.select(lit(k.toLong).as("k"), est.as("est_distinct"))
+      .crossJoin(hashes.agg(countDistinct(col("hv")).as("n_exact")))
+  }
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -300,5 +321,6 @@ object ExtQueries {
     "q_centroid"          -> (centroid _),
     "q_training_prep"     -> (trainingPrep _),
     "q_multimodal_meta"   -> (multimodalMeta _),
+    "q_kmv_distinct"      -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
   )
 }
