@@ -264,6 +264,14 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ws, event_type""".stripMargin,
 
+    "q_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
+
     "q_sql_surface" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

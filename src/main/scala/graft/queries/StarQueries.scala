@@ -456,6 +456,36 @@ object StarQueries {
     }
   }
 
+  // §2.11 — STREAM-STREAM JOIN through the correctness gate: two
+  // file-source streams over the same staged events (views and
+  // purchases), watermarked on both sides, joined on user within
+  // [view_ts, view_ts + 1h], run to completion; the result must equal
+  // the BATCH join the oracle runs.
+  private val streamJoinRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def streamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type")
+    val staged = java.nio.file.Files.createTempDirectory("graft-q-sjoin")
+    try {
+      batch.write.mode("overwrite").parquet(staged.toString)
+      def side(t: String) = spark.readStream.schema(batch.schema)
+        .parquet(staged.toString)
+        .filter(col("event_type") === t).drop("event_type")
+      val name = s"q_stream_join_${streamJoinRuns.incrementAndGet()}"
+      val q = graft.streaming.StreamingOps
+        .viewPurchaseJoin(side("view"), side("purchase"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -474,6 +504,7 @@ object StarQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling"    -> (streamTumbling _),
     "q_custom_sessions"    -> (customSessionsQuery _),
+    "q_stream_join"        -> (streamJoinQuery _),
     "q_sql_surface"        -> (sqlSurface _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),

@@ -69,6 +69,32 @@ object StreamingOps {
     df.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream INNER join (§2.11): each view matched to the same
+    * user's purchases within [view_ts, view_ts + 1 hour]. Watermarks
+    * on BOTH inputs plus the event-time range in the join condition
+    * are what bound the join state: Spark derives from them that a
+    * buffered view is droppable once the watermark passes
+    * view_ts + 1h and a purchase once it passes purchase_ts — without
+    * either, an unbounded stream-stream join buffers its inputs
+    * forever. State is partitioned by user_id like every other keyed
+    * operator here. Inner-join emission needs no watermark to fire
+    * (matches emit as they arrive), so the completed stream equals
+    * the batch join — the equivalence the oracle checks.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark).alias("v")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    v.join(p,
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v.event_id").as("view_id"),
+        col("p.event_id").as("purchase_id"),
+        col("v.user_id").as("user_id"),
+        col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"))
+  }
+
   /** §2.12/§2.11 — CUSTOM state machine via flatMapGroupsWithState:
     * per-user sessionization with an explicit open-session list and an
     * event-time timeout, the shape session_window cannot express once

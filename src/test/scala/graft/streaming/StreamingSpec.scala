@@ -161,6 +161,33 @@ class StreamingSpec extends AnyFunSuite {
       "touching [t, t+gap) windows must not merge")
   }
 
+  test("stream-stream join matches across batches and equals the batch join") {
+    val views = Seq(Ev(1, ts(10), 1, "view", 0), Ev(2, ts(100), 2, "view", 0))
+    val purch = Seq(
+      Ev(11, ts(30), 1, "purchase", 0),  // arrives AFTER view 1's batch
+      Ev(12, ts(130), 2, "purchase", 0), // matches view 2 (30 min later)
+      Ev(13, ts(200), 1, "purchase", 0)) // > 1 h after view 1: no match
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    val q = StreamingOps.viewPurchaseJoin(vs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    try {
+      // views land two batches before their purchases: the match must
+      // come from buffered join state, not same-batch luck
+      vs.addData(views); q.processAllAvailable()
+      ps.addData(purch.take(1)); q.processAllAvailable()
+      ps.addData(purch.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 11L), (2L, 12L)))
+    // batch form of the same operator (watermark is a no-op in batch)
+    val want = StreamingOps.viewPurchaseJoin(views.toDF(), purch.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("file-source readStream over events parquet equals the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.sources.Tables.events(spark, dir)
