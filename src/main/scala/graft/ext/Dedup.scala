@@ -117,6 +117,29 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Exact Jaccard on candidate pairs via per-doc distinct shingle
+    * ARRAYS: |A∩B| is a per-row hash-set intersect (O(|A|+|B|) inside
+    * codegen), not an explode + equi-join + count shuffle. Wins when
+    * candidate documents are small enough for their shingle set to
+    * ride in a row (short/medium documents); [[jaccardOnCandidates]]
+    * remains the shape for huge documents where a per-row array would
+    * blow row size. The two intersect calls compile to one — they are
+    * identical subexpressions in a single projection, and ProjectExec
+    * codegen CSEs them (this is NOT the lambda-CSE trap: no
+    * higher-order function boundary here). */
+  def jaccardOnCandidatesArr(candidates: DataFrame, shingleArrays: DataFrame,
+                             idCol: String, arrCol: String): DataFrame = {
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    candidates
+      .join(shingleArrays.select(col(idCol).as("doc_a"), col(arrCol).as("__sha")),
+        Seq("doc_a"))
+      .join(shingleArrays.select(col(idCol).as("doc_b"), col(arrCol).as("__shb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - inter)).as("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline, native fast path: per-doc
     * distinct shingle ARRAYS (no explode, no distinct shuffle) feed
     * the one-pass MinHashSig expression — the whole signature/banding
@@ -151,9 +174,12 @@ object Dedup {
           .as("bkey"))
       .repartition(col("band"), col("bkey"))
     val cand = lshCandidates(bands, idCol)
-    // verification shingles via the Generate-protected explode path
-    // (its distinct doubles as the exchange all three jaccard
-    // consumers reuse)
+    // verification shingles via the Generate-protected explode path —
+    // its distinct doubles as the exchange all three jaccard consumers
+    // reuse. (An array-intersect variant was measured here and LOST:
+    // the per-consumer recompute of the candidate semi-join outweighs
+    // the avoided explode when the shingle rows are shared; see
+    // jaccardOnCandidatesArr for where the array form wins.)
     val sh = shingleRows(df, idCol, textCol, shingleN)
     jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
   }

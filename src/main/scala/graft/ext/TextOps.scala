@@ -39,6 +39,18 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word n-gram shingle SET as a per-document array, in one
+    * pass: the token array is bound as a LAMBDA VARIABLE (a transform
+    * over a one-element wrapper array), so the tokenizing split runs
+    * once per document even after CollapseProject inlines this column
+    * into downstream expressions — [[wordShingles]] references its
+    * `toks` argument ~n+2 times, which over a raw `split(...)` would
+    * re-run the split per reference per element (the lambda-CSE trap:
+    * no subexpression elimination across lambda boundaries). */
+  def wordShingleSet(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)),
+      w => array_distinct(wordShingles(w, n))), 1)
+
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,

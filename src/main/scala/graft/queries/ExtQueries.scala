@@ -68,13 +68,19 @@ object ExtQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // shingle only the docs that appear in a candidate pair — at scale
     // the blocking prunes most of the corpus, so the (expensive)
-    // char-5-gram expansion must not run over everything
+    // char-5-gram expansion must not run over everything. Shingle
+    // SETS stay as per-doc arrays (array_distinct projection — no
+    // explode, no distinct shuffle) and Jaccard is a per-row
+    // intersect; the fixture's docs are ≤ ~600 chars so the arrays
+    // are small. Docs shorter than the shingle width get an empty
+    // set → NULL jaccard → dropped by the threshold, same rows as
+    // the explode path (which never emits such pairs).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = corpus.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(TextOps.charShingles(col("text"), 5)).as("shingle"))
-      .distinct()
-    Dedup.jaccardOnCandidates(cand, sh, "doc_id")
+    val shArr = corpus.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(TextOps.charShingles(col("text"), 5)).as("sh"))
+    Dedup.jaccardOnCandidatesArr(cand, shArr, "doc_id", "sh")
       .filter(col("jaccard") >= 0.6)
   }
 

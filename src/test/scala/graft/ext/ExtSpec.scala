@@ -51,6 +51,35 @@ class ExtSpec extends AnyFunSuite {
       === pairs(Dedup.nearDupPairsComposed(corpus, "doc_id", "text")))
   }
 
+  test("wordShingleSet array equals the exploded shingleRows set per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val viaArr = docs
+      .select(col("doc_id"), TextOps.wordShingleSet(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val viaRows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    assert(viaArr === viaRows)
+  }
+
+  test("array-intersect jaccard equals the explode+count jaccard on candidates") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text")))
+    val cand = corpus.as("a").join(corpus.as("b"),
+        col("a.doc_id") + 200000 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+    val shArr = corpus.select(col("doc_id"),
+      TextOps.wordShingleSet(col("text"), 3).as("sh"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m(Dedup.jaccardOnCandidatesArr(cand, shArr, "doc_id", "sh"))
+      === m(Dedup.jaccardOnCandidates(cand, sh, "doc_id")))
+  }
+
   test("native simhash16 equals the explode+aggregate composition exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val native = Dedup.simhash(docs, "doc_id", "text")
