@@ -211,6 +211,35 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_salted_join" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value * CAST(weight AS DOUBLE) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS weighted_value
+        |FROM events e
+        |JOIN (VALUES ('view', 1.0), ('click', 2.0), ('purchase', 10.0),
+        |             ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+        |  ON e.event_type = w.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

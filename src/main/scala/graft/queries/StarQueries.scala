@@ -208,6 +208,69 @@ object StarQueries {
             (c: Column) => sum(c).cast("double"))))
       .orderBy("event_type")
 
+  // §4.2 — the skewed-JOIN side of the salting surface: events (5
+  // hot event_type keys, thousands of rows each — the key histogram
+  // AQE's skew split sees as 5 giant partitions) joined to a replicable
+  // weight dim through saltedEquiJoin, so each hot key spreads over 8
+  // (key, salt) buckets. Result identity with the plain join holds
+  // because every dim row is replicated once per salt. The weighted
+  // sum goes double-multiply → decimal-sum (products of raw doubles
+  // are IEEE-deterministic; accumulation is exact).
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.createDataFrame(Seq(
+        ("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0)))
+      .toDF("event_type", "weight")
+    Salting.saltedEquiJoin(
+        Tables.events(spark, dir).select("event_type", "event_id", "value"),
+        weights, keys = Seq("event_type"), buckets = 8,
+        saltSource = Seq(col("event_id")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * col("weight")).cast(dec4)).cast("double")
+          .as("weighted_value"))
+      .orderBy("event_type")
+  }
+
+  // §2.5 — fixed-width histogram: one groupBy on the computed bucket
+  // (map-side combinable; ~20 buckets), no windowing, no sort of the
+  // fact table. floor(x / width) in double is bit-identical across
+  // engines for identical inputs.
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bucket")
+
+  // §2.5 — per-group Pearson correlation with EXACT cross-engine
+  // parity: the five moment sums run in the decimal domain (exact, so
+  // partitioning/order cannot flake them), and only the final scalar
+  // formula — written with the same association on both sides — runs
+  // in double. Spark's builtin corr() accumulates doubles and is NOT
+  // reproducible across partitionings; this shape is, at the same
+  // one-shuffle cost (all five sums ride one hash agg).
+  def corrByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(q.cast(dec)).cast("double").as("__sx"),
+        sum(p.cast(dec)).cast("double").as("__sy"),
+        sum((q * p).cast(dec4)).cast("double").as("__sxy"),
+        sum((q * q).cast(dec4)).cast("double").as("__sxx"),
+        sum((p * p).cast(dec4)).cast("double").as("__syy"))
+      .select(col("l_returnflag"), col("__n").cast("long").as("n"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+           sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   // §2.6 — running (cumulative) aggregate: per-customer spend-to-date
   // in order-date order. The window is PARTITIONED by o_custkey — one
   // shuffle on the key, each group sorted locally; no global sort,
@@ -527,6 +590,9 @@ object StarQueries {
     "q_sliding_window"     -> (slidingWindowAgg _),
     "q_star_join"          -> (starJoin _),
     "q_salted_agg"         -> (saltedAggQuery _),
+    "q_salted_join"        -> (saltedJoinQuery _),
+    "q_histogram"          -> (histogram _),
+    "q_corr"               -> (corrByGroup _),
     "q_running_total"      -> (runningTotal _),
     "q_lag_delta"          -> (lagDelta _),
     "q_asof_backward"      -> (asofBackward _),

@@ -111,6 +111,37 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("salted join query equals the direct join + groupBy") {
+    import org.apache.spark.sql.functions._
+    val weights = spark.createDataFrame(Seq(
+        ("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0)))
+      .toDF("event_type", "weight")
+    val got = StarQueries.saltedJoinQuery(spark, sf).collect()
+    val exp = graft.sources.Tables.events(spark, sf)
+      .join(weights, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * col("weight"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("weighted_value"))
+      .orderBy("event_type").collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("decimal-moment correlation tracks Spark's builtin corr") {
+    import org.apache.spark.sql.functions._
+    val got = StarQueries.corrByGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === builtin.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-9, s"$k: $v vs ${builtin(k)}") }
+  }
+
   test("running total and lag windows are partitioned (no global funnel)") {
     for (df <- Seq(StarQueries.runningTotal(spark, sf),
                    StarQueries.lagDelta(spark, sf))) {
