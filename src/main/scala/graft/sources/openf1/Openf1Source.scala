@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,20 +47,23 @@ class Openf1Source extends TableProvider
                         properties: util.Map[String, String]): Table =
     new Openf1Table(
       Option(properties.get("entity")).getOrElse("laps"),
-      properties.getOrDefault("flaky", "false").toBoolean)
+      properties.getOrDefault("flaky", "false").toBoolean,
+      Option(properties.get("url")))
 }
 
-private[openf1] class Openf1Table(entity: String, flaky: Boolean)
+private[openf1] class Openf1Table(entity: String, flaky: Boolean,
+                                  url: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"openf1.$entity"
   override def schema(): StructType = Openf1Api.schemaFor(entity)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Openf1ScanBuilder(entity, flaky)
+    new Openf1ScanBuilder(entity, flaky, url)
 }
 
-private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean)
+private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
+                                        url: Option[String])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var sessionKey: Option[Long] = None
@@ -84,11 +87,13 @@ private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new Openf1Scan(entity, sessionKey, driverNumber, flaky)
+  override def build(): Scan =
+    new Openf1Scan(entity, sessionKey, driverNumber, flaky, url)
 }
 
 private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
-                                 driverNumber: Option[Long], flaky: Boolean)
+                                 driverNumber: Option[Long], flaky: Boolean,
+                                 url: Option[String])
     extends Scan with Batch {
 
   override def readSchema(): StructType = Openf1Api.schemaFor(entity)
@@ -98,9 +103,12 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
 
   // one transport per SCAN: flaky-mode state is instance-scoped, so
   // every flaky read exercises the retry wrapper (a JVM-global counter
-  // would serve its simulated 429 only once per process)
+  // would serve its simulated 429 only once per process). `url` set
+  // → real HTTP; absent → the in-memory fixture transport.
+  private val base: Openf1Transport =
+    url.map(new HttpTransport(_)).getOrElse(FixtureTransport)
   private val transport: Openf1Transport =
-    if (flaky) new FlakyTransport(FixtureTransport) else FixtureTransport
+    if (flaky) new FlakyTransport(base) else base
 
   override def planInputPartitions(): Array[InputPartition] =
     if (entity == "sessions")
@@ -157,6 +165,72 @@ object FixtureTransport extends Openf1Transport {
   override def get(entity: String, sessionKey: Option[Long],
                    driver: Long): Seq[InternalRow] =
     Openf1Api.rows(entity, sessionKey, driver)
+}
+
+/** Real HTTP implementation of the transport seam:
+  * `GET {baseUrl}/{entity}?session_key=&driver_number=` + JSON-array
+  * decode against the entity schema — the reference's live ingestion
+  * path (/root/reference/src/helper_functions.py:7-31,
+  * /root/reference/src/data_processing.py:61-78) as ONE class behind
+  * the trait, exactly the swap the seam promises. An HTTP 429 maps to
+  * [[Openf1Api.RateLimitedException]], so the caller's retry/backoff
+  * policy applies to real responses as to simulated ones; any other
+  * non-200 propagates (fail loud, never fabricate rows).
+  * Openf1SourceSpec drives this class against an in-process HTTP
+  * server serving fixture JSON — the container has no egress;
+  * pointing `url` at the public `https://api.openf1.org/v1` is
+  * configuration, not code. The client is @transient-lazy: rebuilt
+  * per executor after task serialization, never shipped. */
+final class HttpTransport(baseUrl: String) extends Openf1Transport {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def get(entity: String, sessionKey: Option[Long],
+                   driver: Long): Seq[InternalRow] = {
+    val params = sessionKey.map(sk => s"session_key=$sk").toSeq ++
+      (if (driver >= 0) Seq(s"driver_number=$driver") else Nil)
+    val qs = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    val uri = java.net.URI.create(s"$baseUrl/$entity$qs")
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200   => Openf1Json.decode(entity, resp.body())
+      case 429   => throw new Openf1Api.RateLimitedException
+      case other => throw new java.io.IOException(s"openf1 GET $uri -> HTTP $other")
+    }
+  }
+}
+
+/** Schema-driven decode of an openf1 JSON array response (field names
+  * match the API's own keys, which the F1Schemas columns mirror).
+  * Timestamps are ISO-8601 with offset (reference P5 parse), stored
+  * as Spark micros. */
+private[openf1] object Openf1Json {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def decode(entity: String, body: String): Seq[InternalRow] = {
+    val schema = Openf1Api.schemaFor(entity)
+    val root = mapper.readTree(body)
+    require(root.isArray, s"expected a JSON array from /$entity")
+    root.elements().asScala.map { node =>
+      new GenericInternalRow(
+        schema.fields.map(f => conv(node.get(f.name), f)).toArray[Any])
+    }.toSeq
+  }
+
+  private def conv(v: com.fasterxml.jackson.databind.JsonNode,
+                   f: StructField): Any =
+    if (v == null || v.isNull) null
+    else f.dataType match {
+      case LongType    => v.asLong()
+      case DoubleType  => v.asDouble()
+      case BooleanType => v.asBoolean()
+      case StringType  => UTF8String.fromString(v.asText())
+      case TimestampType =>
+        val i = java.time.OffsetDateTime.parse(v.asText()).toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case other =>
+        throw new IllegalArgumentException(s"unsupported openf1 field type: $other")
+    }
 }
 
 /** Decorator simulating a rate-limited API: the FIRST get() per

@@ -79,6 +79,121 @@ class Openf1SourceSpec extends AnyFunSuite {
       "each scan gets its own FlakyTransport, so each must serve fresh 429s")
   }
 
+  // ---------------------------------------------------------------
+  // Real HTTP path: an in-process HTTP server serves the fixture
+  // entities as openf1-style JSON (the container has no egress), and
+  // HttpTransport — the one-class swap the seam promises — is driven
+  // through the same contract, including genuine 429 responses.
+  // ---------------------------------------------------------------
+
+  /** Renders FixtureGen rows as the JSON arrays the API would return. */
+  private def fixtureJson(entity: String, sk: Option[Long],
+                          dn: Option[Long]): String = {
+    def num(o: Option[Double]) = o.map(_.toString).getOrElse("null")
+    def ts(t: java.sql.Timestamp) =
+      "\"" + java.time.Instant.ofEpochSecond(t.getTime / 1000, t.getNanos).toString + "\""
+    def keep(s: Long, d: Long) = sk.forall(_ == s) && dn.forall(_ == d)
+    val items = entity match {
+      case "laps" => graft.f1.FixtureGen.laps.collect {
+        case (s, d, lap, start, s1, s2, s3, dur, pit) if keep(s, d) =>
+          s"""{"session_key":$s,"driver_number":$d,"lap_number":$lap,
+             |"date_start":${ts(start)},"duration_sector_1":${num(s1)},
+             |"duration_sector_2":${num(s2)},"duration_sector_3":${num(s3)},
+             |"lap_duration":${num(dur)},"is_pit_out_lap":$pit}""".stripMargin
+      }
+      case "stints" => graft.f1.FixtureGen.stints.collect {
+        case (s, d, st, lo, hi, c, age) if keep(s, d) =>
+          s"""{"session_key":$s,"driver_number":$d,"stint_number":$st,
+             |"lap_start":$lo,"lap_end":$hi,"compound":"$c",
+             |"tyre_age_at_start":$age}""".stripMargin
+      }
+      case "drivers" => graft.f1.FixtureGen.drivers.collect {
+        case (s, d, acr, team, color) if keep(s, d) =>
+          s"""{"session_key":$s,"driver_number":$d,"name_acronym":"$acr",
+             |"team_colour":"$team","driver_color":"$color"}""".stripMargin
+      }
+      case "sessions" => graft.f1.FixtureGen.sessions.collect {
+        case (s, mk, name, tpe, circuit, start, end) if sk.forall(_ == s) =>
+          s"""{"session_key":$s,"meeting_key":$mk,"session_name":"$name",
+             |"session_type":"$tpe","circuit_short_name":"$circuit",
+             |"date_start":${ts(start)},"date_end":${ts(end)}}""".stripMargin
+      }
+    }
+    items.mkString("[", ",", "]")
+  }
+
+  /** In-process server; flaky=true serves one 429 per distinct URI
+    * before succeeding — real rate-limit responses over real HTTP. */
+  private def withServer[T](flaky: Boolean)(body: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (flaky && seen.add(ex.getRequestURI.toString)) {
+        ex.sendResponseHeaders(429, -1)
+        ex.close()
+      } else {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val bytes = fixtureJson(ex.getRequestURI.getPath.stripPrefix("/"),
+          q.get("session_key").map(_.toLong),
+          q.get("driver_number").map(_.toLong)).getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("HttpTransport decodes every entity identically to the fixture transport") {
+    withServer(flaky = false) { base =>
+      val http = new HttpTransport(base)
+      for ((entity, driver) <- Seq(("laps", 7L), ("stints", 7L),
+                                   ("drivers", 14L), ("sessions", -1L))) {
+        assert(http.get(entity, Some(9001L), driver)
+          === FixtureTransport.get(entity, Some(9001L), driver),
+          s"entity=$entity")
+      }
+    }
+  }
+
+  test("full DSv2 read over real HTTP equals the committed fixture parquet") {
+    withServer(flaky = false) { base =>
+      val viaHttp = spark.read.format("openf1")
+        .option("entity", "laps").option("url", base).load()
+      val viaFiles = F1Tables.laps(spark)
+      assert(viaHttp.exceptAll(viaFiles).isEmpty
+        && viaFiles.exceptAll(viaHttp).isEmpty)
+    }
+  }
+
+  test("pushdown still prunes the HTTP fetch to one partition") {
+    withServer(flaky = false) { base =>
+      val df = spark.read.format("openf1")
+        .option("entity", "laps").option("url", base).load()
+        .filter(col("session_key") === 9001 && col("driver_number") === 7)
+      assert(scanOf(df).inputRDD.getNumPartitions === 1)
+      assert(df.count()
+        === F1Tables.laps(spark).filter(col("driver_number") === 7).count())
+    }
+  }
+
+  test("genuine HTTP 429 responses are retried to a full result") {
+    withServer(flaky = true) { base =>
+      val viaHttp = spark.read.format("openf1")
+        .option("entity", "stints").option("url", base).load()
+      val viaFiles = F1Tables.stints(spark)
+      assert(viaHttp.exceptAll(viaFiles).isEmpty
+        && viaFiles.exceptAll(viaHttp).isEmpty)
+    }
+  }
+
   test("a custom transport drops in at the seam; retry policy stays in the caller") {
     // stand-in for a real HTTP client: 429s twice, then delegates
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
