@@ -134,6 +134,43 @@ object TextOps {
         dupFrac(grams).as("dup_2gram_frac"))
   }
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb-family cross-
+    * document dedup): a LINE that appears in more than `maxDocs`
+    * distinct documents is boilerplate (nav text, cookie banners,
+    * copyright footers) and is dropped from every document; the rest
+    * of each document is reassembled in original line order.
+    *
+    * Scale shape: explode lines → one count-distinct-docs agg per
+    * line (two hash aggs: (line, doc) dedup then count — both
+    * map-side combinable and keyed by line, never all-pairs) → an
+    * anti-join of the line rows against the hot set → one sort-free
+    * reassembly agg per doc (collect + array_sort by position, which
+    * orders within each doc's group only). Every shuffle key is a
+    * line hash or doc id; nothing global.
+    *
+    * Returns (id, clean_text, n_kept, n_dropped). */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             maxDocs: Long): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+    val hot = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__line")
+    lines.join(hot, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(df.select(col(idCol),
+          (size(split(col(textCol), "\n"))).as("__total")), Seq(idCol))
+      .withColumn("n_dropped", col("__total") - col("n_kept"))
+      .drop("__total")
+  }
+
   /** Gopher-style quality gate: the classic per-document rule flags —
     * token-count bounds, mean-word-length bounds, minimum fraction of
     * alphabetic words, minimum stop-word hits — plus the conjunction.

@@ -466,6 +466,26 @@ object ExtOracles {
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM nd) t)
         |SELECT doc_id, lang, n_tokens, quality FROM q WHERE quality >= 0.25""".stripMargin,
 
+    "q_line_dedup" ->
+      """WITH planted AS (SELECT doc_id,
+        |    'subscribe to graft updates' || chr(10) || text || chr(10) ||
+        |    'copyright ' || source AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM planted),
+        |lines AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos,
+        |    unnest(l) AS line FROM ls),
+        |hot AS (SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line) t
+        |  WHERE nd > 50),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, a.clean_text, a.n_kept,
+        |  len(string_split(p.t, chr(10))) - a.n_kept AS n_dropped
+        |FROM agg a JOIN planted p ON a.doc_id = p.doc_id""".stripMargin,
+
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT CAST('0x' ||
         |    substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv

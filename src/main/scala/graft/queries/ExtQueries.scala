@@ -271,6 +271,20 @@ object ExtQueries {
           .cast(org.apache.spark.sql.types.DecimalType(18, 8))).cast("double")
         / count(lit(1))).as("c"))
 
+  /** Line-level boilerplate removal over a corpus with two planted
+    * boilerplate lines per document (a global "subscribe" banner and a
+    * per-source copyright footer — the fixture text has no newlines,
+    * so the lines are derived identically in the oracle): lines in
+    * more than 50 distinct docs are dropped everywhere, documents
+    * reassemble in original order. A document whose every line is
+    * boilerplate would drop out entirely — it carries no signal. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(lit("subscribe to graft updates\n"), col("text"),
+        lit("\ncopyright "), col("source")).as("t"))
+    TextOps.removeBoilerplateLines(planted, "doc_id", "t", maxDocs = 50)
+  }
+
   /** KMV distinct-count sketch of events.user_id: k=64 smallest
     * distinct 60-bit hashes → deterministic estimate, checked exactly
     * by the oracle (same hash domain, same estimator). n_exact rides
@@ -328,5 +342,6 @@ object ExtQueries {
     "q_training_prep"     -> (trainingPrep _),
     "q_multimodal_meta"   -> (multimodalMeta _),
     "q_kmv_distinct"      -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
+    "q_line_dedup"        -> (lineDedup _),
   )
 }

@@ -104,6 +104,21 @@ object StarOracles {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_no_orders
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS g_rf,
+        |  CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "q_minmax_stats" ->
       """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         |  min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,

@@ -311,6 +311,30 @@ object StarQueries {
         grouping("l_returnflag").as("g_rf"),
         grouping("l_linestatus").as("g_ls"))
 
+  // §2.4 — anti join: customers with no URGENT order, counted per
+  // nation (every customer has SOME order in the fixture — the urgent
+  // restriction keeps the check non-vacuous). left_anti shuffles both
+  // sides on the key once, with the priority filter pushed to the
+  // orders scan; the oracle is the independent NOT IN formulation.
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy("c_nationkey")
+
+  // §2.5 (engine surface) — CUBE grouping sets: all four grouping
+  // combinations in one pass, same decimal domain as the rollup twin.
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"))
+
   // §2.5 A4 — distinct.
   def distinctTypes(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select("event_type").distinct().orderBy("event_type")
@@ -457,6 +481,19 @@ object StarQueries {
         sum(col("value").cast(dec)).cast("double").as("sum_value"))
       .orderBy("ws", "event_type")
 
+  // Streaming state stores are allocated PER SHUFFLE PARTITION (a
+  // stream-stream join allocates four of them), and the partition
+  // count is baked into the checkpoint at stream start — so the
+  // streaming queries size it to the stream's key cardinality rather
+  // than inheriting the batch default (32 partitions of store setup
+  // cost ~6 s for a handful of result rows). Restored after the
+  // stream completes; batch queries never see the change.
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // §2.11 — STREAMING through the correctness gate: a real
   // readStream (file source) drives the watermarked tumbling
   // aggregation to completion; the returned table must match the
@@ -478,11 +515,13 @@ object StarQueries {
     try {
       batchEvents.write.mode("overwrite").parquet(staged.toString)
       val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
-      val q = graft.streaming.StreamingOps.tumblingCounts(
-          spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
-        .writeStream.format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      withStreamShuffle(spark, 8) {
+        val q = graft.streaming.StreamingOps.tumblingCounts(
+            spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
+          .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       spark.table(name)
     } finally {
       // memory sink holds the results; the staged copy is disposable
@@ -506,11 +545,13 @@ object StarQueries {
     try {
       batchEvents.write.mode("overwrite").parquet(staged.toString)
       val name = s"q_custom_sessions_${customSessRuns.incrementAndGet()}"
-      val q = graft.streaming.StreamingOps.customSessions(
-          spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      withStreamShuffle(spark, 8) {
+        val q = graft.streaming.StreamingOps.customSessions(
+            spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       spark.table(name)
     } finally {
       import scala.jdk.CollectionConverters._
@@ -535,12 +576,14 @@ object StarQueries {
         .parquet(staged.toString)
         .filter(col("event_type") === t).drop("event_type")
       val name = s"q_stream_join_${streamJoinRuns.incrementAndGet()}"
-      val q = graft.streaming.StreamingOps
-        .viewPurchaseJoin(side("view"), side("purchase"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      withStreamShuffle(spark, 8) {
+        val q = graft.streaming.StreamingOps
+          .viewPurchaseJoin(side("view"), side("purchase"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       spark.table(name)
     } finally {
       import scala.jdk.CollectionConverters._
@@ -579,6 +622,8 @@ object StarQueries {
     "q_union_grid"         -> (unionGrid _),
     "q_distinct"           -> (distinctTypes _),
     "q_rollup"             -> (rollupAgg _),
+    "q_cube"               -> (cubeAgg _),
+    "q_anti_join"          -> (antiJoin _),
     "q_minmax_stats"       -> (minmaxStats _),
     "q_avg_by_group"       -> (avgByGroup _),
     "q_format_lap_time"    -> (formatLapTime _),
