@@ -151,9 +151,11 @@ object TextOps {
     * Returns (id, clean_text, n_kept, n_dropped). */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              maxDocs: Long): DataFrame = {
+    // the per-doc line total rides the exploded rows (first() in the
+    // reassembly agg) instead of a second scan + join back to df
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
-        .as(Seq("__pos", "__line")))
+      .select(col(idCol), size(split(col(textCol), "\n")).as("__total"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val hot = lines.select(col(idCol), col("__line")).distinct()
       .groupBy("__line").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") > maxDocs)
@@ -164,11 +166,10 @@ object TextOps {
         array_join(
           transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
             s => s.getField("__line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-      .join(df.select(col(idCol),
-          (size(split(col(textCol), "\n"))).as("__total")), Seq(idCol))
-      .withColumn("n_dropped", col("__total") - col("n_kept"))
-      .drop("__total")
+        count(lit(1)).as("n_kept"),
+        first(col("__total")).as("__t"))
+      .withColumn("n_dropped", col("__t") - col("n_kept"))
+      .drop("__t")
   }
 
   /** Gopher-style quality gate: the classic per-document rule flags —

@@ -111,6 +111,24 @@ object StarOracles {
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    "q_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'view' AND value > 95
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 99
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT o_orderpriority, quartile, COUNT(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders) t
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

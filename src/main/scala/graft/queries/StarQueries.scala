@@ -335,6 +335,37 @@ object StarQueries {
         grouping("l_returnflag").as("g_rf"),
         grouping("l_linestatus").as("g_ls"))
 
+  // §2.8 — INTERSECT / EXCEPT set operations (standard left-deep
+  // precedence: (view ∩ purchase) \ error): users with a high-value
+  // view AND a high-value purchase but no extreme error. Catalyst
+  // plans both as key-shuffled semi/anti joins over the deduped sides
+  // — no sort, no all-pairs.
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String, minValue: Double) =
+      e.filter(col("event_type") === t && col("value") > minValue)
+        .select("user_id")
+    users("view", 95).intersect(users("purchase", 95))
+      .except(users("error", 99))
+      .orderBy("user_id")
+  }
+
+  // §2.6 — ntile quartiles per order priority: each order's quartile
+  // by price within its priority class, then counts + quartile price
+  // spans. The window partitions on o_orderpriority (5 groups); rows
+  // sort within partitions only — no global funnel.
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority", "quartile")
+
   // §2.5 A4 — distinct.
   def distinctTypes(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select("event_type").distinct().orderBy("event_type")
@@ -624,6 +655,8 @@ object StarQueries {
     "q_rollup"             -> (rollupAgg _),
     "q_cube"               -> (cubeAgg _),
     "q_anti_join"          -> (antiJoin _),
+    "q_set_ops"            -> (setOps _),
+    "q_ntile"              -> (ntileQuartiles _),
     "q_minmax_stats"       -> (minmaxStats _),
     "q_avg_by_group"       -> (avgByGroup _),
     "q_format_lap_time"    -> (formatLapTime _),
