@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,11 +64,24 @@ private[openf1] class Openf1Table(entity: String, flaky: Boolean,
 
 private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
                                         url: Option[String])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
   private var sessionKey: Option[Long] = None
   private var driverNumber: Option[Long] = None
   private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = Openf1Api.schemaFor(entity)
+
+  // §2.1 column pruning INTO the source: a SELECT of two columns must
+  // not deserialize nine — the API fetch still returns full pages (the
+  // REST contract has no field selection), but rows are projected at
+  // the reader before they ever enter Spark, which is where the
+  // per-row width cost lives at scale.
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source column ORDER (Spark may request any order; the
+    // reader projects by index into the full row)
+    required = StructType(Openf1Api.schemaFor(entity).fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -88,18 +101,19 @@ private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new Openf1Scan(entity, sessionKey, driverNumber, flaky, url)
+    new Openf1Scan(entity, sessionKey, driverNumber, flaky, url, required)
 }
 
 private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
                                  driverNumber: Option[Long], flaky: Boolean,
-                                 url: Option[String])
+                                 url: Option[String], required: StructType)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = Openf1Api.schemaFor(entity)
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"openf1 entity=$entity pushed=[session_key=$sessionKey, driver_number=$driverNumber]"
+    s"openf1 entity=$entity pushed=[session_key=$sessionKey, " +
+      s"driver_number=$driverNumber] columns=[${required.fieldNames.mkString(",")}]"
 
   // one transport per SCAN: flaky-mode state is instance-scoped, so
   // every flaky read exercises the retry wrapper (a JVM-global counter
@@ -120,18 +134,29 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
         .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Openf1ReaderFactory(transport)
+    new Openf1ReaderFactory(transport, required)
 }
 
 private[openf1] case class Openf1Partition(entity: String, sessionKey: Option[Long],
                                            driverNumber: Long)
     extends InputPartition
 
-private[openf1] class Openf1ReaderFactory(transport: Openf1Transport)
+private[openf1] class Openf1ReaderFactory(transport: Openf1Transport,
+                                          required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Openf1Partition]
-    val rows = Openf1Api.fetch(transport, p.entity, p.sessionKey, p.driverNumber)
+    val full = Openf1Api.schemaFor(p.entity)
+    val fetched = Openf1Api.fetch(transport, p.entity, p.sessionKey, p.driverNumber)
+    // project to the pruned schema at the source boundary
+    val rows =
+      if (required.length == full.length) fetched
+      else fetched.map { r =>
+        new GenericInternalRow(required.fieldNames.map { n =>
+          val i = full.fieldIndex(n)
+          r.get(i, full(i).dataType)
+        }.toArray[Any])
+      }
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var current: InternalRow = _

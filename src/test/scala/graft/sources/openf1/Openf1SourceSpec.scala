@@ -52,6 +52,16 @@ class Openf1SourceSpec extends AnyFunSuite {
     assert(scanOf(read("laps")).inputRDD.getNumPartitions === 20)
   }
 
+  test("column pruning reaches the source: a 2-column select reads a 2-column schema") {
+    val df = read("laps").select("lap_number", "lap_duration")
+    val scan = scanOf(df).scan
+    assert(scan.readSchema().fieldNames.toSet === Set("lap_number", "lap_duration"),
+      s"required columns must prune the scan schema: ${scan.readSchema()}")
+    // values survive the projection (order preserved from the source schema)
+    val viaFiles = F1Tables.laps(spark).select("lap_number", "lap_duration")
+    assert(df.exceptAll(viaFiles).isEmpty && viaFiles.exceptAll(df).isEmpty)
+  }
+
   test("non-pushable predicates are still applied by Spark above the scan") {
     val df = read("laps").filter(col("lap_number") > 10)
     assert(df.count() === F1Tables.laps(spark).filter(col("lap_number") > 10).count())

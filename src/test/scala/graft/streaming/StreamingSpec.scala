@@ -207,6 +207,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("restart from checkpoint resumes without loss or duplication") {
+    // run 1 sees hours 0-1; the query STOPS; run 2 (a new query object,
+    // same checkpoint) sees hour 2 plus a watermark-pushing closer.
+    // The durable parquet sink must end up with every closed window
+    // exactly once — windows spanning the restart boundary included.
+    val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src")
+    val sink = java.nio.file.Files.createTempDirectory("graft-ckpt-sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-chk")
+    val schema = Seq.empty[Ev].toDF().schema
+    def runOnce(): Unit = {
+      val q = StreamingOps.tumblingCounts(
+          spark.readStream.schema(schema).parquet(src.toString))
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val batch1 = Seq(Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(70), 1, "view", 2.0))
+    val batch2 = Seq(Ev(3, ts(130), 2, "click", 3.0), Ev(4, ts(1200), 1, "view", 0.5))
+    batch1.toDF().coalesce(1).write.mode("append").parquet(src.toString)
+    runOnce()
+    batch2.toDF().coalesce(1).write.mode("append").parquet(src.toString)
+    runOnce()
+    val got = spark.read.parquet(sink.toString)
+    // final watermark = ts(1200) - 10 min: every window except the
+    // closer's own (hour 20) is closed and must appear exactly once
+    val want = StreamingOps.tumblingCounts((batch1 ++ batch2).toDF())
+      .filter(col("ws") =!= lit(ts(1200)))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("batch equivalence with the declared q_tumbling_window inventory query") {
     val dir = "/root/testdata/sf0.001"
     val viaStreamingOps = StreamingOps.tumblingCounts(
