@@ -290,20 +290,19 @@ object ExtQueries {
     * by the oracle (same hash domain, same estimator). n_exact rides
     * along so the sketch's accuracy is visible in the output. */
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    import spark.implicits._
     val hashes = Tables.events(spark, dir)
       .select(TextOps.hex15(concat(lit("kmv|"), col("user_id").cast("string")))
         .as("hv"))
-    val sk = hashes.as[Long]
-      .select(new Sketches.KmvAggregator(k).toColumn.name("sk"))
-      .select(col("_1").as("m"), col("_2").as("kth"))
-    val est = when(col("m") < k, col("m").cast("double"))
+    // ONE pass: the sketch (registered as a udaf so it composes with
+    // untyped aggregates) and the exact count — the comparison column,
+    // i.e. the distinct-shuffle KMV exists to avoid — share the scan
+    val kmv = udaf(new Sketches.KmvAggregator(k))
+    val est = when(col("sk._1") < k, col("sk._1").cast("double"))
       .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
-        / col("kth").cast("double"))
-    // both sides are single rows; the exact count is the comparison
-    // column, not part of the sketch (it is the shuffle KMV avoids)
-    sk.select(lit(k.toLong).as("k"), est.as("est_distinct"))
-      .crossJoin(hashes.agg(countDistinct(col("hv")).as("n_exact")))
+        / col("sk._2").cast("double"))
+    hashes
+      .agg(kmv(col("hv")).as("sk"), countDistinct(col("hv")).as("n_exact"))
+      .select(lit(k.toLong).as("k"), est.as("est_distinct"), col("n_exact"))
   }
 
   /** Multimodal metadata extraction over an opaque binary payload

@@ -207,7 +207,10 @@ object FixtureTransport extends Openf1Transport {
   * configuration, not code. The client is @transient-lazy: rebuilt
   * per executor after task serialization, never shipped. */
 final class HttpTransport(baseUrl: String) extends Openf1Transport {
-  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  // bounded waits: a hung API endpoint must fail the task (which
+  // Spark retries) rather than wedge an executor thread forever
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
   override def get(entity: String, sessionKey: Option[Long],
                    driver: Long): Seq[InternalRow] = {
     val params = sessionKey.map(sk => s"session_key=$sk").toSeq ++
@@ -215,7 +218,8 @@ final class HttpTransport(baseUrl: String) extends Openf1Transport {
     val qs = if (params.isEmpty) "" else params.mkString("?", "&", "")
     val uri = java.net.URI.create(s"$baseUrl/$entity$qs")
     val resp = client.send(
-      java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 200   => Openf1Json.decode(entity, resp.body())
