@@ -22,7 +22,9 @@ object BenchOne {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[benchone] $n%s: min=${times.head}%.3f med=${times(reps / 2)}%.3f max=${times.last}%.3f")
+      // lower median for even rep counts (times((reps)/2) would label
+      // the upper element — for reps=2, the MAX — as the median)
+      println(f"[benchone] $n%s: min=${times.head}%.3f med=${times((reps - 1) / 2)}%.3f max=${times.last}%.3f")
     }
     spark.stop()
   }

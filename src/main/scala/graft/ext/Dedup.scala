@@ -86,8 +86,14 @@ object Dedup {
     val small = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBlockSize)
-      .select(blockCols.map(col): _*)
-    df.join(small, blockCols, "left_semi")
+      .select(blockCols.zipWithIndex.map { case (c, i) => col(c).as(s"__bk$i") }: _*)
+    // null-SAFE semi join: groupBy above puts NULL-keyed rows in their
+    // own (counted, cappable) block, and <=> keeps them — a plain
+    // equi-join would silently drop every row with a NULL blocking
+    // column regardless of block size, with no audit trail
+    val cond = blockCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__bk$i") }.reduce(_ && _)
+    df.join(small, cond, "left_semi")
   }
 
   /** The blocks [[boundBlocks]] would drop: (blockCols…, block_size).

@@ -22,8 +22,18 @@ object TrainingDataPipeline {
     Dedup.nearDupPairs(df, idCol, textCol, minJaccard = minJaccard)
       .select(col("doc_b").as(idCol)).distinct()
 
+  /** [[prepareReleasable]] without the handle — the pinned post-dedup
+    * corpus stays cached for the session (what a long-lived pipeline
+    * wants; a caller that moves on to unrelated work should use
+    * [[prepareReleasable]] and release after consuming the result). */
   def prepare(docs: DataFrame, minJaccard: Double = 0.5,
-              minQuality: Double = 0.3): DataFrame = {
+              minQuality: Double = 0.3): DataFrame =
+    prepareReleasable(docs, minJaccard, minQuality)._1
+
+  /** Returns (result, release): `release()` unpersists the pinned
+    * intermediate corpus once the result has been consumed. */
+  def prepareReleasable(docs: DataFrame, minJaccard: Double = 0.5,
+                        minQuality: Double = 0.3): (DataFrame, () => Unit) = {
     // 1. exact dedup: keep the lowest id per content hash
     val keepers = docs
       .groupBy(md5(col("text")).as("__h"))
@@ -44,8 +54,9 @@ object TrainingDataPipeline {
     val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
 
     // 3. quality gate + 4. stats of the surviving corpus
-    TextOps.langQuality(nearDeduped, "doc_id", "text", "lang")
+    val result = TextOps.langQuality(nearDeduped, "doc_id", "text", "lang")
       .filter(col("quality") >= minQuality)
       .select("doc_id", "lang", "n_tokens", "quality")
+    (result, () => { exactDeduped.unpersist(); () })
   }
 }

@@ -89,8 +89,10 @@ class F1Session(spark: SparkSession, sessionKey: Long,
     * info (bounded driver-side control flow, not a data collect).
     * Ref: /root/reference/src/session_object.py:259-311. */
   lazy val comparisonFrame: DataFrame = {
-    val isQualifying =
-      info.select("session_type").head().getString(0) == "Qualifying"
+    // headOption, not head(): an unknown session key must yield an
+    // empty frame like every other member, not throw on the empty info
+    val isQualifying = info.select("session_type").limit(1).collect()
+      .headOption.exists(_.getString(0) == "Qualifying")
     if (isQualifying)
       F1Pipelines.comparisonFrame(qualifyingGrid, Seq(col("grid_position").asc))
     else

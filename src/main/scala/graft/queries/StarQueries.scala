@@ -525,31 +525,29 @@ object StarQueries {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  // §2.11 — STREAMING through the correctness gate: a real
-  // readStream (file source) drives the watermarked tumbling
-  // aggregation to completion; the returned table must match the
-  // BATCH oracle SQL — the batch-equivalence contract, enforced by
-  // DuckDB rather than by a unit test.
+  // One staged-stream lifecycle for all three streaming gate queries:
+  // a unique staging dir per run (two concurrent runs must never share
+  // or overwrite each other's staged files) holds the batch written as
+  // parquet; `mk` builds the streaming plan from a readStream factory
+  // over that dir; the query runs to completion into a memory sink.
+  // The WHOLE lifecycle — staging write, start(), processing,
+  // teardown — sits inside one try/finally, so a failure at any point
+  // still removes the dir. The memory sink collects results on the
+  // driver — bounded for these queries (aggregates / a 1-hour-window
+  // join), by design not a pattern for unaggregated streams.
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val batchEvents = Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    // unique staging dir per run (two concurrent runs must never share
-    // or overwrite each other's staged files), deleted after the
-    // stream completes — the whole lifecycle from staging write to
-    // stream stop sits inside one try/finally, so a failure at ANY
-    // point (staging write, start(), processing) still removes the dir.
-    // The memory sink with complete mode collects the full result on
-    // the driver — bounded here (aggregated: hours × event_types), by
-    // design not a pattern for unaggregated streams.
-    val staged = java.nio.file.Files.createTempDirectory("graft-q-stream")
+  private def runStagedStream(spark: SparkSession, batch: DataFrame,
+      namePrefix: String, mode: String)
+      (mk: (() => DataFrame) => DataFrame): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory(namePrefix)
     try {
-      batchEvents.write.mode("overwrite").parquet(staged.toString)
-      val name = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
+      batch.write.mode("overwrite").parquet(staged.toString)
+      val name = s"${namePrefix}_${streamRuns.incrementAndGet()}"
+      def source() =
+        spark.readStream.schema(batch.schema).parquet(staged.toString)
       withStreamShuffle(spark, 8) {
-        val q = graft.streaming.StreamingOps.tumblingCounts(
-            spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
-          .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        val q = mk(source _).writeStream.format("memory")
+          .queryName(name).outputMode(mode).start()
         try q.processAllAvailable()
         finally q.stop()
       }
@@ -562,6 +560,18 @@ object StarQueries {
     }
   }
 
+  // §2.11 — STREAMING through the correctness gate: a real
+  // readStream (file source) drives the watermarked tumbling
+  // aggregation to completion; the returned table must match the
+  // BATCH oracle SQL — the batch-equivalence contract, enforced by
+  // DuckDB rather than by a unit test.
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    runStagedStream(spark,
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+      "q_stream_tumbling", "complete")(src =>
+      graft.streaming.StreamingOps.tumblingCounts(src()))
+
   // §2.11/§2.12 — CUSTOM STREAMING STATE through the correctness
   // gate: flatMapGroupsWithState sessionization (explicit open-session
   // state + event-time timeout) driven by a real file-source stream to
@@ -569,59 +579,26 @@ object StarQueries {
   // islands AND the watermark-closure boundary: only sessions whose
   // end+gap the final watermark passed are emitted — checking both the
   // session semantics and the state-closure contract in DuckDB.
-  private val customSessRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-  def customSessionsQuery(spark: SparkSession, dir: String): DataFrame = {
-    val batchEvents = Tables.events(spark, dir).select("ts", "user_id")
-    val staged = java.nio.file.Files.createTempDirectory("graft-q-csess")
-    try {
-      batchEvents.write.mode("overwrite").parquet(staged.toString)
-      val name = s"q_custom_sessions_${customSessRuns.incrementAndGet()}"
-      withStreamShuffle(spark, 8) {
-        val q = graft.streaming.StreamingOps.customSessions(
-            spark.readStream.schema(batchEvents.schema).parquet(staged.toString))
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
-      spark.table(name)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
+  def customSessionsQuery(spark: SparkSession, dir: String): DataFrame =
+    runStagedStream(spark, Tables.events(spark, dir).select("ts", "user_id"),
+      "q_custom_sessions", "append")(src =>
+      graft.streaming.StreamingOps.customSessions(src()).toDF())
 
   // §2.11 — STREAM-STREAM JOIN through the correctness gate: two
   // file-source streams over the same staged events (views and
   // purchases), watermarked on both sides, joined on user within
   // [view_ts, view_ts + 1h], run to completion; the result must equal
   // the BATCH join the oracle runs.
-  private val streamJoinRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-  def streamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
-    val batch = Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type")
-    val staged = java.nio.file.Files.createTempDirectory("graft-q-sjoin")
-    try {
-      batch.write.mode("overwrite").parquet(staged.toString)
-      def side(t: String) = spark.readStream.schema(batch.schema)
-        .parquet(staged.toString)
-        .filter(col("event_type") === t).drop("event_type")
-      val name = s"q_stream_join_${streamJoinRuns.incrementAndGet()}"
-      withStreamShuffle(spark, 8) {
-        val q = graft.streaming.StreamingOps
-          .viewPurchaseJoin(side("view"), side("purchase"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
-      spark.table(name)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  def streamJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    runStagedStream(spark,
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type"),
+      "q_stream_join", "append") { src =>
+      def side(t: String) =
+        src().filter(col("event_type") === t).drop("event_type")
+      graft.streaming.StreamingOps
+        .viewPurchaseJoin(side("view"), side("purchase"))
     }
-  }
 
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.

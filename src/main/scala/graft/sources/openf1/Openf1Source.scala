@@ -246,20 +246,28 @@ private[openf1] object Openf1Json {
     }.toSeq
   }
 
+  /** Strict: only null/missing maps to NULL; a non-coercible node
+    * (API drift — a string where a number belongs) THROWS rather than
+    * taking Jackson's silent 0/0.0/false defaults, which would
+    * fabricate values row after row with nothing failing. */
   private def conv(v: com.fasterxml.jackson.databind.JsonNode,
-                   f: StructField): Any =
+                   f: StructField): Any = {
+    def bad() = throw new IllegalArgumentException(
+      s"openf1 field '${f.name}': cannot decode ${v.getNodeType} as ${f.dataType}")
     if (v == null || v.isNull) null
     else f.dataType match {
-      case LongType    => v.asLong()
-      case DoubleType  => v.asDouble()
-      case BooleanType => v.asBoolean()
-      case StringType  => UTF8String.fromString(v.asText())
+      case LongType    => if (v.isIntegralNumber) v.asLong() else bad()
+      case DoubleType  => if (v.isNumber) v.asDouble() else bad()
+      case BooleanType => if (v.isBoolean) v.asBoolean() else bad()
+      case StringType  => if (v.isTextual) UTF8String.fromString(v.asText()) else bad()
       case TimestampType =>
+        if (!v.isTextual) bad()
         val i = java.time.OffsetDateTime.parse(v.asText()).toInstant
         i.getEpochSecond * 1000000L + i.getNano / 1000
       case other =>
         throw new IllegalArgumentException(s"unsupported openf1 field type: $other")
     }
+  }
 }
 
 /** Decorator simulating a rate-limited API: the FIRST get() per

@@ -80,6 +80,19 @@ class ExtSpec extends AnyFunSuite {
       === m(Dedup.jaccardOnCandidates(cand, sh, "doc_id")))
   }
 
+  test("boundBlocks keeps NULL-keyed rows when their block is under the cap") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None),
+                 (4L, None), (5L, Some("b")), (6L, Some("b")), (7L, Some("b")))
+      .toDF("id", "k")
+    val kept = Dedup.boundBlocks(df, Seq("k"), maxBlockSize = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // "b" (3 members) exceeds the cap; the NULL block (2) must SURVIVE
+    assert(kept === Set(1L, 2L, 3L, 4L))
+    val over = Dedup.oversizeBlocks(df, Seq("k"), 2)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(over === Map(Some("b") -> 3L))
+  }
+
   test("native simhash16 equals the explode+aggregate composition exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val native = Dedup.simhash(docs, "doc_id", "text")

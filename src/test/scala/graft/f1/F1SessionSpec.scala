@@ -79,6 +79,7 @@ class F1SessionSpec extends AnyFunSuite {
   test("an unknown session key yields empty frames, not errors") {
     val ghost = new F1Session(spark, 424242L)
     assert(ghost.laps.isEmpty && ghost.fastestLaps.isEmpty)
+    assert(ghost.comparisonFrame.isEmpty) // incl. the scalar-branching member
     ghost.release()
   }
 
