@@ -334,6 +334,24 @@ object StarOracles {
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
 
+    "q_stream_static_join" ->
+      """SELECT date_trunc('hour', ts) AS ws, e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value * CAST(weight AS DOUBLE) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS weighted_value
+        |FROM events e
+        |JOIN (VALUES ('view', 1.0), ('click', 2.0), ('purchase', 10.0),
+        |             ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+        |  ON e.event_type = w.event_type
+        |GROUP BY ws, e.event_type""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_sql_surface" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -600,6 +600,43 @@ object StarQueries {
         .viewPurchaseJoin(side("view"), side("purchase"))
     }
 
+  // §2.11 — STREAM-STATIC join through the gate: the streaming side
+  // (events) joins a static in-memory dimension per micro-batch — no
+  // state stores at all (the static side is just broadcast into each
+  // batch), then a watermarked tumbling aggregation. The common
+  // "enrich the stream against a dimension table" production shape.
+  def streamStaticJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.createDataFrame(Seq(
+        ("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0)))
+      .toDF("event_type", "weight")
+    runStagedStream(spark,
+      Tables.events(spark, dir).select("ts", "event_type", "value"),
+      "q_stream_static_join", "complete") { src =>
+      src().join(broadcast(weights), Seq("event_type"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") * col("weight")).cast(dec4)).cast("double")
+            .as("weighted_value"))
+    }
+  }
+
+  // §2.5 — exact multi-quantile per group: p25/p50/p75 of order value
+  // by priority through the same percentile definition both engines
+  // share (linear interpolation on the sorted values). One sort-based
+  // agg per group — partitioned by the group key, never global.
+  def quantilesByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -619,6 +656,8 @@ object StarQueries {
     "q_stream_tumbling"    -> (streamTumbling _),
     "q_custom_sessions"    -> (customSessionsQuery _),
     "q_stream_join"        -> (streamJoinQuery _),
+    "q_stream_static_join" -> (streamStaticJoinQuery _),
+    "q_quantiles"          -> (quantilesByGroup _),
     "q_sql_surface"        -> (sqlSurface _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
