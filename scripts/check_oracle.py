@@ -20,7 +20,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def type_class(t):
     """Collapse an arrow type string to the equivalence class the
     driver's pandas-based hasher uses."""
-    for prefix, cls in [("int", "int"), ("uint", "int"), ("bool", "bool"),
+    # "interval" must match before the "int" prefix swallows it.
+    for prefix, cls in [("interval", "interval"),
+                        ("int", "int"), ("uint", "int"), ("bool", "bool"),
                         ("float", "float"), ("double", "float"),
                         ("halffloat", "float"), ("decimal", "decimal"),
                         ("string", "str"), ("large_string", "str"),

@@ -41,7 +41,12 @@ object Bench {
     // whatever operators only IT uses (r02 showed q1_agg 2.5× slower
     // purely for running first alphabetically). A full untimed pass
     // makes each timed number a property of the plan, not the order.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Streaming gate queries run LAST (alphabetical within each
+    // group): r03 showed their state-store machinery and sink setup
+    // bleeding into batch timings when interleaved alphabetically.
+    val (streaming, batch) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => SparkEntry.streamingQueries(n) }
+    val ordered = batch ++ streaming
     ordered.foreach { case (_, fn) =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
@@ -54,8 +59,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // print the artifact line AFTER the session is down: nothing else
+    // can interleave with stdout then (r03's driver artifact had a
+    // truncated tail from in-flight logging).
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

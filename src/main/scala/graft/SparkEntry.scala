@@ -25,4 +25,12 @@ object SparkEntry {
     * parquet by absolute path). Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     StarQueries.oracles ++ F1Oracles.sql ++ ExtOracles.sql
+
+  /** Queries that run a real Structured Streaming job to completion
+    * (state-store setup, memory sink, checkpoint lifecycle). Bench
+    * runs these LAST so their stream machinery can't bleed into batch
+    * timings (r03's artifact noise). */
+  val streamingQueries: Set[String] = Set(
+    "q_stream_tumbling", "q_custom_sessions", "q_stream_join",
+    "q_stream_static_join", "q_openf1_stream")
 }

@@ -136,14 +136,17 @@ object Dedup {
   def jaccardOnCandidatesArr(candidates: DataFrame, shingleArrays: DataFrame,
                              idCol: String, arrCol: String): DataFrame = {
     val inter = size(array_intersect(col("__sha"), col("__shb")))
+    val union = size(col("__sha")) + size(col("__shb")) - inter
     candidates
       .join(shingleArrays.select(col(idCol).as("doc_a"), col(arrCol).as("__sha")),
         Seq("doc_a"))
       .join(shingleArrays.select(col(idCol).as("doc_b"), col(arrCol).as("__shb")),
         Seq("doc_b"))
+      // Two empty shingle sets would give 0/0 = NaN, and Spark sorts
+      // NaN ABOVE all doubles so `jaccard >= t` would KEEP the pair;
+      // emit NULL instead so threshold filters drop it.
       .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") /
-          (size(col("__sha")) + size(col("__shb")) - inter)).as("jaccard"))
+        when(union > 0, inter.cast("double") / union).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline, native fast path: per-doc

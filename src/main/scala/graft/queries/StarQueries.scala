@@ -519,6 +519,10 @@ object StarQueries {
   // than inheriting the batch default (32 partitions of store setup
   // cost ~6 s for a handful of result rows). Restored after the
   // stream completes; batch queries never see the change.
+  // CAVEAT: the override is session-global while `body` runs — a
+  // query planned CONCURRENTLY in the same session would silently
+  // inherit it. Safe because Verify/Bench/tests run queries
+  // sequentially; concurrent callers must use SparkSession.newSession.
   private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -551,7 +555,14 @@ object StarQueries {
         try q.processAllAvailable()
         finally q.stop()
       }
-      spark.table(name)
+      // Detach the (bounded) result from the memory sink and drop its
+      // temp view NOW: r03's bench showed leaked q_stream_* sink
+      // tables living for the rest of a 76-query run, skewing later
+      // timings. The caller gets a self-contained local relation.
+      val sunk = spark.table(name)
+      val rows = sunk.collectAsList()
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(rows, sunk.schema)
     } finally {
       // memory sink holds the results; the staged copy is disposable
       import scala.jdk.CollectionConverters._

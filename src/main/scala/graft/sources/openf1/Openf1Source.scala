@@ -128,10 +128,21 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
     if (entity == "sessions")
       // session metadata is not per-driver — one partition
       Array(Openf1Partition(entity, sessionKey, -1L))
-    else
-      Openf1Api.drivers(sessionKey, driverNumber)
+    else {
+      // driver enumeration goes through the SAME transport as the data
+      // fetch (GET /drivers, no driver_number param), so pointing `url`
+      // at a real endpoint plans partitions from that endpoint's own
+      // driver listing — not from the local fixtures. Planning uses the
+      // un-decorated transport: flaky-mode 429s are a per-(entity,
+      // driver) READER contract the specs count.
+      val schema = Openf1Api.schemaFor("drivers")
+      val idx = schema.fieldIndex("driver_number")
+      val all = Openf1Api.fetch(base, "drivers", sessionKey, -1L)
+        .map(_.getLong(idx)).distinct
+      driverNumber.map(d => all.filter(_ == d)).getOrElse(all)
         .map(d => Openf1Partition(entity, sessionKey, d): InputPartition)
         .toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new Openf1ReaderFactory(transport, required)
@@ -319,14 +330,6 @@ object Openf1Api {
     case other => throw new IllegalArgumentException(s"unknown openf1 entity: $other")
   }
 
-  def drivers(sessionKey: Option[Long], driverNumber: Option[Long]): Seq[Long] = {
-    // distinct: a driver present in several sessions must still get
-    // exactly ONE partition (its reader fetches all matching sessions)
-    val all = FixtureGen.drivers
-      .filter(d => sessionKey.forall(_ == d._1)).map(_._2).distinct
-    driverNumber.map(d => all.filter(_ == d)).getOrElse(all)
-  }
-
   /** One retried page fetch through the transport seam. */
   def fetch(transport: Openf1Transport, entity: String,
             sessionKey: Option[Long], driver: Long): Seq[InternalRow] =
@@ -336,7 +339,10 @@ object Openf1Api {
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
   private[openf1] def rows(entity: String, sessionKey: Option[Long], driver: Long): Seq[InternalRow] = {
-    def keep(sk: Long, d: Long): Boolean = sessionKey.forall(_ == sk) && d == driver
+    // driver < 0 is the no-driver_number-param request (partition
+    // planning's GET /drivers enumeration): match every driver.
+    def keep(sk: Long, d: Long): Boolean =
+      sessionKey.forall(_ == sk) && (driver < 0 || d == driver)
     entity match {
       case "laps" => FixtureGen.laps.collect {
         case (sk, d, lap, start, s1, s2, s3, dur, pit) if keep(sk, d) =>

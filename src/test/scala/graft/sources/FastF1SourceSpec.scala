@@ -38,8 +38,8 @@ class FastF1SourceSpec extends AnyFunSuite {
       === viaParquet.schema.map(f => (f.name, f.dataType)))
     assert(viaCsv.exceptAll(viaParquet).isEmpty
       && viaParquet.exceptAll(viaCsv).isEmpty)
-    // NaT markers really became NULLs (fixture has null sector times)
-    assert(viaCsv.filter(col("duration_sector_1").isNull).count() > 0)
+    // NaT markers really became NULLs (fixture has 21 null sector-2 times)
+    assert(viaCsv.filter(col("duration_sector_2").isNull).count() > 0)
   }
 
   test("a pipeline computes identical results from either physical source") {
