@@ -137,6 +137,13 @@ object F1Oracles {
          |FROM read_parquet('$F/laps.parquet/*.parquet')
          |WHERE session_key = 9001 AND driver_number <= 3""".stripMargin,
 
+    // the streaming connector must converge to exactly the batch scan
+    "q_openf1_stream" ->
+      s"""SELECT session_key, driver_number, lap_number, date_start,
+         |  lap_duration, is_pit_out_lap
+         |FROM read_parquet('$F/laps.parquet/*.parquet')
+         |WHERE session_key = 9001 AND driver_number <= 3""".stripMargin,
+
     "q_f1_meetings" ->
       s"""SELECT DISTINCT meeting_official_name, meeting_key
          |FROM read_parquet('$F/meetings.parquet/*.parquet')""".stripMargin,

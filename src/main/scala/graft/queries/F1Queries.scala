@@ -85,6 +85,31 @@ object F1Queries {
       .select("session_key", "driver_number", "lap_number", "date_start",
         "lap_duration", "is_pit_out_lap")
 
+  /** §2.11 + S1–S3/S9 — the openf1 connector in STREAMING mode
+    * (MicroBatchStream, the reference dashboard's live re-poll loop):
+    * a real readStream over the connector runs to completion and must
+    * equal the BATCH oracle over the committed laps parquet. The scope
+    * (session 9001) rides in as a reader option — streaming scans get
+    * no filter pushdown — and the driver filter is applied by Spark
+    * above the source. Stateless append stream: no state stores, no
+    * shuffle, so no partition-count override is needed. */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def openf1Stream(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q_openf1_stream_${streamRuns.incrementAndGet()}"
+    val q = spark.readStream.format("openf1")
+      .option("entity", "laps").option("session_key", "9001").load()
+      .filter(col("driver_number") <= 3)
+      .select("session_key", "driver_number", "lap_number", "date_start",
+        "lap_duration", "is_pit_out_lap")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // detach from the memory sink (bounded result) and drop the view
+    val sunk = spark.table(name)
+    val rows = sunk.collectAsList()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(rows, sunk.schema)
+  }
+
   /** S8 — meetings catalog distinct projection. */
   def f1Meetings(spark: SparkSession, dir: String): DataFrame =
     F1Tables.meetings(spark)
@@ -103,6 +128,7 @@ object F1Queries {
     "q_f1_telemetry"    -> (f1Telemetry _),
     "q_f1_meetings"     -> (f1Meetings _),
     "q_openf1_laps"     -> (openf1Laps _),
+    "q_openf1_stream"   -> (openf1Stream _),
     "q_f1_pit"          -> (f1Pit _),
   )
 }

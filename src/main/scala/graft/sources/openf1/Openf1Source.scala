@@ -48,27 +48,39 @@ class Openf1Source extends TableProvider
     new Openf1Table(
       Option(properties.get("entity")).getOrElse("laps"),
       properties.getOrDefault("flaky", "false").toBoolean,
-      Option(properties.get("url")))
+      Option(properties.get("url")),
+      Option(properties.get("session_key")).map(_.toLong),
+      Option(properties.get("driver_number")).map(_.toLong))
 }
 
 private[openf1] class Openf1Table(entity: String, flaky: Boolean,
-                                  url: Option[String])
+                                  url: Option[String],
+                                  optSessionKey: Option[Long] = None,
+                                  optDriverNumber: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"openf1.$entity"
   override def schema(): StructType = Openf1Api.schemaFor(entity)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    // entities with a primary key also stream (live polling)
+    (if (Openf1MicroBatch.streamKey(entity).isDefined)
+       Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+     else Set(TableCapability.BATCH_READ)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Openf1ScanBuilder(entity, flaky, url)
+    new Openf1ScanBuilder(entity, flaky, url, optSessionKey, optDriverNumber)
 }
 
 private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
-                                        url: Option[String])
+                                        url: Option[String],
+                                        optSessionKey: Option[Long],
+                                        optDriverNumber: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var sessionKey: Option[Long] = None
-  private var driverNumber: Option[Long] = None
+  // reader options seed the scope; pushed filters narrow it further.
+  // Streaming scans get NO filter pushdown from the planner, so the
+  // options are how a live poll is scoped to one session/driver.
+  private var sessionKey: Option[Long] = optSessionKey
+  private var driverNumber: Option[Long] = optDriverNumber
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = Openf1Api.schemaFor(entity)
 
@@ -111,6 +123,12 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // pushdown does not reach streaming scans in Spark's planner, so
+    // sessionKey/driverNumber arrive as options only; Spark applies
+    // any DataFrame filters above the source.
+    new Openf1MicroBatchStream(entity, sessionKey, driverNumber, transport, required)
   override def description(): String =
     s"openf1 entity=$entity pushed=[session_key=$sessionKey, " +
       s"driver_number=$driverNumber] columns=[${required.fieldNames.mkString(",")}]"
@@ -160,14 +178,7 @@ private[openf1] class Openf1ReaderFactory(transport: Openf1Transport,
     val full = Openf1Api.schemaFor(p.entity)
     val fetched = Openf1Api.fetch(transport, p.entity, p.sessionKey, p.driverNumber)
     // project to the pruned schema at the source boundary
-    val rows =
-      if (required.length == full.length) fetched
-      else fetched.map { r =>
-        new GenericInternalRow(required.fieldNames.map { n =>
-          val i = full.fieldIndex(n)
-          r.get(i, full(i).dataType)
-        }.toArray[Any])
-      }
+    val rows = Openf1Api.project(fetched, full, required)
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var current: InternalRow = _
@@ -334,6 +345,19 @@ object Openf1Api {
   def fetch(transport: Openf1Transport, entity: String,
             sessionKey: Option[Long], driver: Long): Seq[InternalRow] =
     withRetry() { transport.get(entity, sessionKey, driver) }
+
+  /** Project full-schema rows to the pruned reader schema (no-op when
+    * nothing was pruned) — shared by the batch reader and the
+    * micro-batch partition builder. */
+  def project(rows: Seq[InternalRow], full: StructType,
+              required: StructType): Seq[InternalRow] =
+    if (required.length == full.length) rows
+    else rows.map { r =>
+      new GenericInternalRow(required.fieldNames.map { n =>
+        val i = full.fieldIndex(n)
+        r.get(i, full(i).dataType)
+      }.toArray[Any])
+    }
 
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000

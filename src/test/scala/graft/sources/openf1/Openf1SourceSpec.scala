@@ -96,16 +96,19 @@ class Openf1SourceSpec extends AnyFunSuite {
   // through the same contract, including genuine 429 responses.
   // ---------------------------------------------------------------
 
-  /** Renders FixtureGen rows as the JSON arrays the API would return. */
-  private def fixtureJson(entity: String, sk: Option[Long],
-                          dn: Option[Long]): String = {
+  /** Renders FixtureGen rows as the JSON arrays the API would return.
+    * `lapCutoffMs` simulates a LIVE session: only laps with
+    * date_start at or below the cutoff exist yet. */
+  private def fixtureJson(entity: String, sk: Option[Long], dn: Option[Long],
+                          lapCutoffMs: Long = Long.MaxValue): String = {
     def num(o: Option[Double]) = o.map(_.toString).getOrElse("null")
     def ts(t: java.sql.Timestamp) =
       "\"" + java.time.Instant.ofEpochSecond(t.getTime / 1000, t.getNanos).toString + "\""
     def keep(s: Long, d: Long) = sk.forall(_ == s) && dn.forall(_ == d)
     val items = entity match {
       case "laps" => graft.f1.FixtureGen.laps.collect {
-        case (s, d, lap, start, s1, s2, s3, dur, pit) if keep(s, d) =>
+        case (s, d, lap, start, s1, s2, s3, dur, pit)
+            if keep(s, d) && start.getTime <= lapCutoffMs =>
           s"""{"session_key":$s,"driver_number":$d,"lap_number":$lap,
              |"date_start":${ts(start)},"duration_sector_1":${num(s1)},
              |"duration_sector_2":${num(s2)},"duration_sector_3":${num(s3)},
@@ -133,8 +136,13 @@ class Openf1SourceSpec extends AnyFunSuite {
   }
 
   /** In-process server; flaky=true serves one 429 per distinct URI
-    * before succeeding — real rate-limit responses over real HTTP. */
-  private def withServer[T](flaky: Boolean)(body: String => T): T = {
+    * before succeeding — real rate-limit responses over real HTTP.
+    * `lapCutoffMs` (mutable) drives the live-session stream test:
+    * raising it between polls makes new laps "arrive". */
+  private def withServer[T](flaky: Boolean,
+      lapCutoffMs: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(Long.MaxValue))
+      (body: String => T): T = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -149,7 +157,8 @@ class Openf1SourceSpec extends AnyFunSuite {
           }.toMap
         val bytes = fixtureJson(ex.getRequestURI.getPath.stripPrefix("/"),
           q.get("session_key").map(_.toLong),
-          q.get("driver_number").map(_.toLong)).getBytes("UTF-8")
+          q.get("driver_number").map(_.toLong),
+          lapCutoffMs.get()).getBytes("UTF-8")
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
@@ -201,6 +210,51 @@ class Openf1SourceSpec extends AnyFunSuite {
       val viaFiles = F1Tables.stints(spark)
       assert(viaHttp.exceptAll(viaFiles).isEmpty
         && viaFiles.exceptAll(viaHttp).isEmpty)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Streaming (MicroBatchStream): the live-session polling analogue
+  // of the reference dashboard's re-query loop (dashboard.py:89-99).
+  // ---------------------------------------------------------------
+
+  private def runStream(url: Option[String], name: String)
+      (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    val reader = spark.readStream.format("openf1").option("entity", "laps")
+    val q = url.fold(reader)(u => reader.option("url", u)).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try drive(q) finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collectAsList()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(rows, out.schema)
+  }
+
+  test("readStream over the connector converges to the batch scan (static feed = one batch)") {
+    val got = runStream(None, "openf1_stream_static")(_.processAllAvailable())
+    val want = F1Tables.laps(spark)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("live stream: laps arriving between polls come through incrementally, exactly once") {
+    val allDates = graft.f1.FixtureGen.laps.map(_._4.getTime).sorted
+    val mid = allDates(allDates.length / 2)
+    val cutoff = new java.util.concurrent.atomic.AtomicLong(mid)
+    withServer(flaky = false, cutoff) { base =>
+      var phase1 = 0L
+      val got = runStream(Some(base), "openf1_stream_live") { q =>
+        q.processAllAvailable() // batch(es) over the pre-cutoff laps
+        phase1 = spark.table("openf1_stream_live").count()
+        cutoff.set(Long.MaxValue) // the rest of the session "happens"
+        q.processAllAvailable() // next poll sees a larger max offset
+      }
+      val want = F1Tables.laps(spark)
+      assert(phase1 > 0 && phase1 < want.count(),
+        s"first poll must see a strict prefix, got $phase1")
+      // exactly once: full parity in both directions (a duplicate or
+      // a dropped lap fails one of the excepts)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     }
   }
 
