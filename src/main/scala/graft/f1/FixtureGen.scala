@@ -14,7 +14,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * laps with sector durations + pit-out flags + a few NULL sectors,
   * non-overlapping stints with one deliberate coverage gap (driver 3
   * laps 9-10 -> NULL compound, exercising the post-as-of null-out F7),
-  * drivers dim, one sessions row, car telemetry at 1 Hz and track
+  * drivers dim, a weekend session catalog, car telemetry at 1 Hz and track
   * location at 0.8 s for the nearest as-of join (J4).
   */
 object FixtureGen {
@@ -68,8 +68,17 @@ object FixtureGen {
       (SessionKey, d, f"D$d%02d", f"#${d * 11}%02X00AA", f"#${d * 11}%02X00AA")
     }
 
+  /** A full race weekend per meeting so the sessions-in-weekend
+    * catalog drill-down (helper_functions.py:44-53) has real structure.
+    * Exactly ONE session across the catalog has session_type
+    * "Qualifying" — the grid query's J5 scalar filters on it. */
   def sessions: Seq[(Long, Long, String, String, String, Timestamp, Timestamp)] =
-    Seq((SessionKey, 77L, "Qualifying", "Qualifying", "TestRing", ts(0.0), ts(3600.0)))
+    Seq(
+      (9000L, 77L, "Practice 1", "Practice", "TestRing", ts(-172800.0), ts(-169200.0)),
+      (SessionKey, 77L, "Qualifying", "Qualifying", "TestRing", ts(0.0), ts(3600.0)),
+      (9002L, 77L, "Race", "Race", "TestRing", ts(86400.0), ts(93600.0)),
+      (9100L, 78L, "Practice 1", "Practice", "OtherRing", ts(604800.0), ts(608400.0)),
+      (9102L, 78L, "Race", "Race", "OtherRing", ts(777600.0), ts(784800.0)))
 
   def meetings: Seq[(Long, Int, String)] =
     Seq((77L, 2024, "Test Grand Prix"), (78L, 2024, "Other Grand Prix"))

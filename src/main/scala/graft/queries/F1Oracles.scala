@@ -148,6 +148,12 @@ object F1Oracles {
       s"""SELECT DISTINCT meeting_official_name, meeting_key
          |FROM read_parquet('$F/meetings.parquet/*.parquet')""".stripMargin,
 
+    "q_f1_weekend_sessions" ->
+      s"""SELECT DISTINCT m.meeting_key, m.meeting_official_name,
+         |  s.session_key, s.session_name
+         |FROM read_parquet('$F/sessions.parquet/*.parquet') s
+         |JOIN read_parquet('$F/meetings.parquet/*.parquet') m USING (meeting_key)""".stripMargin,
+
     "q_f1_pit" ->
       s"""SELECT driver_number, date, pit_duration, lap_number
          |FROM read_parquet('$F/pit.parquet/*.parquet')""".stripMargin,

@@ -115,6 +115,18 @@ object F1Queries {
     F1Tables.meetings(spark)
       .select("meeting_official_name", "meeting_key").distinct()
 
+  /** S8 tail — sessions-in-weekend drill-down
+    * (/root/reference/src/helper_functions.py:44-53): the distinct
+    * (session_name, session_key) catalog per meeting. The meetings dim
+    * is broadcast — at catalog scale both sides are tiny, but the
+    * shape (fact ⋈ broadcast dim → distinct) is the one that survives
+    * a full-history sessions table. */
+  def f1WeekendSessions(spark: SparkSession, dir: String): DataFrame =
+    F1Tables.sessions(spark)
+      .join(broadcast(F1Tables.meetings(spark)), Seq("meeting_key"))
+      .select("meeting_key", "meeting_official_name", "session_key", "session_name")
+      .distinct()
+
   /** S7 + S12 — pit scan with dropped export columns. */
   def f1Pit(spark: SparkSession, dir: String): DataFrame =
     F1Tables.pit(spark).drop("meeting_key", "session_key")
@@ -127,6 +139,7 @@ object F1Queries {
     "q_f1_avg_matrix"   -> (f1AvgMatrix _),
     "q_f1_telemetry"    -> (f1Telemetry _),
     "q_f1_meetings"     -> (f1Meetings _),
+    "q_f1_weekend_sessions" -> (f1WeekendSessions _),
     "q_openf1_laps"     -> (openf1Laps _),
     "q_openf1_stream"   -> (openf1Stream _),
     "q_f1_pit"          -> (f1Pit _),

@@ -70,7 +70,7 @@ class Openf1SourceSpec extends AnyFunSuite {
   test("sessions entity reads as a single partition") {
     val df = read("sessions")
     assert(scanOf(df).inputRDD.getNumPartitions === 1)
-    assert(df.count() === 1)
+    assert(df.count() === graft.f1.FixtureGen.sessions.length)
   }
 
   test("retry wrapper survives a flaky (429) transport and serves full data") {
