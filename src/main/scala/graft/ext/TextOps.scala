@@ -234,6 +234,29 @@ object TextOps {
         (col("__chars").cast("double") / size(pt)).as("chars_per_pretoken"))
   }
 
+  /** Real-BPE token statistics: pretokenize, then run the
+    * [[graft.catalyst.BpeEncode]] merge loop (fixed ranked merge
+    * table, GPT-2-style leading-space symbols) over every pretoken.
+    * `n_tokens` is the true post-merge count a corpus-sizing pass
+    * wants — `n_pretokens` bounds it from above — and `encoded_head`
+    * pins the first 12 merged symbols so the oracle checks the actual
+    * encoding, not just a count. Pure projection: the merge loop runs
+    * where the row lives, no explode, no shuffle; the per-pretoken
+    * lambda is re-evaluated per referencing expression (lambda
+    * expressions are outside Spark's subexpression elimination), which
+    * costs a bounded constant factor, not a scale hazard. */
+  def bpeMergeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.catalyst.BpeEncode.register(df.sparkSession)
+    val syms = col("__syms")
+    df.select(col(idCol), bpePretokens(col(textCol)).as("__pt"))
+      .select(col(idCol), size(col("__pt")).as("n_pretokens"),
+        flatten(transform(col("__pt"),
+          t => call_function("bpe_encode", t))).as("__syms"))
+      .select(col(idCol), col("n_pretokens"),
+        size(syms).as("n_tokens"),
+        array_join(slice(syms, 1, 12), "|").as("encoded_head"))
+  }
+
   /** TF-IDF top-k terms per document. The "idf" kept here is the
     * smooth RATIO (N+1)/(df+1) rather than its logarithm: log is
     * monotone so per-document term RANKING is identical, while the

@@ -394,6 +394,65 @@ object ExtOracles {
         |  CAST(ch AS DOUBLE) / len(pt) AS chars_per_pretoken
         |FROM t""".stripMargin,
 
+    // Real BPE re-derived WITHOUT the engine's list-based merge loop:
+    // symbols live in a chr(31)-anchored string (text is printable
+    // ASCII; the anchor bounds every match to whole symbols) and a
+    // recursive CTE applies ONE replace of the lowest-ranked pair
+    // present per step. Anchor sharing means back-to-back occurrences
+    // take extra iterations, and the closed merge table (a fused pair
+    // only creates pairs ranked after itself) is what makes that
+    // converge to the same encoding as merge-all-occurrences-at-once.
+    "q_bpe_merges" ->
+      """WITH RECURSIVE rich AS (SELECT doc_id,
+        |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||
+        |      CAST(n_chars AS VARCHAR) || '!' AS rich
+        |  FROM documents),
+        |merges(rank, a, b) AS (
+        |  SELECT * FROM (VALUES
+        |    (0,'t','h'),(1,'h','e'),(2,'i','n'),(3,'e','r'),(4,'a','n'),
+        |    (5,'r','e'),(6,'o','n'),(7,'a','t'),(8,'e','n'),(9,'o','r'),
+        |    (10,'e','s'),(11,'th','e'),(12,'an','d'),(13,'in','g'),(14,'o','u'),
+        |    (15,'l','e'),(16,'s','t'),(17,' ','t'),(18,' ','a'),(19,' ','the'))),
+        |pre AS (
+        |  SELECT doc_id, generate_subscripts(pt, 1) AS tok_idx, unnest(pt) AS tok
+        |  FROM (SELECT doc_id, regexp_extract_all(rich,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +') AS pt
+        |  FROM rich)),
+        |npre AS (
+        |  SELECT doc_id, len(regexp_extract_all(rich,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+        |    AS n_pretokens
+        |  FROM rich),
+        |init AS (
+        |  SELECT doc_id, tok_idx,
+        |    chr(31) || array_to_string(regexp_extract_all(tok, '(?s).'), chr(31))
+        |      || chr(31) AS s
+        |  FROM pre),
+        |enc AS (
+        |  SELECT doc_id, tok_idx, s, 0 AS it FROM init
+        |  UNION ALL
+        |  SELECT e.doc_id, e.tok_idx,
+        |    replace(e.s, chr(31) || m.a || chr(31) || m.b || chr(31),
+        |                 chr(31) || m.a || m.b || chr(31)) AS s,
+        |    e.it + 1
+        |  FROM enc e
+        |  JOIN LATERAL (
+        |    SELECT a, b FROM merges
+        |    WHERE contains(e.s, chr(31) || a || chr(31) || b || chr(31))
+        |    ORDER BY rank LIMIT 1) m ON TRUE),
+        |fin AS (
+        |  SELECT doc_id, tok_idx, arg_max(s, it) AS s
+        |  FROM enc GROUP BY doc_id, tok_idx),
+        |agg AS (
+        |  SELECT doc_id,
+        |    flatten(list(string_split(trim(s, chr(31)), chr(31)) ORDER BY tok_idx))
+        |      AS syms
+        |  FROM fin GROUP BY doc_id)
+        |SELECT r.doc_id, n.n_pretokens,
+        |  COALESCE(len(a.syms), 0) AS n_tokens,
+        |  COALESCE(array_to_string(a.syms[1:12], '|'), '') AS encoded_head
+        |FROM rich r JOIN npre n USING (doc_id) LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "q_embed_neardup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 10000, embedding

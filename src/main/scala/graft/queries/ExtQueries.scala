@@ -234,6 +234,20 @@ object ExtQueries {
     TextOps.bpeTokenStats(rich, "doc_id", "rich")
   }
 
+  /** Real BPE on top of the pretokenizer: the ranked-merge-table
+    * encoder (BpeEncode native expression, fixed public vocab) over
+    * the same enriched text as q_bpe_tokens. The oracle re-derives
+    * the encoding with a recursive CTE applying one anchored
+    * single-pair replace per step — a completely different mechanism
+    * that converges to the same encoding because the merge table is
+    * closed (see BpeEncode scaladoc). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val rich = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" doc-"), col("doc_id").cast("string"),
+        lit(" it's v1.2, n="), col("n_chars").cast("string"), lit("!")).as("rich"))
+    TextOps.bpeMergeStats(rich, "doc_id", "rich")
+  }
+
   /** Sign-bucket LSH near-dup over embeddings ∪ exact vector copies:
     * 8 hyperplanes → 256 buckets; pairs form within buckets only. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -331,6 +345,7 @@ object ExtQueries {
     "q_ann_multiprobe"    -> (annTopKMultiProbe _),
     "q_ivf_topk"          -> (ivfTopK _),
     "q_bpe_tokens"        -> (bpeTokens _),
+    "q_bpe_merges"        -> (bpeMerges _),
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_tfidf"             -> (tfidfTop _),
     "q_stratified_sample" -> (stratifiedSample _),
