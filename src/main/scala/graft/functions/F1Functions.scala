@@ -93,8 +93,13 @@ object F1Functions {
     when(lapNumber.between(lapStart, lapEnd),
       lapNumber - lapStart + tyreAgeAtStart)
 
-  /** F1 — drop pit-out laps. Ref: /root/reference/src/data_processing.py:281. */
-  def notPitOut(isPitOut: Column): Column = !coalesce(isPitOut, lit(false))
+  /** F1 — drop pit-out laps (NULL counts as not-pit-out). Spelled as
+    * a disjunction, not `!coalesce(x, false)`: IS NULL OR = false
+    * translates to a parquet source filter and pushes to the scan,
+    * while the coalesce form is held above it and reads every row
+    * (caught by PlanLintSpec). Ref: /root/reference/src/data_processing.py:281. */
+  def notPitOut(isPitOut: Column): Column =
+    isPitOut.isNull || isPitOut === lit(false)
 
   /** F5 — inclusive time-range mask; pushes to parquet row-group
     * stats. Ref: /root/reference/src/session_object.py:93-95. */
