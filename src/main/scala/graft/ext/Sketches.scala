@@ -38,6 +38,11 @@ object Sketches {
 
     override def zero: Seq[Long] = Vector.empty
 
+    // Sub-k-th inserts pay O(k) (linear contains + re-sort). Fine at
+    // k=64: after warm-up the O(1) reject branch handles virtually
+    // every row, and sub-k-th hashes arrive ~k·ln(n)/n rarely. For
+    // k in the thousands, switch the buffer to a TreeSet-backed
+    // bounded heap; the merge ≡ whole-input contract is unchanged.
     override def reduce(b: Seq[Long], h: Long): Seq[Long] =
       if (b.length == k && h >= b.last) b // common case after warm-up: O(1)
       else if (b.contains(h)) b
