@@ -14,6 +14,10 @@ run / fork := true
 // Forked `run` inherits stdout directly: the bench/verify mains print
 // machine-parsed JSON lines that must not get sbt's "[info] " prefix.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time: ..." trailer after runMain: the bench
+// driver parses its JSON line from the final 2000 chars of stdout,
+// and the trailer eats ~75 chars of that window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,16 +55,30 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full precision goes to the file; stdout gets a 2-decimal line.
+    // The driver keeps only the LAST 2000 chars of stdout and parses
+    // the {"metric":...} line out of that window — at full precision
+    // 79 queries is ~2300 chars, so the line's head fell outside the
+    // window and rounds 1/3/4 recorded "parsed": null. Two decimals
+    // keeps the line ~1700 chars with headroom for more queries.
+    Files.writeString(Paths.get("bench_out.json"), line(_.toString) + "\n")
+    val out = line { v =>
+      // 2 decimals, trailing zeros stripped ("0.10"→"0.1", "2.00"→"2")
+      // — still valid JSON, ~60 fewer chars across 80 queries.
+      val s = java.lang.String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     // print the artifact line AFTER the session is down: nothing else
     // can interleave with stdout then (r03's driver artifact had a
     // truncated tail from in-flight logging).
     spark.stop()
-    println(json)
+    println(out)
     System.out.flush()
   }
 }
