@@ -188,4 +188,29 @@ object AsOfJoin {
     val dupDropped = by.foldLeft(left.join(r, cond, "left")) { (df, k) => df.drop(r(k)) }
     dupDropped
   }
+
+  /** J2 without broadcast — the interval-join shape that survives an
+    * interval table too large for `broadcast()`: quantize the value
+    * domain into `binWidth`-wide bins, replicate each `[lo, hi]`
+    * interval into every bin it overlaps (`sequence` + `explode`), and
+    * equi-join on the bin key before re-checking exact containment.
+    * Both sides shuffle-partition on `__bin`, so the physical plan is a
+    * plain hash join — never the nested-loop a bare BETWEEN forces when
+    * neither side broadcasts. Inner-join semantics (unmatched left rows
+    * drop). Replication per interval = ceil(width / binWidth) + 1:
+    * choose binWidth near the median interval width.
+    * Ref: /root/reference/src/data_processing.py:144-183 (lap↔stint
+    * containment), re-shaped for the 100 TB case. */
+  def binnedIntervalJoin(left: DataFrame, right: DataFrame, valueCol: String,
+                         loCol: String, hiCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = right.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    left.withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .where(col(valueCol).between(col(loCol), col(hiCol)))
+      .drop("__bin")
+  }
 }

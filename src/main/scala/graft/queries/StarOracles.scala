@@ -368,5 +368,60 @@ object StarOracles {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q_batch_sessions" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_interval_binned" ->
+      """SELECT band, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN (VALUES ('small', 1.0, 10.0), ('mid', 11.0, 25.0),
+        |             ('large', 26.0, 50.0)) AS b(band, lo, hi)
+        |  ON l.l_quantity BETWEEN b.lo AND b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS g_rf,
+        |  CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())""".stripMargin,
+
+    "q_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(q.qty_dec AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) q
+        |  ON o_orderkey = q.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
   )
 }

@@ -648,6 +648,108 @@ object StarQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  // §2.11 — batch sessionization (gaps-and-islands): the offline twin
+  // of the streaming sessionizers. A 6-hour inactivity gap starts a new
+  // session; both the lag and the running session counter ride ONE
+  // window partitioned by user_id (no global sort), so the shape is a
+  // single hash-partition exchange + per-user sort — scale-safe at any
+  // user count. Gap compare runs in integer micros on both engines
+  // (double seconds would round differently at ns-origin timestamps).
+  def batchSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 6L * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .drop("sid")
+  }
+
+  // §2.4 J2 at scale — binned interval join: when the interval table is
+  // too big to broadcast, quantize the domain into fixed-width bins,
+  // replicate each interval into every bin it covers, and equi-join on
+  // the bin key (then re-check containment exactly). Both sides
+  // co-partition on the bin — a plain shuffled hash join instead of the
+  // broadcast-nested-loop a raw BETWEEN degenerates into. Replication
+  // factor is bounded by interval_width / bin_width.
+  def intervalBinned(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("small", 1.0, 10.0), ("mid", 11.0, 25.0), ("large", 26.0, 50.0)))
+      .toDF("band", "lo", "hi")
+    val li = Tables.lineitem(spark, dir)
+    AsOfJoin.binnedIntervalJoin(li, bands, valueCol = "l_quantity",
+        loCol = "lo", hiCol = "hi", binWidth = 10.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+      .orderBy("band")
+  }
+
+  // §2.6 — explicit GROUPING SETS beyond rollup/cube: an arbitrary
+  // lattice ((rf,ls),(ls),()) that neither rollup nor cube expresses.
+  // Same single-pass expand+hash-agg physical shape as rollup.
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"))
+
+  // §2.5/§2.4 — TPC-H Q3 shape (shipping priority): dim-filtered
+  // semi-join prunes orders FIRST (broadcast of the filtered customer
+  // keys), then one shuffle join to lineitem and a top-10 by revenue
+  // via TakeOrderedAndProject — no global sort materializes.
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // §2.5 — TPC-H Q18 shape (large-volume orders): HAVING on a grouped
+  // sum, then join the qualifying keys back to orders/customer. The
+  // qualifier output is tiny (46 keys at sf0.01) so the back-join
+  // broadcasts; the only big shuffle is the lineitem group-by, which
+  // partial-aggregates map-side.
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec)).as("qty_dec"))
+      .filter(col("qty_dec") > 300)
+      .select(col("l_orderkey"), col("qty_dec").cast("double").as("sum_qty"))
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -670,6 +772,11 @@ object StarQueries {
     "q_stream_static_join" -> (streamStaticJoinQuery _),
     "q_quantiles"          -> (quantilesByGroup _),
     "q_sql_surface"        -> (sqlSurface _),
+    "q_batch_sessions"     -> (batchSessions _),
+    "q_interval_binned"    -> (intervalBinned _),
+    "q_grouping_sets"      -> (groupingSetsAgg _),
+    "q_ship_priority"      -> (shipPriority _),
+    "q_big_orders"         -> (bigOrders _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
     "q_topk"               -> (topK _),

@@ -134,4 +134,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("id", "band").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(out === Map(1 -> "a", 2 -> "b", 3 -> null))
   }
+
+  test("binned interval join equals inner interval join across bin widths") {
+    // values on bin edges, intervals spanning several bins, a value in
+    // no interval (dropped: inner semantics), an interval narrower than
+    // a bin — all must agree with the broadcast BETWEEN join for any
+    // bin width.
+    val l = Seq((1, 5.0, 1), (1, 10.0, 2), (1, 15.0, 3), (1, 99.0, 4),
+      (1, 20.0, 5)).toDF("g", "x", "id")
+    val bands = Seq(("a", 1.0, 10.0), ("b", 11.0, 20.0), ("c", 14.0, 16.0))
+      .toDF("band", "lo", "hi")
+    val expected = AsOfJoin.intervalJoin(l, bands, Nil, "x", "lo", "hi")
+      .where(col("band").isNotNull)
+      .select("id", "band").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    for (w <- Seq(0.5, 3.0, 10.0, 100.0)) {
+      val got = AsOfJoin.binnedIntervalJoin(l, bands, "x", "lo", "hi", binWidth = w)
+        .select("id", "band").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got === expected, s"binWidth=$w")
+      assert(got === Set((1, "a"), (2, "a"), (3, "b"), (3, "c"), (5, "b")))
+    }
+  }
+
+  test("binned interval join emits no duplicate matches") {
+    // an interval replicated into 4 bins must still match a contained
+    // value exactly once (the value lives in exactly one bin).
+    val l = Seq((1, 12.0, 1)).toDF("g", "x", "id")
+    val bands = Seq(("wide", 0.0, 40.0)).toDF("band", "lo", "hi")
+    val out = AsOfJoin.binnedIntervalJoin(l, bands, "x", "lo", "hi", binWidth = 10.0)
+    assert(out.count() === 1)
+  }
 }
