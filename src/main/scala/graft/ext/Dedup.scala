@@ -254,6 +254,34 @@ object Dedup {
     jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Blocked edit-distance (Levenshtein) near-dup: candidate pairs come
+    * from an EXACT blocking key — (lang, first `prefixLen` chars) —
+    * then the quadratic-cost distance runs only inside blocks, on a
+    * `compareLen`-char prefix so per-pair cost is bounded at
+    * O(compareLen²) regardless of document length. Strong prefix
+    * blocking is what keeps this shape alive at 100 TB: blocks stay
+    * near-singleton for natural text (max 7 in the fixture corpus), and
+    * a hot block would be capped the same way boundBlocks caps the
+    * n-gram blocker. Recall trade-off is explicit: an edit inside the
+    * first `prefixLen` chars moves a doc to a different block — pair
+    * this with the MinHash/SimHash paths when prefix stability can't be
+    * assumed. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, prefixLen: Int = 8,
+                        compareLen: Int = 120, maxDist: Int = 25): DataFrame = {
+    val blk = concat_ws("|", col(langCol), substring(col(textCol), 1, prefixLen))
+    val d = docs.select(col(idCol), col(textCol), blk.as("blk"))
+    val a = d.select(col(idCol).as("doc_a"), col(textCol).as("text_a"), col("blk"))
+    val b = d.select(col(idCol).as("doc_b"), col(textCol).as("text_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        // long, matching DuckDB's BIGINT levenshtein for oracle parity
+        levenshtein(substring(col("text_a"), 1, compareLen),
+          substring(col("text_b"), 1, compareLen)).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** 16-bit SimHash over token unigrams: each token votes ±1 on the 16
     * bits of its md5-derived hash; the fingerprint sets bit b iff the
     * vote sum is positive. 16 bits keeps the oracle SQL tractable while

@@ -61,4 +61,49 @@ object Sketches {
 
   private val seqLong: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  /** Deterministic HyperLogLog (Flajolet et al. 2007) over a 60-bit
+    * engine-portable hash column (TextOps.hex15 domain): p=8 → m=256
+    * registers. bucket = h mod m; rho = 1 + trailing-zero count of the
+    * remaining 52 bits (isolated via `h & -h`, whose log2 is EXACT for
+    * powers of two — no libm divergence). The estimate is
+    * alpha_m·m²·2^53 / Σ 2^(53-rho_j), with the denominator summed as
+    * exact BIGINTs (a double Σ2^-rho is order-dependent past 53 bits of
+    * spread; the scaled-integer sum is associative, so the DuckDB
+    * oracle reproduces the estimate bit-for-bit). The ln()-based
+    * small-range (linear counting) correction is deliberately omitted:
+    * ln's last-ulp rounding differs between libm implementations, which
+    * would break exact parity — callers below ~0.7·m distinct should
+    * use the KMV sketch, which is exact in that regime.
+    *
+    * Scale shape: two map-side-combinable hash aggs — per-bucket MAX
+    * shuffles ≤ m rows per partition, the finish agg is one row. The
+    * exact distinct count (for accuracy visibility) rides the same
+    * per-bucket agg as a count-distinct-within-bucket, so the whole
+    * query is ONE scan + one m-row shuffle.
+    */
+  def hllDistinct(hashed: org.apache.spark.sql.DataFrame,
+                  hashCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = 8
+    val m = 1 << p
+    val cap = 61 - p // max rho: 52 trailing zeros + 1, plus the rem==0 sentinel
+    val hv = col(hashCol)
+    val rem = shiftright(hv, p)
+    val rho = when(rem === 0, lit(cap)).otherwise(
+      (log2(rem.bitwiseAND(negate(rem)).cast("double")) + lit(1)).cast("int"))
+    val regs = hashed
+      .select((hv % m).cast("int").as("bucket"), rho.as("rho"), hv.as("hv"))
+      .groupBy("bucket")
+      .agg(max("rho").as("r"), countDistinct(col("hv")).as("nd"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.agg(
+        (sum(call_function("shiftleft", lit(1L), lit(cap) - col("r"))) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << cap)).as("denom"),
+        sum(col("nd")).as("n_exact"))
+      .select(
+        (alpha * lit((m.toLong * m).toDouble) * lit((1L << cap).toDouble)
+          / col("denom").cast("double")).as("est_distinct"),
+        col("n_exact"))
+  }
 }

@@ -569,5 +569,34 @@ object ExtOracles {
         |    i -> i * CAST('0x' || substr(hex(encode(text)), i * 2 - 1, 2) AS BIGINT))), 0)
         |    % 1000003 AS BIGINT) AS checksum
         |FROM documents""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 300000, text || ' graft edit suffix', lang
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT doc_id, text,
+        |  lang || '|' || substr(text, 1, 8) AS blk FROM corpus)
+        |SELECT doc_a, doc_b, dist FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS dist
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id) p
+        |WHERE dist <= 25""".stripMargin,
+
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT CAST('0x' ||
+        |    substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |r AS (SELECT hv % 256 AS bucket, hv,
+        |    CASE WHEN hv // 256 = 0 THEN 53
+        |         ELSE CAST(log2(CAST((hv // 256) & -(hv // 256) AS DOUBLE)) AS INT) + 1
+        |    END AS rho
+        |  FROM h),
+        |mx AS (SELECT bucket, MAX(rho) AS r, COUNT(DISTINCT hv) AS nd
+        |  FROM r GROUP BY bucket)
+        |SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |    / CAST(CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT)
+        |           + (256 - COUNT(*)) * 9007199254740992 AS DOUBLE) AS est_distinct,
+        |  CAST(SUM(nd) AS BIGINT) AS n_exact
+        |FROM mx""".stripMargin,
   )
 }

@@ -319,6 +319,34 @@ object ExtQueries {
       .select(lit(k.toLong).as("k"), est.as("est_distinct"), col("n_exact"))
   }
 
+  /** documents ∪ suffixed copies of every 13th doc, lang preserved —
+    * the edit-distance corpus (suffix edits land inside the 120-char
+    * compare window only for short docs, so planted pairs surface at
+    * dist 0 or ≈ suffix length). */
+  private def editCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text", "lang")
+    d.unionByName(d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" graft edit suffix")).as("text"), col("lang")))
+  }
+
+  /** Blocked Levenshtein near-dup: exact (lang, prefix-8) blocking →
+    * per-block pairs → bounded-window edit distance. 45 pairs at
+    * sf0.01 (38 planted + natural near-dups); max block size 7. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(editCorpus(spark, dir), "doc_id", "text", "lang")
+
+  /** HyperLogLog distinct-count sketch of lineitem.l_partkey —
+    * register-merge sketching beside KMV's k-minimum-values: one scan,
+    * one 256-row shuffle, exact-parity estimator (Sketches.hllDistinct
+    * scaladoc). n_exact rides the same per-bucket agg. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinct(
+      Tables.lineitem(spark, dir)
+        .select(TextOps.hex15(concat(lit("hll|"), col("l_partkey").cast("string")))
+          .as("hv")),
+      "hv")
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -357,5 +385,7 @@ object ExtQueries {
     "q_multimodal_meta"   -> (multimodalMeta _),
     "q_kmv_distinct"      -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
     "q_line_dedup"        -> (lineDedup _),
+    "q_edit_distance"     -> (editDistance _),
+    "q_hll_distinct"      -> (hllDistinct _),
   )
 }

@@ -413,6 +413,14 @@ object StarOracles {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_big_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(q.qty_dec AS DOUBLE) AS sum_qty

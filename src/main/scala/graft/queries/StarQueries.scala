@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Ranking, Salting}
+import graft.operators.{AsOfJoin, BloomPrune, Ranking, Salting}
 import graft.functions.F1Functions
 
 /** The driver-checked query inventory: every SURVEY.md §2 operator
@@ -750,6 +750,23 @@ object StarQueries {
       .limit(20)
   }
 
+  // §2.4 at scale — bloom-pruned semi-join: filtered customer keys
+  // hashed into a broadcast bitmap that drops non-matching orders at
+  // the scan, then an exact semi-join clears false positives. Result
+  // is bit-identical to the plain semi-join (the oracle); only the
+  // shuffled volume changes. See BloomPrune scaladoc for the 100 TB
+  // posture.
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val buildingCust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    BloomPrune.prunedSemiJoin(Tables.orders(spark, dir), buildingCust,
+        factKey = "o_custkey", dimKey = "c_custkey", numBits = 1 << 14)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -777,6 +794,7 @@ object StarQueries {
     "q_grouping_sets"      -> (groupingSetsAgg _),
     "q_ship_priority"      -> (shipPriority _),
     "q_big_orders"         -> (bigOrders _),
+    "q_bloom_join"         -> (bloomJoin _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
     "q_topk"               -> (topK _),

@@ -468,4 +468,40 @@ class ExtSpec extends AnyFunSuite {
     val sampled = Multimodal.frameSample(payload, 16)
     assert(sampled.toSeq === Seq(0, 16, 32, 48, 64, 80, 96).map(_.toByte))
   }
+
+  test("edit-distance pairs: identical prefix blocks pair, distance is exact") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "the quick brown fox jumped", "en"),   // same blk, dist 2 (s -> ed)
+      (3L, "the quick brown cat sits", "en"),     // same blk, moderate dist
+      (4L, "the quick brown fox jumps", "de"),    // same prefix, other lang
+      (5L, "a totally different text here", "en") // other block
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(d, "doc_id", "text", "lang",
+        prefixLen = 8, compareLen = 120, maxDist = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) === 2L)
+    // blocking is exact: cross-lang and cross-prefix docs never pair
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L || b == 5L })
+  }
+
+  test("hll distinct: estimate within 5% at 2k distinct, n_exact is exact") {
+    val hv = (1 to 2000)
+      .map(i => s"val$i").toDF("s")
+      .select(TextOps.hex15(col("s")).as("hv"))
+    val row = Sketches.hllDistinct(hv, "hv").collect().head
+    val est = row.getDouble(0)
+    assert(row.getLong(1) === 2000L)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.05, s"estimate $est")
+  }
+
+  test("hll distinct: duplicated input leaves registers (and estimate) unchanged") {
+    val base = (1 to 500).map(i => s"v$i").toDF("s")
+      .select(TextOps.hex15(col("s")).as("hv"))
+    val est1 = Sketches.hllDistinct(base, "hv").collect().head.getDouble(0)
+    val est3 = Sketches.hllDistinct(base.union(base).union(base), "hv")
+      .collect().head.getDouble(0)
+    assert(est1 === est3)
+  }
 }
