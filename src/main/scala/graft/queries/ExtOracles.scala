@@ -582,6 +582,27 @@ object ExtOracles {
         |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id) p
         |WHERE dist <= 25""".stripMargin,
 
+    "q_cms_frequency" ->
+      """WITH i AS (SELECT unnest(range(4)) AS row),
+        |sk AS (SELECT row,
+        |    CAST('0x' || substr(md5('cms' || row || '|'
+        |      || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events, i GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0),
+        |pb AS (SELECT p.user_id, i.row,
+        |    CAST('0x' || substr(md5('cms' || i.row || '|'
+        |      || CAST(p.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket
+        |  FROM p, i),
+        |est AS (SELECT pb.user_id, MIN(COALESCE(sk.cnt, 0)) AS est_count
+        |  FROM pb LEFT JOIN sk ON sk.row = pb.row AND sk.bucket = pb.bucket
+        |  GROUP BY pb.user_id),
+        |ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+        |  WHERE user_id % 29 = 0 GROUP BY user_id)
+        |SELECT est.user_id, est.est_count, ex.n_exact
+        |FROM est JOIN ex ON est.user_id = ex.user_id
+        |ORDER BY est.user_id""".stripMargin,
+
     "q_hll_distinct" ->
       """WITH h AS (SELECT CAST('0x' ||
         |    substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv

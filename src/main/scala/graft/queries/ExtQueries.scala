@@ -347,6 +347,22 @@ object ExtQueries {
           .as("hv")),
       "hv")
 
+  /** Count-Min frequency estimates for a deterministic probe set of
+    * event users, beside their exact counts (est >= exact always; 150
+    * keys into 256 buckets makes collisions — and the one-sided error
+    * they cause — actually visible). Build is one agg to ≤1024 counter
+    * rows; probes join the broadcast sketch. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val probeSet = ev.filter(col("user_id") % 29 === 0)
+    Sketches.countMinEstimate(
+        Sketches.countMinBuild(ev, "user_id"),
+        probeSet.distinct(), "user_id")
+      .join(probeSet.groupBy("user_id").agg(count(lit(1)).as("n_exact")),
+        Seq("user_id"))
+      .orderBy("user_id")
+  }
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -387,5 +403,6 @@ object ExtQueries {
     "q_line_dedup"        -> (lineDedup _),
     "q_edit_distance"     -> (editDistance _),
     "q_hll_distinct"      -> (hllDistinct _),
+    "q_cms_frequency"     -> (cmsFrequency _),
   )
 }

@@ -496,6 +496,19 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.05, s"estimate $est")
   }
 
+  test("count-min: exact on a collision-free probe set, never an undercount") {
+    val df = (1 to 10).flatMap(k => Seq.fill(k)(s"key$k")).toDF("k")
+    val sketch = Sketches.countMinBuild(df, "k")
+    assert(sketch.count() <= 4L * 256L)
+    val probes = (1 to 10).map(k => s"key$k").toDF("k")
+    val est = Sketches.countMinEstimate(sketch, probes, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d=4 independent rows: an overcount needs a collision in EVERY
+    // row; with 10 keys × 256 buckets the fixed md5 layout has none,
+    // so estimates are exact here — and can never be below truth.
+    (1 to 10).foreach(k => assert(est(s"key$k") === k.toLong))
+  }
+
   test("hll distinct: duplicated input leaves registers (and estimate) unchanged") {
     val base = (1 to 500).map(i => s"v$i").toDF("s")
       .select(TextOps.hex15(col("s")).as("hv"))
