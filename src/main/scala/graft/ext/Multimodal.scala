@@ -82,6 +82,25 @@ object Multimodal {
     }
   }
 
+  /** Relational twin of `frameSample`: every k-th byte of the payload
+    * recovered positionally from its hex encoding (constant-offset
+    * slices on an ASCII string — only n/k of them per row, unlike the
+    * full byte-split in featureColumns), reduced to a frame count and
+    * a deterministic checksum. This is the oracle-checkable face of
+    * the mapPartitions frame-sampling path (q_multimodal_frames); the
+    * typed `extractFeatures` carries the actual sampled bytes. */
+  def frameColumns(df: DataFrame, idCol: String, payloadCol: String,
+                   k: Int = 16): DataFrame = {
+    val n = octet_length(col(payloadCol))
+    val hx = hex(col(payloadCol))
+    val sampled = transform(sequence(lit(1), n, lit(k)),
+      i => conv(substr(hx, i * 2 - 1, lit(2)), 16, 10).cast("long"))
+    df.select(col(idCol),
+      when(n > 0, size(sampled)).otherwise(0).cast("long").as("n_frames"),
+      when(n > 0, aggregate(sampled, lit(0L), (acc, x) => acc + x) % 1000003L)
+        .otherwise(0L).as("frame_checksum"))
+  }
+
   /** Column-only variant of the stub feature extraction — the same
     * semantics expressed relationally (codegen'd, oracle-checkable):
     * used by q_multimodal_meta so the contract is pinned by DuckDB.

@@ -582,6 +582,19 @@ object ExtOracles {
         |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id) p
         |WHERE dist <= 25""".stripMargin,
 
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CASE WHEN octet_length(encode(text)) > 0
+        |       THEN len(range(1, octet_length(encode(text)) + 1, 16))
+        |       ELSE 0 END AS n_frames,
+        |  CASE WHEN octet_length(encode(text)) > 0
+        |       THEN CAST(COALESCE(list_sum(list_transform(
+        |              range(1, octet_length(encode(text)) + 1, 16),
+        |              i -> CAST('0x' || substr(hex(encode(text)), i * 2 - 1, 2)
+        |                   AS BIGINT))), 0) % 1000003 AS BIGINT)
+        |       ELSE 0 END AS frame_checksum
+        |FROM documents""".stripMargin,
+
     "q_cms_frequency" ->
       """WITH i AS (SELECT unnest(range(4)) AS row),
         |sk AS (SELECT row,

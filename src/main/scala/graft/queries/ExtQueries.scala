@@ -347,6 +347,15 @@ object ExtQueries {
           .as("hv")),
       "hv")
 
+  /** Frame-sampling metadata over the opaque payload column: every
+    * 16th byte, counted and checksummed (Multimodal.frameColumns
+    * scaladoc) — the oracle-checkable face of keyframe extraction. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameColumns(
+      docs(spark, dir).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload")),
+      "doc_id", "payload")
+
   /** Count-Min frequency estimates for a deterministic probe set of
     * event users, beside their exact counts (est >= exact always; 150
     * keys into 256 buckets makes collisions — and the one-sided error
@@ -404,5 +413,6 @@ object ExtQueries {
     "q_edit_distance"     -> (editDistance _),
     "q_hll_distinct"      -> (hllDistinct _),
     "q_cms_frequency"     -> (cmsFrequency _),
+    "q_multimodal_frames" -> (multimodalFrames _),
   )
 }

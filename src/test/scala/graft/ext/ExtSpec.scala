@@ -496,6 +496,21 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.05, s"estimate $est")
   }
 
+  test("frameColumns matches the typed frameSample path per row") {
+    val rows = Seq((1L, "hello world, a payload"), (2L, "x"), (3L, ""))
+    val df = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.frameColumns(df, "doc_id", "payload", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, s) =>
+      val sampled = Multimodal.frameSample(s.getBytes("UTF-8"), 4)
+      val checksum =
+        if (sampled.isEmpty) 0L
+        else sampled.map(b => (b & 0xff).toLong).sum % 1000003L
+      assert(got(id) === ((sampled.length.toLong, checksum)), s"doc $id")
+    }
+  }
+
   test("count-min: exact on a collision-free probe set, never an undercount") {
     val df = (1 to 10).flatMap(k => Seq.fill(k)(s"key$k")).toDF("k")
     val sketch = Sketches.countMinBuild(df, "k")
