@@ -56,24 +56,34 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    def line(fmt: Double => String): String = {
+    def line(fmt: Double => String, withSf: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val sf = if (withSf) s""","sf":"$sfDir"""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sf}"""
     }
-    // Full precision goes to the file; stdout gets a 2-decimal line.
+    def strip(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    def rounded(decimals: Int)(v: Double): String =
+      strip(java.lang.String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v)))
+    // sub-second queries keep 2 decimals; coarser variants shave the
+    // second decimal off multi-second values (ratio error <= 5%)
+    def adaptive(v: Double): String = rounded(if (v >= 1) 1 else 2)(v)
+    // Full precision goes to the file; stdout gets a compacted line.
     // The driver keeps only the LAST 2000 chars of stdout and parses
     // the {"metric":...} line out of that window — at full precision
     // 79 queries is ~2300 chars, so the line's head fell outside the
-    // window and rounds 1/3/4 recorded "parsed": null. Two decimals
-    // keeps the line ~1700 chars with headroom for more queries.
-    Files.writeString(Paths.get("bench_out.json"), line(_.toString) + "\n")
-    val out = line { v =>
-      // 2 decimals, trailing zeros stripped ("0.10"→"0.1", "2.00"→"2")
-      // — still valid JSON, ~60 fewer chars across 80 queries.
-      val s = java.lang.String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    }
+    // window and rounds 1/3/4 recorded "parsed": null. Compaction
+    // steps (trailing-zero-stripped 2-decimals → 1-decimal for >=1 s
+    // values → drop the informational sf field) apply only until the
+    // line fits 1950 chars, leaving real window headroom.
+    Files.writeString(Paths.get("bench_out.json"), line(_.toString, withSf = true) + "\n")
+    val out = Seq(
+      line(rounded(2), withSf = true),
+      line(adaptive, withSf = true),
+      line(adaptive, withSf = false))
+      .find(_.length <= 1950)
+      .getOrElse(line(rounded(1), withSf = false))
     // print the artifact line AFTER the session is down: nothing else
     // can interleave with stdout then (r03's driver artifact had a
     // truncated tail from in-flight logging).

@@ -369,6 +369,9 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events""".stripMargin,
+
     "q_batch_sessions" ->
       """WITH o AS (SELECT user_id, ts, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -595,6 +595,22 @@ object StarQueries {
       "q_custom_sessions", "append")(src =>
       graft.streaming.StreamingOps.customSessions(src()).toDF())
 
+  // §2.11 — STREAMING DEDUP through the correctness gate: the staged
+  // batch doubles every 10th event; dropDuplicatesWithinWatermark must
+  // emit each event_id exactly once, so the completed stream equals
+  // the base table — checked by DuckDB, not a unit test. State is
+  // bounded by the watermark (duplicate ids arrive at the same event
+  // time, so entries evict as the watermark passes them).
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type")
+    runStagedStream(spark,
+      ev.unionByName(ev.filter(col("event_id") % 10 === 0)),
+      "q_stream_dedup", "append")(src =>
+      graft.streaming.StreamingOps.dedupWithinWatermark(src())
+        .select("event_id", "user_id", "event_type"))
+  }
+
   // §2.11 — STREAM-STREAM JOIN through the correctness gate: two
   // file-source streams over the same staged events (views and
   // purchases), watermarked on both sides, joined on user within
@@ -787,6 +803,7 @@ object StarQueries {
     "q_custom_sessions"    -> (customSessionsQuery _),
     "q_stream_join"        -> (streamJoinQuery _),
     "q_stream_static_join" -> (streamStaticJoinQuery _),
+    "q_stream_dedup"       -> (streamDedupQuery _),
     "q_quantiles"          -> (quantilesByGroup _),
     "q_sql_surface"        -> (sqlSurface _),
     "q_batch_sessions"     -> (batchSessions _),
