@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100 TB posture (SURVEY.md §4.2):
   * partition fact tables by coarse keys (session/date) for partition
@@ -25,5 +26,52 @@ object Layout {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.format("parquet").saveAsTable(table)
+  }
+
+  /** Morton (Z-order) interleave of two pre-quantized non-negative
+    * columns: x occupies even bits, y odd bits — so y's top bit is the
+    * most significant. Pure builtin bit math, codegen-friendly. */
+  def zorderValue2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(call_function("shiftleft",
+          shiftright(x, i).bitwiseAND(lit(1L)), lit(2 * i)))
+        .bitwiseOR(call_function("shiftleft",
+          shiftright(y, i).bitwiseAND(lit(1L)), lit(2 * i + 1)))
+    }
+  }
+
+  /** Z-order-clustered parquet write: quantize both columns to `bits`
+    * over their observed [min, max] (one bounded 4-value agg collect —
+    * the same control-plane stats pass a table OPTIMIZE does),
+    * interleave into a Morton value, range-partition into `numFiles`
+    * and sort within each. Every output file then covers a narrow
+    * rectangle in (xCol, yCol) space, so min/max file- and row-group
+    * stats prune scans filtered on EITHER column — the layout that
+    * keeps multi-dimension point/range lookups off a 100 TB full scan
+    * when directory partitioning can only serve one key. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int = 16, numFiles: Int = 8): Unit = {
+    val Array(stats) = df.agg(
+      min(col(xCol)).cast("double").as("xmin"),
+      max(col(xCol)).cast("double").as("xmax"),
+      min(col(yCol)).cast("double").as("ymin"),
+      max(col(yCol)).cast("double").as("ymax")).collect()
+    val (xmin, xmax) = (stats.getDouble(0), stats.getDouble(1))
+    val (ymin, ymax) = (stats.getDouble(2), stats.getDouble(3))
+    val scale = (1L << bits) - 1
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(scale), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scale.toDouble))
+          .cast("long")))
+    val z = zorderValue2(
+      quant(col(xCol), xmin, xmax), quant(col(yCol), ymin, ymax), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }

@@ -41,6 +41,47 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order write clusters BOTH dimensions into narrow per-file ranges") {
+    // 64k rows over a 256×256 key grid, written as 16 z-range files:
+    // the top 4 z bits are y7,x7,y6,x6, so files split y into 4 bands
+    // and x into 4 bands — every file must cover a small rectangle,
+    // not a full-width stripe (what a plain sort on one key produces).
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val df = (0 until 65536).map(i => (i % 256L, i / 256L)).toDF("x", "y")
+    Layout.writeZOrdered(df, dir, "x", "y", bits = 8, numFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("xspan"), (max("y") - min("y")).as("yspan"))
+      .collect()
+    assert(spans.length === 16)
+    info("spans: " + spans.map(r => (r.getLong(1), r.getLong(2))).mkString(", "))
+    // range boundaries come from sampling, so a file straddling a
+    // high-bit flip of the Morton curve can span wide in one
+    // dimension; the LAYOUT claim is statistical: most files are
+    // narrow rectangles, where a plain one-column sort pins every
+    // file's other dimension at full width (255).
+    def narrow(v: Seq[Long]) = v.count(_ <= 128)
+    assert(narrow(spans.map(_.getLong(1))) >= 12,
+      s"too few x-narrow files: ${spans.map(_.getLong(1)).mkString(",")}")
+    assert(narrow(spans.map(_.getLong(2))) >= 12,
+      s"too few y-narrow files: ${spans.map(_.getLong(2)).mkString(",")}")
+    // round trip loses nothing and the z column does not leak
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSeq.sorted === Seq("x", "y"))
+    assert(back.count() === 65536L)
+  }
+
+  test("zorderValue2 interleaves bits with y in the high positions") {
+    val out = Seq((3L, 0L), (0L, 3L), (2L, 1L), (255L, 255L))
+      .toDF("x", "y")
+      .select(Layout.zorderValue2(col("x"), col("y"), bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(out(0) === 5L)     // x=0b11  -> bits 0,2
+    assert(out(1) === 10L)    // y=0b11  -> bits 1,3
+    assert(out(2) === 6L)     // x=0b10 -> bit 2; y=0b1 -> bit 1
+    assert(out(3) === 65535L) // all 16 low bits set
+  }
+
   test("partitioned write prunes directories for equality predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = (1 to 100).map(i => (i % 4, i.toLong)).toDF("part", "id")
