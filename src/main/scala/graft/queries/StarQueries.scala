@@ -627,6 +627,21 @@ object StarQueries {
         .viewPurchaseJoin(side("view"), side("purchase"))
     }
 
+  // §2.11 — LEFT OUTER stream-stream join through the gate: null-
+  // padded rows for unmatched views emit on watermark-driven state
+  // eviction; the oracle re-derives BOTH the join and the eviction
+  // horizon (views the final watermark never passed stay unemitted).
+  def streamLeftJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    runStagedStream(spark,
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type"),
+      "q_stream_left_join", "append") { src =>
+      def side(t: String) =
+        src().filter(col("event_type") === t).drop("event_type")
+      graft.streaming.StreamingOps
+        .viewPurchaseLeftJoin(side("view"), side("purchase"))
+    }
+
   // §2.11 — STREAM-STATIC join through the gate: the streaming side
   // (events) joins a static in-memory dimension per micro-batch — no
   // state stores at all (the static side is just broadcast into each
@@ -804,6 +819,7 @@ object StarQueries {
     "q_stream_join"        -> (streamJoinQuery _),
     "q_stream_static_join" -> (streamStaticJoinQuery _),
     "q_stream_dedup"       -> (streamDedupQuery _),
+    "q_stream_left_join"   -> (streamLeftJoinQuery _),
     "q_quantiles"          -> (quantilesByGroup _),
     "q_sql_surface"        -> (sqlSurface _),
     "q_batch_sessions"     -> (batchSessions _),

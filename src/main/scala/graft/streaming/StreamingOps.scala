@@ -95,6 +95,31 @@ object StreamingOps {
         col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: inner matches emit as they
+    * arrive; an unmatched view emits null-padded only once the joint
+    * watermark passes its state-eviction bound (view_ts + 1 h), so
+    * views still inside that horizon when the stream drains never
+    * emit their null row. That horizon is part of the operator's
+    * contract — the DuckDB oracle encodes it explicitly (final
+    * watermark = least(max view ts, max purchase ts) - delay), which
+    * checks both the join semantics and the eviction boundary. Relies
+    * on no-data micro-batches (on by default) to fire the final
+    * eviction pass after the last data batch. */
+  def viewPurchaseLeftJoin(views: DataFrame, purchases: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark).alias("v")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    v.join(p,
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("v.event_id").as("view_id"),
+        col("p.event_id").as("purchase_id"),
+        col("v.user_id").as("user_id"),
+        col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"))
+  }
+
   /** §2.12/§2.11 — CUSTOM state machine via flatMapGroupsWithState:
     * per-user sessionization with an explicit open-session list and an
     * event-time timeout, the shape session_window cannot express once
