@@ -296,6 +296,37 @@ object Dedup {
 
   /** Reference composition path (explode × bits → two aggregations),
     * kept to pin the native expression bit-for-bit in DedupSpec. */
+  /** SimHash near-dup PAIRS: band the 16-bit fingerprint into 2 bytes
+    * — two docs within hamming distance 1 differ in at most 1 bit, so
+    * one byte is untouched (pigeonhole) and the banded candidate join
+    * has FULL recall at the threshold; pairing work stays bucket-local,
+    * never all-pairs (the same scale shape as the MinHash bands). Exact
+    * hamming on candidates via bit_count(xor). A 16-bit fingerprint is
+    * coarse — at hamming 3 it pairs a third of a random corpus, which
+    * is why the threshold defaults TIGHT; widening the fingerprint
+    * (SimHash16 → 64 bits, 4 bands) is the constant-factor change that
+    * buys looser thresholds at scale. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1, "2 byte bands guarantee recall only to hamming 1")
+    val fp = simhash(docs, idCol, textCol)
+    val bands = fp.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 2).map { k =>
+        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))
+      }: _*)).as(Seq("band", "nib")))
+    val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("sa"),
+      col("band"), col("nib"))
+    val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("sb"),
+      col("band"), col("nib"))
+    a.join(b, Seq("band", "nib"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+
   def simhashComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokRows = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))

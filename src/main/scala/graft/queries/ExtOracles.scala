@@ -570,6 +570,30 @@ object ExtOracles {
         |    % 1000003 AS BIGINT) AS checksum
         |FROM documents""".stripMargin,
 
+    "q_simhash_pairs" ->
+      s"""WITH $nearCorpus,
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM corpus),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h
+         |  FROM toks),
+         |votes AS (SELECT doc_id, bb.b, SUM(((h >> bb.b) & 1) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |fp AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, kk.k AS band,
+         |    (simhash >> (kk.k * 8)) & 255 AS nib
+         |  FROM fp CROSS JOIN (SELECT unnest(range(2)) AS k) kk),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
+
     "q_edit_distance" ->
       """WITH corpus AS (SELECT doc_id, text, lang FROM documents
         |  UNION ALL SELECT doc_id + 300000, text || ' graft edit suffix', lang

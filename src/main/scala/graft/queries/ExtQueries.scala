@@ -141,6 +141,11 @@ object ExtQueries {
   def simhashFp(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
 
+  /** SimHash banded near-dup pairs over the near-dup corpus: nibble
+    * bands give full recall to hamming 3 (Dedup.simhashPairs). */
+  def simhashPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(nearCorpus(spark, dir), "doc_id", "text")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenStats(docs(spark, dir), "doc_id", "text")
 
@@ -385,6 +390,7 @@ object ExtQueries {
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "q_simhash"           -> (simhashFp _),
+    "q_simhash_pairs"     -> (simhashPairsQ _),
     "q_token_stats"       -> (tokenStats _),
     "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),

@@ -294,6 +294,24 @@ object StarOracles {
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ts_right, r.cp_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    "q_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type IN ('view','click','error')),
+        |r AS (SELECT user_id, ts, value AS cp_value FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT l.event_id, l.user_id, l.ts, l.value,
+        |        r.ts AS rts, r.cp_value AS rcp
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN rts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(rts) <= 1800000000
+        |       THEN rts END AS ts_right,
+        |  CASE WHEN rts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(rts) <= 1800000000
+        |       THEN rcp END AS cp_value
+        |FROM j""".stripMargin,
+
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'signup'),

@@ -461,6 +461,18 @@ object StarQueries {
       tiebreak = Some("cp_value"))
   }
 
+  // J3 + pandas `tolerance` through the gate: backward as-of, but a
+  // match farther than 30 min (integer micros on both engines) null-
+  // pads instead — the spec-only knob, now oracle-checked.
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "error"))
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.asof(l, purchases(spark, dir), "ts", "ts", Seq("user_id"),
+      "backward", tiebreak = Some("cp_value"),
+      tolerance = Some(30L * 60 * 1000000))
+  }
+
   def asofNearest(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.events(spark, dir)
       .filter(col("event_type") === "signup")
@@ -859,6 +871,7 @@ object StarQueries {
     "q_running_total"      -> (runningTotal _),
     "q_lag_delta"          -> (lagDelta _),
     "q_asof_backward"      -> (asofBackward _),
+    "q_asof_tolerance"     -> (asofTolerance _),
     "q_asof_nearest"       -> (asofNearest _),
     "q_asof_forward"       -> (asofForward _),
   )

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.queries.ExtQueries
+import graft.sources.Tables
 
 /** LLM-pipeline operator semantics: dedup recall/precision on the
   * derived corpora, position sensitivity of fingerprints, SimHash
@@ -467,6 +468,20 @@ class ExtSpec extends AnyFunSuite {
     val payload = (0 until 100).map(_.toByte).toArray
     val sampled = Multimodal.frameSample(payload, 16)
     assert(sampled.toSeq === Seq(0, 16, 32, 48, 64, 80, 96).map(_.toByte))
+  }
+
+  test("simhash pairs: byte bands recall exactly the hamming<=1 pairs (brute check)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = (for {
+      (ida, sa) <- fps; (idb, sb) <- fps if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 1
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute) // pigeonhole: full recall, and nothing extra
   }
 
   test("edit-distance pairs: identical prefix blocks pair, distance is exact") {
