@@ -36,7 +36,12 @@ object ScaleBench {
     "q_ngram_jaccard", "q_line_dedup", "q_simhash", "q_training_prep",
     "q_cosine_topk", "q_ann_topk", "q_ann_multiprobe", "q_ivf_topk",
     "q_embed_neardup", "q_tfidf", "q_bpe_merges",
-    "q_stream_tumbling", "q_custom_sessions")
+    // round-5 additions over the scaling tables: blocked/banded pair
+    // generators (the shapes whose worst case is quadratic), the CMS
+    // build, frame sampling, and the batch sessionizer's keyed window
+    "q_edit_distance", "q_simhash_pairs", "q_cms_frequency",
+    "q_multimodal_frames", "q_batch_sessions",
+    "q_stream_tumbling", "q_custom_sessions", "q_stream_dedup")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
                   factor: Int): Unit = {
