@@ -268,9 +268,19 @@ object Dedup {
     * assumed. */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, prefixLen: Int = 8,
-                        compareLen: Int = 120, maxDist: Int = 25): DataFrame = {
+                        compareLen: Int = 120, maxDist: Int = 25,
+                        maxBlockSize: Int = 64): DataFrame = {
     val blk = concat_ws("|", col(langCol), substring(col(textCol), 1, prefixLen))
-    val d = docs.select(col(idCol), col(textCol), blk.as("blk"))
+    // hot-block cap, same policy as the n-gram blocker: a dominant
+    // (lang, prefix) key — boilerplate headers, templated docs — turns
+    // the block self-join quadratic; oversize blocks drop from pairing
+    // (audit via oversizeBlocks on the same key) and need a finer
+    // blocking key, not a bigger cap. 10x-scale evidence: uncapped,
+    // the ScaleBench near-dup corpus turns every block into a
+    // 10-clique and pair count grows ~100x.
+    val d = boundBlocks(
+      docs.select(col(idCol), col(textCol), blk.as("blk")),
+      Seq("blk"), maxBlockSize)
     val a = d.select(col(idCol).as("doc_a"), col(textCol).as("text_a"), col("blk"))
     val b = d.select(col(idCol).as("doc_b"), col(textCol).as("text_b"), col("blk"))
     a.join(b, Seq("blk"))

@@ -364,6 +364,21 @@ object StarOracles {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR, wm
         |WHERE p.event_id IS NOT NULL OR v.ts + INTERVAL 1 HOUR < wm.w""".stripMargin,
 
+    "q_stream_full_join" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+        |         - INTERVAL 10 MINUTE AS w)
+        |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  COALESCE(v.user_id, p.user_id) AS user_id,
+        |  v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM v
+        |FULL JOIN p ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR, wm
+        |WHERE (v.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+        |   OR (p.event_id IS NULL AND v.ts + INTERVAL 1 HOUR < wm.w)
+        |   OR (v.event_id IS NULL AND p.ts < wm.w)""".stripMargin,
+
     "q_stream_static_join" ->
       """SELECT date_trunc('hour', ts) AS ws, e.event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value * CAST(weight AS DOUBLE) AS DECIMAL(18,4)))

@@ -654,6 +654,21 @@ object StarQueries {
         .viewPurchaseLeftJoin(side("view"), side("purchase"))
     }
 
+  // §2.11 — FULL OUTER stream-stream join through the gate: both
+  // sides' unmatched rows emit on their own watermark-driven eviction
+  // horizons (view_ts + 1 h for views, purchase_ts for purchases),
+  // both re-derived by the oracle.
+  def streamFullJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    runStagedStream(spark,
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type"),
+      "q_stream_full_join", "append") { src =>
+      def side(t: String) =
+        src().filter(col("event_type") === t).drop("event_type")
+      graft.streaming.StreamingOps
+        .viewPurchaseFullJoin(side("view"), side("purchase"))
+    }
+
   // §2.11 — STREAM-STATIC join through the gate: the streaming side
   // (events) joins a static in-memory dimension per micro-batch — no
   // state stores at all (the static side is just broadcast into each
@@ -832,6 +847,7 @@ object StarQueries {
     "q_stream_static_join" -> (streamStaticJoinQuery _),
     "q_stream_dedup"       -> (streamDedupQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
+    "q_stream_full_join"   -> (streamFullJoinQuery _),
     "q_quantiles"          -> (quantilesByGroup _),
     "q_sql_surface"        -> (sqlSurface _),
     "q_batch_sessions"     -> (batchSessions _),

@@ -120,6 +120,29 @@ object StreamingOps {
         col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"))
   }
 
+  /** Stream-stream FULL OUTER join: inner matches emit on arrival;
+    * each side's unmatched rows emit null-padded when the joint
+    * watermark passes that side's own state-eviction bound — for a
+    * view, view_ts + 1 h (no later purchase can land in its window);
+    * for a purchase, purchase_ts itself (any view able to claim it has
+    * v.ts <= p.ts, so none can still arrive once the watermark passes
+    * p.ts). Both horizons are part of the contract and both appear in
+    * the oracle. */
+  def viewPurchaseFullJoin(views: DataFrame, purchases: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark).alias("v")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    v.join(p,
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(col("v.event_id").as("view_id"),
+        col("p.event_id").as("purchase_id"),
+        coalesce(col("v.user_id"), col("p.user_id")).as("user_id"),
+        col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"))
+  }
+
   /** §2.12/§2.11 — CUSTOM state machine via flatMapGroupsWithState:
     * per-user sessionization with an explicit open-session list and an
     * event-time timeout, the shape session_window cannot express once
