@@ -606,6 +606,38 @@ object ExtOracles {
         |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id) p
         |WHERE dist <= 25""".stripMargin,
 
+    "q_kmv_set_algebra" ->
+      """WITH hv AS (SELECT event_type, CAST('0x' ||
+        |    substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |va AS (SELECT DISTINCT hv FROM hv WHERE event_type = 'view'),
+        |pa AS (SELECT DISTINCT hv FROM hv WHERE event_type = 'purchase'),
+        |ua AS (SELECT DISTINCT hv FROM hv),
+        |vs AS (SELECT COUNT(*) AS m, max(hv) AS kth
+        |       FROM (SELECT hv FROM va ORDER BY hv LIMIT 64)),
+        |ps AS (SELECT COUNT(*) AS m, max(hv) AS kth
+        |       FROM (SELECT hv FROM pa ORDER BY hv LIMIT 64)),
+        |us AS (SELECT COUNT(*) AS m, max(hv) AS kth
+        |       FROM (SELECT hv FROM ua ORDER BY hv LIMIT 64)),
+        |est AS (SELECT
+        |  CASE WHEN vs.m < 64 THEN CAST(vs.m AS DOUBLE)
+        |       ELSE (63.0 * power(2.0, 60)) / CAST(vs.kth AS DOUBLE) END AS est_view,
+        |  CASE WHEN ps.m < 64 THEN CAST(ps.m AS DOUBLE)
+        |       ELSE (63.0 * power(2.0, 60)) / CAST(ps.kth AS DOUBLE) END AS est_purchase,
+        |  CASE WHEN us.m < 64 THEN CAST(us.m AS DOUBLE)
+        |       ELSE (63.0 * power(2.0, 60)) / CAST(us.kth AS DOUBLE) END AS est_union,
+        |  (SELECT COUNT(*) FROM va) AS n_view,
+        |  (SELECT COUNT(*) FROM pa) AS n_purchase,
+        |  (SELECT COUNT(*) FROM ua) AS n_union
+        |  FROM vs, ps, us)
+        |SELECT est_view, est_purchase, est_union,
+        |  est_view + est_purchase - est_union AS est_intersect,
+        |  CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_purchase AS BIGINT) AS n_purchase,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST(n_view + n_purchase - n_union AS BIGINT) AS n_intersect
+        |FROM est""".stripMargin,
+
     "q_multimodal_frames" ->
       """SELECT doc_id,
         |  CASE WHEN octet_length(encode(text)) > 0

@@ -377,6 +377,37 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** KMV sketch SET ALGEBRA: distinct-count estimates for viewers,
+    * purchasers, their union (sketch of the concatenated input — KMV
+    * merge ≡ union by construction) and, via inclusion-exclusion,
+    * their intersection — the sketch-level form of audience-overlap
+    * questions that would otherwise need a distinct-shuffle of both
+    * sides. Exact counts ride along; every estimate is a pure function
+    * of the deterministic hash domain, reproduced exactly in DuckDB. */
+  def kmvSetAlgebra(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        TextOps.hex15(concat(lit("kmv|"), col("user_id").cast("string"))).as("hv"))
+    val kmv = udaf(new Sketches.KmvAggregator(k))
+    def est(sk: org.apache.spark.sql.Column) =
+      when(sk.getField("_1") < k, sk.getField("_1").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
+          / sk.getField("_2").cast("double"))
+    def side(name: String, dfF: DataFrame) =
+      dfF.agg(kmv(col("hv")).as("sk"), countDistinct(col("hv")).as("n"))
+        .select(est(col("sk")).as(s"est_$name"), col("n").as(s"n_$name"))
+    side("view", ev.filter(col("event_type") === "view"))
+      .crossJoin(broadcast(side("purchase",
+        ev.filter(col("event_type") === "purchase"))))
+      .crossJoin(broadcast(side("union", ev)))
+      .select(col("est_view"), col("est_purchase"), col("est_union"),
+        (col("est_view") + col("est_purchase") - col("est_union"))
+          .as("est_intersect"),
+        col("n_view"), col("n_purchase"), col("n_union"),
+        (col("n_view") + col("n_purchase") - col("n_union")).as("n_intersect"))
+  }
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -420,5 +451,6 @@ object ExtQueries {
     "q_hll_distinct"      -> (hllDistinct _),
     "q_cms_frequency"     -> (cmsFrequency _),
     "q_multimodal_frames" -> (multimodalFrames _),
+    "q_kmv_set_algebra"   -> ((s: SparkSession, d: String) => kmvSetAlgebra(s, d)),
   )
 }

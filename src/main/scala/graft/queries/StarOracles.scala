@@ -414,6 +414,26 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
+    "q_quality_checks" ->
+      """SELECT "check", violations FROM (
+        |  SELECT 'customer_dup_keys' AS "check", CAST(COUNT(*) AS BIGINT) AS violations
+        |  FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT 'events_null_user', CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem_orphans', CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    CAST(COUNT(*) FILTER (l_quantity NOT BETWEEN 1 AND 50) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_null_priority',
+        |    CAST(COUNT(*) FILTER (o_orderpriority IS NULL) AS BIGINT)
+        |  FROM orders) t
+        |ORDER BY "check"""".stripMargin,
+
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events""".stripMargin,
 

@@ -825,6 +825,35 @@ object StarQueries {
       .orderBy("o_orderpriority")
   }
 
+  // Engine utility — declarative data-quality constraint suite
+  // (Deequ-style): referential integrity, null fractions, key
+  // uniqueness, domain ranges — each check one small aggregate, all
+  // map-side combinable; violations land in one report frame instead
+  // of N ad-hoc notebook cells. At 100 TB each check is a scan-bound
+  // agg (anti-join for the referential one) that AQE sizes
+  // independently.
+  def qualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    def check(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("violations").cast("long").as("violations"))
+    check("customer_dup_keys",
+        cust.groupBy("c_custkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(count(lit(1)).as("violations")))
+      .unionByName(check("events_null_user",
+        ev.agg(count(when(col("user_id").isNull, 1)).as("violations"))))
+      .unionByName(check("lineitem_orphans",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))))
+      .unionByName(check("lineitem_qty_range",
+        li.agg(count(when(!col("l_quantity").between(1, 50), 1)).as("violations"))))
+      .unionByName(check("orders_null_priority",
+        ord.agg(count(when(col("o_orderpriority").isNull, 1)).as("violations"))))
+      .orderBy("check")
+  }
+
   // §2.12 — the SQL front end: the same engine surface through
   // spark.sql text, including the natively-registered format_lap_time.
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -856,6 +885,7 @@ object StarQueries {
     "q_ship_priority"      -> (shipPriority _),
     "q_big_orders"         -> (bigOrders _),
     "q_bloom_join"         -> (bloomJoin _),
+    "q_quality_checks"     -> (qualityChecks _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
     "q_topk"               -> (topK _),
