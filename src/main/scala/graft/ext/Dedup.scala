@@ -283,13 +283,18 @@ object Dedup {
       Seq("blk"), maxBlockSize)
     val a = d.select(col(idCol).as("doc_a"), col(textCol).as("text_a"), col("blk"))
     val b = d.select(col(idCol).as("doc_b"), col(textCol).as("text_b"), col("blk"))
+    val wa = substring(col("text_a"), 1, compareLen)
+    val wb = substring(col("text_b"), 1, compareLen)
     a.join(b, Seq("blk"))
       .where(col("doc_a") < col("doc_b"))
+      // length gap > maxDist already implies dist > maxDist: skip the
+      // DP entirely for those pairs (the classic pre-filter)
+      .where(abs(length(wa) - length(wb)) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
-        // long, matching DuckDB's BIGINT levenshtein for oracle parity
-        levenshtein(substring(col("text_a"), 1, compareLen),
-          substring(col("text_b"), 1, compareLen)).cast("long").as("dist"))
-      .where(col("dist") <= maxDist)
+        // banded DP: O(maxDist·n) per pair instead of O(n²), returns
+        // -1 above the threshold; long matches DuckDB's BIGINT
+        levenshtein(wa, wb, maxDist).cast("long").as("dist"))
+      .where(col("dist").between(0, maxDist))
   }
 
   /** 16-bit SimHash over token unigrams: each token votes ±1 on the 16

@@ -250,4 +250,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStreamingOps.exceptAll(viaInventory).isEmpty
       && viaInventory.exceptAll(viaStreamingOps).isEmpty)
   }
+
+  test("RocksDB state store provider yields identical results to the default") {
+    // production deployments run RocksDB-backed state (bounded JVM
+    // heap; state spills to native storage) — semantics must not
+    // change with the provider. Same stream, same batches, both
+    // providers, identical session output.
+    val events = Seq(
+      Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(8), 1, "view", 1.0),
+      Ev(3, ts(40), 1, "view", 1.0), Ev(4, ts(6), 2, "view", 1.0),
+      Ev(5, ts(300), 9, "view", 1.0)) // watermark pusher
+    def run(name: String, provider: Option[String]): Set[(Long, Timestamp, Timestamp, Long)] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(p => spark.conf.set(key, p))
+      try {
+        val stream = MemoryStream[Ev]
+        runToTable(stream, name, "append",
+          df => StreamingOps.customSessions(df.select("ts", "user_id")).toDF(),
+          Seq(events.take(2), events.drop(2)))
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+          .toSet
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    val viaDefault = run("t_ss_default", None)
+    val viaRocks = run("t_ss_rocksdb", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(viaRocks === viaDefault && viaRocks.nonEmpty)
+  }
 }
