@@ -56,8 +56,9 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    def line(fmt: Double => String, withSf: Boolean): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def line(fmt: Double => String, withSf: Boolean,
+             name: String => String = identity): String = {
+      val qs = results.map { case (k, v) => "\"" + name(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val sf = if (withSf) s""","sf":"$sfDir"""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sf}"""
@@ -69,21 +70,32 @@ object Bench {
     // sub-second queries keep 2 decimals; coarser variants shave the
     // second decimal off multi-second values (ratio error <= 5%)
     def adaptive(v: Double): String = rounded(if (v >= 1) 1 else 2)(v)
+    // every registry name starts q_ (or q1_): the uniform prefix is
+    // 2 chars x ~100 queries of pure window budget. BASELINE.md's
+    // measured table records the SAME stripped names, so the per-query
+    // compare lines up; prepend q_ to recover the registry name.
+    def short(n: String): String = n.stripPrefix("q_")
     // Full precision goes to the file; stdout gets a compacted line.
     // The driver keeps only the LAST 2000 chars of stdout and parses
     // the {"metric":...} line out of that window — at full precision
     // 79 queries is ~2300 chars, so the line's head fell outside the
     // window and rounds 1/3/4 recorded "parsed": null. Compaction
     // steps (trailing-zero-stripped 2-decimals → 1-decimal for >=1 s
-    // values → drop the informational sf field) apply only until the
-    // line fits 1950 chars, leaving real window headroom.
+    // values → drop the informational sf field → strip the uniform
+    // q_ name prefix) apply only until the line fits 1900 chars,
+    // leaving real window headroom. At 98 queries the raw name mass
+    // alone is ~1300 chars, so the prefix strip is ALWAYS active in
+    // practice; the earlier stages exist so a trimmed-down suite
+    // regains precision automatically.
     Files.writeString(Paths.get("bench_out.json"), line(_.toString, withSf = true) + "\n")
     val out = Seq(
       line(rounded(2), withSf = true),
       line(adaptive, withSf = true),
-      line(adaptive, withSf = false))
-      .find(_.length <= 1950)
-      .getOrElse(line(rounded(1), withSf = false))
+      line(rounded(2), withSf = true, short),
+      line(adaptive, withSf = true, short),
+      line(adaptive, withSf = false, short))
+      .find(_.length <= 1900)
+      .getOrElse(line(rounded(1), withSf = false, short))
     // print the artifact line AFTER the session is down: nothing else
     // can interleave with stdout then (r03's driver artifact had a
     // truncated tail from in-flight logging).

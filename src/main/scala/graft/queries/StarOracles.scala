@@ -414,6 +414,32 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
+    "q_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_promo_share" ->
+      """WITH a AS (SELECT
+        |    SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS promo_share_pct,
+        |  CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue
+        |FROM a""".stripMargin,
+
     "q_quality_checks" ->
       """SELECT "check", violations FROM (
         |  SELECT 'customer_dup_keys' AS "check", CAST(COUNT(*) AS BIGINT) AS violations

@@ -825,6 +825,47 @@ object StarQueries {
       .orderBy("o_orderpriority")
   }
 
+  // §2.5 — TPC-H Q12 shape: conditional aggregation (CASE inside the
+  // agg) — high/low-priority line counts per return flag for late
+  // shipments. One scan, one tiny-key shuffle; the CASE rides the
+  // scan projection inside whole-stage codegen.
+  def shipmodePriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderpriority")), // pruned to 2 cols
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  // §2.5 — TPC-H Q14 shape: conditional revenue share (promo ratio).
+  // Both the guarded numerator and the denominator ride ONE decimal
+  // aggregate over one scan; the final ratio is a driver-free scalar
+  // projection.
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast(dec4))).as("__promo"),
+        sum(rev).as("__total"))
+      .select(
+        (lit(100.0) * col("__promo").cast("double") / col("__total").cast("double"))
+          .as("promo_share_pct"),
+        col("__promo").cast("double").as("promo_revenue"),
+        col("__total").cast("double").as("total_revenue"))
+  }
+
   // Engine utility — declarative data-quality constraint suite
   // (Deequ-style): referential integrity, null fractions, key
   // uniqueness, domain ranges — each check one small aggregate, all
@@ -886,6 +927,8 @@ object StarQueries {
     "q_big_orders"         -> (bigOrders _),
     "q_bloom_join"         -> (bloomJoin _),
     "q_quality_checks"     -> (qualityChecks _),
+    "q_shipmode_priority"  -> (shipmodePriority _),
+    "q_promo_share"        -> (promoShare _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
     "q_topk"               -> (topK _),
