@@ -440,6 +440,22 @@ object StarOracles {
         |  CAST(total AS DOUBLE) AS total_revenue
         |FROM a""".stripMargin,
 
+    "q_rolling_1h" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
     "q_quality_checks" ->
       """SELECT "check", violations FROM (
         |  SELECT 'customer_dup_keys' AS "check", CAST(COUNT(*) AS BIGINT) AS violations

@@ -271,6 +271,34 @@ object StarQueries {
       .orderBy("l_returnflag")
   }
 
+  // §2.6 — time-RANGE window frame: per-user rolling 1-hour event
+  // count and value sum (RANGE BETWEEN 1h PRECEDING AND CURRENT ROW,
+  // run in integer micros so both engines agree on the frame edge).
+  // Partitioned by user — the frame sort is per-group, never global.
+  def rolling1h(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(dec)).over(w).cast("double"))
+      .select("event_id", "user_id", "ts", "n_1h", "sum_1h")
+  }
+
+  // §2.6 — rank-normalizing window functions: percent_rank and
+  // cume_dist of order value within each priority class (identical
+  // definitions in both engines); ties share ranks by construction.
+  def percentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
   // §2.6 — running (cumulative) aggregate: per-customer spend-to-date
   // in order-date order. The window is PARTITIONED by o_custkey — one
   // shuffle on the key, each group sorted locally; no global sort,
@@ -958,6 +986,8 @@ object StarQueries {
     "q_histogram"          -> (histogram _),
     "q_corr"               -> (corrByGroup _),
     "q_running_total"      -> (runningTotal _),
+    "q_rolling_1h"         -> (rolling1h _),
+    "q_percent_rank"       -> (percentRank _),
     "q_lag_delta"          -> (lagDelta _),
     "q_asof_backward"      -> (asofBackward _),
     "q_asof_tolerance"     -> (asofTolerance _),
