@@ -100,6 +100,8 @@ object FormatLapTime {
 /** SparkSessionExtensions hook: injects the engine's native functions
   * at session build (`--conf spark.sql.extensions=graft.catalyst.GraftExtensions`). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(FormatLapTime.description)
+    ext.injectOptimizerRule(_ => BandedLevenshteinRule)
+  }
 }
