@@ -606,6 +606,21 @@ object ExtOracles {
         |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id) p
         |WHERE dist <= 25""".stripMargin,
 
+    "q_media_sniff" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN from_hex('89504E47') || encode(text)
+        |       WHEN doc_id % 4 = 1 THEN from_hex('FFD8FFE0') || encode(text)
+        |       WHEN doc_id % 4 = 2 THEN from_hex('52494646') || encode(text)
+        |       ELSE encode(text) END AS payload FROM documents)
+        |SELECT CASE
+        |    WHEN substr(hex(payload), 1, 8) LIKE '89504E47%' THEN 'image/png'
+        |    WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+        |    WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
+        |    WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
+        |    ELSE 'unknown' END AS kind,
+        |  COUNT(*) AS n
+        |FROM p GROUP BY kind ORDER BY kind""".stripMargin,
+
     "q_kmv_set_algebra" ->
       """WITH hv AS (SELECT event_type, CAST('0x' ||
         |    substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv

@@ -361,6 +361,22 @@ object ExtQueries {
         encode(col("text"), "UTF-8").as("payload")),
       "doc_id", "payload")
 
+  /** Container sniffing through the gate: deterministic magic-byte
+    * prefixes (PNG/JPEG/WAV by doc_id mod 4; the remainder left bare)
+    * planted on the opaque payloads, detected by the codegen
+    * hex-prefix expression, counted per detected kind. */
+  def mediaSniff(spark: SparkSession, dir: String): DataFrame = {
+    val enc = encode(col("text"), "UTF-8")
+    val payload = when(col("doc_id") % 4 === 0, concat(unhex(lit("89504E47")), enc))
+      .when(col("doc_id") % 4 === 1, concat(unhex(lit("FFD8FFE0")), enc))
+      .when(col("doc_id") % 4 === 2, concat(unhex(lit("52494646")), enc))
+      .otherwise(enc)
+    docs(spark, dir)
+      .select(col("doc_id"), Multimodal.sniffKindCol(payload).as("kind"))
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
   /** Count-Min frequency estimates for a deterministic probe set of
     * event users, beside their exact counts (est >= exact always; 150
     * keys into 256 buckets makes collisions — and the one-sided error
@@ -452,5 +468,6 @@ object ExtQueries {
     "q_cms_frequency"     -> (cmsFrequency _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_kmv_set_algebra"   -> ((s: SparkSession, d: String) => kmvSetAlgebra(s, d)),
+    "q_media_sniff"       -> (mediaSniff _),
   )
 }

@@ -440,6 +440,31 @@ object StarOracles {
         |  CAST(total AS DOUBLE) AS total_revenue
         |FROM a""".stripMargin,
 
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, min(tus) AS v FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tus) AS c FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tus > v.v GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tus) AS p FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tus > c.c GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+        |  (SELECT COUNT(*) FROM c) AS n_click_users,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin,
+
+    "q_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |  FROM events),
+        |firsts AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
+        |SELECT CAST(f.d0 AS TIMESTAMP) AS d0, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM days x WHERE
+        |    x.user_id = f.user_id AND x.d = f.d0 + INTERVAL 1 DAY)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS retained_d1,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM days x WHERE
+        |    x.user_id = f.user_id AND x.d = f.d0 + INTERVAL 7 DAY)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS retained_d7
+        |FROM firsts f GROUP BY f.d0 ORDER BY f.d0""".stripMargin,
+
     "q_rolling_1h" ->
       """SELECT event_id, user_id, ts,
         |  COUNT(*) OVER w AS n_1h,

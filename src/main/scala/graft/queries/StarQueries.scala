@@ -894,6 +894,55 @@ object StarQueries {
         col("__total").cast("double").as("total_revenue"))
   }
 
+  // §2.6 — strict-order funnel (view → click → purchase on first
+  // occurrences): each stage is one shuffle on user_id re-using the
+  // previous stage's anchor time; stage frames join co-partitioned on
+  // the same key, so the whole funnel is a key-local pipeline at any
+  // user count. Integer-micros anchors keep both engines bit-agreed.
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    def stage(t: String, prev: DataFrame, anchor: String, out: String) =
+      ev.filter(col("event_type") === t)
+        .join(prev, Seq("user_id"))
+        .where(col("tus") > col(anchor))
+        .groupBy("user_id").agg(min(col("tus")).as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("v"))
+    val c = stage("click", v, "v", "c")
+    val p = stage("purchase", c, "c", "p")
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_users"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_users"))))
+  }
+
+  // §2.6 — cohort retention: users grouped by first-active day, D1/D7
+  // return rates via co-partitioned self-joins of the (user, day)
+  // activity set — the shape that at 100 TB stays one shuffle on
+  // user_id plus a tiny per-cohort agg, instead of a per-user
+  // collect_set.
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+    val firsts = days.groupBy("user_id").agg(min("d").as("d0"))
+    def active(offsetDays: Int, flag: String) = {
+      val hit = days.select(col("user_id").as("__hu"), col("d").as("__hd"))
+      firsts.join(hit,
+          firsts("user_id") === hit("__hu") &&
+            hit("__hd") === firsts("d0") + expr(s"INTERVAL $offsetDays DAY"),
+          "left_semi")
+        .select(col("user_id"), lit(1L).as(flag))
+    }
+    firsts
+      .join(active(1, "r1"), Seq("user_id"), "left")
+      .join(active(7, "r7"), Seq("user_id"), "left")
+      .groupBy("d0")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("r1"), lit(0L))).as("retained_d1"),
+        sum(coalesce(col("r7"), lit(0L))).as("retained_d7"))
+      .orderBy("d0")
+  }
+
   // Engine utility — declarative data-quality constraint suite
   // (Deequ-style): referential integrity, null fractions, key
   // uniqueness, domain ranges — each check one small aggregate, all
@@ -957,6 +1006,8 @@ object StarQueries {
     "q_quality_checks"     -> (qualityChecks _),
     "q_shipmode_priority"  -> (shipmodePriority _),
     "q_promo_share"        -> (promoShare _),
+    "q_funnel"             -> (funnel _),
+    "q_retention"          -> (retention _),
     "q1_agg"               -> (q1Agg _),
     "q_fastest_leaderboard" -> (fastestLeaderboard _),
     "q_topk"               -> (topK _),
