@@ -39,9 +39,11 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
         rewrite(a, b, k)
       case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
         rewrite(a, b, k)
-      case LessThan(Levenshtein(a, b, None), Literal(kv: Int, IntegerType)) =>
+      case LessThan(Levenshtein(a, b, None), Literal(kv: Int, IntegerType))
+          if kv > Int.MinValue => // kv-1 must not wrap to MaxValue
         rewrite(a, b, Literal(kv - 1))
-      case GreaterThan(Literal(kv: Int, IntegerType), Levenshtein(a, b, None)) =>
+      case GreaterThan(Literal(kv: Int, IntegerType), Levenshtein(a, b, None))
+          if kv > Int.MinValue =>
         rewrite(a, b, Literal(kv - 1))
     }
 }

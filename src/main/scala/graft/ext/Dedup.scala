@@ -270,7 +270,11 @@ object Dedup {
                         langCol: String, prefixLen: Int = 8,
                         compareLen: Int = 120, maxDist: Int = 25,
                         maxBlockSize: Int = 64): DataFrame = {
-    val blk = concat_ws("|", col(langCol), substring(col(textCol), 1, prefixLen))
+    // plain concat, not concat_ws: a NULL lang (or NULL text) must
+    // NULL the whole key — null-keyed rows then pair with nothing,
+    // exactly like the oracle's `lang || '|' || prefix` — where
+    // concat_ws would silently degrade the key to the prefix alone
+    val blk = concat(col(langCol), lit("|"), substring(col(textCol), 1, prefixLen))
     // hot-block cap, same policy as the n-gram blocker: a dominant
     // (lang, prefix) key — boilerplate headers, templated docs — turns
     // the block self-join quadratic; oversize blocks drop from pairing
@@ -309,8 +313,6 @@ object Dedup {
       call_function("simhash16", tokens(col(textCol))).as("simhash"))
   }
 
-  /** Reference composition path (explode × bits → two aggregations),
-    * kept to pin the native expression bit-for-bit in DedupSpec. */
   /** SimHash near-dup PAIRS: band the 16-bit fingerprint into 2 bytes
     * — two docs within hamming distance 1 differ in at most 1 bit, so
     * one byte is untouched (pigeonhole) and the banded candidate join
@@ -341,7 +343,8 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-
+  /** Reference composition path (explode × bits → two aggregations),
+    * kept to pin the native expression bit-for-bit in DedupSpec. */
   def simhashComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokRows = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))

@@ -62,6 +62,49 @@ object Sketches {
   private val seqLong: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): d=depth hash
+    * rows × w=width counters estimate per-key frequencies with
+    * one-sided error (never an undercount; collisions only inflate).
+    * Hashes come from the engine-portable md5 domain (row index salted
+    * into the hash input), so the DuckDB oracle rebuilds the identical
+    * sketch and the estimates compare exactly — the sketch is a pure
+    * function of the data, not of partitioning.
+    *
+    * Scale shape: the build is one map-side-combinable hash agg whose
+    * output is ≤ d·w rows (4×256 = 1 KiB of counters) regardless of
+    * input size — the streaming-friendly alternative to a full
+    * per-key count when only heavy-hitter estimates are needed. */
+  /** The (row, bucket) positions a key increments — ONE definition
+    * shared by build and probe; a drifted copy would read buckets the
+    * build never wrote and silently deflate estimates. */
+  private def cmsPositions(keyCol: String, depth: Int,
+                           width: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    posexplode(array((0 until depth).map { i =>
+      TextOps.hex15(concat(lit(s"cms$i|"), col(keyCol).cast("string"))) % width
+    }: _*))
+  }
+
+  def countMinBuild(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                    depth: Int = 4, width: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(cmsPositions(keyCol, depth, width).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes`: min over the d counters each key
+    * hashes to. A bucket no probe key ever incremented reads 0. */
+  def countMinEstimate(sketch: org.apache.spark.sql.DataFrame,
+                       probes: org.apache.spark.sql.DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    probes
+      .select(col(keyCol), cmsPositions(keyCol, depth, width).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Deterministic HyperLogLog (Flajolet et al. 2007) over a 60-bit
     * engine-portable hash column (TextOps.hex15 domain): p=8 → m=256
     * registers. bucket = h mod m; rho = 1 + trailing-zero count of the
@@ -82,42 +125,6 @@ object Sketches {
     * per-bucket agg as a count-distinct-within-bucket, so the whole
     * query is ONE scan + one m-row shuffle.
     */
-  /** Count-Min sketch (Cormode & Muthukrishnan 2005): d=depth hash
-    * rows × w=width counters estimate per-key frequencies with
-    * one-sided error (never an undercount; collisions only inflate).
-    * Hashes come from the engine-portable md5 domain (row index salted
-    * into the hash input), so the DuckDB oracle rebuilds the identical
-    * sketch and the estimates compare exactly — the sketch is a pure
-    * function of the data, not of partitioning.
-    *
-    * Scale shape: the build is one map-side-combinable hash agg whose
-    * output is ≤ d·w rows (4×256 = 1 KiB of counters) regardless of
-    * input size — the streaming-friendly alternative to a full
-    * per-key count when only heavy-hitter estimates are needed. */
-  def countMinBuild(df: org.apache.spark.sql.DataFrame, keyCol: String,
-                    depth: Int = 4, width: Int = 256): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    df.select(posexplode(array((0 until depth).map { i =>
-        TextOps.hex15(concat(lit(s"cms$i|"), col(keyCol).cast("string"))) % width
-      }: _*)).as(Seq("row", "bucket")))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
-  }
-
-  /** Point estimates for `probes`: min over the d counters each key
-    * hashes to. A bucket no probe key ever incremented reads 0. */
-  def countMinEstimate(sketch: org.apache.spark.sql.DataFrame,
-                       probes: org.apache.spark.sql.DataFrame, keyCol: String,
-                       depth: Int = 4, width: Int = 256): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    probes
-      .select(col(keyCol), posexplode(array((0 until depth).map { i =>
-        TextOps.hex15(concat(lit(s"cms$i|"), col(keyCol).cast("string"))) % width
-      }: _*)).as(Seq("row", "bucket")))
-      .join(broadcast(sketch), Seq("row", "bucket"), "left")
-      .groupBy(keyCol)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
-  }
-
   def hllDistinct(hashed: org.apache.spark.sql.DataFrame,
                   hashCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

@@ -598,8 +598,12 @@ object ExtOracles {
       """WITH corpus AS (SELECT doc_id, text, lang FROM documents
         |  UNION ALL SELECT doc_id + 300000, text || ' graft edit suffix', lang
         |  FROM documents WHERE doc_id % 13 = 0),
-        |d AS (SELECT doc_id, text,
-        |  lang || '|' || substr(text, 1, 8) AS blk FROM corpus)
+        |d0 AS (SELECT doc_id, text,
+        |  lang || '|' || substr(text, 1, 8) AS blk FROM corpus),
+        |-- mirror Dedup.editDistancePairs's hot-block cap (64): blocks
+        |-- over the cap drop from pairing on BOTH sides
+        |d AS (SELECT * FROM d0 WHERE blk IN
+        |  (SELECT blk FROM d0 GROUP BY blk HAVING COUNT(*) <= 64))
         |SELECT doc_a, doc_b, dist FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS dist

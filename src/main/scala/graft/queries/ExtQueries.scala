@@ -141,8 +141,9 @@ object ExtQueries {
   def simhashFp(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
 
-  /** SimHash banded near-dup pairs over the near-dup corpus: nibble
-    * bands give full recall to hamming 3 (Dedup.simhashPairs). */
+  /** SimHash banded near-dup pairs over the near-dup corpus: 2 byte
+    * bands give pigeonhole-complete recall at hamming <= 1
+    * (Dedup.simhashPairs — 16-bit fingerprints want TIGHT thresholds). */
   def simhashPairsQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(nearCorpus(spark, dir), "doc_id", "text")
 

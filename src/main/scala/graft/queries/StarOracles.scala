@@ -505,13 +505,13 @@ object StarOracles {
       """SELECT event_id, user_id, event_type FROM events""".stripMargin,
 
     "q_batch_sessions" ->
-      """WITH o AS (SELECT user_id, ts, value,
+      """WITH o AS (SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -58,6 +58,10 @@ object Layout {
       max(col(xCol)).cast("double").as("xmax"),
       min(col(yCol)).cast("double").as("ymin"),
       max(col(yCol)).cast("double").as("ymax")).collect()
+    if (stats.anyNull) { // empty or all-NULL keys: nothing to cluster
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (xmin, xmax) = (stats.getDouble(0), stats.getDouble(1))
     val (ymin, ymax) = (stats.getDouble(2), stats.getDouble(3))
     val scale = (1L << bits) - 1
