@@ -57,11 +57,13 @@ object Bench {
     }
     val total = results.map(_._2).sum
     def line(fmt: Double => String, withSf: Boolean,
-             name: String => String = identity): String = {
+             name: String => String = identity,
+             withUnit: Boolean = true): String = {
       val qs = results.map { case (k, v) => "\"" + name(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val sf = if (withSf) s""","sf":"$sfDir"""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sf}"""
+      val unit = if (withUnit) ""","unit":"sec"""" else ""
+      s"""{"metric":"total","value":${fmt(total)}$unit,"queries":$qs$sf}"""
     }
     def strip(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
@@ -93,9 +95,14 @@ object Bench {
       line(adaptive, withSf = true),
       line(rounded(2), withSf = true, short),
       line(adaptive, withSf = true, short),
-      line(adaptive, withSf = false, short))
+      line(adaptive, withSf = false, short),
+      line(rounded(1), withSf = false, short),
+      // values-are-seconds is BASELINE.md convention; the unit field
+      // is the last ballast to go before precision would have to drop
+      // below 0.1 s
+      line(rounded(1), withSf = false, short, withUnit = false))
       .find(_.length <= 1900)
-      .getOrElse(line(rounded(1), withSf = false, short))
+      .getOrElse(line(rounded(1), withSf = false, short, withUnit = false))
     // print the artifact line AFTER the session is down: nothing else
     // can interleave with stdout then (r03's driver artifact had a
     // truncated tail from in-flight logging).
