@@ -54,4 +54,30 @@ class DeterminismSpec extends AnyFunSuite {
       .select("g", "tag").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
     assert(run(laps.repartition(1)) === run(laps.repartition(5, col("tag"))))
   }
+
+  test("EVERY batch gate query is shuffle-fan-out invariant at sf0.001") {
+    // the whole-registry form of the determinism claim: a query whose
+    // values shift with the shuffle partition count would flake the
+    // driver's hash gate on any executor-count change at 100 TB.
+    // (Streaming gate queries run real streams — their determinism is
+    // pinned by their own oracles and StreamingSpec instead.)
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => graft.SparkEntry.streamingQueries(n) }
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def snapshot(fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
+                 fanOut: String): Seq[String] = {
+      spark.conf.set(key, fanOut)
+      fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    }
+    try {
+      val diverged = batch.flatMap { case (name, fn) =>
+        val a = snapshot(fn, "3")
+        val b = snapshot(fn, "11")
+        if (a == b) None else Some(name)
+      }
+      assert(diverged.isEmpty, s"fan-out-dependent results: $diverged")
+    } finally spark.conf.set(key, prev)
+  }
 }
