@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,7 +74,7 @@ private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
                                         optSessionKey: Option[Long],
                                         optDriverNumber: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   // reader options seed the scope; pushed filters narrow it further.
   // Streaming scans get NO filter pushdown from the planner, so the
@@ -83,6 +83,14 @@ private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
   private var driverNumber: Option[Long] = optDriverNumber
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = Openf1Api.schemaFor(entity)
+  private var limit: Option[Int] = None
+
+  // LIMIT pushdown: the REST contract has no row-limit parameter (same
+  // story as field selection), so the cap applies per PARTITION at the
+  // reader — rows past it are never projected or handed to Spark.
+  // Partial push (the default): Spark keeps its own global limit on
+  // top, which is what makes a per-partition cap correct.
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   // §2.1 column pruning INTO the source: a SELECT of two columns must
   // not deserialize nine — the API fetch still returns full pages (the
@@ -113,12 +121,13 @@ private[openf1] class Openf1ScanBuilder(entity: String, flaky: Boolean,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new Openf1Scan(entity, sessionKey, driverNumber, flaky, url, required)
+    new Openf1Scan(entity, sessionKey, driverNumber, flaky, url, required, limit)
 }
 
 private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
                                  driverNumber: Option[Long], flaky: Boolean,
-                                 url: Option[String], required: StructType)
+                                 url: Option[String], required: StructType,
+                                 limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -131,7 +140,8 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
     new Openf1MicroBatchStream(entity, sessionKey, driverNumber, transport, required)
   override def description(): String =
     s"openf1 entity=$entity pushed=[session_key=$sessionKey, " +
-      s"driver_number=$driverNumber] columns=[${required.fieldNames.mkString(",")}]"
+      s"driver_number=$driverNumber, limit=${limit.getOrElse(-1)}] " +
+      s"columns=[${required.fieldNames.mkString(",")}]"
 
   // one transport per SCAN: flaky-mode state is instance-scoped, so
   // every flaky read exercises the retry wrapper (a JVM-global counter
@@ -163,7 +173,7 @@ private[openf1] class Openf1Scan(entity: String, sessionKey: Option[Long],
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Openf1ReaderFactory(transport, required)
+    new Openf1ReaderFactory(transport, required, limit)
 }
 
 private[openf1] case class Openf1Partition(entity: String, sessionKey: Option[Long],
@@ -171,14 +181,16 @@ private[openf1] case class Openf1Partition(entity: String, sessionKey: Option[Lo
     extends InputPartition
 
 private[openf1] class Openf1ReaderFactory(transport: Openf1Transport,
-                                          required: StructType)
+                                          required: StructType,
+                                          limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Openf1Partition]
     val full = Openf1Api.schemaFor(p.entity)
     val fetched = Openf1Api.fetch(transport, p.entity, p.sessionKey, p.driverNumber)
     // project to the pruned schema at the source boundary
-    val rows = Openf1Api.project(fetched, full, required)
+    val capped = limit.map(fetched.take).getOrElse(fetched)
+    val rows = Openf1Api.project(capped, full, required)
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var current: InternalRow = _

@@ -62,6 +62,16 @@ class Openf1SourceSpec extends AnyFunSuite {
     assert(df.exceptAll(viaFiles).isEmpty && viaFiles.exceptAll(df).isEmpty)
   }
 
+  test("LIMIT pushes into the source as a per-partition cap; global limit stays exact") {
+    val df = read("laps").limit(3)
+    val scan = scanOf(df).scan
+    assert(scan.description().contains("limit=3"),
+      s"limit must reach the scan: ${scan.description()}")
+    assert(df.count() === 3) // partial push: Spark's global limit still applies
+    // an un-limited read keeps limit=-1 (no cap leaks between scans)
+    assert(scanOf(read("laps")).scan.description().contains("limit=-1"))
+  }
+
   test("non-pushable predicates are still applied by Spark above the scan") {
     val df = read("laps").filter(col("lap_number") > 10)
     assert(df.count() === F1Tables.laps(spark).filter(col("lap_number") > 10).count())
