@@ -215,4 +215,38 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(update _)
   }
+
+  /** foreachBatch incremental UPSERT into a keyed parquet target —
+    * the materialized-view maintenance pattern: each micro-batch
+    * merges by key (greatest `versionCol` wins, `keyCol` breaks
+    * nothing: one row per key survives), so the target always holds
+    * the latest state per key across batches and restarts re-merge
+    * idempotently. Plain parquet stands in for a transactional MERGE
+    * INTO target (Delta/Iceberg): the existing table is materialized
+    * via localCheckpoint before the overwrite, the swap itself is the
+    * non-transactional stand-in piece, everything else — batch merge
+    * semantics, dedup direction, idempotence — is the real pattern.
+    * Scale shape: the merge is one keepFirst hash-shuffle over
+    * existing ∪ batch; with a bucketed target it co-locates.
+    */
+  def runUpsert(stream: DataFrame, path: String, keyCol: String,
+                versionCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(path).localCheckpoint(true))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val all = existing.map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol)
+          .orderBy(col(versionCol).desc, col(keyCol))
+        all.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite").parquet(path)
+        ()
+      }
+      .start()
 }

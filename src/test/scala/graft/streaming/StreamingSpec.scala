@@ -251,6 +251,30 @@ class StreamingSpec extends AnyFunSuite {
       && viaInventory.exceptAll(viaStreamingOps).isEmpty)
   }
 
+  test("foreachBatch upsert: latest version per key survives across batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val path = s"$base/target"
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.runUpsert(stream.toDF(), path,
+      keyCol = "user_id", versionCol = "ts", checkpoint = s"$base/ckpt")
+    try {
+      stream.addData(Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(10), 2, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 updates user 1, adds user 3, and carries a STALE row
+      // for user 2 that must lose to the already-written newer one
+      stream.addData(Ev(3, ts(20), 1, "click", 9.0), Ev(4, ts(5), 2, "view", 7.0),
+        Ev(5, ts(15), 3, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(path)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> (("click", 9.0)), // updated by batch 2
+      2L -> (("view", 2.0)),  // stale batch-2 row lost
+      3L -> (("view", 3.0)))) // inserted by batch 2
+  }
+
   test("RocksDB state store provider yields identical results to the default") {
     // production deployments run RocksDB-backed state (bounded JVM
     // heap; state spills to native storage) — semantics must not
