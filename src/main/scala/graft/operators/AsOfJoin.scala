@@ -204,13 +204,20 @@ object AsOfJoin {
   def binnedIntervalJoin(left: DataFrame, right: DataFrame, valueCol: String,
                          loCol: String, hiCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binned = right.withColumn("__bin",
+    // the bin key must not collide with a user column on either side
+    val taken = (left.columns ++ right.columns).toSet
+    val bin = Iterator.from(0)
+      .map(i => if (i == 0) "__bin" else s"__bin$i").find(!taken(_)).get
+    // an inverted interval (lo > hi) is empty under BETWEEN, but
+    // sequence() would expand it with step -1 and replicate it into
+    // bins it doesn't cover — drop such rows before binning
+    val binned = right.where(col(loCol) <= col(hiCol)).withColumn(bin,
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
-    left.withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
-      .join(binned, Seq("__bin"))
+    left.withColumn(bin, floor(col(valueCol) / binWidth).cast("long"))
+      .join(binned, Seq(bin))
       .where(col(valueCol).between(col(loCol), col(hiCol)))
-      .drop("__bin")
+      .drop(bin)
   }
 }

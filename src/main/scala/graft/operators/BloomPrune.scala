@@ -59,17 +59,27 @@ object BloomPrune {
   }
 
   /** fact ⋉ dim with bloom pre-pruning: bit-identical to the plain
-    * left-semi join, but the fact side is filtered at the scan. */
+    * left-semi join, but the fact side is filtered at the scan.
+    *
+    * EAGER: unlike the other (lazy) operators in this package, calling
+    * this runs a Spark job immediately — [[buildBitmap]] collects the
+    * (bounded, numBits/8 bytes) bitmap to the driver so it can be
+    * inlined as a literal filter. Call it where an action is
+    * acceptable. The dim key is internally aliased, so fact and dim
+    * key columns may share a name without an ambiguous-reference
+    * error. */
   def prunedSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                      dimKey: String, numBits: Int = 1 << 17,
                      numHashes: Int = 3, broadcastDim: Boolean = true): DataFrame = {
-    val keys = dim.select(dimKey)
-    val words = buildBitmap(keys, dimKey, numBits, numHashes)
+    val dk = Iterator.from(0).map(i => s"__dimkey$i")
+      .find(n => !fact.columns.contains(n)).get
+    val keys = dim.select(col(dimKey).as(dk))
+    val words = buildBitmap(keys, dk, numBits, numHashes)
     // the exact pass removes false positives; broadcast when the dim
     // fits (the usual case for a filtered dim — else shuffle semi-join
     // over the already-pruned fact, still far cheaper than unpruned).
     val exact = if (broadcastDim) broadcast(keys) else keys
     fact.where(mightContain(words, col(factKey), numHashes))
-      .join(exact, col(factKey) === col(dimKey), "left_semi")
+      .join(exact, col(factKey) === col(dk), "left_semi")
   }
 }

@@ -559,14 +559,33 @@ object StarQueries {
   // than inheriting the batch default (32 partitions of store setup
   // cost ~6 s for a handful of result rows). Restored after the
   // stream completes; batch queries never see the change.
-  // CAVEAT: the override is session-global while `body` runs — a
+  //
+  // The state store provider is RocksDB, the production choice: the
+  // default HDFS-backed provider keeps every version of every state
+  // row ON HEAP, so at 100× streaming state (watermark-wide joins,
+  // long sessions) it is the first component to fall over with OOM.
+  // RocksDB keeps state off-heap in native memory with changelog
+  // files for fault tolerance; StreamingSpec pins provider parity
+  // (identical results vs the default) so this is a pure engine swap.
+  // CAVEAT: both overrides are session-global while `body` runs — a
   // query planned CONCURRENTLY in the same session would silently
-  // inherit it. Safe because Verify/Bench/tests run queries
+  // inherit them. Safe because Verify/Bench/tests run queries
   // sequentially; concurrent callers must use SparkSession.newSession.
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set(providerKey, RocksProvider)
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   // One staged-stream lifecycle for all three streaming gate queries:

@@ -216,12 +216,22 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(update _)
   }
 
+  /** Internal lineage column persisted in the upsert target: the
+    * micro-batch id that wrote each row. Readers that want the bare
+    * payload drop it; [[runUpsert]] uses it as the version tiebreak. */
+  val UpsertBatchCol = "__graft_batch"
+
   /** foreachBatch incremental UPSERT into a keyed parquet target —
     * the materialized-view maintenance pattern: each micro-batch
-    * merges by key (greatest `versionCol` wins, `keyCol` breaks
-    * nothing: one row per key survives), so the target always holds
-    * the latest state per key across batches and restarts re-merge
-    * idempotently. Plain parquet stands in for a transactional MERGE
+    * merges by key (greatest `versionCol` wins), so the target always
+    * holds the latest state per key across batches and restarts
+    * re-merge idempotently. Version ties are broken DETERMINISTICALLY:
+    * each row carries the micro-batch id that wrote it
+    * ([[UpsertBatchCol]], persisted in the target — batch ids are
+    * stable under checkpoint replay), later batch wins; equal-version
+    * rows inside one batch fall through to a stable payload hash, so
+    * the winner is arbitrary but identical across runs and restarts.
+    * Plain parquet stands in for a transactional MERGE
     * INTO target (Delta/Iceberg): the existing table is materialized
     * via localCheckpoint before the overwrite, the swap itself is the
     * non-transactional stand-in piece, everything else — batch merge
@@ -234,15 +244,18 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val payloadCols = batch.columns.toSeq
+        val tagged = batch.toDF().withColumn(UpsertBatchCol, lit(batchId))
         val existing =
           try Some(spark.read.parquet(path).localCheckpoint(true))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val all = existing.map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+        val all = existing.map(_.unionByName(tagged)).getOrElse(tagged)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol)
-          .orderBy(col(versionCol).desc, col(keyCol))
+          .orderBy(col(versionCol).desc, col(UpsertBatchCol).desc,
+            xxhash64(struct(payloadCols.map(col): _*)))
         all.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
           .write.mode("overwrite").parquet(path)

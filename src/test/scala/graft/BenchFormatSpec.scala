@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout-line budget: the driver parses the artifact
+  * out of the LAST 2000 chars of stdout, so the chosen line must stay
+  * under BenchFormat.Limit at any plausible suite size — including the
+  * round-6+ suite growth past the 103 queries that nearly overflowed
+  * the round-5 fallback stage (~1915-1940 chars).
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  /** The real registry names plus synthetic growth to `n` total, with
+    * realistic name lengths (the real mean is ~13 chars).
+    */
+  private def suite(n: Int): Seq[(String, Double)] = {
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val synth = (real.size until n).map(i => f"q_round6_extra_op_$i%03d")
+    // realistic value mix: a long tail of sub-0.05s entries, a middle
+    // band, and a few multi-second heavies — mirrors BENCH_r05.json
+    (real ++ synth).zipWithIndex.map { case (name, i) =>
+      val v = i % 10 match {
+        case 0 => 3.25 + i * 0.01 // heavies
+        case 1 | 2 => 0.75        // middle band
+        case _ => 0.04            // long tail
+      }
+      name -> v
+    }
+  }
+
+  test("chosen line fits the driver window at 120 queries") {
+    val line = BenchFormat.choose(suite(120), "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.Limit, s"line is ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+  }
+
+  test("chosen line fits at the current suite size") {
+    val line = BenchFormat.choose(suite(SparkEntry.queries.size), "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.Limit, s"line is ${line.length} chars")
+  }
+
+  test("small suites keep full 2-decimal precision and the sf field") {
+    val small = Seq("q_a" -> 1.234, "q_b" -> 0.056, "q1_agg" -> 0.5)
+    val line = BenchFormat.choose(small, "/tmp/sf")
+    assert(line.contains(""""sf":"/tmp/sf""""))
+    assert(line.contains(""""q_a":1.23"""))
+    assert(line.contains(""""unit":"sec""""))
+  }
+
+  test("sub-0.05s drop stage preserves the total and the heavy entries") {
+    // force the final stage with a tiny limit that only it can meet
+    val results = (1 to 200).map(i => f"q_tail_$i%03d" -> 0.01) :+ ("q_heavy" -> 9.0)
+    val total = results.map(_._2).sum
+    val line = BenchFormat.choose(results, "/tmp/sf", limit = 200)
+    assert(line.length <= 200)
+    assert(line.contains(""""heavy":9"""))
+    assert(!line.contains("tail_001"))
+    assert(line.contains(s""""value":${BenchFormat.rounded(1)(total)}"""))
+  }
+}

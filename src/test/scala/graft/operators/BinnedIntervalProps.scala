@@ -41,4 +41,17 @@ object BinnedIntervalProps extends Properties("BinnedIntervalJoin") {
         .select("id", "band").collect().map(w => (w.getInt(0), w.getInt(1))).toSet
       got == expected
     }
+
+  property("tolerates a user __bin column and inverted (lo > hi) intervals") =
+    forAll(Gen.chooseNum(0.5, 5.0)) { binWidth =>
+      import spark.implicits._
+      // left already carries a __bin column; one right interval is
+      // inverted and must match nothing (not replicate wrongly)
+      val l = Seq((1, 2.0, "keep"), (2, 9.0, "keep")).toDF("id", "x", "__bin")
+      val r = Seq((10, 1.0, 3.0), (11, 8.0, 4.0)).toDF("band", "lo", "hi")
+      val got = AsOfJoin.binnedIntervalJoin(l, r, "x", "lo", "hi", binWidth)
+      got.columns.contains("__bin") &&
+        got.select("id", "band").collect()
+          .map(w => (w.getInt(0), w.getInt(1))).toSet == Set((1, 10))
+    }
 }

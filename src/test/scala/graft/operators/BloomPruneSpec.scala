@@ -34,6 +34,14 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(survivors === 500L) // every inserted key must pass its own filter
   }
 
+  test("prunedSemiJoin works when fact and dim key columns share a name") {
+    val fact = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
+    val dim = Seq(7L, 42L, 500L).toDF("k") // same name as the fact key
+    val got = BloomPrune.prunedSemiJoin(fact, dim, "k", "k", numBits = numBits)
+      .select("k").as[Long].collect().sorted
+    assert(got === Array(7L, 42L))
+  }
+
   test("bitmap filter actually prunes non-members") {
     val dim = Seq(1L, 2L, 3L).toDF("dk")
     val words = BloomPrune.buildBitmap(dim, "dk", numBits = 1 << 14, numHashes = 3)

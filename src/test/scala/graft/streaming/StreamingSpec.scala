@@ -275,6 +275,27 @@ class StreamingSpec extends AnyFunSuite {
       3L -> (("view", 3.0)))) // inserted by batch 2
   }
 
+  test("upsert version ties resolve to the later batch, deterministically") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-tie")
+    val path = s"$base/target"
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.runUpsert(stream.toDF(), path,
+      keyCol = "user_id", versionCol = "ts", checkpoint = s"$base/ckpt")
+    try {
+      stream.addData(Ev(1, ts(10), 1, "view", 1.0))
+      q.processAllAvailable()
+      // same key, SAME version: the later batch must win via the
+      // persisted batch-id tiebreak, not a partition-order coin flip
+      stream.addData(Ev(2, ts(10), 1, "click", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(path)
+    assert(rows.columns.contains(StreamingOps.UpsertBatchCol))
+    val got = rows.select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "click", 5.0)))
+  }
+
   test("RocksDB state store provider yields identical results to the default") {
     // production deployments run RocksDB-backed state (bounded JVM
     // heap; state spills to native storage) — semantics must not
