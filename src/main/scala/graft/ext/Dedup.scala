@@ -320,9 +320,8 @@ object Dedup {
     * never all-pairs (the same scale shape as the MinHash bands). Exact
     * hamming on candidates via bit_count(xor). A 16-bit fingerprint is
     * coarse — at hamming 3 it pairs a third of a random corpus, which
-    * is why the threshold defaults TIGHT; widening the fingerprint
-    * (SimHash16 → 64 bits, 4 bands) is the constant-factor change that
-    * buys looser thresholds at scale. */
+    * is why the threshold defaults TIGHT; [[simhashPairs64]] is the
+    * production-width path (64 bits, 4 bands, recall to hamming 3). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 1): DataFrame = {
     require(maxHamming <= 1, "2 byte bands guarantee recall only to hamming 1")
@@ -341,6 +340,80 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash fingerprint — the production width (see
+    * [[graft.catalyst.SimHash64]] for why 16 bits doesn't scale). A
+    * pure projection: no explode, no shuffle. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.catalyst.SimHash64.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("simhash64", tokens(col(textCol))).as("simhash"))
+  }
+
+  /** The fingerprint split into its 4×16-bit band keys (b0 = bits
+    * 0-15 … b3 = bits 48-63) — the oracle-friendly shape: every value
+    * fits in [0, 65535], so no engine has to agree on signed 64-bit
+    * hex parsing. */
+  def simhash64Bands(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash64(df, idCol, textCol).select(
+      col(idCol) +: (0 until 4).map(k =>
+        shiftrightunsigned(col("simhash"), 16 * k)
+          .bitwiseAND(lit(0xffffL)).as(s"b$k")): _*)
+
+  /** 64-bit SimHash near-dup PAIRS: band the fingerprint into 4×16-bit
+    * keys — two docs within hamming distance 3 differ in ≤3 bits, so
+    * at least one band is untouched (pigeonhole) and the banded
+    * candidate join has FULL recall to hamming 3, at 65536 bucket
+    * values per band (vs 256 for the 16-bit path — the difference
+    * between ~N/65536 and ~N/256 docs per bucket on a 10⁹-doc corpus).
+    * Exact hamming on candidates via bit_count(xor); work stays
+    * bucket-local, never all-pairs. */
+  def simhashPairs64(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands guarantee recall only to hamming 3")
+    val fp = simhash64(docs, idCol, textCol)
+    val bands = fp.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map { k =>
+        shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "bkey")))
+    val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("sa"),
+      col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("sb"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Reference composition path for the 64-bit fingerprint (explode ×
+    * bits → two aggregations), kept to pin the native expression
+    * bit-for-bit in SimHash64Spec. The hash is assembled from two
+    * 32-bit hex halves so no step needs an unsigned 64-bit parse. */
+  def simhash64Composed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokRows = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("hhi"),
+        conv(substring(md5(col("__tok")), 9, 8), 16, 10).cast("long").as("hlo"))
+    val votes = tokRows
+      .select(col(idCol), col("hhi"), col("hlo"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .select(col(idCol), col("b"),
+        (when(col("b") < 32, expr("shiftright(hlo, CAST(b AS INT)) & 1"))
+          .otherwise(expr("shiftright(hhi, CAST(b AS INT) - 32) & 1"))
+          * 2 - 1).as("vote"))
+      .groupBy(idCol, "b").agg(sum(col("vote")).as("s"))
+    // shiftleft(1L, 63) wraps to Long.MinValue (Java semantics), so
+    // the signed sum reassembles the same two's-complement value the
+    // native expression produces.
+    votes.groupBy(idCol)
+      .agg(sum(when(col("s") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(0L)).as("simhash"))
   }
 
   /** Reference composition path (explode × bits → two aggregations),

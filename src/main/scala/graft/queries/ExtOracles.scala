@@ -114,6 +114,32 @@ object ExtOracles {
         |    AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
 
+    // 64-bit SimHash in band shape: the hash is assembled from two
+    // 32-bit hex halves and emitted as 4×16-bit band values, so no
+    // step needs a signed-64 hex parse in either engine.
+    "q_simhash64" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hhi,
+        |    CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hlo
+        |  FROM toks),
+        |votes AS (SELECT doc_id, bb.b,
+        |    SUM(((CASE WHEN bb.b < 32 THEN (hlo >> bb.b)
+        |           ELSE (hhi >> (bb.b - 32)) END) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        |  GROUP BY doc_id, bb.b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 AND b < 16
+        |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(SUM(CASE WHEN s > 0 AND b >= 16 AND b < 32
+        |    THEN (CAST(1 AS BIGINT) << (b - 16)) ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(SUM(CASE WHEN s > 0 AND b >= 32 AND b < 48
+        |    THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(SUM(CASE WHEN s > 0 AND b >= 48
+        |    THEN (CAST(1 AS BIGINT) << (b - 48)) ELSE 0 END) AS BIGINT) AS b3
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
     "q_normalize" ->
       """WITH rough AS (SELECT doc_id,
         |    '  NOISE?! ' || upper(substr(text, 1, 40)) || ' ## ' || text AS rough
@@ -593,6 +619,48 @@ object ExtOracles {
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
+
+    // 64-bit banded pairs: band values from the same two-half hash
+    // derivation as q_simhash64; hamming = sum of per-band
+    // bit_count(xor), identical to bit_count over the full 64 bits.
+    "q_simhash64_pairs" ->
+      s"""WITH $nearCorpus,
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM corpus),
+         |h AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hhi,
+         |    CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hlo
+         |  FROM toks),
+         |votes AS (SELECT doc_id, bb.b,
+         |    SUM(((CASE WHEN bb.b < 32 THEN (hlo >> bb.b)
+         |           ELSE (hhi >> (bb.b - 32)) END) & 1) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |fp AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 AND b < 16
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(SUM(CASE WHEN s > 0 AND b >= 16 AND b < 32
+         |      THEN (CAST(1 AS BIGINT) << (b - 16)) ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(SUM(CASE WHEN s > 0 AND b >= 32 AND b < 48
+         |      THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS b2,
+         |    CAST(SUM(CASE WHEN s > 0 AND b >= 48
+         |      THEN (CAST(1 AS BIGINT) << (b - 48)) ELSE 0 END) AS BIGINT) AS b3
+         |  FROM votes GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b0, b1, b2, b3, kk.k AS band,
+         |    CASE kk.k WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS k) kk),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |     + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3""".stripMargin,
 
     "q_edit_distance" ->
       """WITH corpus AS (SELECT doc_id, text, lang FROM documents

@@ -147,6 +147,17 @@ object ExtQueries {
   def simhashPairsQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(nearCorpus(spark, dir), "doc_id", "text")
 
+  /** 64-bit SimHash fingerprint in its band-key shape (4×16-bit
+    * values — oracle-portable, no signed-64 hex parsing anywhere). */
+  def simhash64Fp(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash64Bands(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
+
+  /** 64-bit SimHash banded near-dup pairs: 4×16-bit bands give
+    * pigeonhole-complete recall at hamming <= 3 — the production
+    * threshold the 16-bit path can't afford (Dedup.simhashPairs64). */
+  def simhash64PairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs64(nearCorpus(spark, dir), "doc_id", "text")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenStats(docs(spark, dir), "doc_id", "text")
 
@@ -439,6 +450,8 @@ object ExtQueries {
     "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "q_simhash"           -> (simhashFp _),
     "q_simhash_pairs"     -> (simhashPairsQ _),
+    "q_simhash64"         -> (simhash64Fp _),
+    "q_simhash64_pairs"   -> (simhash64PairsQ _),
     "q_token_stats"       -> (tokenStats _),
     "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),
