@@ -106,18 +106,28 @@ object Sketches {
   }
 
   /** Deterministic HyperLogLog (Flajolet et al. 2007) over a 60-bit
-    * engine-portable hash column (TextOps.hex15 domain): p=8 → m=256
-    * registers. bucket = h mod m; rho = 1 + trailing-zero count of the
-    * remaining 52 bits (isolated via `h & -h`, whose log2 is EXACT for
-    * powers of two — no libm divergence). The estimate is
-    * alpha_m·m²·2^53 / Σ 2^(53-rho_j), with the denominator summed as
-    * exact BIGINTs (a double Σ2^-rho is order-dependent past 53 bits of
-    * spread; the scaled-integer sum is associative, so the DuckDB
-    * oracle reproduces the estimate bit-for-bit). The ln()-based
+    * engine-portable hash column (TextOps.hex15 domain), precision
+    * `p` ∈ [7, 14] → m = 2^p registers. bucket = h mod m; rho = 1 +
+    * trailing-zero count of the remaining 60-p bits (isolated via
+    * `h & -h`, whose log2 is EXACT for powers of two — no libm
+    * divergence). The estimate is alpha_m·m²·2^cap / Σ 2^(cap-rho_j)
+    * with cap = 61-p, the denominator summed as exact BIGINTs (a
+    * double Σ2^-rho is order-dependent past 53 bits of spread; the
+    * scaled-integer sum is associative, so the DuckDB oracle
+    * reproduces the estimate bit-for-bit at ANY p). The ln()-based
     * small-range (linear counting) correction is deliberately omitted:
     * ln's last-ulp rounding differs between libm implementations, which
     * would break exact parity — callers below ~0.7·m distinct should
     * use the KMV sketch, which is exact in that regime.
+    *
+    * Error/shuffle trade vs KMV: HLL's relative error is ~1.04/√m —
+    * p=8 → ~6.5%, p=12 → ~1.6%, p=14 → ~0.8% — for m INTS of register
+    * state per partition (p=12 → 4096 rows into the one shuffle, still
+    * nothing at executor scale), while KMV at k=64 carries ~12% error
+    * in 512 bytes but turns EXACT below k distinct and supports set
+    * algebra (union/intersection) on the kept hash sets. Default p=12:
+    * the shuffle stays tiny and ~1.6% matches production expectations;
+    * drop to p=8 only when thousands of groups each carry a sketch.
     *
     * Scale shape: two map-side-combinable hash aggs — per-bucket MAX
     * shuffles ≤ m rows per partition, the finish agg is one row. The
@@ -126,11 +136,12 @@ object Sketches {
     * query is ONE scan + one m-row shuffle.
     */
   def hllDistinct(hashed: org.apache.spark.sql.DataFrame,
-                  hashCol: String): org.apache.spark.sql.DataFrame = {
+                  hashCol: String, p: Int = 12): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val p = 8
+    // lower bound 7: alpha_m = 0.7213/(1+1.079/m) only holds for m >= 128
+    require(p >= 7 && p <= 14, s"HLL precision must be in [7, 14], got $p")
     val m = 1 << p
-    val cap = 61 - p // max rho: 52 trailing zeros + 1, plus the rem==0 sentinel
+    val cap = 61 - p // max rho: (60-p) trailing zeros + 1, plus the rem==0 sentinel
     val hv = col(hashCol)
     val rem = shiftright(hv, p)
     val rho = when(rem === 0, lit(cap)).otherwise(

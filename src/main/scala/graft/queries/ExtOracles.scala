@@ -620,6 +620,16 @@ object ExtOracles {
          |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
 
+    "q_oversize_audit" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 400000,
+        |    'hotblock shared prefix marker ' || text, 'xx'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |blocked AS (SELECT lang, substr(text, 1, 16) AS blk FROM corpus)
+        |SELECT lang, blk, CAST(COUNT(*) AS BIGINT) AS block_size
+        |FROM blocked GROUP BY lang, blk HAVING COUNT(*) > 64
+        |ORDER BY lang, blk""".stripMargin,
+
     // 64-bit banded pairs: band values from the same two-half hash
     // derivation as q_simhash64; hamming = sum of per-band
     // bit_count(xor), identical to bit_count over the full 64 bits.
@@ -759,20 +769,22 @@ object ExtOracles {
         |FROM est JOIN ex ON est.user_id = ex.user_id
         |ORDER BY est.user_id""".stripMargin,
 
+    // p=12: m=4096 registers, cap=61-12=49, 2^49=562949953421312,
+    // m^2=16777216 — mirrors Sketches.hllDistinct's default precision
     "q_hll_distinct" ->
       """WITH h AS (SELECT CAST('0x' ||
         |    substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
         |  FROM lineitem),
-        |r AS (SELECT hv % 256 AS bucket, hv,
-        |    CASE WHEN hv // 256 = 0 THEN 53
-        |         ELSE CAST(log2(CAST((hv // 256) & -(hv // 256) AS DOUBLE)) AS INT) + 1
+        |r AS (SELECT hv % 4096 AS bucket, hv,
+        |    CASE WHEN hv // 4096 = 0 THEN 49
+        |         ELSE CAST(log2(CAST((hv // 4096) & -(hv // 4096) AS DOUBLE)) AS INT) + 1
         |    END AS rho
         |  FROM h),
         |mx AS (SELECT bucket, MAX(rho) AS r, COUNT(DISTINCT hv) AS nd
         |  FROM r GROUP BY bucket)
-        |SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-        |    / CAST(CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT)
-        |           + (256 - COUNT(*)) * 9007199254740992 AS DOUBLE) AS est_distinct,
+        |SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * 562949953421312.0
+        |    / CAST(CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT)
+        |           + (4096 - COUNT(*)) * 562949953421312 AS DOUBLE) AS est_distinct,
         |  CAST(SUM(nd) AS BIGINT) AS n_exact
         |FROM mx""".stripMargin,
   )

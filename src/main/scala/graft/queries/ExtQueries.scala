@@ -158,6 +158,24 @@ object ExtQueries {
   def simhash64PairsQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs64(nearCorpus(spark, dir), "doc_id", "text")
 
+  /** The recall-audit face of blocked pairing (Dedup.oversizeBlocks):
+    * a hot block is PLANTED (every 3rd doc re-tagged with one shared
+    * 16-char prefix under a synthetic lang), and the audit must report
+    * its (lang, blk, block_size) — the no-silent-caps policy as a gate
+    * query: what boundBlocks would drop from pairing is observable,
+    * not silently lost recall. */
+  def oversizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text", "lang")
+    val planted = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(lit("hotblock shared prefix marker "), col("text")).as("text"),
+        lit("xx").as("lang"))
+    val blocked = d.unionByName(planted)
+      .select(col("lang"), substring(col("text"), 1, 16).as("blk"))
+    Dedup.oversizeBlocks(blocked, Seq("lang", "blk"), maxBlockSize = 64)
+      .orderBy("lang", "blk")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenStats(docs(spark, dir), "doc_id", "text")
 
@@ -355,8 +373,9 @@ object ExtQueries {
 
   /** HyperLogLog distinct-count sketch of lineitem.l_partkey —
     * register-merge sketching beside KMV's k-minimum-values: one scan,
-    * one 256-row shuffle, exact-parity estimator (Sketches.hllDistinct
-    * scaladoc). n_exact rides the same per-bucket agg. */
+    * one m-row shuffle at the default p=12 (~1.6% error), exact-parity
+    * estimator (Sketches.hllDistinct scaladoc). n_exact rides the same
+    * per-bucket agg. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     Sketches.hllDistinct(
       Tables.lineitem(spark, dir)
@@ -452,6 +471,7 @@ object ExtQueries {
     "q_simhash_pairs"     -> (simhashPairsQ _),
     "q_simhash64"         -> (simhash64Fp _),
     "q_simhash64_pairs"   -> (simhash64PairsQ _),
+    "q_oversize_audit"    -> (oversizeAudit _),
     "q_token_stats"       -> (tokenStats _),
     "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),

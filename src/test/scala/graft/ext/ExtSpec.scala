@@ -501,14 +501,26 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L || b == 5L })
   }
 
-  test("hll distinct: estimate within 5% at 2k distinct, n_exact is exact") {
-    val hv = (1 to 2000)
+  test("hll distinct: estimate within tolerance at both p=8 and p=12") {
+    val hv = (1 to 20000)
       .map(i => s"val$i").toDF("s")
       .select(TextOps.hex15(col("s")).as("hv"))
-    val row = Sketches.hllDistinct(hv, "hv").collect().head
-    val est = row.getDouble(0)
-    assert(row.getLong(1) === 2000L)
-    assert(math.abs(est - 2000.0) / 2000.0 < 0.05, s"estimate $est")
+    // theoretical std error ~1.04/sqrt(m): ~6.5% at p=8, ~1.6% at
+    // p=12 — assert ~2 sigma, and that the knob actually tightens
+    val est8 = Sketches.hllDistinct(hv, "hv", p = 8).collect().head
+    val est12 = Sketches.hllDistinct(hv, "hv", p = 12).collect().head
+    assert(est8.getLong(1) === 20000L && est12.getLong(1) === 20000L)
+    val err8 = math.abs(est8.getDouble(0) - 20000.0) / 20000.0
+    val err12 = math.abs(est12.getDouble(0) - 20000.0) / 20000.0
+    assert(err8 < 0.13, s"p=8 error $err8")
+    assert(err12 < 0.033, s"p=12 error $err12")
+    assert(err12 < err8, s"p=12 ($err12) should beat p=8 ($err8) here")
+  }
+
+  test("hll distinct: precision bounds are enforced") {
+    val hv = Seq("a").toDF("s").select(TextOps.hex15(col("s")).as("hv"))
+    intercept[IllegalArgumentException](Sketches.hllDistinct(hv, "hv", p = 6))
+    intercept[IllegalArgumentException](Sketches.hllDistinct(hv, "hv", p = 15))
   }
 
   test("frameColumns matches the typed frameSample path per row") {
@@ -542,9 +554,11 @@ class ExtSpec extends AnyFunSuite {
   test("hll distinct: duplicated input leaves registers (and estimate) unchanged") {
     val base = (1 to 500).map(i => s"v$i").toDF("s")
       .select(TextOps.hex15(col("s")).as("hv"))
-    val est1 = Sketches.hllDistinct(base, "hv").collect().head.getDouble(0)
-    val est3 = Sketches.hllDistinct(base.union(base).union(base), "hv")
-      .collect().head.getDouble(0)
-    assert(est1 === est3)
+    for (p <- Seq(8, 12)) {
+      val est1 = Sketches.hllDistinct(base, "hv", p).collect().head.getDouble(0)
+      val est3 = Sketches.hllDistinct(base.union(base).union(base), "hv", p)
+        .collect().head.getDouble(0)
+      assert(est1 === est3, s"p=$p")
+    }
   }
 }
