@@ -345,6 +345,13 @@ object Openf1Api {
   /** Observability hook for specs: total simulated 429s served. */
   val retriesServed = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Shared request pacing + 429 coordination for every partition
+    * reader in this executor JVM (see [[RateLimiter]]). The default
+    * budget is deliberately generous for the in-process fixture/test
+    * transports; a deployment against the real API tunes it to the
+    * published request budget via its own instance. */
+  val limiter = new RateLimiter(ratePerSec = 200, burst = 64)
+
   def schemaFor(entity: String): StructType = entity match {
     case "laps"     => F1Schemas.laps
     case "stints"   => F1Schemas.stints
@@ -353,10 +360,17 @@ object Openf1Api {
     case other => throw new IllegalArgumentException(s"unknown openf1 entity: $other")
   }
 
-  /** One retried page fetch through the transport seam. */
+  /** One retried page fetch through the transport seam: paced by the
+    * shared [[limiter]], and any 429 feeds the shared penalty window
+    * before the per-call retry loop backs off — so concurrent
+    * partitions recover staggered instead of in lockstep. */
   def fetch(transport: Openf1Transport, entity: String,
             sessionKey: Option[Long], driver: Long): Seq[InternalRow] =
-    withRetry() { transport.get(entity, sessionKey, driver) }
+    withRetry() {
+      limiter.acquire()
+      try transport.get(entity, sessionKey, driver)
+      catch { case e: RateLimitedException => limiter.on429(); throw e }
+    }
 
   /** Project full-schema rows to the pruned reader schema (no-op when
     * nothing was pruned) — shared by the batch reader and the

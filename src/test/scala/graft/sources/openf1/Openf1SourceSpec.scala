@@ -223,6 +223,55 @@ class Openf1SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL 429s (whole-client throttle) recover through the shared limiter") {
+    // the server throttles the CLIENT, not a URI: every request in
+    // the first burst gets 429 regardless of path — the scenario
+    // where uncoordinated per-partition retries re-fire in lockstep.
+    // The shared limiter must open ONE penalty window (429s during
+    // the burst join it) and the scan must still produce full data.
+    // 4 < withRetry's 5 attempts: the single-threaded planning fetch
+    // absorbs the whole burst without exhausting its retry budget.
+    val global429s = new java.util.concurrent.atomic.AtomicInteger(4)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (global429s.getAndDecrement() > 0) {
+        ex.sendResponseHeaders(429, -1)
+        ex.close()
+      } else {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val bytes = fixtureJson(ex.getRequestURI.getPath.stripPrefix("/"),
+          q.get("session_key").map(_.toLong),
+          q.get("driver_number").map(_.toLong)).getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val penaltiesBefore = Openf1Api.limiter.penaltiesOpened
+      val viaHttp = spark.read.format("openf1")
+        .option("entity", "stints").option("url", base).load()
+      val viaFiles = F1Tables.stints(spark)
+      assert(viaHttp.exceptAll(viaFiles).isEmpty
+        && viaFiles.exceptAll(viaHttp).isEmpty)
+      val opened = Openf1Api.limiter.penaltiesOpened - penaltiesBefore
+      assert(opened >= 1L, "the global throttle must open a penalty window")
+      // the serial planning fetch re-trips the limit once per retry,
+      // and each post-window 429 escalates (50→100→200→400ms): at
+      // most one window per 429 served, never a storm of re-fires
+      assert(opened <= 4L, s"opened $opened windows for 4 global 429s")
+      assert(Openf1Api.limiter.currentPenaltyMs >= 50L,
+        "escalated penalty must be recorded")
+    } finally server.stop(0)
+  }
+
   // ---------------------------------------------------------------
   // Streaming (MicroBatchStream): the live-session polling analogue
   // of the reference dashboard's re-query loop (dashboard.py:89-99).
