@@ -41,7 +41,64 @@ object ScaleBench {
     // build, frame sampling, and the batch sessionizer's keyed window
     "q_edit_distance", "q_simhash_pairs", "q_cms_frequency",
     "q_multimodal_frames", "q_batch_sessions",
-    "q_stream_tumbling", "q_custom_sessions", "q_stream_dedup")
+    "q_stream_tumbling", "q_custom_sessions", "q_stream_dedup",
+    // round 6: the 64-bit banded SimHash path
+    "q_simhash64_pairs")
+
+  /** The 100× set: the pair-generating and stateful shapes whose
+    * worst case is quadratic or state-bound — the ones whose 100 TB
+    * claims need a measured point beyond 10×. Kept small because each
+    * query runs against a corpus 100× the base.
+    *
+    * The LSH near-dup runs in its CAPPED configuration here
+    * (scale-only entry below): on this corpus every base doc is a
+    * 100-clique, so the uncapped gate query's pairwise verification
+    * is ~25M true pairs whose shingle-explode join writes >80 GB of
+    * shuffle — the measured, named blowup the bucket cap exists for
+    * (see Dedup.lshCandidates; hot buckets are near-identical cliques
+    * that clustering handles without pairwise verification, and
+    * scale_out.json records the audited bucket drops). */
+  val Headliners100: Seq[String] = Seq(
+    "q_dedup_lsh_capped", "q_edit_distance", "q_simhash64_pairs",
+    "q_ivf_sqrtk", "q_custom_sessions", "q_stream_dedup")
+
+  /** Scale-only shapes (not oracle gate queries): the production
+    * configurations whose knobs differ from the fixture-sized gate
+    * defaults. */
+  val ScaleOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lsh_capped" -> ((s: SparkSession, d: String) =>
+      graft.ext.Dedup.nearDupPairs(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", maxBucketSize = 64)),
+    // IVF with the K ~ sqrt(N) centroid sizing the operator's
+    // scaladoc prescribes. The GATE query pins centroids as
+    // vec_id % 25 == 0 for oracle determinism, which grows K linearly
+    // with the corpus — assignment is O(N·K) = O(N²/25), measured
+    // 114.8x at the 100x point. This is the production sizing of the
+    // SAME operator: K ≈ √N keeps assignment O(N·√N).
+    "q_ivf_sqrtk" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cands = e.filter(col("vec_id") >= 20)
+      val m = math.max(25L, math.round(math.sqrt(cands.count().toDouble)))
+      graft.ext.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 20), cands,
+        cands.filter(col("vec_id") % m === 0),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+    }),
+    // the audit face at the same cap: what the cap dropped, by bucket
+    "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {
+      graft.catalyst.MinHashSig.register(s)
+      val sig = Tables.documents(s, d).select(col("doc_id"),
+        call_function("minhash_sig", split(col("text"), " "),
+          lit(3), lit(8)).as("__sig"))
+      val bands = sig
+        .select(col("doc_id"), col("__sig"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .select(col("doc_id"), col("band"),
+          expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
+            .as("bkey"))
+      graft.ext.Dedup.oversizeBuckets(bands, 64)
+    }))
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
                   factor: Int): Unit = {
@@ -77,7 +134,7 @@ object ScaleBench {
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name, ScaleOnly(name))
     fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
     val t0 = System.nanoTime()
     fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -97,8 +154,15 @@ object ScaleBench {
       buildScaled(spark, baseDir, outDir, factor)
     }
 
+    // 4th arg: explicit query list; else the factor picks the set —
+    // big factors get the focused quadratic/stateful subset
+    val queries =
+      if (args.length > 3) args(3).split(",").toSeq
+      else if (factor >= 50) Headliners100
+      else Headliners
+
     println(f"${"query"}%-22s ${"base(s)"}%9s ${"x$factor(s)"}%9s ratio")
-    val rows = Headliners.map { q =>
+    val rows = queries.map { q =>
       val tBase = time(spark, q, baseDir)
       val tBig = time(spark, q, outDir)
       println(f"$q%-22s $tBase%9.2f $tBig%9.2f ${tBig / tBase}%5.1f")

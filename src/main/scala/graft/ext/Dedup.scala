@@ -63,13 +63,43 @@ object Dedup {
       .select(col(idCol), col("__b.band").as("band"), col("__b.bkey").as("bkey"))
   }
 
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+  /** Candidate pairs from banded signatures. Pairing is quadratic
+    * WITHIN a bucket — the same hazard [[boundBlocks]] guards for
+    * metadata blocking: one viral boilerplate doc repeated 10⁶ times
+    * puts 10⁶ rows in one (band, bkey) bucket and 5·10¹¹ pairs come
+    * out of it alone. `maxBucketSize` applies the same cap-and-audit
+    * policy to LSH buckets (default unlimited — small corpora and the
+    * oracle gate are unaffected): oversize buckets drop from PAIRWISE
+    * generation and must be handled by representative-based
+    * clustering instead — a bucket that hot means its members are
+    * near-identical, so they form one cluster without any pairwise
+    * verification (the [[graft.ext.Similarity]] single-bucket
+    * membership shape). Use [[oversizeBuckets]] to report the drops. */
+  def lshCandidates(bands: DataFrame, idCol: String,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val limited =
+      if (maxBucketSize == Int.MaxValue) bands
+      else {
+        val small = bands.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band", "bkey")
+        bands.join(small, Seq("band", "bkey"), "left_semi")
+      }
+    val a = limited.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val b = limited.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** The LSH buckets [[lshCandidates]] would drop at `maxBucketSize`:
+    * (band, bkey, bucket_size). The audit face — same contract as
+    * [[oversizeBlocks]] for metadata blocking. */
+  def oversizeBuckets(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
 
   /** Restrict a corpus to blocking groups of at most `maxBlockSize`
     * members. Blocking-based candidate generation is quadratic WITHIN
@@ -157,7 +187,8 @@ object Dedup {
     * shingles for CANDIDATE docs only. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 8,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     graft.catalyst.MinHashSig.register(df.sparkSession)
     // ONE scalar call per document covers tokenize->shingle->hash->min:
     // building a shingle-array column first looks equivalent, but
@@ -182,7 +213,7 @@ object Dedup {
         expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
           .as("bkey"))
       .repartition(col("band"), col("bkey"))
-    val cand = lshCandidates(bands, idCol)
+    val cand = lshCandidates(bands, idCol, maxBucketSize)
     // verification shingles via the Generate-protected explode path —
     // its distinct doubles as the exchange all three jaccard consumers
     // reuse. (An array-intersect variant was measured here and LOST:

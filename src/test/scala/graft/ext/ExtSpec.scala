@@ -94,6 +94,42 @@ class ExtSpec extends AnyFunSuite {
     assert(over === Map(Some("b") -> 3L))
   }
 
+  test("LSH bucket cap drops hot cliques from pairing and audits them") {
+    // a 6-member clique of identical docs (one hot bucket per band)
+    // plus one small near-dup pair that must keep pairing normally
+    val clique = (1L to 6L).map(i => (i, "the same viral boilerplate text row"))
+    val pair = Seq(
+      (10L, "another distinct doc body entirely here"),
+      (11L, "another distinct doc body entirely here too"))
+    val df = (clique ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupPairs(df, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)))
+    assert(uncapped.count { case (a, b) => a <= 6 && b <= 6 } === 15,
+      "uncapped: the full 6-clique pairs quadratically")
+    val capped = Dedup.nearDupPairs(df, "doc_id", "text", maxBucketSize = 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((10L, 11L)),
+      "capped: hot-bucket pairs drop, small buckets keep full recall")
+    // ...and the drop is observable, not silent
+    graft.catalyst.MinHashSig.register(spark)
+    val sig = df.select(col("doc_id"),
+      call_function("minhash_sig", split(col("text"), " "),
+        lit(3), lit(8)).as("__sig"))
+    val bands = sig
+      .select(col("doc_id"), col("__sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
+          .as("bkey"))
+    val audited = Dedup.oversizeBuckets(bands, 4)
+      .collect().map(r => r.getLong(2))
+    assert(audited.length === 4 && audited.forall(_ === 6L),
+      "each band must report the 6-member hot bucket")
+  }
+
   test("native simhash16 equals the explode+aggregate composition exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val native = Dedup.simhash(docs, "doc_id", "text")
