@@ -40,13 +40,15 @@ object BenchFormat {
   /** The most precise variant that fits [[Limit]]. Compaction stages
     * (trailing-zero-stripped 2-decimals → 1-decimal for >=1 s values →
     * drop the informational sf field → strip the uniform q_ name
-    * prefix → drop the unit field → drop sub-0.05 s queries from the
-    * per-query map) apply only until the line fits, so a trimmed-down
-    * suite regains precision automatically. The final stage sheds the
-    * suite's long tail — at 100+ queries most entries are <0.05 s and
-    * their line mass is name bytes, not signal; `total` still counts
-    * them. If even THAT overflows, the overflow is loud (stderr) so
-    * the regression is visible before the driver records parsed:null.
+    * prefix → drop the unit field → drop the cheapest queries from
+    * the per-query map at an escalating threshold ladder) apply only
+    * until the line fits, so a trimmed-down suite regains precision
+    * automatically. The ladder stage sheds the suite's cheap tail —
+    * entries whose line mass is name bytes, not signal (a 0.2 s
+    * query cannot be a >2× regression anyone acts on, and `total`
+    * still counts every query). If even the top rung overflows, the
+    * overflow is loud (stderr) so the regression is visible before
+    * the driver records parsed:null.
     */
   def choose(results: Seq[(String, Double)], sfDir: String,
              limit: Int = Limit): String = {
@@ -59,15 +61,16 @@ object BenchFormat {
       line(results, total, sfDir, adaptive, withSf = false, short),
       line(results, total, sfDir, rounded(1), withSf = false, short),
       line(results, total, sfDir, rounded(1), withSf = false, short, withUnit = false))
-    lazy val tail = results.filter(_._2 >= 0.05)
-    lazy val dropped =
-      line(tail, total, sfDir, rounded(1), withSf = false, short, withUnit = false)
-    (staged :+ dropped).find(_.length <= limit).getOrElse {
+    lazy val ladder = Seq(0.05, 0.1, 0.2, 0.3, 0.5).map { threshold =>
+      line(results.filter(_._2 >= threshold), total, sfDir,
+        rounded(1), withSf = false, short, withUnit = false)
+    }
+    (staged ++ ladder).find(_.length <= limit).getOrElse {
       System.err.println(
-        s"[graft.Bench] WARNING: bench line is ${dropped.length} chars (> $limit) " +
-        s"even after dropping ${results.length - tail.length} sub-0.05s queries; " +
-        "the driver may record parsed:null — add another compaction stage")
-      dropped
+        s"[graft.Bench] WARNING: bench line is ${ladder.last.length} chars " +
+        s"(> $limit) even after dropping sub-0.5s queries; the driver may " +
+        "record parsed:null — add another compaction stage")
+      ladder.last
     }
   }
 }

@@ -16,13 +16,17 @@ class BenchFormatSpec extends AnyFunSuite {
   private def suite(n: Int): Seq[(String, Double)] = {
     val real = SparkEntry.queries.keys.toSeq.sorted
     val synth = (real.size until n).map(i => f"q_round6_extra_op_$i%03d")
-    // realistic value mix: a long tail of sub-0.05s entries, a middle
-    // band, and a few multi-second heavies — mirrors BENCH_r05.json
+    // realistic sf0.1 value mix (from the round-6 bench_out.json):
+    // few entries under 0.05s, a broad 0.1-0.3s tail, a 0.5-1s middle
+    // band, and multi-second heavies — the drop ladder must escalate
+    // past its first rungs to fit, exactly as on the real suite
     (real ++ synth).zipWithIndex.map { case (name, i) =>
       val v = i % 10 match {
         case 0 => 3.25 + i * 0.01 // heavies
         case 1 | 2 => 0.75        // middle band
-        case _ => 0.04            // long tail
+        case 3 | 4 => 0.45
+        case 5 | 6 => 0.25
+        case _ => 0.12            // broad cheap tail
       }
       name -> v
     }
@@ -47,9 +51,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""unit":"sec""""))
   }
 
-  test("sub-0.05s drop stage preserves the total and the heavy entries") {
-    // force the final stage with a tiny limit that only it can meet
-    val results = (1 to 200).map(i => f"q_tail_$i%03d" -> 0.01) :+ ("q_heavy" -> 9.0)
+  test("drop ladder preserves the total and the heavy entries") {
+    // force the ladder with a tiny limit only its top rungs can meet:
+    // the cheap tail (0.12s) must drop, the heavy entry must survive,
+    // and the total must still count every query
+    val results = (1 to 200).map(i => f"q_tail_$i%03d" -> 0.12) :+ ("q_heavy" -> 9.0)
     val total = results.map(_._2).sum
     val line = BenchFormat.choose(results, "/tmp/sf", limit = 200)
     assert(line.length <= 200)
