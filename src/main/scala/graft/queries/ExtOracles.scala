@@ -76,6 +76,49 @@ object ExtOracles {
          |JOIN sizes nb ON nb.doc_id = i.doc_b
          |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5""".stripMargin,
 
+    // The bucket cap pinned in SQL: same minhash/banding as
+    // q_dedup_minhash_lsh over a corpus with planted 8-member
+    // identical-text cliques; buckets over the cap drop from pairing.
+    "q_lsh_bucket_cap" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 500000 + k.k * 1000, text
+        |  FROM documents CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+        |  WHERE doc_id % 50 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |mh AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        |small AS (SELECT band, bkey FROM bands
+        |  GROUP BY band, bkey HAVING COUNT(*) <= 6),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN small s ON s.band = a.band AND s.bkey = a.bkey
+        |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT i.doc_a, i.doc_b,
+        |  CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH corpus AS (SELECT doc_id, text, source, n_chars FROM documents
          |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end', source, n_chars

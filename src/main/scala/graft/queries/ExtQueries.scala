@@ -46,6 +46,28 @@ object ExtQueries {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(nearCorpus(spark, dir), "doc_id", "text")
 
+  /** The LSH bucket cap THROUGH the gate: the near-dup corpus plus a
+    * planted hot clique — every 50th doc cloned 7× with IDENTICAL
+    * text, so each such group shares all four band buckets (size ≥ 8).
+    * At maxBucketSize=6 those buckets drop from pairwise generation
+    * (their members are the identical-content regime clustering
+    * handles without pairwise verification) while the natural
+    * 2-member near-dup buckets keep full recall. The oracle re-derives
+    * the cap as a HAVING-filtered bucket join, so the recall trade is
+    * pinned by DuckDB, not just a spec. */
+  def dedupLshCapped(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val near = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text"))
+    val clones = d.filter(col("doc_id") % 50 === 0)
+      .crossJoin(spark.range(1, 8).select(col("id").as("__k")))
+      .select((col("doc_id") + 500000 + col("__k") * 1000).as("doc_id"),
+        col("text"))
+    Dedup.nearDupPairs(d.unionByName(near).unionByName(clones),
+      "doc_id", "text", maxBucketSize = 6)
+  }
+
   /** Blocked char-5-gram Jaccard: candidate pairs come from cheap
     * metadata blocking (source, n_chars) — near-copies keep the base
     * doc's recorded n_chars, so each lands in its original's block.
@@ -466,6 +488,7 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_lsh_bucket_cap"    -> (dedupLshCapped _),
     "q_ngram_jaccard"     -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "q_simhash"           -> (simhashFp _),
     "q_simhash_pairs"     -> (simhashPairsQ _),
