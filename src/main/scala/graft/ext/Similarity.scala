@@ -162,20 +162,24 @@ object Similarity {
     * centroid id — `array_position` takes the FIRST index achieving
     * the max and the centroid list is in centroid-id order, which is
     * exactly `row_number() ORDER BY score DESC, cid ASC = 1`. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cos = nativeCosine(candidates) _
-    // one row holding every centroid (cid-ascending: array_sort on a
-    // struct array orders by the leading cid field)
-    val cents = broadcast(
+  /** One broadcast row holding every centroid (cid-ascending:
+    * array_sort on a struct array orders by the leading cid field). */
+  private def centroidRow(centroids: DataFrame, idCol: String,
+                          vecCol: String): DataFrame =
+    broadcast(
       centroids.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
         .groupBy()
         .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("__cents")))
-    // single-pass in-row argmax: array_max over struct(score, -cid)
-    // compares lexicographically — max score, then min cid on ties —
-    // with the scored array referenced exactly ONCE (a second
-    // reference would re-evaluate every per-centroid cosine)
-    val assigned = candidates
+
+  /** Shuffle-free cell assignment: single-pass in-row argmax —
+    * array_max over struct(score, -cid) compares lexicographically
+    * (max score, then min cid on ties) with the scored array
+    * referenced exactly ONCE (a second reference would re-evaluate
+    * every per-centroid cosine). Output: (neighbor_id, __cv, __cell). */
+  private def assignCells(candidates: DataFrame, cents: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val cos = nativeCosine(candidates) _
+    candidates
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
       .crossJoin(cents)
       .withColumn("__best", array_max(transform(col("__cents"), c =>
@@ -183,6 +187,31 @@ object Similarity {
           (-c.getField("cid")).as("nc")))))
       .select(col("neighbor_id"), col("__cv"),
         (-col("__best").getField("nc")).as("__cell"))
+  }
+
+  /** Cell-occupancy audit for [[ivfTopK]] — the no-silent-caps face
+    * of IVF: probing a cell scores ALL its members, so a hot cell
+    * (skewed corpus, too few or collapsed centroids) silently turns
+    * each probe into a near-brute-force scan. Reports cells above
+    * `maxCellSize` as (cell, cell_size); at scale those cells call
+    * for more centroids (K ≈ √N — the sizing ivfTopK documents) or a
+    * salted split, and the 100× ScaleBench point shows exactly this
+    * failure when K stops tracking √N. */
+  def ivfCellStats(candidates: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String, maxCellSize: Long): DataFrame = {
+    val cents = centroidRow(centroids, idCol, vecCol)
+    assignCells(candidates, cents, idCol, vecCol)
+      .groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > maxCellSize)
+      .orderBy("cell")
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cos = nativeCosine(candidates) _
+    val cents = centroidRow(centroids, idCol, vecCol)
+    val assigned = assignCells(candidates, cents, idCol, vecCol)
     // probe selection runs over the (small) query set only
     val qScored = queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))

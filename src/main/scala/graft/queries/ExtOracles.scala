@@ -448,6 +448,23 @@ object ExtOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    // cell sizes from the same assignment CTE as q_ivf_topk
+    "q_ivf_cell_audit" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id >= 20 AND vec_id % 25 = 0),
+         |asg AS (SELECT neighbor_id, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id >= 20) c CROSS JOIN cent ct) t
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size
+         |FROM asg GROUP BY cell HAVING COUNT(*) > 30
+         |ORDER BY cell""".stripMargin,
+
     "q_bpe_tokens" ->
       """WITH rich AS (SELECT doc_id,
         |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||

@@ -279,6 +279,16 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, nprobe = 3)
   }
 
+  /** IVF cell-occupancy audit (Similarity.ivfCellStats): cells whose
+    * membership exceeds the probe budget are reported, not silently
+    * scanned — the ANN-side analogue of q_oversize_audit. */
+  def ivfCellAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cands = e.filter(col("vec_id") >= 20)
+    Similarity.ivfCellStats(cands, cands.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", maxCellSize = 30)
+  }
+
   /** BPE-ish pretoken counting next to the whitespace count. The
     * fixture corpus is pure lowercase+space (the regex would match
     * whitespace splits exactly), so the demo enriches each doc with
@@ -507,6 +517,7 @@ object ExtQueries {
     "q_ann_topk"          -> (annTopK _),
     "q_ann_multiprobe"    -> (annTopKMultiProbe _),
     "q_ivf_topk"          -> (ivfTopK _),
+    "q_ivf_cell_audit"    -> (ivfCellAudit _),
     "q_bpe_tokens"        -> (bpeTokens _),
     "q_bpe_merges"        -> (bpeMerges _),
     "q_dedup_clusters"    -> (dedupClusters _),
