@@ -60,6 +60,27 @@ class PlanSpec extends AnyFunSuite {
       s"centroid set must ride a broadcast:\n$plan")
   }
 
+  test("simhash64 fingerprint is a pure projection — zero exchanges") {
+    // the whole point of the native expression: the fingerprint is
+    // computed where the row lives, no explode, no aggregation
+    val plan = planOf(ExtQueries.simhash64Fp(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"simhash64 must not shuffle:\n$plan")
+    assert(plan.contains("simhash64"),
+      s"native expression must appear in the plan:\n$plan")
+  }
+
+  test("IVF cell audit shuffles only the (bounded) cell counts") {
+    val plan = planOf(ExtQueries.ivfCellAudit(spark, sf))
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keys.nonEmpty && keys.forall(k =>
+        k.startsWith("cell") || k.startsWith("__cell")),
+      s"only the per-cell partial counts may shuffle: $keys\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the count must combine map-side before the exchange:\n$plan")
+  }
+
   test("star join broadcasts the fixed dims and pushes the date filter") {
     val plan = formattedPlan(StarQueries.starJoin(spark, sf))
     assert(plan.contains("BroadcastExchange"),
