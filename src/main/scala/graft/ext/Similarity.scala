@@ -162,6 +162,31 @@ object Similarity {
     * centroid id — `array_position` takes the FIRST index achieving
     * the max and the centroid list is in centroid-id order, which is
     * exactly `row_number() ORDER BY score DESC, cid ASC = 1`. */
+  /** Symmetric per-vector int8 quantization — the standard 4× storage
+    * shrink for embedding corpora at 100 TB: scale = max|v|/127, each
+    * component rounds to [-127, 127]. Rounding is `floor(x/scale+0.5)`
+    * EXPLICITLY (floor is exact in IEEE double and identical in every
+    * engine, where `round()` half-rule conventions differ), so the
+    * DuckDB oracle reproduces the quantized vectors bit-for-bit. The
+    * all-zero vector quantizes to zeros with scale 0. Output:
+    * (id, scale, q ARRAY<INT> in [-127,127], max_abs_err) — the error
+    * column makes the precision loss observable per vector (bounded
+    * by scale/2), same observability policy as the block/bucket/cell
+    * audits. A pure projection: no shuffle, no UDF. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("scale",
+        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .withColumn("q", when(col("scale") === lit(0.0),
+          transform(col("__v"), _ => lit(0)))
+        .otherwise(transform(col("__v"), x =>
+          greatest(lit(-127), least(lit(127),
+            floor(x / col("scale") + lit(0.5)).cast("int"))))))
+      .withColumn("max_abs_err", when(col("scale") === lit(0.0), lit(0.0))
+        .otherwise(array_max(zip_with(col("__v"), col("q"),
+          (v, q) => abs(v - q.cast("double") * col("scale"))))))
+      .select(col(idCol), col("scale"), col("q"), col("max_abs_err"))
+
   /** One broadcast row holding every centroid (cid-ascending:
     * array_sort on a struct array orders by the leading cid field). */
   private def centroidRow(centroids: DataFrame, idCol: String,

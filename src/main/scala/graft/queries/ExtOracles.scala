@@ -448,6 +448,26 @@ object ExtOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    // int8 quantization: floor(x/scale + 0.5) is the explicit
+    // engine-portable rounding; q and max_abs_err are bit-reproducible
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |qz AS (SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+        |      CAST(floor(x / scale + 0.5) AS BIGINT))) AS INT)) END AS q
+        |  FROM s)
+        |SELECT vec_id, scale, q,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |  ELSE list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale))) END AS max_abs_err
+        |FROM qz""".stripMargin,
+
     // cell sizes from the same assignment CTE as q_ivf_topk
     "q_ivf_cell_audit" ->
       s"""WITH e AS (SELECT vec_id,

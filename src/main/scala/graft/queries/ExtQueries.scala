@@ -279,6 +279,14 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, nprobe = 3)
   }
 
+  /** int8 embedding quantization (Similarity.quantizeInt8): per-vector
+    * symmetric scale, explicit floor(+0.5) rounding for engine parity,
+    * per-vector max reconstruction error exposed. */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      "vec_id", "embedding")
+
   /** IVF cell-occupancy audit (Similarity.ivfCellStats): cells whose
     * membership exceeds the probe budget are reported, not silently
     * scanned — the ANN-side analogue of q_oversize_audit. */
@@ -518,6 +526,7 @@ object ExtQueries {
     "q_ann_multiprobe"    -> (annTopKMultiProbe _),
     "q_ivf_topk"          -> (ivfTopK _),
     "q_ivf_cell_audit"    -> (ivfCellAudit _),
+    "q_embed_quant"       -> (embedQuant _),
     "q_bpe_tokens"        -> (bpeTokens _),
     "q_bpe_merges"        -> (bpeMerges _),
     "q_dedup_clusters"    -> (dedupClusters _),

@@ -94,6 +94,44 @@ class ExtSpec extends AnyFunSuite {
     assert(over === Map(Some("b") -> 3L))
   }
 
+  test("int8 quantization: bounded error, clamped range, zero-vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // all-zero: scale 0
+      (3L, Array(1e-8f, -1e-8f, 1e-8f, 1e-8f)),  // tiny but nonzero
+      (4L, Array(100f, -100f, 50f, 12.5f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    // every quantized component is in [-127, 127]
+    rows.values.foreach { case (_, q, _) => q.foreach(c => assert(c.abs <= 127)) }
+    // reconstruction error is bounded by scale/2 (+ ulp slack)
+    rows.foreach { case (id, (scale, _, err)) =>
+      assert(err <= scale / 2 + 1e-12, s"vec $id err $err vs scale $scale") }
+    // the max-magnitude component hits ±127 exactly (symmetric scale)
+    assert(rows(1L)._2.contains(-127))
+    assert(rows(4L)._2.contains(127) && rows(4L)._2.contains(-127))
+    // zero vector: scale 0, all-zero q, zero error — no NaN/divide
+    assert(rows(2L) === ((0.0, Seq(0, 0, 0, 0), 0.0)))
+    // quantized cosine stays close to exact cosine at int8 precision
+    val exact = df.filter(col("vec_id").isin(1L, 4L))
+      .select(Similarity.cosine(
+        Similarity.toDouble(col("embedding")),
+        Similarity.toDouble(col("embedding")))).collect()
+    assert(exact.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    def dequant(id: Long): Seq[Double] =
+      rows(id)._2.map(_ * rows(id)._1)
+    val a = Seq(0.5, -1.0, 0.25, 0.0)
+    val da = dequant(1L)
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    assert(math.abs(cos(a, da) - 1.0) < 1e-3,
+      "dequantized vector must stay nearly parallel to the original")
+  }
+
   test("LSH bucket cap drops hot cliques from pairing and audits them") {
     // a 6-member clique of identical docs (one hot bucket per band)
     // plus one small near-dup pair that must keep pairing normally
