@@ -314,4 +314,36 @@ object TextOps {
         ((col("__pos") + 1) * tokenHash(col("__tok"))).as("__contrib"))
       .groupBy(idCol)
       .agg((sum(col("__contrib")) % FpMod).as("fingerprint"))
+
+  /** Sequence PACKING — the pre-training batching step that concats
+    * documents into fixed token-budget sequences: docs are laid out in
+    * a deterministic order (`idCol` ascending) within each `groupCol`
+    * stream, and a doc joins the pack its cumulative token offset
+    * falls into (`pack_id = floor(cum_before / budget)`). Contiguous
+    * first-fit, not bin-packing: deterministic, ONE window pass, one
+    * shuffle keyed on the group — no driver-side loop, so it scales as
+    * a plain partitioned scan. A doc longer than the remaining budget
+    * overflows its pack (standard practice truncates or splits
+    * downstream); `pack_pos` gives the concat order inside the pack.
+    * Output: (id, group, n_tokens, pack_id, pack_pos). */
+  def seqPack(df: DataFrame, idCol: String, textCol: String,
+              groupCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(idCol))
+    val withTok = df.select(col(idCol), col(groupCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val packed = withTok
+      .withColumn("__cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("pack_id", floor(col("__cum_before") / budgetTokens))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("pack_id")).orderBy(col(idCol))
+    packed
+      .withColumn("pack_pos", row_number().over(wp).cast("long"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("pack_id"), col("pack_pos"))
+  }
 }

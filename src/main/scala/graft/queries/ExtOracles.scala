@@ -193,6 +193,22 @@ object ExtOracles {
         |  FROM rough)
         |SELECT doc_id, clean_text, length(clean_text) AS clean_len FROM cleaned""".stripMargin,
 
+    // contiguous first-fit packing: pack = floor(cum_before / budget)
+    "q_seq_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS pack_id,
+        |  CAST(row_number() OVER (PARTITION BY source, cum_before // 512
+        |    ORDER BY doc_id) AS BIGINT) AS pack_pos
+        |FROM c""".stripMargin,
+
     "q_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -198,6 +198,13 @@ object ExtQueries {
       .orderBy("lang", "blk")
   }
 
+  /** Sequence packing over the documents corpus: 512-token packs per
+    * source stream (TextOps.seqPack — contiguous first-fit by running
+    * token offset, one window pass). */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame =
+    TextOps.seqPack(docs(spark, dir).select("doc_id", "text", "source"),
+      "doc_id", "text", "source", budgetTokens = 512)
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenStats(docs(spark, dir), "doc_id", "text")
 
@@ -514,6 +521,7 @@ object ExtQueries {
     "q_simhash64_pairs"   -> (simhash64PairsQ _),
     "q_oversize_audit"    -> (oversizeAudit _),
     "q_token_stats"       -> (tokenStats _),
+    "q_seq_packing"       -> (seqPacking _),
     "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),
     "q_fingerprint"       -> (fingerprint _),

@@ -94,6 +94,33 @@ class ExtSpec extends AnyFunSuite {
     assert(over === Map(Some("b") -> 3L))
   }
 
+  test("sequence packing: contiguous, budget-aligned, deterministic") {
+    val df = Seq(
+      (1L, "a " * 99 + "a", "web"),   // 100 tokens
+      (2L, "b " * 49 + "b", "web"),   // 50
+      (3L, "c " * 79 + "c", "web"),   // 80  -> cum_before 150, pack 0
+      (4L, "d " * 59 + "d", "web"),   // 60  -> cum_before 230, pack 1
+      (5L, "e " * 499 + "e", "web"),  // 500 -> cum_before 290, pack 1 (overflow)
+      (6L, "f", "web"),               // 1   -> cum_before 790, pack 3
+      (7L, "g " * 9 + "g", "news"))   // independent stream, pack 0
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.seqPack(df, "doc_id", "text", "source", budgetTokens = 200)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === (("web", 100L, 0L, 1L)))
+    assert(got(2L) === (("web", 50L, 0L, 2L)))
+    assert(got(3L) === (("web", 80L, 0L, 3L)))  // 150 < 200: still pack 0
+    assert(got(4L) === (("web", 60L, 1L, 1L)))  // 230 // 200 = 1
+    assert(got(5L) === (("web", 500L, 1L, 2L))) // joins pack 1, overflows it
+    assert(got(6L) === (("web", 1L, 3L, 1L)))   // lands after the overflow
+    assert(got(7L) === (("news", 10L, 0L, 1L))) // streams pack independently
+    // pack ids are dense per stream only where docs actually land;
+    // every pack's FIRST member starts below the next budget boundary
+    got.values.groupBy(v => (v._1, v._3)).foreach { case (_, members) =>
+      assert(members.exists(_._4 == 1L), "every pack has a first member")
+    }
+  }
+
   test("int8 quantization: bounded error, clamped range, zero-vector safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
