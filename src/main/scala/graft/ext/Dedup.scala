@@ -134,6 +134,27 @@ object Dedup {
       .agg(count(lit(1)).as("block_size"))
       .filter(col("block_size") > maxBlockSize)
 
+  /** Benchmark DECONTAMINATION — the eval-leakage sweep every
+    * training corpus needs: report each document sharing at least
+    * `minOverlap` distinct word n-gram shingles with ANY benchmark
+    * document. The benchmark shingle set rides a broadcast (eval sets
+    * are small next to a training corpus), so the corpus is scanned
+    * once with a broadcast hash semi-join per shingle row — no
+    * shuffle of the corpus, no all-pairs anything; cost is one
+    * shingle projection over each side. Downstream policy (drop vs
+    * flag) stays with the caller; this operator only makes the
+    * contamination observable, same policy as the audits. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5,
+                    minOverlap: Long = 1): DataFrame = {
+    val d = shingleRows(docs, idCol, textCol, n)
+    val b = broadcast(
+      shingleRows(benchmark, idCol, textCol, n).select("shingle").distinct())
+    d.join(b, Seq("shingle"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Exact Jaccard on a bounded candidate-pair set (from LSH bands or
     * blocking): |A∩B| via a shingle equi-join restricted to the
     * candidates, |A∪B| from per-doc sizes. */

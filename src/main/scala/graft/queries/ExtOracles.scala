@@ -193,6 +193,27 @@ object ExtOracles {
         |  FROM rough)
         |SELECT doc_id, clean_text, length(clean_text) AS clean_len FROM cleaned""".stripMargin,
 
+    // distinct 5-gram shingle overlap vs the benchmark shingle union
+    "q_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL SELECT 900001, 'zzz qqq xxx yyy www vvv uuu'),
+        |bt AS (SELECT string_split(text, ' ') AS w FROM bench),
+        |bs AS (SELECT DISTINCT shingle FROM (
+        |  SELECT unnest(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4])) AS shingle
+        |  FROM bt WHERE len(w) >= 5) t),
+        |dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ds AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4])) AS shingle
+        |  FROM dt WHERE len(w) >= 5) t)
+        |SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM ds JOIN bs ON ds.shingle = bs.shingle
+        |GROUP BY ds.doc_id HAVING COUNT(*) >= 3
+        |ORDER BY ds.doc_id""".stripMargin,
+
     // contiguous first-fit packing: pack = floor(cum_before / budget)
     "q_seq_packing" ->
       """WITH t AS (SELECT doc_id, source,

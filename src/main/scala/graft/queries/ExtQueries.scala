@@ -198,6 +198,22 @@ object ExtQueries {
       .orderBy("lang", "blk")
   }
 
+  /** Benchmark decontamination over the documents corpus: the
+    * "benchmark" is every 37th doc (so contamination provably exists)
+    * plus a synthetic doc matching nothing; docs sharing >= 3
+    * distinct 5-gram shingles with any benchmark doc are reported
+    * with their overlap count (Dedup.decontaminate — benchmark
+    * shingles broadcast, corpus never shuffled). */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select("doc_id", "text")
+    val bench = d.filter(col("doc_id") % 37 === 0)
+      .unionByName(
+        Seq((900001L, "zzz qqq xxx yyy www vvv uuu")).toDF("doc_id", "text"))
+    Dedup.decontaminate(d, bench, "doc_id", "text", n = 5, minOverlap = 3)
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing over the documents corpus: 512-token packs per
     * source stream (TextOps.seqPack — contiguous first-fit by running
     * token offset, one window pass). */
@@ -522,6 +538,7 @@ object ExtQueries {
     "q_oversize_audit"    -> (oversizeAudit _),
     "q_token_stats"       -> (tokenStats _),
     "q_seq_packing"       -> (seqPacking _),
+    "q_decontaminate"     -> (decontamination _),
     "q_normalize"         -> (normalizeText _),
     "q_lang_quality"      -> (langQuality _),
     "q_fingerprint"       -> (fingerprint _),

@@ -94,6 +94,25 @@ class ExtSpec extends AnyFunSuite {
     assert(over === Map(Some("b") -> 3L))
   }
 
+  test("decontamination reports shingle overlap with the benchmark only") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven"),      // fully contained
+      (2L, "alpha beta gamma delta epsilon zeta"),    // clean
+      (3L, "one two three four five unrelated tail")) // 1 shared shingle
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 5, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 3L -> 1L))
+    // threshold trims the partial hit
+    val strict = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 5, minOverlap = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(strict === Set(1L))
+  }
+
   test("sequence packing: contiguous, budget-aligned, deterministic") {
     val df = Seq(
       (1L, "a " * 99 + "a", "web"),   // 100 tokens
