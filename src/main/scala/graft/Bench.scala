@@ -26,6 +26,30 @@ object BenchFormat {
   // compare lines up; prepend q_ to recover the registry name.
   def short(n: String): String = n.stripPrefix("q_")
 
+  /** Deterministic 1-4 char aliases for the per-query map. Full names
+    * cost ~18 bytes/entry — at 111 queries the line overflows the
+    * driver's 2000-char stdout window and the threshold ladder starts
+    * dropping the cheap tail (r6 lost 18 sub-0.3 s figures). Aliases
+    * keep EVERY query's figure in the line to ~180 queries. Scheme:
+    * names sorted; candidate codes are initials-of-leading-tokens +
+    * a growing prefix of the last token, then numeric suffixes; first
+    * free candidate wins. The resolved map is written next to the
+    * bench output (bench_aliases.json) and committed in BASELINE.md's
+    * alias appendix, so the per-query compare lines up. */
+  def aliases(names: Seq[String]): Map[String, String] = {
+    val taken = scala.collection.mutable.Set[String]()
+    names.sorted.map { n =>
+      val toks = short(n).split('_').filter(_.nonEmpty)
+      val lead = toks.dropRight(1).map(_.head).mkString
+      val last = toks.last
+      val grown = (1 to last.length).iterator.map(k => lead + last.take(k))
+      val numbered = Iterator.from(2).map(i => lead + last.take(1) + i)
+      val code = (grown ++ numbered).find(c => !taken.contains(c)).get
+      taken += code
+      n -> code
+    }.toMap
+  }
+
   def line(results: Seq[(String, Double)], total: Double, sfDir: String,
            fmt: Double => String, withSf: Boolean,
            name: String => String = identity,
@@ -40,19 +64,20 @@ object BenchFormat {
   /** The most precise variant that fits [[Limit]]. Compaction stages
     * (trailing-zero-stripped 2-decimals → 1-decimal for >=1 s values →
     * drop the informational sf field → strip the uniform q_ name
-    * prefix → drop the unit field → drop the cheapest queries from
-    * the per-query map at an escalating threshold ladder) apply only
-    * until the line fits, so a trimmed-down suite regains precision
-    * automatically. The ladder stage sheds the suite's cheap tail —
-    * entries whose line mass is name bytes, not signal (a 0.2 s
-    * query cannot be a >2× regression anyone acts on, and `total`
-    * still counts every query). If even the top rung overflows, the
-    * overflow is loud (stderr) so the regression is visible before
-    * the driver records parsed:null.
+    * prefix → drop the unit field → switch names to the committed
+    * 1-4 char [[aliases]], keeping EVERY query's figure → as a last
+    * resort, drop the cheapest queries at an escalating threshold
+    * ladder) apply only until the line fits, so a trimmed-down suite
+    * regains precision automatically. The alias stages exist because
+    * r6's ladder silently cost 18 sub-0.3 s per-query figures; with
+    * aliases the ladder should never engage below ~180 queries. If
+    * even the top rung overflows, the overflow is loud (stderr) so
+    * the regression is visible before the driver records parsed:null.
     */
   def choose(results: Seq[(String, Double)], sfDir: String,
              limit: Int = Limit): String = {
     val total = results.map(_._2).sum
+    lazy val al = aliases(results.map(_._1))
     val staged = Seq(
       line(results, total, sfDir, rounded(2), withSf = true),
       line(results, total, sfDir, adaptive, withSf = true),
@@ -60,10 +85,12 @@ object BenchFormat {
       line(results, total, sfDir, adaptive, withSf = true, short),
       line(results, total, sfDir, adaptive, withSf = false, short),
       line(results, total, sfDir, rounded(1), withSf = false, short),
-      line(results, total, sfDir, rounded(1), withSf = false, short, withUnit = false))
+      line(results, total, sfDir, rounded(1), withSf = false, short, withUnit = false),
+      line(results, total, sfDir, adaptive, withSf = false, al, withUnit = false),
+      line(results, total, sfDir, rounded(1), withSf = false, al, withUnit = false))
     lazy val ladder = Seq(0.05, 0.1, 0.2, 0.3, 0.5).map { threshold =>
       line(results.filter(_._2 >= threshold), total, sfDir,
-        rounded(1), withSf = false, short, withUnit = false)
+        rounded(1), withSf = false, al, withUnit = false)
     }
     (staged ++ ladder).find(_.length <= limit).getOrElse {
       System.err.println(
@@ -147,6 +174,11 @@ object Bench {
     // chosen by BenchFormat (see its scaladoc for the stage chain).
     Files.writeString(Paths.get("bench_out.json"),
       BenchFormat.line(results, total, sfDir, _.toString, withSf = true) + "\n")
+    // alias → registry-name map for the compacted stdout line (also
+    // committed as BASELINE.md's alias appendix)
+    Files.writeString(Paths.get("bench_aliases.json"),
+      BenchFormat.aliases(results.map(_._1)).toSeq.sortBy(_._1)
+        .map { case (n, a) => s""""$a":"$n"""" }.mkString("{", ",", "}") + "\n")
     val out = BenchFormat.choose(results, sfDir)
     // print the artifact line AFTER the session is down: nothing else
     // can interleave with stdout then (r03's driver artifact had a

@@ -43,7 +43,11 @@ object ScaleBench {
     "q_multimodal_frames", "q_batch_sessions",
     "q_stream_tumbling", "q_custom_sessions", "q_stream_dedup",
     // round 6: the 64-bit banded SimHash path
-    "q_simhash64_pairs")
+    "q_simhash64_pairs",
+    // round 7: the as-of/window family — the union+window as-of
+    // construction doubles rows before its sort, so its curve is
+    // measured, not assumed
+    "q_asof_nearest", "q_rolling_1h", "q_seq_packing")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -60,7 +64,13 @@ object ScaleBench {
     * scale_out.json records the audited bucket drops). */
   val Headliners100: Seq[String] = Seq(
     "q_dedup_lsh_capped", "q_edit_distance", "q_simhash64_pairs",
-    "q_ivf_sqrtk", "q_custom_sessions", "q_stream_dedup")
+    "q_ivf_topk", "q_custom_sessions", "q_stream_dedup",
+    // round 7: the gate IVF (now √N-sized, so THE gate config has a
+    // 100× point), the clustering loop against the planted-clique
+    // stressor, and the as-of/window family the 10× table covers but
+    // the 100× table didn't
+    "q_dedup_clusters",
+    "q_asof_nearest", "q_rolling_1h", "q_batch_sessions", "q_seq_packing")
 
   /** Scale-only shapes (not oracle gate queries): the production
     * configurations whose knobs differ from the fixture-sized gate
@@ -70,12 +80,12 @@ object ScaleBench {
       graft.ext.Dedup.nearDupPairs(
         Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", maxBucketSize = 64)),
-    // IVF with the K ~ sqrt(N) centroid sizing the operator's
-    // scaladoc prescribes. The GATE query pins centroids as
-    // vec_id % 25 == 0 for oracle determinism, which grows K linearly
-    // with the corpus — assignment is O(N·K) = O(N²/25), measured
-    // 114.8x at the 100x point. This is the production sizing of the
-    // SAME operator: K ≈ √N keeps assignment O(N·√N).
+    // IVF with the K ~ sqrt(N) centroid sizing (kept for BASELINE.md
+    // continuity: its 4.2× point is what prescribed re-sizing the
+    // gate). Since round 7 the GATE q_ivf_topk uses floor(sqrt(N))
+    // itself — the every-25th linear-K pick that measured 114.8× at
+    // 100× now survives only in q_ivf_cell_audit, where the audit is
+    // pinned catching it.
     "q_ivf_sqrtk" -> ((s: SparkSession, d: String) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val cands = e.filter(col("vec_id") >= 20)

@@ -292,6 +292,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
           "(component diameter exceeds maxIter)")
+    // the round count IS the scale evidence: iterations track component
+    // diameter (≈1-2 for dup cliques), not corpus size — logged so a
+    // ScaleBench run shows the loop staying flat while data grows 100×
+    System.err.println(s"[graft.Dedup] connectedComponents converged " +
+      s"in $iter iteration(s)")
     labels
   }
 

@@ -83,7 +83,7 @@ object ExtOracles {
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
         |  FROM documents WHERE doc_id % 11 = 0
-        |  UNION ALL SELECT doc_id + 500000 + k.k * 1000, text
+        |  UNION ALL SELECT 500000 + doc_id * 8 + k.k, text
         |  FROM documents CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
         |  WHERE doc_id % 50 = 0),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
@@ -458,12 +458,16 @@ object ExtOracles {
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars
         |FROM documents GROUP BY source""".stripMargin,
 
+    // centroid stride = floor(sqrt(N)) over the candidate count — the
+    // same K ≈ √N sizing the Spark gate computes with one count()
     "q_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-         |         WHERE vec_id >= 20 AND vec_id % 25 = 0),
+         |stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS m
+         |           FROM e WHERE vec_id >= 20),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e, stride
+         |         WHERE vec_id >= 20 AND vec_id % stride.m = 0),
          |asg AS (SELECT neighbor_id, nv, cell FROM (
          |  SELECT c.vec_id AS neighbor_id, c.v AS nv, ct.cid AS cell,
          |    row_number() OVER (PARTITION BY c.vec_id
@@ -486,7 +490,10 @@ object ExtOracles {
          |WHERE rank <= 3""".stripMargin,
 
     // int8 quantization: floor(x/scale + 0.5) is the explicit
-    // engine-portable rounding; q and max_abs_err are bit-reproducible
+    // engine-portable rounding; q and max_abs_err are bit-reproducible.
+    // The gate emits q as a comma-joined string — the driver's pandas
+    // hasher cannot sort raw array cells (int→string is unambiguous
+    // in both engines, so the scalar shape loses nothing).
     "q_embed_quant" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -499,13 +506,17 @@ object ExtOracles {
         |    ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
         |      CAST(floor(x / scale + 0.5) AS BIGINT))) AS INT)) END AS q
         |  FROM s)
-        |SELECT vec_id, scale, q,
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+        |    AS q_csv,
         |  CASE WHEN scale = 0 THEN 0.0
         |  ELSE list_max(list_transform(range(1, len(v) + 1),
         |    i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale))) END AS max_abs_err
         |FROM qz""".stripMargin,
 
-    // cell sizes from the same assignment CTE as q_ivf_topk
+    // deliberately the UNDER-provisioned every-25th centroid set
+    // (K linear in N) so the audit is pinned firing — q_ivf_topk's
+    // gate sizing is the √N stride this audit exists to prescribe
     "q_ivf_cell_audit" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -60,9 +60,13 @@ object ExtQueries {
     val near = d.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 200000).as("doc_id"),
         concat(col("text"), lit(" graftmarker end")).as("text"))
+    // clone id = 500000 + doc_id*8 + k: collision-free for any corpus
+    // (8 > max k, so distinct (doc_id, k) → distinct id at every sf —
+    // the previous +k*1000 scheme collided once doc_id spans reached
+    // 1000, corrupting the planted cliques above the sf0.01 gate size)
     val clones = d.filter(col("doc_id") % 50 === 0)
       .crossJoin(spark.range(1, 8).select(col("id").as("__k")))
-      .select((col("doc_id") + 500000 + col("__k") * 1000).as("doc_id"),
+      .select((lit(500000) + col("doc_id") * 8 + col("__k")).as("doc_id"),
         col("text"))
     Dedup.nearDupPairs(d.unionByName(near).unionByName(clones),
       "doc_id", "text", maxBucketSize = 6)
@@ -289,30 +293,49 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
   }
 
-  /** IVF ANN top-3: 20 sampled centroids partition the 480 candidates
-    * into cells (shuffle-free broadcast argmax assignment); queries
-    * probe their 3 nearest cells. The third ANN flavor beside
-    * sign-bucket LSH and multi-probe. */
+  /** IVF ANN top-3 in the SCALE-SAFE sizing: centroids are every
+    * floor(sqrt(N))-th candidate, so K ≈ √N and assignment stays
+    * O(N·√N) at any corpus size (the operator scaladoc's prescription;
+    * the previous every-25th pick grew K linearly and measured 114.8×
+    * at the 100× point vs 4.2× for this sizing). The stride is one
+    * count() on the candidate side — a deliberate, documented sizing
+    * action, reproduced in the oracle as a scalar subquery (floor and
+    * sqrt are IEEE-identical across engines). Queries probe their 3
+    * nearest cells. The third ANN flavor beside sign-bucket LSH and
+    * multi-probe. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cands = e.filter(col("vec_id") >= 20)
+    val stride = math.max(1L,
+      math.floor(math.sqrt(cands.count().toDouble)).toLong)
     Similarity.ivfTopK(
       e.filter(col("vec_id") < 20), cands,
-      cands.filter(col("vec_id") % 25 === 0),
+      cands.filter(col("vec_id") % stride === 0),
       "vec_id", "embedding", k = 3, nprobe = 3)
   }
 
   /** int8 embedding quantization (Similarity.quantizeInt8): per-vector
     * symmetric scale, explicit floor(+0.5) rounding for engine parity,
-    * per-vector max reconstruction error exposed. */
+    * per-vector max reconstruction error exposed. The gate emits the
+    * quantized vector as a comma-joined string (int→string casts are
+    * unambiguous in both engines): the driver's pandas hasher cannot
+    * sort raw array cells, so the GATE shape is scalar while the
+    * operator keeps its ARRAY<INT> output (pinned by ExtSpec). */
   def embedQuant(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(
       Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(col("q").cast("array<string>"), ",").as("q_csv"),
+        col("max_abs_err"))
 
   /** IVF cell-occupancy audit (Similarity.ivfCellStats): cells whose
     * membership exceeds the probe budget are reported, not silently
-    * scanned — the ANN-side analogue of q_oversize_audit. */
+    * scanned — the ANN-side analogue of q_oversize_audit. This query
+    * DELIBERATELY keeps the under-provisioned every-25th centroid set
+    * (K linear in N, avg cell ≈ 25 > the 30-cap at the gate sf): the
+    * audit exists to catch exactly that sizing mistake, so the gate
+    * pins it firing on one. q_ivf_topk itself uses the √N sizing. */
   def ivfCellAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cands = e.filter(col("vec_id") >= 20)

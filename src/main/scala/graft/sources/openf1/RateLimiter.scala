@@ -56,7 +56,13 @@ final class RateLimiter(ratePerSec: Double, burst: Int,
         lastSlot = math.max(penaltyUntil, lastSlot) + intervalNanos
         sendAt = math.max(sendAt, lastSlot)
       }
-      tat = math.max(now, tat) + intervalNanos
+      // tat tracks the latest BOOKED send, not just one interval past
+      // max(now, tat): with staggered slots booked deep into the
+      // post-penalty future, a stale tat would let callers arriving
+      // just after the window expires spend the full burst allowance
+      // on top of the scheduled re-entries — exceeding the intended
+      // rate at exactly the moment the API is most sensitive
+      tat = math.max(math.max(now, tat), sendAt) + intervalNanos
       sendAt - now
     }
     if (wait > 0) sleeper(wait)

@@ -251,7 +251,14 @@ object StreamingOps {
         val existing =
           try Some(spark.read.parquet(path).localCheckpoint(true))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val all = existing.map(_.unionByName(tagged)).getOrElse(tagged)
+        // a target written before the batch-id column existed must
+        // migrate, not hard-fail the first merged batch: legacy rows
+        // merge as batch -1 (older than any real batch id)
+        val all = existing.map { ex =>
+          (if (ex.columns.contains(UpsertBatchCol)) ex
+           else ex.withColumn(UpsertBatchCol, lit(-1L)))
+            .unionByName(tagged)
+        }.getOrElse(tagged)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol)
           .orderBy(col(versionCol).desc, col(UpsertBatchCol).desc,

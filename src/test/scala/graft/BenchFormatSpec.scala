@@ -51,16 +51,38 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""unit":"sec""""))
   }
 
+  test("alias stage keeps EVERY query's figure at the current suite size") {
+    val s = suite(SparkEntry.queries.size)
+    val line = BenchFormat.choose(s, "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.Limit, s"line is ${line.length} chars")
+    // r6's ladder dropped 18 sub-0.3s figures; the alias stages must
+    // carry the full suite (the count of ":"-separated entries in the
+    // queries map equals the suite size)
+    val qmap = line.substring(line.indexOf(""""queries":{""") + 11)
+    val entries = qmap.takeWhile(_ != '}').split(',').length
+    assert(entries == s.size, s"only $entries of ${s.size} figures in line")
+  }
+
+  test("aliases are unique, 1-5 chars, and cover the whole registry") {
+    val names = SparkEntry.queries.keys.toSeq
+    val al = BenchFormat.aliases(names)
+    assert(al.keySet == names.toSet)
+    assert(al.values.toSet.size == names.size, "alias collision")
+    assert(al.values.forall(a => a.nonEmpty && a.length <= 5),
+      al.values.filter(_.length > 5).mkString(","))
+  }
+
   test("drop ladder preserves the total and the heavy entries") {
     // force the ladder with a tiny limit only its top rungs can meet:
-    // the cheap tail (0.12s) must drop, the heavy entry must survive,
-    // and the total must still count every query
+    // the cheap tail (0.12s) must drop, the heavy entry must survive
+    // (under its alias — the ladder runs aliased), and the total must
+    // still count every query
     val results = (1 to 200).map(i => f"q_tail_$i%03d" -> 0.12) :+ ("q_heavy" -> 9.0)
     val total = results.map(_._2).sum
     val line = BenchFormat.choose(results, "/tmp/sf", limit = 200)
     assert(line.length <= 200)
-    assert(line.contains(""""heavy":9"""))
-    assert(!line.contains("tail_001"))
+    assert(line.contains(""""h":9"""))
+    assert(!line.contains("tail"))
     assert(line.contains(s""""value":${BenchFormat.rounded(1)(total)}"""))
   }
 }
