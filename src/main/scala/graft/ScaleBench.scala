@@ -66,10 +66,13 @@ object ScaleBench {
     "q_dedup_lsh_capped", "q_edit_distance", "q_simhash64_pairs",
     "q_ivf_topk", "q_custom_sessions", "q_stream_dedup",
     // round 7: the gate IVF (now √N-sized, so THE gate config has a
-    // 100× point), the clustering loop against the planted-clique
-    // stressor, and the as-of/window family the 10× table covers but
-    // the 100× table didn't
-    "q_dedup_clusters",
+    // 100× point), the CC loop against the planted-clique stressor
+    // (q_cc_cliques below — the gate q_dedup_clusters runs UNCAPPED
+    // pair generation, which on this corpus is the measured >68 GB
+    // shuffle blowup the bucket cap exists for; the CC loop gets its
+    // own edge set instead), and the as-of/window family the 10×
+    // table covers but the 100× table didn't
+    "q_cc_cliques",
     "q_asof_nearest", "q_rolling_1h", "q_batch_sessions", "q_seq_packing")
 
   /** Scale-only shapes (not oracle gate queries): the production
@@ -94,6 +97,23 @@ object ScaleBench {
         e.filter(col("vec_id") < 20), cands,
         cands.filter(col("vec_id") % m === 0),
         "vec_id", "embedding", k = 3, nprobe = 3)
+    }),
+    // connectedComponents at corpus scale WITHOUT a quadratic pair
+    // step: the scaled corpus's copies sit at doc_id + k·10⁶
+    // (buildScaled), so clone → base edges reconstruct the planted
+    // k-cliques in star form (diameter 2 — the dup-clique regime the
+    // operator documents). This isolates the iterative min-label loop
+    // itself: 50M nodes / 49.5M edges at 100×, convergence proven by
+    // the operator's logged round count staying at the component
+    // diameter while data grows 100×. (On an UNscaled base dir there
+    // are no ≥10⁶ ids, so the base timing is the empty-graph floor.)
+    "q_cc_cliques" -> ((s: SparkSession, d: String) => {
+      val edges = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") % 1000000L).as("doc_b"))
+      graft.ext.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
     }),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {
