@@ -135,6 +135,46 @@ object Sketches {
     * per-bucket agg as a count-distinct-within-bucket, so the whole
     * query is ONE scan + one m-row shuffle.
     */
+  /** Bottom-k hash-sample quantile sketch — the mergeable quantile
+    * estimator beside KMV (distinct counts), HLL (register merge) and
+    * CMS (frequencies). The k rows with the SMALLEST row-identity
+    * hashes are a uniform random sample fixed by the hash domain, not
+    * by partitioning (the KMV selection argument, applied to rows
+    * instead of distinct values); quantiles interpolate over that
+    * sample. Everything is a pure function of the deterministic md5
+    * domain, so the DuckDB oracle reproduces estimates EXACTLY —
+    * engine parity is checked bit-for-bit, not with an error band.
+    *
+    * Scale shape: `orderBy(hash).limit(k)` plans as
+    * TakeOrderedAndProject — a per-partition k-heap plus a k-row
+    * final merge, one scan, no full sort and no shuffle of the data —
+    * and bottom-k sets of disjoint scans merge associatively
+    * (ExtSpec pins partitioning invariance), which is what makes the
+    * sketch usable as a partitioned accumulator at 100 TB. Sample
+    * error is the standard ±O(1/√k) quantile-rank band; k=256 keeps
+    * the state at 4 KiB.
+    *
+    * Hash ties (duplicate ids) break by value so the selected set is
+    * well-defined in both engines; `percentile` / `quantile_cont` use
+    * the same rank = q·(n−1) linear interpolation in IEEE double. */
+  def bottomKQuantiles(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       valCol: String, k: Int = 256,
+                       qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 2, s"bottom-k sample needs k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val sample = df
+      .select(TextOps.hex15(concat(lit("qsk|"), col(idCol).cast("string")))
+          .as("__h"),
+        col(valCol).cast("double").as("__v"))
+      .orderBy(col("__h").asc, col("__v").asc)
+      .limit(k)
+    sample.agg(
+      count(lit(1)).as("n_sample"),
+      qs.map(q => expr(s"percentile(__v, $q)").as(s"q${(q * 100).round}")): _*)
+  }
+
   def hllDistinct(hashed: org.apache.spark.sql.DataFrame,
                   hashCol: String, p: Int = 12): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

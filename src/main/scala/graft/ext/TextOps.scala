@@ -346,4 +346,41 @@ object TextOps {
       .select(col(idCol), col(groupCol), col("n_tokens"),
         col("pack_id"), col("pack_pos"))
   }
+
+  /** Corpus-derived vocabulary coverage — the reference-vocabulary
+    * quality filter (the CCNet-family idea of scoring documents
+    * against a reference corpus' token distribution, with the
+    * log-probability replaced by an exact set-coverage ratio: ln is
+    * not correctly-rounded and would break bit-parity with the
+    * oracle). The reference vocabulary is the corpus' own top-R
+    * tokens by frequency (ties by token, ascending — fully
+    * deterministic); each document scores the fraction of its token
+    * OCCURRENCES covered by that vocabulary. Noisy/OCR'd/off-language
+    * documents sit in the low tail.
+    *
+    * Scale shape: one explode + map-side-combinable (token) count to
+    * build the frequency table; the top-R selection is
+    * TakeOrderedAndProject (per-partition R-heap, no full sort — R is
+    * small by construction); the scoring pass is one explode + a
+    * broadcast LEFT SEMI-shaped membership join on the R-row vocab +
+    * one (doc) re-agg. The corpus is scanned twice and never
+    * all-pairs'd; at 100 TB the vocab build can run on a sample
+    * without changing the scoring shape. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    topR: Int = 64): DataFrame = {
+    require(topR >= 1, s"vocabulary size must be >= 1, got $topR")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = broadcast(
+      toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("tok").asc)
+        .limit(topR)
+        .select(col("tok"), lit(1).as("__in_vocab")))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in_vocab"), lit(0))).cast("long").as("n_covered"))
+      .select(col(idCol), col("n_tokens"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+  }
 }

@@ -897,6 +897,38 @@ object ExtOracles {
         |FROM est JOIN ex ON est.user_id = ex.user_id
         |ORDER BY est.user_id""".stripMargin,
 
+    // bottom-k hash sample: the 256 rows with the smallest row-identity
+    // hashes (ties by value) are a partitioning-independent uniform
+    // sample; quantile_cont matches Spark's percentile interpolation
+    "q_quantile_sketch" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST('0x' || substr(md5('qsk|' || CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT v FROM s ORDER BY h ASC, v ASC LIMIT 256)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |  quantile_cont(v, 0.1) AS q10, quantile_cont(v, 0.25) AS q25,
+        |  quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.75) AS q75,
+        |  quantile_cont(v, 0.9) AS q90,
+        |  (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) FROM events)
+        |    AS exact_q50
+        |FROM b""".stripMargin,
+
+    // top-64 corpus vocabulary (count desc, token asc — deterministic
+    // through ties), then per-doc covered-occurrence fraction
+    "q_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        |  ORDER BY n DESC, tok ASC LIMIT 64))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS coverage
+        |FROM toks GROUP BY doc_id""".stripMargin,
+
     // p=12: m=4096 registers, cap=61-12=49, 2^49=562949953421312,
     // m^2=16777216 — mirrors Sketches.hllDistinct's default precision
     "q_hll_distinct" ->

@@ -541,6 +541,28 @@ object ExtQueries {
         (col("n_view") + col("n_purchase") - col("n_union")).as("n_intersect"))
   }
 
+  /** Bottom-k hash-sample quantile sketch of events.value
+    * (Sketches.bottomKQuantiles): k=256 smallest row-identity hashes
+    * fix a uniform sample, quantiles interpolate over it — all
+    * deterministic in the md5 domain, so the oracle reproduces the
+    * estimates exactly. The exact median rides along (one full-data
+    * agg) so the sample error is visible, same observability policy
+    * as KMV's n_exact. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "value")
+    Sketches.bottomKQuantiles(ev, "event_id", "value")
+      .crossJoin(broadcast(
+        ev.agg(expr("percentile(cast(value as double), 0.5)").as("exact_q50"))))
+  }
+
+  /** Corpus-derived vocabulary coverage (TextOps.vocabCoverage): each
+    * document's fraction of token occurrences inside the corpus' own
+    * top-64 vocabulary — the reference-vocabulary quality filter in
+    * exact-arithmetic form. */
+  def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", topR = 64)
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -594,5 +616,7 @@ object ExtQueries {
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_kmv_set_algebra"   -> ((s: SparkSession, d: String) => kmvSetAlgebra(s, d)),
     "q_media_sniff"       -> (mediaSniff _),
+    "q_quantile_sketch"   -> (quantileSketch _),
+    "q_vocab_coverage"    -> (vocabCoverageQ _),
   )
 }

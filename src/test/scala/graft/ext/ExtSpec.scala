@@ -681,4 +681,61 @@ class ExtSpec extends AnyFunSuite {
       assert(est1 === est3, s"p=$p")
     }
   }
+
+  test("bottom-k quantile sketch: invariant under partitioning") {
+    val rows = (0 until 2000).map(i => (i.toLong, ((i * 7919) % 1000).toDouble))
+    val df = rows.toDF("id", "v")
+    val a = Sketches.bottomKQuantiles(df.repartition(1), "id", "v", k = 128)
+      .collect().head
+    val b = Sketches.bottomKQuantiles(df.repartition(13), "id", "v", k = 128)
+      .collect().head
+    assert(a === b) // the hash domain, not the layout, fixes the sample
+  }
+
+  test("bottom-k quantile sketch: n <= k degrades to exact quantiles") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val row = Sketches.bottomKQuantiles(df, "id", "v", k = 256,
+      qs = Seq(0.5)).collect().head
+    assert(row.getLong(0) === 100L)                  // whole input sampled
+    assert(row.getDouble(1) === 50.5)                // exact interpolated median
+  }
+
+  test("bottom-k quantile sketch: estimates bracket truth on a large uniform stream") {
+    val df = (0 until 20000).map(i => (i.toLong, (i % 10000).toDouble))
+      .toDF("id", "v")
+    val row = Sketches.bottomKQuantiles(df, "id", "v", k = 256,
+      qs = Seq(0.25, 0.5, 0.75)).collect().head
+    // ±O(1/sqrt(k)) rank error: k=256 -> ~6.25% sigma; allow 4 sigma
+    val (q25, q50, q75) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(math.abs(q25 - 2500) < 2500, s"q25=$q25")
+    assert(math.abs(q50 - 5000) < 2500, s"q50=$q50")
+    assert(math.abs(q75 - 7500) < 2500, s"q75=$q75")
+    assert(q25 <= q50 && q50 <= q75)
+  }
+
+  test("vocab coverage: hand-built corpus scores covered-occurrence fractions") {
+    val df = Seq(
+      (1L, "a a b c"),   // freq: a high everywhere
+      (2L, "a b b z"),
+      (3L, "q r s t")    // all rare
+    ).toDF("doc_id", "text")
+    // corpus freq: a=3 b=3 c=1 z=1 q=1 r=1 s=1 t=1; top-2 (count desc,
+    // token asc through the a/b tie) = {a, b}
+    val got = TextOps.vocabCoverage(df, "doc_id", "text", topR = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 3L, 0.75)))
+    assert(got(2L) === ((4L, 3L, 0.75)))
+    assert(got(3L) === ((4L, 0L, 0.0)))
+  }
+
+  test("vocab coverage: tie-break is by token ascending, not hash order") {
+    // every token appears exactly once -> top-2 must be the two
+    // lexicographically smallest tokens
+    val df = Seq((1L, "delta echo"), (2L, "alpha bravo")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(df, "doc_id", "text", topR = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(2L) === 1.0) // alpha, bravo in vocab
+    assert(got(1L) === 0.0)
+  }
 }
