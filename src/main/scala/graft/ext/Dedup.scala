@@ -300,6 +300,38 @@ object Dedup {
     labels
   }
 
+  /** Cluster-representative selection — the step a dedup pipeline runs
+    * AFTER clustering: from each near-dup cluster keep the
+    * highest-quality member (ties broken by smallest id, so the pick
+    * is total-order deterministic), reporting the representative, its
+    * quality, and the cluster size.
+    *
+    * The argmax is a struct-max aggregate, not a window: `max(struct(
+    * quality, -id))` compares fields left-to-right, so one groupBy
+    * gives the best member AND the count in a single map-side-
+    * combinable shuffle. A `row_number` window over the cluster would
+    * need a full per-key sort and cannot partial-aggregate — at 100 TB
+    * the struct-max form ships one struct per (partition, cluster)
+    * into the shuffle instead of every member row.
+    *
+    * `labels` is `connectedComponents` output (id, component);
+    * `quality` carries (idCol, qCol). Members without a quality row
+    * are dropped (inner join) — quality is expected total. */
+  def clusterRepresentatives(labels: DataFrame, quality: DataFrame,
+                             idCol: String, qCol: String): DataFrame = {
+    labels
+      .join(quality.select(col(idCol).as("id"), col(qCol).as("__q")),
+        Seq("id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct(col("__q").as("q"), (-col("id")).as("negid"))).as("__best"))
+      .select(col("cluster_id"),
+        (-col("__best.negid")).as("rep_id"),
+        col("__best.q").as("rep_quality"),
+        col("cluster_size"))
+  }
+
   /** Composed reference pipeline (explode → wide sort-aggregate),
     * kept to pin the native path's equivalence in ExtSpec. */
   def nearDupPairsComposed(df: DataFrame, idCol: String, textCol: String,

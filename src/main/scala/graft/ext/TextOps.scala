@@ -366,6 +366,55 @@ object TextOps {
     * one (doc) re-agg. The corpus is scanned twice and never
     * all-pairs'd; at 100 TB the vocab build can run on a sample
     * without changing the scoring shape. */
+  /** PMI bigram collocations — corpus-level phrase mining (the
+    * classic pointwise-mutual-information collocation score, kept in
+    * lift form: p(ab) / (p(a)·p(b)) without the final log, because ln
+    * is not correctly-rounded across engines and the log is monotone —
+    * rankings are identical). Every arithmetic step is a fixed
+    * left-to-right chain of IEEE-double multiplies/divides over exact
+    * integer counts, so the DuckDB oracle reproduces scores
+    * bit-for-bit: lift = n_ab · Nu · Nu / Nb / n_a / n_b (Nu = total
+    * token occurrences, Nb = total bigrams). Squaring Nu FIRST would
+    * overflow long at web scale; the double chain never materializes
+    * Nu².
+    *
+    * Scale shape: one explode + map-side-combinable count for
+    * unigrams, one in-array zip + explode + count for bigrams (no
+    * self-join to form pairs), two key-shuffle joins of the bigram
+    * table against the unigram table, broadcast 1-row totals, then
+    * TakeOrderedAndProject for the top-k (per-partition k-heap, no
+    * full sort). `minCount` keeps the rare-bigram noise floor out of
+    * the ranking — the standard PMI low-frequency pathology. Ties at
+    * equal lift break by (w1, w2) ascending so the k-boundary is
+    * deterministic in both engines. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Int = 5, topK: Int = 100): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val t = tokens(col(textCol))
+    val uni = df.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val nu = uni.agg(sum(col("n")).as("nu"))
+    // adjacent pairs via an in-array transform: element i of the
+    // size-1 prefix zips with element i+1 of the full array
+    val bigrams = transform(slice(t, lit(1), size(t) - 1),
+      (x, i) => struct(x.as("w1"), element_at(t, i + lit(2)).as("w2")))
+    val bg = df.select(explode(bigrams).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val nb = bg.agg(sum(col("n_ab")).as("nb"))
+    bg.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        (col("n_ab").cast("double") * col("nu").cast("double")
+          * col("nu").cast("double") / col("nb").cast("double")
+          / col("n_a").cast("double") / col("n_b").cast("double"))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     topR: Int = 64): DataFrame = {
     require(topR >= 1, s"vocabulary size must be >= 1, got $topR")

@@ -929,6 +929,84 @@ object ExtOracles {
         |    AS DOUBLE) / COUNT(*) AS coverage
         |FROM toks GROUP BY doc_id""".stripMargin,
 
+    // the q_dedup_clusters CTE chain (same planted cliques, same LSH
+    // + recursive-CTE components), extended with a per-cluster argmax:
+    // highest token count wins, ties to the smallest doc_id —
+    // mirroring clusterRepresentatives' max(struct(q, -id))
+    "q_cluster_reps" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |    FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 300000, text || ' graftmarker two'
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |mh AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |ntok AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |scored AS (SELECT c.component, c.id, t.n_tokens,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY t.n_tokens DESC, c.id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+        |  FROM comp c JOIN ntok t ON t.doc_id = c.id)
+        |SELECT component AS cluster_id, id AS rep_id,
+        |  n_tokens AS rep_quality, CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    // lift = n_ab * Nu * Nu / Nb / n_a / n_b as one left-to-right
+    // double chain — the same IEEE op order pmiCollocations emits, so
+    // scores are bit-equal; k-boundary ties break by (w1, w2) asc
+    "q_pmi_colloc" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |u AS (SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+        |nu AS (SELECT SUM(n) AS nu FROM u),
+        |big AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        |  FROM toks WHERE len(w) >= 2),
+        |bg AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_ab
+        |  FROM big GROUP BY 1, 2),
+        |nb AS (SELECT SUM(n_ab) AS nb FROM bg)
+        |SELECT bg.w1, bg.w2, bg.n_ab,
+        |  CAST(bg.n_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+        |    * CAST(nu.nu AS DOUBLE) / CAST(nb.nb AS DOUBLE)
+        |    / CAST(ua.n AS DOUBLE) / CAST(ub.n AS DOUBLE) AS lift
+        |FROM bg JOIN u ua ON ua.tok = bg.w1
+        |  JOIN u ub ON ub.tok = bg.w2, nu, nb
+        |WHERE bg.n_ab >= 5
+        |ORDER BY lift DESC, bg.w1, bg.w2 LIMIT 100""".stripMargin,
+
     // p=12: m=4096 registers, cap=61-12=49, 2^49=562949953421312,
     // m^2=16777216 — mirrors Sketches.hllDistinct's default precision
     "q_hll_distinct" ->

@@ -114,21 +114,51 @@ object ExtQueries {
     * (min id) per transitive cluster. The corpus plants TWO near-copy
     * families per 11th doc, so clusters of ≥3 exercise real
     * transitivity, not just pair echo. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared planted corpus for the cluster-family gates: every 11th
+    * doc gets two near-copies (tail markers), so each such base id
+    * forms a 3-doc near-dup clique. */
+  private def plantedClusterCorpus(spark: SparkSession, dir: String)
+      : DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
-    val corpus = d
-      .unionByName(d.filter(col("doc_id") % 11 === 0)
+    d.unionByName(d.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" graftmarker end")).as("text")))
       .unionByName(d.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" graftmarker two")).as("text")))
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedClusterCorpus(spark, dir)
     val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text")
       .select("doc_a", "doc_b")
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("component").as("keeper_id"))
       .agg(count(lit(1)).as("cluster_size"))
   }
+
+  /** Cluster-representative selection over the planted cliques
+    * (Dedup.clusterRepresentatives): keep the highest-token-count
+    * member of each near-dup cluster, ties to the smallest doc_id —
+    * the keep-best step a real dedup pipeline runs after clustering.
+    * The planted copies append two marker tokens, so the rep is the
+    * +200000 clone (longest, smallest id among the two clones) and
+    * the pick is id-stable at every sf. */
+  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedClusterCorpus(spark, dir)
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val ntok = corpus.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    Dedup.clusterRepresentatives(labels, ntok, "doc_id", "n_tokens")
+  }
+
+  /** PMI bigram collocations over the documents corpus
+    * (TextOps.pmiCollocations): top-100 adjacent-pair lift scores,
+    * exact-count double chain so the oracle is bit-equal. */
+  def pmiColloc(spark: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(docs(spark, dir).select("text"), "text")
 
   /** TF-IDF top-3 terms per document (ratio-idf, engine-exact). */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
@@ -618,5 +648,7 @@ object ExtQueries {
     "q_media_sniff"       -> (mediaSniff _),
     "q_quantile_sketch"   -> (quantileSketch _),
     "q_vocab_coverage"    -> (vocabCoverageQ _),
+    "q_cluster_reps"      -> (clusterReps _),
+    "q_pmi_colloc"        -> (pmiColloc _),
   )
 }

@@ -729,6 +729,50 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3L) === ((4L, 0L, 0.0)))
   }
 
+  test("cluster representatives: highest quality wins, ties to smallest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "component")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (9L, 4L))
+      .toDF("doc_id", "q")
+    val got = Dedup.clusterRepresentatives(labels, quality, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 9L, 3L))) // 2 and 3 tie on q=9 -> min id 2
+    assert(got(7L) === ((7L, 4L, 2L))) // 7 and 9 tie on q=4 -> min id 7
+  }
+
+  test("cluster reps gate: planted 3-cliques elect the longer +200000 clone") {
+    val reps = ExtQueries.clusterReps(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // wherever the full planted clique formed (size 3), both clones
+    // carry two extra marker tokens; the +200000 clone has the
+    // smaller id of the two and must be the representative
+    val cliques = reps.filter(_._2._2 == 3L)
+    assert(cliques.nonEmpty)
+    cliques.foreach { case (cluster, (rep, _)) =>
+      assert(rep === cluster + 200000L, s"cluster $cluster")
+    }
+  }
+
+  test("pmi collocations: hand-computed lift on a two-token stream") {
+    // "x y x y x y": bigrams xy=3 yx=2 (Nb=5), unigrams x=3 y=3 (Nu=6)
+    val df = Seq("x y x y x y").toDF("text")
+    val got = TextOps.pmiCollocations(df, "text", minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length === 2)
+    assert(got(0) === (("x", "y", 3L, 3d * 6 * 6 / 5 / 3 / 3)))
+    assert(got(1) === (("y", "x", 2L, 2d * 6 * 6 / 5 / 3 / 3)))
+  }
+
+  test("pmi collocations: minCount floors rare bigrams out of the ranking") {
+    val df = Seq.fill(5)("a b").toDF("text")
+      .union(Seq("c d").toDF("text"))
+    val got = TextOps.pmiCollocations(df, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got === Array(("a", "b"))) // c-d appears once, floored
+  }
+
   test("vocab coverage: tie-break is by token ascending, not hash order") {
     // every token appears exactly once -> top-2 must be the two
     // lexicographically smallest tokens
