@@ -47,7 +47,14 @@ object ScaleBench {
     // round 7: the as-of/window family — the union+window as-of
     // construction doubles rows before its sort, so its curve is
     // measured, not assumed
-    "q_asof_nearest", "q_rolling_1h", "q_seq_packing")
+    "q_asof_nearest", "q_rolling_1h", "q_seq_packing",
+    // round-7 follow-ons: the bottom-k sample's TakeOrdered heap and
+    // the two corpus-stat aggregation shapes (vocab coverage's double
+    // scan + broadcast membership; PMI's in-array bigram zip + two
+    // key-shuffle joins), plus cluster-reps which rides the UNCAPPED
+    // pair generator + CC + argmax on the clique-pressure corpus
+    "q_quantile_sketch", "q_vocab_coverage", "q_pmi_colloc",
+    "q_cluster_reps")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
