@@ -54,7 +54,10 @@ object ScaleBench {
     // key-shuffle joins), plus cluster-reps which rides the UNCAPPED
     // pair generator + CC + argmax on the clique-pressure corpus
     "q_quantile_sketch", "q_vocab_coverage", "q_pmi_colloc",
-    "q_cluster_reps")
+    "q_cluster_reps",
+    // the gram-keyed flag join (biggest linear shape in the substring
+    // dedup signal) and the source-mix TV report
+    "q_dup_ngram_spans", "q_source_divergence")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -366,6 +366,117 @@ object TextOps {
     * one (doc) re-agg. The corpus is scanned twice and never
     * all-pairs'd; at 100 TB the vocab build can run on a sample
     * without changing the scoring shape. */
+  /** Cross-document duplicate n-gram span statistics — the exact
+    * substring-dedup signal (the "dedup training data at the
+    * substring level" family): an n-gram OCCURRENCE is duplicated
+    * when the same n-gram appears in at least `minDocs` DISTINCT
+    * documents; per document we report how much of it is built from
+    * such corpus-repeated material, and the longest consecutive run
+    * of duplicated n-gram starts (the span a substring-dedup pass
+    * would cut). Boilerplate, licenses, and template text light up
+    * with dup_frac near 1 and long runs; original prose sits near 0.
+    *
+    * Scale shape: one explode to (doc, pos, gram-hash) — the gram is
+    * built by an in-array lookahead (no self-join) over a
+    * LAMBDA-BOUND token array (the [[wordShingleSet]] trick: a raw
+    * `split` referenced n+2 times inside the lambda would re-run per
+    * reference per element — the lambda-CSE trap) and immediately
+    * collapsed to its 60-bit md5 key, so every downstream
+    * distinct/count/join shuffles 8-byte longs instead of ~30-byte
+    * strings; the oracle derives the SAME key, so a hash collision —
+    * ~10⁻⁵ odds at 50M distinct grams — would be consistent across
+    * engines, never a parity break. N-gram doc-frequency is a
+    * distinct + map-side-combinable count keyed by the hash; the flag
+    * join is a key-shuffle join on it (the standard biggest shape
+    * here — at 100 TB the gram table is huge but hash-partitioned,
+    * never broadcast). Stats AND run detection come out of ONE
+    * consumption of the flag join via a single per-doc window pass:
+    * the island id is the running count of non-duplicated positions,
+    * so consecutive duplicated positions share an island; per-island
+    * dup counts are run lengths, and the two stacked groupBys reuse
+    * the window's doc-key partitioning (no further exchange). Docs
+    * shorter than n tokens have no n-grams and drop out — same rule
+    * in the oracle.
+    *
+    * Count arithmetic stays in longs: doc frequencies and positions
+    * are per-gram/per-doc counts, far under 2^63 at any corpus size.
+    */
+  def dupNgramSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2)
+    val grams = element_at(transform(array(tokens(col(textCol))), t =>
+      transform(slice(t, lit(1), greatest(size(t) - (n - 1), lit(0))),
+        (x, i) => struct((i + lit(1)).cast("long").as("pos"),
+          hex15(concat_ws(" ",
+            (0 until n).map(j => element_at(t, i + lit(j + 1))): _*))
+            .as("gh")))), 1)
+    val pos = df.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dupGrams = pos.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("gh"), lit(1).as("__dup"))
+    val flagged = pos.join(dupGrams, Seq("gh"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("__isl",
+        sum(when(col("__dup").isNull, 1L).otherwise(0L)).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("__nd"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_grams"),
+        sum(col("__nd")).cast("long").as("n_dup"),
+        max(col("__nd")).as("max_dup_run"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"),
+        col("max_dup_run"))
+  }
+
+  /** Per-source token-distribution divergence from the whole corpus —
+    * the domain-mix drift report (is a source's unigram distribution
+    * close to the corpus mix it contributes to?). Distance is total
+    * variation, TV(s) = ½·Σ_t |p_s(t) − p(t)|, kept bit-reproducible
+    * by integer arithmetic: the summand is |n_s(t)·N − n(t)·N_s| — an
+    * exact long — and longs sum ASSOCIATIVELY, so the aggregate is
+    * partitioning-invariant where a float sum would not be; a single
+    * fixed-order double chain converts to the final score. Tokens the
+    * source never uses contribute n(t)·N_s each; their sum is derived
+    * in closed form as (N − Σ_{t∈s} n(t))·N_s instead of
+    * materializing the absent (source, token) pairs.
+    *
+    * Scale shape: one explode into a (source, token) count — map-side
+    * combinable — the global token table re-aggregates FROM it
+    * (second small shuffle, no second corpus scan), one key-shuffle
+    * join on token, broadcast 1-row totals. Long products bound the
+    * corpus at ~2^31 tokens per side before overflow; past that the
+    * same query runs with decimal(38,0) casts (the corr-moment
+    * pattern) at ~2× agg cost. */
+  def sourceDivergence(df: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val st = df.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+    val tot = st.groupBy("tok").agg(sum(col("n_st")).as("n_t"))
+    val ns = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+    val nAll = broadcast(tot.agg(sum(col("n_t")).as("n_all")))
+    st.join(tot, Seq("tok"))
+      .join(ns, Seq("source")).crossJoin(nAll)
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("n_all")).as("__n"),
+        sum(abs(col("n_st") * col("n_all") - col("n_t") * col("n_s")))
+          .as("__present"),
+        sum(col("n_t")).as("__seen"))
+      .select(col("source"), col("n_tokens"),
+        ((col("__present")
+            + (col("__n") - col("__seen")) * col("n_tokens")).cast("double")
+          / lit(2.0) / col("n_tokens").cast("double")
+          / col("__n").cast("double")).as("tv"))
+  }
+
   /** PMI bigram collocations — corpus-level phrase mining (the
     * classic pointwise-mutual-information collocation score, kept in
     * lift form: p(ab) / (p(a)·p(b)) without the final log, because ln

@@ -1007,6 +1007,60 @@ object ExtOracles {
         |WHERE bg.n_ab >= 5
         |ORDER BY lift DESC, bg.w1, bg.w2 LIMIT 100""".stripMargin,
 
+    // duplicated = 5-gram in >= 2 distinct docs; runs via
+    // gaps-and-islands (pos - row_number constant within a run),
+    // mirroring dupNgramSpans' window. The gram collapses to the same
+    // 60-bit md5 key the engine uses, so a collision is consistent
+    // across engines
+    "q_dup_ngram_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, g.pos AS pos,
+        |  CAST('0x' || substr(md5(g.gram), 1, 15) AS BIGINT) AS gh FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |    i -> struct_pack(pos := CAST(i AS BIGINT),
+        |      gram := w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |        || w[i+3] || ' ' || w[i+4]))) AS g
+        |  FROM toks WHERE len(w) >= 5) t),
+        |dg AS (SELECT gh FROM (
+        |  SELECT gh, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY gh)
+        |  WHERE df >= 2),
+        |f AS (SELECT p.doc_id, p.pos, (dg.gh IS NOT NULL) AS isdup
+        |  FROM p LEFT JOIN dg ON dg.gh = p.gh),
+        |stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM f GROUP BY doc_id),
+        |runs AS (SELECT doc_id, MAX(cnt) AS maxrun FROM (
+        |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, pos,
+        |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |        AS grp
+        |    FROM f WHERE isdup) GROUP BY doc_id, grp) GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_grams, s.n_dup,
+        |  CAST(s.n_dup AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS dup_frac,
+        |  COALESCE(r.maxrun, 0) AS max_dup_run
+        |FROM stats s LEFT JOIN runs r ON r.doc_id = s.doc_id""".stripMargin,
+
+    // TV(s) = (present + (N - seen)·N_s) / 2 / N_s / N with an
+    // integer numerator (order-independent sum) and the same
+    // left-to-right double chain sourceDivergence emits
+    "q_source_divergence" ->
+      """WITH st AS (SELECT source, tok, COUNT(*) AS n_st FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents) t GROUP BY source, tok),
+        |tot AS (SELECT tok, SUM(n_st) AS n_t FROM st GROUP BY tok),
+        |ns AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source),
+        |na AS (SELECT SUM(n_t) AS n_all FROM tot)
+        |SELECT a.source, CAST(a.n_s AS BIGINT) AS n_tokens,
+        |  CAST(a.present + (a.n_all - a.seen) * a.n_s AS DOUBLE) / 2.0
+        |    / CAST(a.n_s AS DOUBLE) / CAST(a.n_all AS DOUBLE) AS tv
+        |FROM (SELECT st.source, ns.n_s, na.n_all,
+        |    SUM(ABS(st.n_st * na.n_all - tot.n_t * ns.n_s)) AS present,
+        |    SUM(tot.n_t) AS seen
+        |  FROM st JOIN tot ON tot.tok = st.tok
+        |    JOIN ns ON ns.source = st.source, na
+        |  GROUP BY st.source, ns.n_s, na.n_all) a""".stripMargin,
+
     // p=12: m=4096 registers, cap=61-12=49, 2^49=562949953421312,
     // m^2=16777216 — mirrors Sketches.hllDistinct's default precision
     "q_hll_distinct" ->

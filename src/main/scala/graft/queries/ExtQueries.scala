@@ -160,6 +160,23 @@ object ExtQueries {
   def pmiColloc(spark: SparkSession, dir: String): DataFrame =
     TextOps.pmiCollocations(docs(spark, dir).select("text"), "text")
 
+  /** Cross-doc duplicate 5-gram span stats (TextOps.dupNgramSpans):
+    * per doc, the fraction of its 5-gram occurrences that repeat in
+    * other documents, and the longest consecutive duplicated run —
+    * the substring-dedup cut signal. The fixture corpus carries
+    * natural cross-doc repetition (~1.1k duplicated 5-grams at
+    * sf0.01), so the signal is real, not planted. */
+  def dupNgramSpans(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dupNgramSpans(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text")
+
+  /** Per-source total-variation divergence from the corpus unigram
+    * mix (TextOps.sourceDivergence): integer-exact summands, one
+    * fixed double chain — the domain-mix drift report. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sourceDivergence(docs(spark, dir).select("source", "text"),
+      "source", "text")
+
   /** TF-IDF top-3 terms per document (ratio-idf, engine-exact). */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerms(docs(spark, dir).select("doc_id", "text"),
@@ -650,5 +667,7 @@ object ExtQueries {
     "q_vocab_coverage"    -> (vocabCoverageQ _),
     "q_cluster_reps"      -> (clusterReps _),
     "q_pmi_colloc"        -> (pmiColloc _),
+    "q_dup_ngram_spans"   -> (dupNgramSpans _),
+    "q_source_divergence" -> (sourceDivergence _),
   )
 }

@@ -773,6 +773,56 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Array(("a", "b"))) // c-d appears once, floored
   }
 
+  test("dup ngram spans: shared runs flagged, unique docs score zero") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // shares grams @pos 1,2 with doc 2
+      (2L, "x a b c d e f y"),       // the same grams land @pos 2,3
+      (3L, "p q r s t u v w")        // fully unique
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((4L, 2L, 0.5, 2L))) // "a b c d e","b c d e f"
+    assert(got(2L) === ((4L, 2L, 0.5, 2L)))
+    assert(got(3L) === ((4L, 0L, 0.0, 0L)))
+  }
+
+  test("dup ngram spans: non-adjacent duplicates break the run") {
+    // doc 1 shares its FIRST and LAST gram with docs 2/3 but not the
+    // middle ones -> two singleton islands, max run 1
+    val df = Seq(
+      (1L, "a b c d e z z z v w x y k"),
+      (2L, "a b c d e q q q q"),
+      (3L, "m v w x y k")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got(1L) === ((2L, 1L)))
+  }
+
+  test("source divergence: hand-computed TV; single source scores zero") {
+    val df = Seq(("s1", "a a b"), ("s2", "a b b b")).toDF("source", "text")
+    val got = TextOps.sourceDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // p1=(2/3,1/3), p=(3/7,4/7): TV = 5/21, via the 10/2/3/7 chain
+    // p2=(1/4,3/4): TV = 5/28, via the 10/2/4/7 chain
+    assert(got("s1") === ((3L, 10.0 / 2.0 / 3.0 / 7.0)))
+    assert(got("s2") === ((4L, 10.0 / 2.0 / 4.0 / 7.0)))
+    val solo = TextOps.sourceDivergence(
+      Seq(("only", "a b c a")).toDF("source", "text"), "source", "text")
+      .collect()
+    assert(solo.length === 1 && solo.head.getDouble(2) === 0.0)
+  }
+
+  test("source divergence: disjoint vocabularies approach full divergence") {
+    val df = Seq(("s1", "a a a a"), ("s2", "b b b b")).toDF("source", "text")
+    val got = TextOps.sourceDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // each source: present |4*8-4*4|=16, absent (8-4)*4=16 -> 32/2/4/8
+    assert(got("s1") === 0.5 && got("s2") === 0.5)
+  }
+
   test("vocab coverage: tie-break is by token ascending, not hash order") {
     // every token appears exactly once -> top-2 must be the two
     // lexicographically smallest tokens
