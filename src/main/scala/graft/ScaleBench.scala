@@ -57,7 +57,12 @@ object ScaleBench {
     "q_cluster_reps",
     // the gram-keyed flag join (biggest linear shape in the substring
     // dedup signal) and the source-mix TV report
-    "q_dup_ngram_spans", "q_source_divergence")
+    "q_dup_ngram_spans", "q_source_divergence",
+    // chunking (pure explode — the linear floor), the estimator audit
+    // (candidate pressure × signature join), and the incremental
+    // batch-vs-index check (batch AND index both grow 10× here — the
+    // worst case; in production only the batch side grows)
+    "q_doc_chunks", "q_minhash_acc", "q_incr_dedup")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -245,6 +245,139 @@ object Dedup {
     jaccardOnCandidates(cand, sh, idCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** LSH band keys via the native one-call `minhash_sig` path
+    * (see [[nearDupPairs]]'s comment for why the composed
+    * shingle-array form loses): (idCol, band, bkey), one row per
+    * (doc, band), NULL bkey for docs shorter than the shingle width
+    * (equi-joins drop them). A pure projection + explode — works
+    * unchanged on a STREAMING DataFrame, which is what
+    * [[graft.streaming.StreamingOps.streamNearDupCandidates]] feeds
+    * into a stream-static join. */
+  def nativeBands(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    graft.catalyst.MinHashSig.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("minhash_sig", tokens(col(textCol)),
+        lit(shingleN), lit(numHashes)).as("__sig"))
+      .select(col(idCol), col("__sig"),
+        explode(sequence(lit(0), lit(numHashes / 2 - 1))).as("band"))
+      .select(col(idCol), col("band"),
+        expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
+          .as("bkey"))
+  }
+
+  /** MinHash estimator accuracy audit: for every LSH candidate pair,
+    * the number of agreeing signature components (the estimator's
+    * numerator — E[n_match/numHashes] = true Jaccard) NEXT TO the
+    * exact shingle intersection/union counts. The audit face of the
+    * approximation itself, complementing the recall audits
+    * ([[oversizeBuckets]]/[[oversizeBlocks]] report what banding
+    * DROPPED; this reports how well the signature estimates what it
+    * KEPT): a systematic gap between est_jaccard and jaccard on a
+    * corpus sample means numHashes is under-sized for the threshold
+    * in play, and the counts are integers so the check is exact, not
+    * a float-tolerance judgment.
+    *
+    * Scale shape: identical to [[nearDupPairs]] (banded candidates,
+    * never all-pairs) plus one signature equi-join on the candidate
+    * ids — the signature frame is numHashes strings per doc, and the
+    * component comparison is a codegen'd projection. Run it over a
+    * corpus SAMPLE at 100 TB: the estimator's error is a property of
+    * numHashes, not of corpus size. */
+  def minhashAccuracy(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val sig = minhashSignature(sh, idCol, numHashes)
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
+    val cand = lshCandidates(lshBands(sig, idCol, numHashes), idCol)
+    val sa = sig.select(col(idCol).as("doc_a") +:
+      mhCols.map(c => col(c).as(s"__a_$c")): _*)
+    val sb = sig.select(col(idCol).as("doc_b") +:
+      mhCols.map(c => col(c).as(s"__b_$c")): _*)
+    val nMatch = mhCols.map(c =>
+      when(col(s"__a_$c") === col(s"__b_$c"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    est.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("n_union"),
+        (col("n_match").cast("double") / numHashes).as("est_jaccard"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Incremental near-dup check of an incoming batch against an
+    * existing corpus — the daily-ingest shape at 100 TB: the corpus
+    * is NEVER re-paired against itself; only (incoming × index) band
+    * collisions become candidates, so a day's batch costs
+    * O(batch + collisions), not O(corpus²) or even O(corpus · log).
+    * In steady state the index side's band keys are computed once at
+    * ingest and persisted (they are a pure projection of each doc —
+    * recomputed here from text so the operator is self-contained; the
+    * persisted-index variant just replaces `bandsOf(index)` with a
+    * table scan).
+    *
+    * Verification stays exact and bounded: only index docs that
+    * actually collide with the batch are shingled (left-semi prune —
+    * the second index scan reads just those partitions' texts), the
+    * incoming batch is small by definition, and `maxBucketSize` caps
+    * the INDEX side's hot buckets (a viral boilerplate bucket would
+    * otherwise pair with every matching batch doc; the cap is the
+    * same audited policy as [[lshCandidates]] — report drops with
+    * [[oversizeBuckets]]).
+    *
+    * Returns (new_id, index_id, jaccard ≥ minJaccard): the batch rows
+    * that near-duplicate existing corpus content. Policy (drop,
+    * cluster, version) stays with the caller. Id spaces of the two
+    * inputs must be disjoint for the output to be unambiguous. */
+  def incrementalNearDups(index: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, numHashes: Int = 8,
+                          minJaccard: Double = 0.5,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    def bandsOf(df: DataFrame, outId: String): DataFrame =
+      nativeBands(df, idCol, textCol, shingleN, numHashes)
+        .withColumnRenamed(idCol, outId)
+    val bIdx = bandsOf(index, "index_id")
+    val limitedIdx =
+      if (maxBucketSize == Int.MaxValue) bIdx
+      else {
+        val small = bIdx.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band", "bkey")
+        bIdx.join(small, Seq("band", "bkey"), "left_semi")
+      }
+    val cand = bandsOf(incoming, "new_id")
+      .join(limitedIdx, Seq("band", "bkey"))
+      .select("new_id", "index_id").distinct()
+    val shNew = shingleRows(incoming, idCol, textCol, shingleN)
+      .select(col(idCol).as("new_id"), col("shingle"))
+    val candIdx = cand.select(col("index_id").as(idCol)).distinct()
+    val shIdx = shingleRows(index.join(candIdx, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+      .select(col(idCol).as("index_id"), col("shingle"))
+    val inter = cand.join(shNew, Seq("new_id"))
+      .join(shIdx, Seq("index_id", "shingle"))
+      .groupBy("new_id", "index_id").agg(count(lit(1)).as("inter"))
+    val szNew = shNew.groupBy("new_id").agg(count(lit(1)).as("na"))
+    val szIdx = shIdx.groupBy("index_id").agg(count(lit(1)).as("nb"))
+    inter.join(szNew, Seq("new_id")).join(szIdx, Seq("index_id"))
+      .select(col("new_id"), col("index_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Connected components over an undirected candidate-pair edge set —
     * the step that turns near-dup PAIRS into dedup CLUSTERS. Pairwise
     * removal alone mishandles chains (A~B, B~C, A≁C): dropping the

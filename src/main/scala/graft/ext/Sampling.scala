@@ -81,4 +81,37 @@ object Sampling {
       element_at(typedLit(thresholds), col(sourceCol)), lit(Buckets))
     df.filter(hashBucket(col(idCol), "mix") < thr)
   }
+
+  /** Leakage-proof train/val/test split: near-duplicate CLUSTERS move
+    * between splits as a unit. [[splitAssign]] hashes the document
+    * id, so two near-identical documents can land in train and test —
+    * the eval set then scores memorization, not generalization (the
+    * classic dedup-leakage failure). Here the hash input is the
+    * cluster label from [[graft.ext.Dedup.connectedComponents]]
+    * (rename its `id` column to `idCol` — `labels` must carry
+    * (idCol, component)); documents without a near-dup (absent from
+    * `labels`) are singleton clusters labeled by their own id — for them the
+    * assignment REDUCES EXACTLY to [[splitAssign]]'s buckets only
+    * when their id equals their label, which it does, so adding or
+    * removing dup edges never reshuffles unrelated documents.
+    *
+    * Scale shape: one left join of the corpus against the (small —
+    * only docs that HAVE a near-dup) label table on the id key, then
+    * the same pure hash projection as [[splitAssign]]. The label
+    * side is the output of the dedup pass the pipeline already ran;
+    * nothing here adds a pair-generating step. */
+  def clusterAwareSplit(df: DataFrame, labels: DataFrame, idCol: String,
+                        valBuckets: Int = 100, testBuckets: Int = 100): DataFrame = {
+    require(valBuckets >= 0 && testBuckets >= 0 &&
+      valBuckets + testBuckets < Buckets)
+    val withComp = df.select(col(idCol))
+      .join(labels.select(col(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    val b = hashBucket(col("component"), "split")
+    withComp.select(col(idCol), col("component"), b.as("bucket"),
+      when(b < lit(Buckets - valBuckets - testBuckets), "train")
+        .when(b < lit(Buckets - testBuckets), "val")
+        .otherwise("test").as("split"))
+  }
 }

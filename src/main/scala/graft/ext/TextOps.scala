@@ -526,6 +526,50 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Fixed-token-window document chunking with overlap — the
+    * context-length prep step that turns variable-length documents
+    * into model-window-sized training pieces (each chunk carries
+    * `overlap` trailing tokens of its predecessor so no span is ever
+    * split across a window boundary without context).
+    *
+    * Chunk starts are `1, 1+stride, …` (stride = chunkSize − overlap)
+    * capped at `max(1, n − overlap)`: the cap guarantees every
+    * emitted chunk contributes at least one NEW token, so a document
+    * whose tail would produce a chunk fully contained in its
+    * predecessor emits no such degenerate chunk (n=8, chunkSize=8,
+    * overlap=2 → starts [1], not [1,7]). The final chunk may be
+    * shorter than `chunkSize` (slice caps at the document end);
+    * standard practice pads or drops short tails downstream — policy
+    * stays with the caller.
+    *
+    * Scale shape: one tokenize + one explode over the per-doc start
+    * sequence — a pure narrow projection, no shuffle, no state; at
+    * 100 TB it streams through the scan partition-parallel, and the
+    * output inherits the input's partitioning (chunks of a doc stay
+    * in its partition — exactly what a downstream pack/shuffle-write
+    * wants). The token array is bound once per row ([[wordShingles]]'
+    * lambda-CSE rule: a raw `split` referenced by both the sequence
+    * bound and the slice would re-run the regex per reference). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1),
+          greatest(lit(1), size(col("__toks")) - overlap),
+          lit(stride))).as("start_tok"))
+      .select(col(idCol),
+        ((col("start_tok") - 1) / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("__toks"), col("start_tok"), lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("start_tok"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     topR: Int = 64): DataFrame = {
     require(topR >= 1, s"vocabulary size must be >= 1, got $topR")

@@ -1061,6 +1061,169 @@ object ExtOracles {
         |    JOIN ns ON ns.source = st.source, na
         |  GROUP BY st.source, ns.n_s, na.n_all) a""".stripMargin,
 
+    // 64-token windows, 8-token overlap, stride 56; range's exclusive
+    // stop is greatest(1, len-overlap)+1 so starts match Spark's
+    // inclusive sequence bound; list_slice clamps at the doc end like
+    // Spark's slice
+    "q_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w,
+        |  unnest(range(1, greatest(1, len(w) - 8) + 1, 56)) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST((start_tok - 1) // 56 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(w, start_tok, start_tok + 63)) AS BIGINT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(w, start_tok, start_tok + 63), ' ')
+        |    AS chunk_text
+        |FROM s""".stripMargin,
+
+    // same minhash/band CTEs as q_dedup_minhash_lsh plus the
+    // component-agreement count: n_match/inter/n_union are integers,
+    // the two ratios are single exact-int divisions (bit-equal)
+    "q_minhash_acc" ->
+      s"""WITH $nearCorpus,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+         |  FROM toks WHERE len(w) >= 3) t),
+         |mh AS (SELECT doc_id, sd.seed,
+         |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+         |  GROUP BY doc_id, sd.seed),
+         |bands AS (SELECT doc_id, seed // 2 AS band,
+         |    min(CASE WHEN seed % 2 = 0 THEN h END)
+         |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |mt AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
+         |    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+         |  GROUP BY c.doc_a, c.doc_b),
+         |inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT m.doc_a, m.doc_b, m.n_match, i.i AS inter,
+         |  CAST(na.n + nb.n - i.i AS BIGINT) AS n_union,
+         |  CAST(m.n_match AS DOUBLE) / 8 AS est_jaccard,
+         |  CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+         |FROM mt m JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+         |JOIN sizes na ON na.doc_id = m.doc_a
+         |JOIN sizes nb ON nb.doc_id = m.doc_b""".stripMargin,
+
+    // batch = near-clones of every 13th doc (+600000) and
+    // token-REVERSED copies of every 19th (+700000, shares vocabulary
+    // but no 3-shingles — must produce NO pairs); candidates are
+    // incoming×index band collisions only, mirroring the operator's
+    // never-self-pair-the-corpus shape
+    "q_incr_dedup" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT doc_id + 700000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
+        |shi AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM ti WHERE len(w) >= 3) t),
+        |shn AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM tn WHERE len(w) >= 3) t),
+        |mhi AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM shi CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |mhn AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM shn CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bi AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mhi GROUP BY doc_id, seed // 2),
+        |bn AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mhn GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+        |  FROM bn n JOIN bi i ON i.band = n.band AND i.bkey = n.bkey),
+        |inter AS (SELECT c.new_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM cand c JOIN shn sn ON sn.doc_id = c.new_id
+        |  JOIN shi si ON si.doc_id = c.index_id AND si.shingle = sn.shingle
+        |  GROUP BY c.new_id, c.index_id),
+        |szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+        |szi AS (SELECT doc_id, COUNT(*) AS n FROM shi GROUP BY doc_id)
+        |SELECT i.new_id, i.index_id,
+        |  CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) AS jaccard
+        |FROM inter i JOIN szn sn ON sn.doc_id = i.new_id
+        |JOIN szi si ON si.doc_id = i.index_id
+        |WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5""".stripMargin,
+
+    // cluster-aware split: the q_dedup_minhash_lsh pair chain over
+    // the near corpus -> recursive CC -> split hash over the CLUSTER
+    // label (singletons label themselves), same 9800/9900 thresholds
+    // as q_split_assign
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $nearCorpus,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+         |  FROM toks WHERE len(w) >= 3) t),
+         |mh AS (SELECT doc_id, sd.seed,
+         |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+         |  GROUP BY doc_id, sd.seed),
+         |bands AS (SELECT doc_id, seed // 2 AS band,
+         |    min(CASE WHEN seed % 2 = 0 THEN h END)
+         |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.doc_a
+         |  JOIN sizes nb ON nb.doc_id = i.doc_b
+         |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |lab AS (SELECT c.doc_id,
+         |    COALESCE(p.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id)
+         |SELECT doc_id, component,
+         |  CAST('0x' || substr(md5('split|' || CAST(component AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % 10000 AS bucket,
+         |  CASE WHEN CAST('0x' || substr(md5('split|' || CAST(component AS VARCHAR)), 1, 15)
+         |         AS BIGINT) % 10000 < 9800 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5('split|' || CAST(component AS VARCHAR)), 1, 15)
+         |         AS BIGINT) % 10000 < 9900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lab""".stripMargin,
+
     // p=12: m=4096 registers, cap=61-12=49, 2^49=562949953421312,
     // m^2=16777216 — mirrors Sketches.hllDistinct's default precision
     "q_hll_distinct" ->

@@ -610,6 +610,52 @@ object ExtQueries {
     TextOps.vocabCoverage(docs(spark, dir).select("doc_id", "text"),
       "doc_id", "text", topR = 64)
 
+  /** Fixed-token-window chunking (TextOps.chunkDocs): 64-token
+    * windows with an 8-token overlap — the context-length prep step.
+    * Pure per-doc explode, no shuffle; chunk_text stays scalar. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", chunkSize = 64, overlap = 8)
+
+  /** MinHash estimator accuracy (Dedup.minhashAccuracy) over the
+    * near-dup corpus: agreeing signature components vs exact
+    * intersection/union per LSH candidate pair — all integer counts,
+    * the two ratio columns are single exact-int divisions. */
+  def minhashAcc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAccuracy(nearCorpus(spark, dir), "doc_id", "text")
+
+  /** Incremental dedup of an ingest batch against the corpus
+    * (Dedup.incrementalNearDups): the batch is near-clones of every
+    * 13th doc (2 marker tokens appended — should match) plus
+    * token-REVERSED copies of every 19th doc (shares vocabulary but
+    * no 3-shingles — should NOT match); ids at +600000/+700000 are
+    * collision-free and sf-stable. Only incoming×index band
+    * collisions become candidates — the corpus is never self-paired. */
+  def incrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          array_join(reverse(TextOps.tokens(col("text"))), " ").as("text")))
+    Dedup.incrementalNearDups(d, incoming, "doc_id", "text")
+  }
+
+  /** Leakage-proof split (Sampling.clusterAwareSplit): near-dup
+    * clusters from the LSH→CC chain move between train/val/test as a
+    * unit — a near-pair split across train and test would score
+    * memorization. Singletons keep their splitAssign fate (the hash
+    * input degenerates to the doc id). */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearCorpus(spark, dir)
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+    Sampling.clusterAwareSplit(corpus, labels, "doc_id")
+  }
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -669,5 +715,9 @@ object ExtQueries {
     "q_pmi_colloc"        -> (pmiColloc _),
     "q_dup_ngram_spans"   -> (dupNgramSpans _),
     "q_source_divergence" -> (sourceDivergence _),
+    "q_doc_chunks"        -> (docChunks _),
+    "q_minhash_acc"       -> (minhashAcc _),
+    "q_incr_dedup"        -> (incrDedup _),
+    "q_leakage_split"     -> (leakageSplit _),
   )
 }

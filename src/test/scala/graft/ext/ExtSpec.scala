@@ -823,6 +823,134 @@ class ExtSpec extends AnyFunSuite {
     assert(got("s1") === 0.5 && got("s2") === 0.5)
   }
 
+  test("chunkDocs: stride covers the doc, tail chunk shortens, no degenerate tail") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 8, overlap = 2)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 7L, 4L, (7 to 10).map(i => s"t$i").mkString(" "))))
+    // n=8 with the same knobs: start 7 would add no new token -> one chunk
+    val exact = TextOps.chunkDocs(
+      Seq((1L, (1 to 8).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", chunkSize = 8, overlap = 2).collect()
+    assert(exact.length === 1)
+  }
+
+  test("chunkDocs: dropping each chunk's overlap prefix reconstructs the corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text", 64, 8)
+      .collect().groupBy(_.getLong(0))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val ordered = chunks(id).sortBy(_.getLong(1))
+      val rebuilt = ordered.zipWithIndex.map { case (r, i) =>
+        val toks = r.getString(4).split(" ")
+        (if (i == 0) toks else toks.drop(8)).mkString(" ")
+      }.filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt === text, s"doc $id")
+    }
+  }
+
+  test("minhashAccuracy: identical docs agree on all components; counts are exact") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // identical to 1
+      (3L, "a b c d e f g h extra tok") // near-dup of 1 (2 tokens appended)
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashAccuracy(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val (nm, inter, uni, est, jac) = got((1L, 2L))
+    assert(nm === 8L && est === 1.0 && jac === 1.0 && inter === uni)
+    // 1 vs 3: shingle sets are 6 vs 8 with all 6 shared
+    got.get((1L, 3L)).foreach { case (_, i3, u3, _, j3) =>
+      assert(i3 === 6L && u3 === 8L && j3 === 6.0 / 8.0)
+    }
+    // estimator sanity on the gate corpus: every planted near-dup
+    // candidate agrees on most components (est tracks jaccard >= 0.9)
+    val gate = ExtQueries.minhashAcc(spark, sf).collect()
+    assert(gate.nonEmpty)
+    val planted = gate.filter(r => r.getLong(1) === r.getLong(0) + 200000)
+    assert(planted.nonEmpty && planted.forall(_.getLong(2) >= 5L))
+  }
+
+  test("incremental near-dups: batch matches the index, never the index itself") {
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      // 3 and 4 are near-dups of EACH OTHER inside the index — an
+      // incremental check must NOT re-pair the corpus against itself
+      (3L, "spark engines shuffle data across the cluster at scale"),
+      (4L, "spark engines shuffle data across the cluster at speed")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today ok"), // ~doc 1
+      (102L, "completely unrelated fresh content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(index, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((101L, 1L)))
+    // gate shape: clones match their base, reversed docs match nothing
+    val gate = ExtQueries.incrDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gate.nonEmpty)
+    assert(gate.forall { case (n, _) => n < 700000L },
+      "token-reversed batch docs must not near-dup anything")
+    assert(gate.count { case (n, i) => n === i + 600000 } >= gate.length / 2)
+  }
+
+  test("cluster-aware split: clusters move as a unit, singletons keep splitAssign fate") {
+    val gate = ExtQueries.leakageSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // every cluster resolves to exactly one split
+    gate.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $comp straddles splits")
+    }
+    // planted pairs share a component (so a split) — and the naive
+    // id-hash split WOULD have separated at least one such pair at
+    // some sf; verify the clustering actually rewired those docs
+    val byId = gate.map(t => t._1 -> t._2).toMap
+    val planted = gate.filter(t => byId.contains(t._1 + 200000))
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, comp, _) =>
+      assert(byId(id + 200000) === comp, s"pair ($id, ${id + 200000}) split apart")
+    }
+    // singletons: component == own id, bucket identical to splitAssign
+    val naive = Sampling.splitAssign(
+      gate.map(_._1).toSeq.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    gate.filter(t => t._1 === t._2).foreach { case (id, _, split) =>
+      assert(naive(id) === split, s"singleton $id diverged from splitAssign")
+    }
+  }
+
+  test("cluster-aware split: a cluster the id-hash would split stays together") {
+    // ids 12 and 13 hash to different splitAssign buckets regions is
+    // not guaranteed; instead force the CASE: hand edges joining two
+    // docs whose naive splits differ for THIS hash domain. Find such
+    // a pair deterministically among 0..999.
+    val naive = Sampling.splitAssign(
+      spark.range(0, 1000).select(col("id").as("doc_id")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val cross = (0L until 999L).find(i => naive(i) != naive(i + 1))
+    assert(cross.nonEmpty, "hash split has no boundary in 0..999?")
+    val (a, b) = (cross.get, cross.get + 1)
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val labels = Seq((a, a), (b, a)).toDF("doc_id", "component")
+    val got = Sampling.clusterAwareSplit(docs, labels, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(a) === got(b), "edge (a,b) must co-locate the pair")
+    // everyone else untouched
+    (0L until 1000L).filterNot(i => i == a || i == b).foreach { i =>
+      assert(got(i) === naive(i), s"unrelated doc $i reshuffled")
+    }
+  }
+
   test("vocab coverage: tie-break is by token ascending, not hash order") {
     // every token appears exactly once -> top-2 must be the two
     // lexicographically smallest tokens
