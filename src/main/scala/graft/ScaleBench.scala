@@ -62,7 +62,11 @@ object ScaleBench {
     // (candidate pressure × signature join), and the incremental
     // batch-vs-index check (batch AND index both grow 10× here — the
     // worst case; in production only the batch side grows)
-    "q_doc_chunks", "q_minhash_acc", "q_incr_dedup")
+    "q_doc_chunks", "q_minhash_acc", "q_incr_dedup",
+    // the streaming face of the incremental check: stream-static band
+    // join + bounded (new,index) count state — state grows with
+    // colliding pairs (100× here since both sides scale), not corpus
+    "q_stream_neardup")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -504,6 +504,44 @@ object StarOracles {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events""".stripMargin,
 
+    // streaming incremental near-dup: the completed stream must equal
+    // the batch band join — same md5 minhash/band derivation as the
+    // ext dedup oracles, agreeing-band count per (new, index) pair
+    "q_stream_neardup" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
+        |shi AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM ti WHERE len(w) >= 3) t),
+        |shn AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM tn WHERE len(w) >= 3) t),
+        |mhi AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM shi CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |mhn AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM shn CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bi AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mhi GROUP BY doc_id, seed // 2),
+        |bn AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mhn GROUP BY doc_id, seed // 2)
+        |SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bands
+        |FROM bn n JOIN bi i ON i.band = n.band AND i.bkey = n.bkey
+        |GROUP BY n.doc_id, i.doc_id""".stripMargin,
+
     "q_batch_sessions" ->
       """WITH o AS (SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

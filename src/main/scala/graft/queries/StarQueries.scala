@@ -670,6 +670,24 @@ object StarQueries {
         .select("event_id", "user_id", "event_type"))
   }
 
+  // §2.11 × ext — STREAMING INCREMENTAL NEAR-DUP through the gate:
+  // the ingest batch (near-clones of every 13th doc) arrives as a
+  // file-source stream; its MinHash band keys (a streaming-legal
+  // projection) join the STATIC corpus index's persisted band keys
+  // and the agreeing-band count per (new, index) pair aggregates in
+  // complete mode. The completed stream must equal the BATCH band
+  // join DuckDB runs — integer counts, no floats anywhere.
+  def streamNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val indexBands = graft.ext.Dedup.nativeBands(d, "doc_id", "text")
+      .withColumnRenamed("doc_id", "index_id")
+    val incoming = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    runStagedStream(spark, incoming, "q_stream_neardup", "complete")(src =>
+      graft.streaming.StreamingOps.streamNearDupCandidates(src(), indexBands))
+  }
+
   // §2.11 — STREAM-STREAM JOIN through the correctness gate: two
   // file-source streams over the same staged events (views and
   // purchases), watermarked on both sides, joined on user within
@@ -1012,6 +1030,7 @@ object StarQueries {
     "q_stream_join"        -> (streamJoinQuery _),
     "q_stream_static_join" -> (streamStaticJoinQuery _),
     "q_stream_dedup"       -> (streamDedupQuery _),
+    "q_stream_neardup"     -> (streamNearDupQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
     "q_stream_full_join"   -> (streamFullJoinQuery _),
     "q_quantiles"          -> (quantilesByGroup _),

@@ -269,4 +269,36 @@ object StreamingOps {
         ()
       }
       .start()
+
+  /** Streaming incremental near-dup CANDIDATES: the stream side's
+    * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure
+    * projection + explode, streaming-legal) joined against a STATIC
+    * index's persisted band keys, counting agreeing bands per
+    * (new, index) pair. The streaming face of
+    * [[graft.ext.Dedup.incrementalNearDups]]: ingest dedup that
+    * never waits for a batch window.
+    *
+    * Scale/state posture: the stream-static join is STATELESS (the
+    * static side is just a relation — broadcast or shuffled by
+    * Catalyst based on size), so the only state is the count
+    * aggregation keyed by (new_id, index_id) — bounded by the number
+    * of COLLIDING pairs, not the corpus. Exact-Jaccard verification
+    * stays a batch concern: run [[graft.ext.Dedup]] verification in
+    * the foreachBatch sink over each micro-batch's candidates (same
+    * split as the batch operator, where banding is cheap and
+    * verification is the bounded expensive step).
+    *
+    * `indexBands` must carry (index_id, band, bkey) — persist
+    * [[graft.ext.Dedup.nativeBands]]' output at ingest time and scan
+    * it here; recomputing it per micro-batch would rescan the corpus.
+    * Output: (new_id, index_id, n_bands), n_bands in 1..numHashes/2,
+    * complete/update output mode. */
+  def streamNearDupCandidates(stream: DataFrame, indexBands: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame =
+    graft.ext.Dedup.nativeBands(stream, idCol, textCol)
+      .withColumnRenamed(idCol, "new_id")
+      .join(indexBands, Seq("band", "bkey"))
+      .groupBy("new_id", "index_id")
+      .agg(count(lit(1)).as("n_bands"))
 }

@@ -329,4 +329,36 @@ class StreamingSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
     assert(viaRocks === viaDefault && viaRocks.nonEmpty)
   }
+
+  test("streaming near-dup candidates equal the batch band join; counts are band-exact") {
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      (3L, "completely different content with no relation at all here")
+    ).toDF("doc_id", "text")
+    val indexBands = graft.ext.Dedup.nativeBands(index, "doc_id", "text")
+      .withColumnRenamed("doc_id", "index_id")
+    val incoming = Seq(
+      // identical to doc 1 -> all 4 bands agree
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      // unrelated -> no row
+      (102L, "nothing shared with anything in the corpus index")
+    )
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.streamNearDupCandidates(
+        stream.toDF().toDF("doc_id", "text"), indexBands)
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("complete").start()
+    try { stream.addData(incoming); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("t_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((101L, 1L, 4L)))
+    // batch equivalence: the same transform over the same data as a
+    // plain batch frame yields the same rows
+    val batch = graft.streaming.StreamingOps.streamNearDupCandidates(
+        incoming.toDF("doc_id", "text"), indexBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq.sorted === got.toSeq.sorted)
+  }
 }
