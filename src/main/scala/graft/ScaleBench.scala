@@ -92,7 +92,15 @@ object ScaleBench {
     // own edge set instead), and the as-of/window family the 10×
     // table covers but the 100× table didn't
     "q_cc_cliques",
-    "q_asof_nearest", "q_rolling_1h", "q_batch_sessions", "q_seq_packing")
+    "q_asof_nearest", "q_rolling_1h", "q_batch_sessions", "q_seq_packing",
+    // the incremental ingest check in its production (capped)
+    // configuration: on this corpus every incoming clone collides
+    // with a 100-member clique, so the UNCAPPED gate config's
+    // verification join is the same measured pairwise blowup the LSH
+    // cap exists for — the cap keeps verification per incoming doc
+    // bounded (clique members are the identical-content regime
+    // clustering handles)
+    "q_incr_capped")
 
   /** Scale-only shapes (not oracle gate queries): the production
     * configurations whose knobs differ from the fixture-sized gate
@@ -133,6 +141,18 @@ object ScaleBench {
           (col("doc_id") % 1000000L).as("doc_b"))
       graft.ext.Dedup.connectedComponents(edges, "doc_a", "doc_b")
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    }),
+    // incremental batch-vs-index near-dup at the production cap: the
+    // batch is the gate query's clone set (every 13th doc, marker
+    // appended); index buckets above 64 members drop from candidate
+    // generation (audited policy — oversizeBuckets reports them)
+    "q_incr_capped" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val incoming = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000000L).as("doc_id"),
+          concat(col("text"), lit(" graftincr end")).as("text"))
+      graft.ext.Dedup.incrementalNearDups(docs, incoming, "doc_id", "text",
+        maxBucketSize = 64)
     }),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {

@@ -1224,6 +1224,33 @@ object ExtOracles {
          |       ELSE 'test' END AS split
          |FROM lab""".stripMargin,
 
+    // chunk (64/8, stride 56) -> join source -> first-fit pack into
+    // 256-token budgets per source, ordered by chunk_uid — the same
+    // window form as q_seq_packing over the q_doc_chunks derivation
+    "q_chunk_pack" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w,
+        |  unnest(range(1, greatest(1, len(w) - 8) + 1, 56)) AS start_tok
+        |  FROM toks),
+        |ch AS (SELECT doc_id,
+        |    doc_id * 1024 + (start_tok - 1) // 56 AS chunk_uid,
+        |    CAST(len(list_slice(w, start_tok, start_tok + 63)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM s),
+        |j AS (SELECT ch.chunk_uid, d.source, ch.n_tokens
+        |  FROM ch JOIN documents d ON d.doc_id = ch.doc_id),
+        |c AS (SELECT chunk_uid, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY chunk_uid ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum_before
+        |  FROM j)
+        |SELECT chunk_uid, source, n_tokens,
+        |  CAST(cum_before // 256 AS BIGINT) AS pack_id,
+        |  CAST(row_number() OVER (PARTITION BY source, cum_before // 256
+        |    ORDER BY chunk_uid) AS BIGINT) AS pack_pos
+        |FROM c""".stripMargin,
+
     // p=12: m=4096 registers, cap=61-12=49, 2^49=562949953421312,
     // m^2=16777216 — mirrors Sketches.hllDistinct's default precision
     "q_hll_distinct" ->

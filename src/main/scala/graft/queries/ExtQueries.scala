@@ -656,6 +656,26 @@ object ExtQueries {
     Sampling.clusterAwareSplit(corpus, labels, "doc_id")
   }
 
+  /** End-to-end context-window prep COMPOSITION: documents →
+    * 64-token chunks with 8-token overlap (TextOps.chunkDocs) →
+    * chunks packed into 256-token training batches per source
+    * (TextOps.seqPack). The two training-prep steps compose with one
+    * broadcast-able source join between them; chunk_uid = doc_id·1024
+    * + chunk_id is collision-free while docs stay under 1024 chunks
+    * (57k tokens at this stride — far above the corpus; a 100 TB
+    * deployment would widen the multiplier or pack a struct key). */
+  def chunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text", "source")
+    val chunks = TextOps.chunkDocs(d, "doc_id", "text",
+      chunkSize = 64, overlap = 8)
+    val withSrc = chunks
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .select((col("doc_id") * 1024 + col("chunk_id")).as("chunk_uid"),
+        col("source"), col("chunk_text"))
+    TextOps.seqPack(withSrc, "chunk_uid", "chunk_text", "source",
+      budgetTokens = 256)
+  }
+
   /** Multimodal metadata extraction over an opaque binary payload
     * (text bytes stand in for media; the columnar path mirrors the
     * mapPartitions decode stub pinned by MultimodalSpec). */
@@ -719,5 +739,6 @@ object ExtQueries {
     "q_minhash_acc"       -> (minhashAcc _),
     "q_incr_dedup"        -> (incrDedup _),
     "q_leakage_split"     -> (leakageSplit _),
+    "q_chunk_pack"        -> (chunkPack _),
   )
 }

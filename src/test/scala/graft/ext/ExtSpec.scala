@@ -951,6 +951,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk-pack composition: budget bounds pack mass, doc chunks stay ordered") {
+    val out = ExtQueries.chunkPack(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // chunks are <= 64 tokens, so a 256-budget pack never exceeds
+    // 256 + 63 even with the first-fit overflow item
+    out.groupBy(t => (t._2, t._4)).foreach { case ((src, pack), members) =>
+      assert(members.map(_._3).sum <= 256 + 63, s"pack ($src, $pack) overfull")
+      // pack_pos order = chunk_uid order (doc-major, chunk-minor)
+      val byPos = members.sortBy(_._5).map(_._1)
+      assert(byPos === byPos.sorted, s"pack ($src, $pack) out of order")
+    }
+  }
+
   test("vocab coverage: tie-break is by token ascending, not hash order") {
     // every token appears exactly once -> top-2 must be the two
     // lexicographically smallest tokens
