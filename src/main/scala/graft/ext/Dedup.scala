@@ -286,19 +286,37 @@ object Dedup {
     * numHashes, not of corpus size. */
   def minhashAccuracy(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
-    val sig = minhashSignature(sh, idCol, numHashes)
-    val mhCols = (0 until numHashes).map(i => s"mh$i")
-    val cand = lshCandidates(lshBands(sig, idCol, numHashes), idCol)
-    val sa = sig.select(col(idCol).as("doc_a") +:
-      mhCols.map(c => col(c).as(s"__a_$c")): _*)
-    val sb = sig.select(col(idCol).as("doc_b") +:
-      mhCols.map(c => col(c).as(s"__b_$c")): _*)
-    val nMatch = mhCols.map(c =>
-      when(col(s"__a_$c") === col(s"__b_$c"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val est = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // native one-call signatures (spec-pinned equal to the composed
+    // md5 pipeline, so the DuckDB oracle is unchanged); component
+    // agreement is an in-array zip over the two signature arrays —
+    // one codegen'd projection, not numHashes column comparisons
+    graft.catalyst.MinHashSig.register(df.sparkSession)
+    val sig = df.select(col(idCol),
+      call_function("minhash_sig", tokens(col(textCol)),
+        lit(shingleN), lit(numHashes)).as("__sig"))
+    val bands = sig
+      .select(col(idCol), col("__sig"),
+        explode(sequence(lit(0), lit(numHashes / 2 - 1))).as("band"))
+      .select(col(idCol), col("band"),
+        expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
+          .as("bkey"))
+    val cand = lshCandidates(bands, idCol)
+    val nMatch = size(filter(
+      zip_with(col("__siga"), col("__sigb"), (x, y) => x === y),
+      b => b)).cast("long")
+    val est = cand
+      .join(sig.select(col(idCol).as("doc_a"), col("__sig").as("__siga")),
+        Seq("doc_a"))
+      .join(sig.select(col(idCol).as("doc_b"), col("__sig").as("__sigb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    // exact counts only for docs that appear in a candidate pair —
+    // the ngramJaccard prune rule: at scale banding prunes most of
+    // the corpus and the shingle explode must not run over everything
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .unionByName(cand.select(col("doc_b").as(idCol))).distinct()
+    val sh = shingleRows(df.join(candDocs, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
     val inter = cand
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")),
