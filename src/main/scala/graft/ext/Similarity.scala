@@ -173,6 +173,32 @@ object Similarity {
     * column makes the precision loss observable per vector (bounded
     * by scale/2), same observability policy as the block/bucket/cell
     * audits. A pure projection: no shuffle, no UDF. */
+  /** Recall audit for an ANN path: per-query overlap between an
+    * approximate top-k and the exact top-k, in INTEGER counts —
+    * recall@k is n_hit/n_exact, but the division stays with the
+    * reader so the gate compares exact integers, the same
+    * observability policy as the dedup cap audits (what the
+    * approximation kept/missed is measurable, never a float-tolerance
+    * judgment). Both inputs carry (query_id, neighbor_id [, ...]).
+    *
+    * Scale shape: two group-counts and one left-semi hit join, all
+    * keyed on query_id — runs over an audit SAMPLE of queries at
+    * 100 TB (recall is a property of the index configuration, not of
+    * the query count). */
+  def recallAudit(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ap = approx.select("query_id", "neighbor_id")
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    val nApprox = ap.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(nApprox, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
       .withColumn("scale",

@@ -370,6 +370,70 @@ object ExtOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    // recall audit: exact / single-probe / multi-probe top-3 derived
+    // by the same CTE chains as q_cosine_topk / q_ann_topk /
+    // q_ann_multiprobe on one query split, reduced to per-query
+    // integer overlap counts
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pls AS (SELECT $planesLit::DOUBLE[][] AS pl),
+         |b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e CROSS JOIN pls),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |      DESC, c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+         |       (SELECT * FROM e WHERE vec_id >= 20) c) t WHERE rank <= 3),
+         |an AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |      DESC, c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM b WHERE vec_id < 20) q
+         |  JOIN (SELECT * FROM b WHERE vec_id >= 20) c ON q.bucket = c.bucket)
+         |  t WHERE rank <= 3),
+         |probes AS (SELECT vec_id, v,
+         |    unnest([bucket] || list_transform(range(0, 8),
+         |      p -> xor(bucket, CAST(1 AS BIGINT) << p))) AS bucket
+         |  FROM b WHERE vec_id < 20),
+         |anmp AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |      DESC, c.vec_id ASC) AS rank
+         |  FROM probes q
+         |  JOIN (SELECT * FROM b WHERE vec_id >= 20) c ON q.bucket = c.bucket)
+         |  t WHERE rank <= 3),
+         |ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY query_id),
+         |na AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+         |  FROM an GROUP BY query_id),
+         |nh AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM ex JOIN an ON an.query_id = ex.query_id
+         |    AND an.neighbor_id = ex.neighbor_id GROUP BY ex.query_id),
+         |nam AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann_mp
+         |  FROM anmp GROUP BY query_id),
+         |nhm AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit_mp
+         |  FROM ex JOIN anmp ON anmp.query_id = ex.query_id
+         |    AND anmp.neighbor_id = ex.neighbor_id GROUP BY ex.query_id)
+         |SELECT ne.query_id, ne.n_exact,
+         |  COALESCE(na.n_ann, 0) AS n_ann, COALESCE(nh.n_hit, 0) AS n_hit,
+         |  COALESCE(nam.n_ann_mp, 0) AS n_ann_mp,
+         |  COALESCE(nhm.n_hit_mp, 0) AS n_hit_mp
+         |FROM ne LEFT JOIN na ON na.query_id = ne.query_id
+         |LEFT JOIN nh ON nh.query_id = ne.query_id
+         |LEFT JOIN nam ON nam.query_id = ne.query_id
+         |LEFT JOIN nhm ON nhm.query_id = ne.query_id""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'

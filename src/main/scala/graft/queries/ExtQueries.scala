@@ -340,6 +340,31 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
   }
 
+  /** ANN recall audit (Similarity.recallAudit): per-query integer
+    * overlap between the sign-bucket ANN top-3 (single-probe AND
+    * Hamming-1 multi-probe) and the exact cosine top-3 on the same
+    * query/candidate split — the recall face of the ANN trade, and
+    * the multi-probe column pair directly measures what the extra
+    * numPlanes+1× candidate cost buys. All counts, no floats. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val exact = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id")
+    val one = Similarity.recallAudit(exact,
+      Similarity.annTopK(q, c, "vec_id", "embedding",
+        k = 3, numPlanes = 8, dim = 64))
+    val mp = Similarity.recallAudit(exact,
+      Similarity.annTopKMultiProbe(q, c, "vec_id", "embedding",
+        k = 3, numPlanes = 8, dim = 64))
+    one.select(col("query_id"), col("n_exact"),
+        col("n_approx").as("n_ann"), col("n_hit"))
+      .join(mp.select(col("query_id"),
+        col("n_approx").as("n_ann_mp"), col("n_hit").as("n_hit_mp")),
+        Seq("query_id"))
+  }
+
   /** IVF ANN top-3 in the SCALE-SAFE sizing: centroids are every
     * floor(sqrt(N))-th candidate, so K ≈ √N and assignment stays
     * O(N·√N) at any corpus size (the operator scaladoc's prescription;
@@ -740,5 +765,6 @@ object ExtQueries {
     "q_incr_dedup"        -> (incrDedup _),
     "q_leakage_split"     -> (leakageSplit _),
     "q_chunk_pack"        -> (chunkPack _),
+    "q_ann_recall"        -> (annRecall _),
   )
 }

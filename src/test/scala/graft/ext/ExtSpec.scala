@@ -966,6 +966,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ann recall audit: multiprobe never loses to single-probe; counts are consistent") {
+    val got = ExtQueries.annRecall(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 20)
+    got.foreach { case (qid, nExact, nAnn, nHit, nAnnMp, nHitMp) =>
+      assert(nExact === 3L, s"query $qid")
+      assert(nHit <= math.min(nExact, nAnn), s"query $qid hit bound")
+      assert(nHitMp <= math.min(nExact, nAnnMp), s"query $qid mp hit bound")
+      // Hamming-1 probing strictly widens the candidate set, so the
+      // approximate top-3 can only get closer to the exact top-3
+      assert(nAnnMp >= nAnn && nHitMp >= nHit, s"query $qid mp regressed")
+    }
+    // the audit must be non-vacuous in both directions at this sf:
+    // some queries hit, and the single-probe path misses something
+    assert(got.map(_._4).sum > 0, "no hits at all")
+    assert(got.exists(t => t._6 > t._4) || got.exists(t => t._4 < t._2),
+      "audit shows no approximation gap to measure")
+  }
+
   test("vocab coverage: tie-break is by token ascending, not hash order") {
     // every token appears exactly once -> top-2 must be the two
     // lexicographically smallest tokens
