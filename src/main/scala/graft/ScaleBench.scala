@@ -66,7 +66,14 @@ object ScaleBench {
     // the streaming face of the incremental check: stream-static band
     // join + bounded (new,index) count state — state grows with
     // colliding pairs (100× here since both sides scale), not corpus
-    "q_stream_neardup")
+    "q_stream_neardup",
+    // the cluster-aware split (LSH chain + CC + hash projection), the
+    // chunk→pack window pass and its audit, and the ANN recall audit
+    // (two topk passes + count joins over a fixed 20-query set)
+    "q_leakage_split", "q_chunk_pack", "q_pack_stats", "q_ann_recall",
+    // trigram language ID: profile build is the only shuffle; scoring
+    // is a broadcast-map projection, so the curve should be linear
+    "q_lang_id")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

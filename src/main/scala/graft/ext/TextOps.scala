@@ -587,4 +587,62 @@ object TextOps {
         (col("n_covered").cast("double") / col("n_tokens").cast("double"))
           .as("coverage"))
   }
+
+  /** Character-trigram profile language identification (the
+    * textcat/CLD family, reduced to its deterministic core): build a
+    * top-`topR` trigram profile per labeled language from the corpus
+    * itself, then classify every document by profile overlap —
+    * predicted language = argmax over languages of |distinct doc
+    * trigrams ∩ language profile|, ties to the lexicographically
+    * smallest language. Returns one row per document: `(id, lang,
+    * pred_lang, overlap)` — the confusion-matrix reduction is the
+    * caller's (one tiny groupBy).
+    *
+    * Everything is integer counts and string ordering — no floats —
+    * so the result is engine-exact. Profile rank ties break by
+    * trigram ascending; the per-doc argmax uses a strict-greater
+    * left-to-right fold over languages sorted ascending, which is
+    * exactly `ORDER BY overlap DESC, lang ASC LIMIT 1`.
+    *
+    * Scale shape: the profile build is one explode + map-side
+    * combinable (lang, gram) count shuffle + a per-lang top-R window
+    * over the tiny distinct-gram set; the profiles collapse to ONE
+    * row (a lang→grams map, ≤ langs·topR entries) broadcast to every
+    * task, so the per-document scoring — the part that is corpus-
+    * sized — is a zero-shuffle projection. No per-doc groupBy, no
+    * doc×lang row inflation. */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+             langCol: String, topR: Int = 50): DataFrame = {
+    require(topR >= 1, s"profile size must be >= 1, got $topR")
+    val grams = df.select(col(langCol).as("__lang"),
+      explode(charShingles(col(textCol), 3)).as("__gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__lang").orderBy(col("__n").desc, col("__gram").asc)
+    val profiles = grams.groupBy("__lang", "__gram")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topR)
+      .groupBy("__lang")
+      .agg(sort_array(collect_list(col("__gram"))).as("__prof"))
+    val profMap = broadcast(profiles.groupBy().agg(
+      map_from_entries(sort_array(
+        collect_list(struct(col("__lang"), col("__prof"))))).as("__pm")))
+    val scored = transform(sort_array(map_keys(col("__pm"))), l =>
+      struct(
+        size(array_intersect(col("__g"), element_at(col("__pm"), l)))
+          .as("overlap"),
+        l.as("lang")))
+    // strict > over ascending langs == overlap DESC, lang ASC argmax;
+    // the -1 seed makes an empty-trigram doc land on the smallest lang
+    val best = aggregate(scored,
+      struct(lit(-1).as("overlap"), lit("").as("lang")),
+      (acc, x) => when(x("overlap") > acc("overlap"), x).otherwise(acc))
+    df.select(col(idCol), col(langCol).as("lang"),
+        array_distinct(charShingles(col(textCol), 3)).as("__g"))
+      .crossJoin(profMap)
+      .withColumn("__best", best)
+      .select(col(idCol), col("lang"),
+        col("__best")("lang").as("pred_lang"),
+        col("__best")("overlap").cast("long").as("overlap"))
+  }
 }

@@ -370,6 +370,66 @@ object ExtOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    // packing-efficiency audit: the q_chunk_pack derivation reduced
+    // to per-source integer pack statistics
+    "q_pack_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w,
+        |  unnest(range(1, greatest(1, len(w) - 8) + 1, 56)) AS start_tok
+        |  FROM toks),
+        |ch AS (SELECT doc_id,
+        |    doc_id * 1024 + (start_tok - 1) // 56 AS chunk_uid,
+        |    CAST(len(list_slice(w, start_tok, start_tok + 63)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM s),
+        |j AS (SELECT ch.chunk_uid, d.source, ch.n_tokens
+        |  FROM ch JOIN documents d ON d.doc_id = ch.doc_id),
+        |c AS (SELECT chunk_uid, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY chunk_uid ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum_before
+        |  FROM j),
+        |pk AS (SELECT source, cum_before // 256 AS pack_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS fill
+        |  FROM c GROUP BY source, cum_before // 256)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_packs,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(fill) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN fill >= 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full,
+        |  MAX(fill) AS max_fill, MIN(fill) AS min_fill
+        |FROM pk GROUP BY source""".stripMargin,
+
+    // language-ID confusion matrix: per-lang top-50 char-trigram
+    // profiles (count DESC, gram ASC rank ties), per-doc distinct-
+    // trigram overlap per candidate language, argmax = overlap DESC,
+    // lang ASC — the engine's strict-greater ascending fold verbatim
+    "q_lang_id" ->
+      """WITH g AS (SELECT doc_id, lang, substr(text, i, 3) AS gram
+        |  FROM documents, unnest(range(1, len(text) - 1)) AS t(i)),
+        |prof AS (SELECT lang, gram FROM (
+        |  SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, gram ASC) AS rk
+        |  FROM g GROUP BY lang, gram) WHERE rk <= 50),
+        |langs AS (SELECT DISTINCT lang AS cand FROM prof),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |hits AS (SELECT dg.doc_id, prof.lang AS cand,
+        |    CAST(COUNT(*) AS BIGINT) AS ovl
+        |  FROM dg JOIN prof ON prof.gram = dg.gram GROUP BY 1, 2),
+        |scored AS (SELECT d.doc_id, d.lang, l.cand,
+        |    COALESCE(h.ovl, 0) AS ovl
+        |  FROM documents d CROSS JOIN langs l
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand = l.cand),
+        |pred AS (SELECT doc_id, lang, cand AS pred_lang, ovl,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY ovl DESC, cand ASC) AS rk
+        |  FROM scored)
+        |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ovl) AS BIGINT) AS sum_overlap
+        |FROM pred WHERE rk = 1 GROUP BY lang, pred_lang""".stripMargin,
+
     // recall audit: exact / single-probe / multi-probe top-3 derived
     // by the same CTE chains as q_cosine_topk / q_ann_topk /
     // q_ann_multiprobe on one query split, reduced to per-query

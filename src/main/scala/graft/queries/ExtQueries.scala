@@ -340,6 +340,44 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, numPlanes = 8, dim = 64)
   }
 
+  /** Packing-efficiency audit — the audit face of the chunk→pack
+    * path: per source, how many packs the first-fit produced and how
+    * full they are. A pack is counted FULL when its fill reaches the
+    * 256-token budget; because a pack's first chunk can start up to
+    * maxChunk−1 tokens past the boundary (the previous pack's
+    * overflow), a non-final pack is only guaranteed fill ≥ budget −
+    * maxChunk + 1 = 193 — n_full vs n_packs measures exactly that
+    * boundary-overflow slack plus stream tails. Integer counts only —
+    * fill ratios stay with the reader, same policy as the recall
+    * audits.
+    * Two stacked map-side-combinable groupBys; the second reuses the
+    * first's source-keyed partitioning. */
+  def packStats(spark: SparkSession, dir: String): DataFrame =
+    chunkPack(spark, dir)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("__n_chunks"), sum("n_tokens").as("__fill"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_packs"),
+        sum("__n_chunks").as("n_chunks"),
+        sum("__fill").as("n_tokens"),
+        sum(when(col("__fill") >= 256, 1L).otherwise(0L)).as("n_full"),
+        max("__fill").as("max_fill"),
+        min("__fill").as("min_fill"))
+
+  /** Char-trigram language ID (TextOps.langId) reduced to its
+    * confusion matrix: labeled language × predicted language with doc
+    * and summed-overlap counts — the report a corpus pass reads to
+    * decide whether the cheap classifier is good enough to route
+    * documents. All integers; accuracy ratios stay with the reader,
+    * same policy as the recall audits. The corpus-sized scoring side
+    * is a zero-shuffle broadcast-map projection; only the tiny
+    * (lang, pred) reduction shuffles. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir), "doc_id", "text", "lang")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("overlap").as("sum_overlap"))
+
   /** ANN recall audit (Similarity.recallAudit): per-query integer
     * overlap between the sign-bucket ANN top-3 (single-probe AND
     * Hamming-1 multi-probe) and the exact cosine top-3 on the same
@@ -766,5 +804,7 @@ object ExtQueries {
     "q_leakage_split"     -> (leakageSplit _),
     "q_chunk_pack"        -> (chunkPack _),
     "q_ann_recall"        -> (annRecall _),
+    "q_pack_stats"        -> (packStats _),
+    "q_lang_id"           -> (langIdConfusion _),
   )
 }

@@ -986,6 +986,78 @@ class ExtSpec extends AnyFunSuite {
       "audit shows no approximation gap to measure")
   }
 
+  test("pack stats: every non-final pack is full; fills bounded by budget + max chunk") {
+    val got = ExtQueries.packStats(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, nPacks, nChunks, nTokens, _, maxFill, minFill) =>
+      assert(maxFill <= 256 + 63, s"source $src overfull pack")
+      assert(minFill >= 1 && nChunks >= nPacks && nTokens >= nChunks, src)
+    }
+    // per-pack invariant against the chunk-pack output it audits:
+    // a non-final pack's fill is at least budget - (maxChunk - 1) —
+    // its first chunk can start up to 63 tokens past the boundary
+    // (previous pack's overflow), never more
+    val packed = ExtQueries.chunkPack(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2)))
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val fills = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      val lastPack = fills.keys.max
+      fills.foreach { case (pack, fill) =>
+        if (pack != lastPack)
+          assert(fill >= 256 - 63, s"source $src pack $pack underfull: $fill")
+      }
+    }
+    // totals agree with the audit's aggregates
+    assert(got.map(_._3).sum === packed.length.toLong)
+    assert(got.map(_._4).sum === packed.map(_._3).sum)
+  }
+
+  test("lang id: separable profiles classify perfectly; ties go to the smallest lang") {
+    // two languages with disjoint trigram inventories -> perfect
+    // classification regardless of profile size
+    val sep = Seq(
+      (1L, "aaaa bbbb aaab", "xx"), (2L, "aaab aaaa", "xx"),
+      (3L, "zzzz yyyy zzzy", "yy"), (4L, "zzzy zzzz", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(sep, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.forall { case (_, lang, pred) => lang == pred },
+      s"misclassified: ${got.mkString(",")}")
+
+    // identical text everywhere -> every doc overlaps every profile
+    // equally -> argmax tie -> lexicographically smallest lang
+    val tie = Seq(
+      (1L, "same text here", "bb"), (2L, "same text here", "aa"),
+      (3L, "same text here", "cc"))
+      .toDF("doc_id", "text", "lang")
+    val tied = TextOps.langId(tie, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(2)).distinct
+    assert(tied === Array("aa"), s"tie must resolve to 'aa', got ${tied.toSeq}")
+
+    // sub-trigram docs score 0 against every profile and still get
+    // the smallest lang, not a null/crash
+    val tiny = Seq((1L, "ab", "zz"), (2L, "long enough text", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val t = TextOps.langId(tiny, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(t(1L) === (("aa", 0L)))
+  }
+
+  test("lang id confusion: row sums equal per-lang doc counts; overlap bounded by profile size") {
+    val conf = ExtQueries.langIdConfusion(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val docs = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.toMap === docs)
+    // a doc's overlap with one 50-gram profile is at most 50
+    conf.foreach { case (_, _, n, so) =>
+      assert(so <= n * 50, "overlap exceeds profile size") }
+  }
+
   test("vocab coverage: tie-break is by token ascending, not hash order") {
     // every token appears exactly once -> top-2 must be the two
     // lexicographically smallest tokens
