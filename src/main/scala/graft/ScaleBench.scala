@@ -73,7 +73,11 @@ object ScaleBench {
     "q_leakage_split", "q_chunk_pack", "q_pack_stats", "q_ann_recall",
     // trigram language ID: profile build is the only shuffle; scoring
     // is a broadcast-map projection, so the curve should be linear
-    "q_lang_id")
+    "q_lang_id",
+    // LM surprisal (token-key shuffle join + doc agg) and the epoch
+    // shuffle (bucket-windowed parallel ranking — the global-window
+    // bottleneck this op exists to avoid would be the anti-pattern)
+    "q_lm_surprisal", "q_epoch_shuffle")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -114,4 +114,53 @@ object Sampling {
         .when(b < lit(Buckets - testBuckets), "val")
         .otherwise("test").as("split"))
   }
+
+  /** Deterministic epoch shuffle + fixed-size batch assignment: the
+    * global training-order permutation every pre-training run needs,
+    * without the global-window bottleneck. A naive `row_number()
+    * OVER (ORDER BY hash)` ranks the whole corpus in ONE task; here
+    * the permutation key is `(bucket, hash, id)` with `bucket =
+    * hash % numBuckets`, so ranking decomposes: a per-bucket window
+    * (parallel — each bucket is an independent partition) plus a
+    * cumulative bucket-offset table (numBuckets rows — bounded,
+    * broadcast back). Because the bucket is itself a prefix of the
+    * sort key, bucket-local rank + bucket offset IS the global rank.
+    * The permutation is exactly as pseudorandom as the hash and
+    * reproducible across runs, engines, partitionings, and cluster
+    * sizes — `rand()`-based shuffles are none of these.
+    *
+    * Returns `(idCol, pos, batch_id)`: `pos` is the 1-based global
+    * shuffled position, `batch_id = (pos-1) / batchSize`. Epochs
+    * differ by salt (`epoch` feeds the hash), so re-shuffling an
+    * epoch is a projection change, not a data move.
+    *
+    * Scale: one hash-key shuffle for the per-bucket windows, one
+    * bounded (numBuckets-row) agg + broadcast join. The offset
+    * window runs on numBuckets rows in one task — bounded by the
+    * KNOB, not the data, the same bounded-small-side pattern as the
+    * bloom bitmap and session scalars. */
+  def epochShuffle(df: DataFrame, idCol: String, batchSize: Int,
+                   epoch: Int = 0, numBuckets: Int = 1024): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val h = TextOps.hex15(
+      concat(lit(s"epoch$epoch|"), col(idCol).cast("string")))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy(col("__h").asc, col(idCol).asc)
+    val ranked = df.select(col(idCol), h.as("__h"),
+        (h % numBuckets).as("__bucket"))
+      .withColumn("__rn", row_number().over(wLocal))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy("__bucket")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    ranked.join(broadcast(offsets), Seq("__bucket"))
+      .select(col(idCol),
+        (col("__off") + col("__rn")).cast("long").as("pos"),
+        ((col("__off") + col("__rn") - 1) / batchSize).cast("long")
+          .as("batch_id"))
+  }
 }

@@ -588,6 +588,43 @@ object TextOps {
           .as("coverage"))
   }
 
+  /** Unigram language-model surprisal scoring (the CCNet-family
+    * perplexity quality filter, in engine-portable integer form):
+    * train an add-one-smoothed unigram LM on the corpus itself, then
+    * score every document by total quantized surprisal. A token with
+    * corpus count c has -log2 p(tok) = log2(N+V) - log2(c+1); this
+    * operator quantizes each term through the integer bit length
+    * (`length(bin(x))` = floor(log2 x)+1 — exact and identical in
+    * Spark and DuckDB, where a float `ln` is correctly-rounded in
+    * NEITHER and hash-breaks the oracle), so `surprisal_bits` is the
+    * doc's total surprisal in whole bits. High bits/token = rare-token
+    * soup (OCR noise, boilerplate hashes, off-language); low = common-
+    * token spam. `n_singletons` (corpus-hapax positions) and
+    * `sum_count` (total commonness) expose the tails the quantization
+    * flattens. Per-token averages stay with the reader — integer
+    * policy, same as the recall audits.
+    *
+    * Scale shape: the unigram table is corpus-sized, so the score
+    * join is a key shuffle on the token (NOT a broadcast — at 100 TB
+    * the vocabulary does not fit a driver), followed by one map-side
+    * combinable doc-keyed agg; the (N, V) totals collapse to one
+    * broadcast row. Everything else is projection. */
+  def lmSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    val tot = broadcast(uni.agg(sum("__c").as("__n"),
+      count(lit(1)).as("__v")))
+    def bits(x: Column): Column = length(bin(x))
+    toks.join(uni, "tok").crossJoin(tot)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(bits(col("__n") + col("__v")) - bits(col("__c") + 1))
+          .cast("long").as("surprisal_bits"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(col("__c")).cast("long").as("sum_count"))
+  }
+
   /** Character-trigram profile language identification (the
     * textcat/CLD family, reduced to its deterministic core): build a
     * top-`topR` trigram profile per labeled language from the corpus

@@ -402,6 +402,40 @@ object ExtOracles {
         |  MAX(fill) AS max_fill, MIN(fill) AS min_fill
         |FROM pk GROUP BY source""".stripMargin,
 
+    // epoch shuffle: the engine's bucket-decomposed ranking equals
+    // one global ORDER BY (bucket, hash, id) because the bucket is a
+    // prefix of the sort key; md5-hex15 is the shared hash domain
+    "q_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY h % 1024, h, doc_id) AS pos
+        |  FROM h)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST((pos - 1) // 64 AS BIGINT) AS batch_id
+        |FROM r""".stripMargin,
+
+    // unigram-LM surprisal: add-one smoothing, per-term quantization
+    // via integer bit length (length(bin(x)) = floor(log2 x)+1 — the
+    // engine-portable form of -log2 p; float ln would hash-break)
+    "q_lm_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM u)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(bin(tot.n + tot.v))
+        |    - length(bin(u.c + 1))) AS BIGINT) AS surprisal_bits,
+        |  CAST(SUM(CASE WHEN u.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  CAST(SUM(u.c) AS BIGINT) AS sum_count
+        |FROM toks t JOIN u ON u.tok = t.tok, tot
+        |GROUP BY t.doc_id""".stripMargin,
+
     // language-ID confusion matrix: per-lang top-50 char-trigram
     // profiles (count DESC, gram ASC rank ties), per-doc distinct-
     // trigram overlap per candidate language, argmax = overlap DESC,

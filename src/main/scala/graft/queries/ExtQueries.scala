@@ -364,6 +364,23 @@ object ExtQueries {
         max("__fill").as("max_fill"),
         min("__fill").as("min_fill"))
 
+  /** Deterministic epoch shuffle (Sampling.epochShuffle): the full
+    * training-order permutation for epoch 0 with 64-doc batches —
+    * every document's shuffled position and batch pinned through the
+    * gate. The permutation key is (hash%1024, hash, id), so the
+    * bucket-decomposed parallel ranking the engine runs equals the
+    * oracle's one global ORDER BY. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(docs(spark, dir), "doc_id", batchSize = 64)
+
+  /** Unigram-LM surprisal quality scores (TextOps.lmSurprisal) over
+    * the corpus — per-doc integer surprisal-in-bits plus the hapax
+    * and commonness tails. The LM is trained on the same corpus it
+    * scores, the standard self-scoring shape of a perplexity filter
+    * pass. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmSurprisal(docs(spark, dir), "doc_id", "text")
+
   /** Char-trigram language ID (TextOps.langId) reduced to its
     * confusion matrix: labeled language × predicted language with doc
     * and summed-overlap counts — the report a corpus pass reads to
@@ -806,5 +823,7 @@ object ExtQueries {
     "q_ann_recall"        -> (annRecall _),
     "q_pack_stats"        -> (packStats _),
     "q_lang_id"           -> (langIdConfusion _),
+    "q_lm_surprisal"      -> (lmSurprisal _),
+    "q_epoch_shuffle"     -> (epochShuffle _),
   )
 }

