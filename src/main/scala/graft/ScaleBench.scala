@@ -77,7 +77,10 @@ object ScaleBench {
     // LM surprisal (token-key shuffle join + doc agg) and the epoch
     // shuffle (bucket-windowed parallel ranking — the global-window
     // bottleneck this op exists to avoid would be the anti-pattern)
-    "q_lm_surprisal", "q_epoch_shuffle")
+    "q_lm_surprisal", "q_epoch_shuffle",
+    // PQ: encode is a zero-shuffle projection (linear); ADC top-k
+    // scans 8-byte code arrays against a broadcast per-query LUT
+    "q_pq_codes", "q_pq_topk")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

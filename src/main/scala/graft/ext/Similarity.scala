@@ -304,4 +304,131 @@ object Similarity {
         nativeCosine(df)(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** One broadcast row holding the PQ codebook: the seed vectors in
+    * vec-id-ascending order; centroid j of every subspace is seed j's
+    * subvector, so the whole codebook is numCentroids full vectors —
+    * sliced per subspace at use sites. The deterministic seed-pick
+    * stands in for a trained k-means codebook (injectable: pass any
+    * 16/256-row centroid frame); the ENCODING/ADC machinery is what
+    * scales, not the codebook fit. */
+  private def pqCodebook(seeds: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    broadcast(
+      seeds.select(col(idCol).as("sid"), toDouble(col(vecCol)).as("sv"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("sid"), col("sv"))))
+          .as("__cb")))
+
+  /** Squared L2 between two equal-length double arrays, summed
+    * strictly left-to-right — subtraction/multiply/add are exact
+    * IEEE ops, so both engines produce the identical double. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact squared-L2 top-k — the brute baseline [[pqTopK]] trades
+    * against (PQ approximates L2, so its recall audit needs an L2
+    * exact side, not the cosine one). Same shape as [[bruteTopK]]:
+    * broadcast query set, candidates stream map-side. */
+  def bruteTopKL2(queries: DataFrame, candidates: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist2").asc, col("neighbor_id").asc)
+    candidates.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("__cv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        dist2(col("__qv"), col("__cv")).as("dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dist2")
+  }
+
+  /** Product-quantization encoding — the memory-side scale path for
+    * vector corpora beyond [[quantizeInt8]]'s 4×: split each vector
+    * into `numSub` subvectors of `subDim` dims and store only the
+    * index of the nearest codebook centroid per subspace (8 codes ≈
+    * 8 bytes vs 256 float bytes, a 32× shrink, at the cost the
+    * per-subspace `dist2` column makes observable). Nearest = min
+    * squared L2, ties to the smallest centroid index (`array_min`
+    * over struct(d2, j) — lexicographic, exactly `ORDER BY d2, j`).
+    *
+    * Output is the EXPLODED form `(id, sub_id, code, dist2)`: one
+    * row per (vector, subspace), so the argmin evaluates exactly
+    * once per subspace (a wide 8-column layout would re-evaluate the
+    * scored array per referenced column). Pure projection + in-row
+    * explode over the broadcast codebook — zero shuffle, scan
+    * partitioning inherited. */
+  def pqEncode(df: DataFrame, seeds: DataFrame, idCol: String,
+               vecCol: String, numSub: Int, subDim: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1)
+    val cb = pqCodebook(seeds, idCol, vecCol)
+    df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .crossJoin(cb)
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
+        col("__v"), col("__cb"))
+      .withColumn("__best", array_min(transform(col("__cb"), (c, j) =>
+        struct(
+          dist2(slice(col("__v"), col("sub_id") * subDim + 1, lit(subDim)),
+            slice(c.getField("sv"), col("sub_id") * subDim + 1, lit(subDim)))
+            .as("d2"),
+          j.as("j")))))
+      .select(col(idCol), col("sub_id").cast("long").as("sub_id"),
+        col("__best").getField("j").cast("long").as("code"),
+        col("__best").getField("d2").as("dist2"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * computes its exact distance to every codebook centroid per
+    * subspace (the classic lookup table — numSub × numCentroids
+    * doubles per query, built once on the tiny query side), then a
+    * candidate's approximate distance is the table sum over its
+    * codes, chained in sub_id order so the double is engine-exact.
+    *
+    * Scale shape: codes arrive exploded from [[pqEncode]] and are
+    * regrouped per vector (one map-side-combinable shuffle — in a
+    * real deployment the codes TABLE is already stored wide, making
+    * this free); the LUT rides a broadcast row; scoring is a per-row
+    * fold; only the final per-query top-k ranks on the (small)
+    * query-keyed window. The corpus is never paired with itself and
+    * full vectors never move — only 8-byte code arrays. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, seeds: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             numSub: Int, subDim: Int): DataFrame = {
+    val codes = pqEncode(candidates, seeds, idCol, vecCol, numSub, subDim)
+      .groupBy(col(idCol).as("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
+        .as("__codes"))
+    // per-query LUT: (sub_id, centroid) -> d2, keyed by the integer
+    // sub_id * 2^20 + centroid in one broadcast-joined map column
+    // (integer map lookups keep the per-candidate fold cheap — a
+    // string key measured ~2x slower at 10x scale)
+    val cb = pqCodebook(seeds, idCol, vecCol)
+    val lutKey = (m: Column, j: Column) => (m * lit(1 << 20) + j).cast("long")
+    val lut = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .crossJoin(cb)
+      .select(col("query_id"),
+        map_from_entries(flatten(transform(col("__cb"), (c, j) =>
+          transform(sequence(lit(0), lit(numSub - 1)), m =>
+            struct(
+              lutKey(m, j).as("k"),
+              dist2(slice(col("__qv"), m * subDim + 1, lit(subDim)),
+                slice(c.getField("sv"), m * subDim + 1, lit(subDim)))
+                .as("v")))))).as("__lut"))
+    val adc = aggregate(col("__codes"), lit(0.0), (acc, x) =>
+      acc + element_at(col("__lut"),
+        lutKey(x.getField("sub_id"), x.getField("code"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(lut))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist2")
+  }
 }

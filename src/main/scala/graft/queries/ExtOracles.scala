@@ -402,6 +402,129 @@ object ExtOracles {
         |  MAX(fill) AS max_fill, MIN(fill) AS min_fill
         |FROM pk GROUP BY source""".stripMargin,
 
+    // PQ codes: centroid j of subspace m = seed j's m-th subvector;
+    // nearest = min squared L2 (double subtract/multiply/add are
+    // exact IEEE ops; list_sum is the same sequential fold as the
+    // engine's aggregate), ties to the smallest centroid index
+    "q_pq_codes" ->
+      """WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+        |    AS j, embedding AS sv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
+        |cand AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 20),
+        |sub AS (SELECT c.vec_id, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
+        |      * (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
+        |  FROM cand c, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |best AS (SELECT vec_id, m, j, d2, row_number() OVER (
+        |    PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rk
+        |  FROM sub)
+        |SELECT vec_id, CAST(m AS BIGINT) AS sub_id,
+        |  CAST(j AS BIGINT) AS code, d2 AS dist2
+        |FROM best WHERE rk = 1""".stripMargin,
+
+    // PQ ADC top-3: per-query lookup table to every centroid per
+    // subspace; a candidate's distance is the table sum over its
+    // codes in sub_id order (list(... ORDER BY m) -> list_sum = the
+    // engine's sorted-fold)
+    "q_pq_topk" ->
+      """WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+        |    AS j, embedding AS sv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
+        |cand AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 20),
+        |sub AS (SELECT c.vec_id, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
+        |      * (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
+        |  FROM cand c, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |codes AS (SELECT vec_id, m, j FROM (
+        |  SELECT vec_id, m, j, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rk
+        |  FROM sub) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |  WHERE vec_id < 20),
+        |lut AS (SELECT q.query_id, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
+        |      * (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
+        |  FROM q, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
+        |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id, adc_dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  adc_dist2
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // PQ recall audit: ADC top-3 (same chain as q_pq_topk) vs the
+    // exact full-vector squared-L2 top-3, reduced to integer
+    // per-query overlap counts
+    "q_pq_recall" ->
+      """WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+        |    AS j, embedding AS sv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
+        |cand AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 20),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |  WHERE vec_id < 20),
+        |sub AS (SELECT c.vec_id, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
+        |      * (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
+        |  FROM cand c, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |codes AS (SELECT vec_id, m, j FROM (
+        |  SELECT vec_id, m, j, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rk
+        |  FROM sub) WHERE rk = 1),
+        |lut AS (SELECT q.query_id, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
+        |      * (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
+        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
+        |  FROM q, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.query_id, a.neighbor_id, row_number() OVER (
+        |      PARTITION BY a.query_id
+        |      ORDER BY a.adc_dist2 ASC, a.neighbor_id ASC) AS rank
+        |  FROM (SELECT l.query_id, c.vec_id AS neighbor_id,
+        |      list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
+        |    FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+        |    GROUP BY 1, 2) a) WHERE rank <= 3),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (CAST(q.embedding[i] AS DOUBLE)
+        |          - CAST(c.embedding[i] AS DOUBLE))
+        |        * (CAST(q.embedding[i] AS DOUBLE)
+        |          - CAST(c.embedding[i] AS DOUBLE)))) ASC,
+        |      c.vec_id ASC) AS rank
+        |  FROM q, cand c) WHERE rank <= 3)
+        |SELECT e.query_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM approx a2
+        |    WHERE a2.query_id = e.query_id) AS BIGINT) AS n_approx,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hit
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
+
     // epoch shuffle: the engine's bucket-decomposed ranking equals
     // one global ORDER BY (bucket, hash, id) because the bucket is a
     // prefix of the sort key; md5-hex15 is the shared hash domain

@@ -364,6 +364,48 @@ object ExtQueries {
         max("__fill").as("max_fill"),
         min("__fill").as("min_fill"))
 
+  /** PQ codebook seeds for the gate: the first 16 candidate vectors
+    * by vec_id — deterministic, sf-stable (ids 20..35 exist at every
+    * sf), standing in for a trained k-means codebook. */
+  private def pqSeeds(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select("vec_id", "embedding")
+
+  /** Product-quantization codes (Similarity.pqEncode): every
+    * candidate vector's per-subspace nearest-centroid code and the
+    * squared-L2 residual that makes the compression loss observable
+    * — 8 subspaces × 8 dims over the 64-dim embeddings, 16-centroid
+    * codebook. Zero-shuffle projection. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cands = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 20).select("vec_id", "embedding")
+    Similarity.pqEncode(cands, pqSeeds(spark, dir), "vec_id", "embedding",
+      numSub = 8, subDim = 8)
+  }
+
+  /** PQ asymmetric-distance top-3 (Similarity.pqTopK): the
+    * memory-bound ANN scale path — queries scan 8-byte code arrays
+    * through a per-query lookup table instead of full float vectors.
+    * Chained in sub_id order so the ADC double is engine-exact. */
+  def pqTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.pqTopK(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), pqSeeds(spark, dir),
+      "vec_id", "embedding", k = 3, numSub = 8, subDim = 8)
+  }
+
+  /** PQ recall audit: integer overlap between the ADC top-3 and the
+    * exact squared-L2 top-3 per query — what the 32× compression
+    * kept, in the same integer-counts form as the other recall
+    * audits. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact, pqTopKQ(spark, dir))
+  }
+
   /** Deterministic epoch shuffle (Sampling.epochShuffle): the full
     * training-order permutation for epoch 0 with 64-doc batches —
     * every document's shuffled position and batch pinned through the
@@ -825,5 +867,8 @@ object ExtQueries {
     "q_lang_id"           -> (langIdConfusion _),
     "q_lm_surprisal"      -> (lmSurprisal _),
     "q_epoch_shuffle"     -> (epochShuffle _),
+    "q_pq_codes"          -> (pqCodes _),
+    "q_pq_topk"           -> (pqTopKQ _),
+    "q_pq_recall"         -> (pqRecall _),
   )
 }

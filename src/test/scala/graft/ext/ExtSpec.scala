@@ -1014,6 +1014,48 @@ class ExtSpec extends AnyFunSuite {
     assert(got.map(_._4).sum === packed.map(_._3).sum)
   }
 
+  test("pq: seeds self-encode at zero residual; adc matches a scala re-derivation") {
+    val enc = ExtQueries.pqCodes(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    val byVec = enc.toMap
+    assert(enc.nonEmpty && enc.forall { case (_, (c, d)) => c >= 0 && c < 16 && d >= 0.0 })
+    // every vector has exactly 8 subspace rows
+    assert(enc.groupBy(_._1._1).forall(_._2.length == 8))
+    // a seed's own subvector is its centroid: residual exactly 0
+    (20L until 36L).foreach { sid =>
+      (0 until 8).foreach { m =>
+        assert(byVec((sid, m.toLong))._2 === 0.0, s"seed $sid sub $m") }
+    }
+
+    // ADC equals an independent double re-derivation from raw floats
+    val emb = Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val seeds = emb.keys.filter(id => id >= 20 && id < 36).toArray.sorted
+    def d2(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var s = 0.0; var i = m * 8
+      while (i < m * 8 + 8) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    val got = ExtQueries.pqTopKQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, rank, adc) =>
+      assert(rank >= 1 && rank <= 3)
+      val expected = (0 until 8).map { m =>
+        val code = byVec((n, m.toLong))._1.toInt
+        d2(emb(q), emb(seeds(code)), m)
+      }.foldLeft(0.0)(_ + _)
+      assert(adc === expected, s"adc mismatch for ($q,$n)")
+    }
+
+    // recall audit: both sides rank 3 deep; hits bounded by both
+    val rec = ExtQueries.pqRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.length === 20)
+    rec.foreach { case (q, ne, na, nh) =>
+      assert(ne === 3 && na === 3 && nh >= 0 && nh <= 3, s"query $q") }
+  }
+
   test("epoch shuffle: exact permutation, fixed batches, epoch-sensitive, growth-local") {
     val out = ExtQueries.epochShuffle(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
