@@ -135,10 +135,12 @@ object Sampling {
     * epoch is a projection change, not a data move.
     *
     * Scale: one hash-key shuffle for the per-bucket windows, one
-    * bounded (numBuckets-row) agg + broadcast join. The offset
-    * window runs on numBuckets rows in one task — bounded by the
-    * KNOB, not the data, the same bounded-small-side pattern as the
-    * bloom bitmap and session scalars. */
+    * bounded (numBuckets-row) agg + broadcast join. The cumulative
+    * bucket offsets come from a triangular self-join of the counts
+    * table — numBuckets² comparisons bounded by the KNOB, not the
+    * data — so NO unpartitioned window exists anywhere in the plan
+    * (the repo's plan lint rejects them: a global window funnels its
+    * whole input through one task). */
   def epochShuffle(df: DataFrame, idCol: String, batchSize: Int,
                    epoch: Int = 0, numBuckets: Int = 1024): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
@@ -150,13 +152,12 @@ object Sampling {
     val ranked = df.select(col(idCol), h.as("__h"),
         (h % numBuckets).as("__bucket"))
       .withColumn("__rn", row_number().over(wLocal))
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__bucket").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = ranked.groupBy("__bucket")
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
-      .select(col("__bucket"), col("__off"))
+    val counts = ranked.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+    val lower = broadcast(counts
+      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
+    val offsets = counts.join(lower, col("__lb") < col("__bucket"), "left")
+      .groupBy("__bucket")
+      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
     ranked.join(broadcast(offsets), Seq("__bucket"))
       .select(col(idCol),
         (col("__off") + col("__rn")).cast("long").as("pos"),
