@@ -80,7 +80,10 @@ object ScaleBench {
     "q_lm_surprisal", "q_epoch_shuffle",
     // PQ: encode is a zero-shuffle projection (linear); ADC top-k
     // scans 8-byte code arrays against a broadcast per-query LUT
-    "q_pq_codes", "q_pq_topk")
+    "q_pq_codes", "q_pq_topk",
+    // the composed routing decision (gopher + surprisal + lang-id
+    // joined per doc) — three measured-linear signals, one id join
+    "q_quality_route")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

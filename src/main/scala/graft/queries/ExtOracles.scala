@@ -525,6 +525,61 @@ object ExtOracles {
         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         |GROUP BY e.query_id""".stripMargin,
 
+    // quality routing: the lang-id argmax chain + the surprisal LM
+    // chain + the gopher pass boolean, joined per doc and reduced to
+    // the deterministic keep/review/drop decision (integer
+    // cross-multiply threshold, no division)
+    "q_quality_route" ->
+      """WITH g AS (SELECT doc_id, lang, substr(text, i, 3) AS gram
+        |  FROM documents, unnest(range(1, len(text) - 1)) AS t(i)),
+        |prof AS (SELECT lang, gram FROM (
+        |  SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, gram ASC) AS rk
+        |  FROM g GROUP BY lang, gram) WHERE rk <= 50),
+        |langs AS (SELECT DISTINCT lang AS cand FROM prof),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |hits AS (SELECT dg.doc_id, prof.lang AS cand,
+        |    CAST(COUNT(*) AS BIGINT) AS ovl
+        |  FROM dg JOIN prof ON prof.gram = dg.gram GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, pred_lang FROM (
+        |  SELECT d.doc_id, l.cand AS pred_lang, row_number() OVER (
+        |      PARTITION BY d.doc_id
+        |      ORDER BY COALESCE(h.ovl, 0) DESC, l.cand ASC) AS rk
+        |  FROM documents d CROSS JOIN langs l
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand = l.cand)
+        |  WHERE rk = 1),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM u),
+        |surp AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(bin(tot.n + tot.v))
+        |      - length(bin(u.c + 1))) AS BIGINT) AS surprisal_bits
+        |  FROM toks t JOIN u ON u.tok = t.tok, tot GROUP BY t.doc_id),
+        |gq AS (SELECT doc_id,
+        |    (len(w) BETWEEN 30 AND 100000)
+        |    AND (CAST(ch - (len(w) - 1) AS DOUBLE) / len(w)
+        |      BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(len(list_filter(w, t2 ->
+        |      regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / len(w) >= 0.8)
+        |    AND (len(list_filter(w, t2 -> t2 IN
+        |      ('the','a','of','and','to','in','is','data'))) >= 2)
+        |      AS gopher_pass
+        |  FROM (SELECT doc_id, length(text) AS ch,
+        |    string_split(text, ' ') AS w FROM documents))
+        |SELECT d.doc_id, d.lang, (p.pred_lang = d.lang) AS lang_match,
+        |  s.n_tokens, s.surprisal_bits, gq.gopher_pass,
+        |  CASE WHEN NOT gq.gopher_pass THEN 'drop'
+        |    WHEN NOT (p.pred_lang = d.lang)
+        |      OR s.surprisal_bits * 5 > s.n_tokens * 26 THEN 'review'
+        |    ELSE 'keep' END AS route
+        |FROM documents d
+        |JOIN pred p ON p.doc_id = d.doc_id
+        |JOIN surp s ON s.doc_id = d.doc_id
+        |JOIN gq ON gq.doc_id = d.doc_id""".stripMargin,
+
     // epoch shuffle: the engine's bucket-decomposed ranking equals
     // one global ORDER BY (bucket, hash, id) because the bucket is a
     // prefix of the sort key; md5-hex15 is the shared hash domain

@@ -406,6 +406,36 @@ object ExtQueries {
     Similarity.recallAudit(exact, pqTopKQ(spark, dir))
   }
 
+  /** Quality ROUTING — the decision table a corpus pass actually
+    * ships, composing three oracle-verified signals per document:
+    * the Gopher rule gate, the LM surprisal score, and language-ID
+    * agreement with the declared label. Routing is deterministic and
+    * integer-only: `drop` on a Gopher fail, `review` when the
+    * classifier disagrees with the label OR mean surprisal exceeds
+    * 5.2 bits/token (expressed as the cross-multiply bits*5 >
+    * n_tokens*26 — no division, no floats), `keep` otherwise.
+    *
+    * Scale shape: three already-linear per-doc signal plans joined on
+    * the id key; nothing new shuffles beyond the three signals'
+    * own (measured) shapes. */
+  def qualityRoute(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val gopher = TextOps.gopherQuality(d, "doc_id", "text", minTokens = 30)
+      .select(col("doc_id"), col("pass").as("gopher_pass"))
+    val surp = TextOps.lmSurprisal(d, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"))
+    val lid = TextOps.langId(d, "doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"),
+        (col("pred_lang") === col("lang")).as("lang_match"))
+    lid.join(surp, "doc_id").join(gopher, "doc_id")
+      .select(col("doc_id"), col("lang"), col("lang_match"),
+        col("n_tokens"), col("surprisal_bits"), col("gopher_pass"),
+        when(!col("gopher_pass"), "drop")
+          .when(!col("lang_match") ||
+            col("surprisal_bits") * 5 > col("n_tokens") * 26, "review")
+          .otherwise("keep").as("route"))
+  }
+
   /** Deterministic epoch shuffle (Sampling.epochShuffle): the full
     * training-order permutation for epoch 0 with 64-doc batches —
     * every document's shuffled position and batch pinned through the
@@ -870,5 +900,6 @@ object ExtQueries {
     "q_pq_codes"          -> (pqCodes _),
     "q_pq_topk"           -> (pqTopKQ _),
     "q_pq_recall"         -> (pqRecall _),
+    "q_quality_route"     -> (qualityRoute _),
   )
 }

@@ -1014,6 +1014,24 @@ class ExtSpec extends AnyFunSuite {
     assert(got.map(_._4).sum === packed.map(_._3).sum)
   }
 
+  test("quality route: decision agrees with its three source signals row by row") {
+    val route = ExtQueries.qualityRoute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getString(6)))
+    assert(route.nonEmpty)
+    val counts = route.groupBy(_._6).view.mapValues(_.length).toMap
+    route.foreach { case (id, langOk, n, bits, gopher, r) =>
+      val expected =
+        if (!gopher) "drop"
+        else if (!langOk || bits * 5 > n * 26) "review"
+        else "keep"
+      assert(r === expected, s"doc $id routed $r, expected $expected")
+    }
+    // the fixture corpus must exercise at least keep and review (the
+    // thresholds were picked against the measured signal ranges)
+    assert(counts.contains("keep") && counts.contains("review"), counts)
+  }
+
   test("pq: seeds self-encode at zero residual; adc matches a scala re-derivation") {
     val enc = ExtQueries.pqCodes(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
