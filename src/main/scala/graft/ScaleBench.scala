@@ -83,7 +83,15 @@ object ScaleBench {
     "q_pq_codes", "q_pq_topk",
     // the composed routing decision (gopher + surprisal + lang-id
     // joined per doc) — three measured-linear signals, one id join
-    "q_quality_route")
+    "q_quality_route",
+    // the EXACT similarity join: prefix-index pressure grows with the
+    // clique corpus (every base doc a 10-clique of near-dups = true
+    // pairs scale ~10× per clique member), so this curve measures the
+    // prefix+positional pruning under maximum qualifying-pair load
+    "q_prefix_join",
+    // IVFADC: assignment + residual encode are linear projections;
+    // the probe join scales with probed-cell occupancy (√N sizing)
+    "q_ivf_pq_topk")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

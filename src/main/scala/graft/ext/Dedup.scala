@@ -656,6 +656,88 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * SSJoin/PPJoin family (Chaudhuri et al. ICDE'06; Xiao et al.
+    * WWW'08), the exact counterpart to the approximate MinHash-LSH
+    * path: every pair of documents whose distinct word-`shingleN`-gram
+    * sets have Jaccard ≥ `tauPct`/100, with NO false negatives (LSH
+    * trades recall for speed; this trades a frequency-ordered prefix
+    * index for completeness).
+    *
+    * How it stays off all-pairs at 100 TB:
+    *  1. shingles get a GLOBAL document-frequency order (rarest
+    *     first) — one map-side-combinable count agg;
+    *  2. each doc only indexes its PREFIX under that order:
+    *     L = |s| − ⌈τ·|s|⌉ + 1 rows (≈ (1−τ)·|s| + 1, e.g. 41% of
+    *     shingles at τ=0.6) — and because the order puts RARE
+    *     shingles in prefixes, hot boilerplate shingles land in
+    *     suffixes and never key a candidate bucket;
+    *  3. candidates come from the prefix-token equi-join (shuffle on
+    *     the shingle key, same shape as the LSH band join), pruned by
+    *     the LENGTH filter (τ·|B| ≤ |A| is necessary for J ≥ τ) and
+    *     PPJoin's POSITIONAL filter: a shared token at 1-based rank
+    *     p_a/p_b bounds the overlap by 1 + min(|A|−p_a, |B|−p_b),
+    *     which must reach α = ⌈τ(|A|+|B|)/(1+τ)⌉ — valid for the
+    *     first shared token of any qualifying pair (elements before
+    *     it are disjoint), and the prefix lemma guarantees that token
+    *     sits in BOTH prefixes, so the surviving row set is a
+    *     candidate superset: exactness holds;
+    *  4. exact intersection counts run on candidates only.
+    *
+    * No cap knob on purpose: a cap would break the operator's one
+    * contract (exactness). The adversarial input — millions of
+    * IDENTICAL documents sharing a rare prefix shingle — is the
+    * regime [[exactDedup]] removes in one groupBy; run it first, as
+    * every production pipeline does. Emits integer-exact columns
+    * (inter, na, nb); Jaccard itself is the caller's division.
+    *
+    * Ref: reference builds no similarity join; this generalizes its
+    * duplicate-handling beyond equality (classes.py:components). */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, tauPct: Int = 60): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // (__df, shingle) is a TOTAL order — ties on frequency break by
+    // the shingle string, so both sides of any pair rank identically
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    val pos = sh.join(freq, Seq("shingle"))
+      .select(col(idCol), col("shingle"),
+        row_number().over(byRarity).as("__p"),
+        count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
+    // prefix length L = sz − ⌈τ·sz⌉ + 1; ceil via (a+99) div 100 —
+    // integer arithmetic end to end so the oracle agrees bit-for-bit
+    val prefix = pos.filter(col("__p") <=
+      col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
+    val a = prefix.select(col(idCol).as("doc_a"), col("shingle"),
+      col("__p").as("__pa"), col("__sz").as("__sa"))
+    val b = prefix.select(col(idCol).as("doc_b"), col("shingle"),
+      col("__p").as("__pb"), col("__sz").as("__sb"))
+    val alpha = floor((lit(tauPct) * (col("__sa") + col("__sb"))
+      + (99 + tauPct)) / (100 + tauPct))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("__sa") * 100 >= col("__sb") * tauPct &&
+        col("__sb") * 100 >= col("__sa") * tauPct &&
+        lit(1) + least(col("__sa") - col("__pa"),
+          col("__sb") - col("__pb")) >= alpha)
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      // J ≥ τ ⟺ 100·I ≥ τ·(na+nb−I), all BIGINT
+      .filter(col("inter") * 100 >= lit(tauPct) * (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+  }
+
   /** Reference composition path (explode × bits → two aggregations),
     * kept to pin the native expression bit-for-bit in DedupSpec. */
   def simhashComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -431,4 +431,109 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc_dist2")
   }
+
+  /** IVF + PQ composition — IVFADC (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011), the
+    * production shape of billion-vector ANN (FAISS's IndexIVFPQ):
+    * candidates partition into IVF cells by nearest centroid
+    * (squared L2, ties to the smallest centroid id — the metric PQ
+    * approximates, unlike [[ivfTopK]]'s cosine flavor), each stores
+    * only the PQ codes of its RESIDUAL v − centroid(cell) (residuals
+    * cluster near the origin, so one shared codebook quantizes them
+    * far better than raw vectors), and a query scores only the
+    * candidates of its `nprobe` nearest cells through a per-(query,
+    * cell) residual lookup table: ‖q−v‖² ≈ ADC(q−c, codes(v−c)).
+    *
+    * Scale shape, in order of what moves:
+    *  - cell assignment + residual PQ encode is ONE pass over the
+    *    candidates against two broadcast rows (centroids, codebook) —
+    *    no shuffle, full vectors never leave their scan partition;
+    *  - the stored index is (cell, 8-byte code array) per candidate —
+    *    the 32× memory shrink that lets 100 TB of vectors sit in
+    *    cluster RAM;
+    *  - probing broadcasts the (queries × nprobe) residual LUTs and
+    *    hash-joins them to the code table on the CELL key: scored
+    *    rows = members of probed cells only, the fraction
+    *    [[ivfCellStats]] makes observable (vs [[pqTopK]], which
+    *    scans every code row per query);
+    *  - the final top-k ranks on the query-keyed window.
+    * K ≈ √N centroids keeps assignment O(N·√N) and mean probe cost
+    * O(nprobe·√N) — the same sizing law the IVF audit pins.
+    *
+    * The encode inlines [[pqEncode]]'s argmin (same codebook, same
+    * tie rule) to carry the cell through the explode instead of
+    * re-deriving the assignment with a second pass or a join. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                centroids: DataFrame, seeds: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                numSub: Int, subDim: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1)
+    val cents = centroidRow(centroids, idCol, vecCol)
+    val cb = pqCodebook(seeds, idCol, vecCol)
+    // nearest cell by L2 (argmin via array_min over struct(d2, cid)),
+    // then the residual against THAT cell's centroid — the centroid
+    // vector is re-fetched by cid so the argmin struct stays
+    // scalar-ordered (no array-typed comparison in the min)
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
+      .crossJoin(cents)
+      .withColumn("__best", array_min(transform(col("__cents"), c =>
+        struct(dist2(col("__v"), c.getField("cv")).as("d2"),
+          c.getField("cid").as("cid")))))
+      .withColumn("__cell", col("__best").getField("cid"))
+      .withColumn("__ccv", element_at(filter(col("__cents"),
+        c => c.getField("cid") === col("__cell")), 1).getField("cv"))
+      .select(col("neighbor_id"), col("__cell"),
+        zip_with(col("__v"), col("__ccv"), (x, y) => x - y).as("__rv"))
+    val codes = assigned
+      .crossJoin(cb)
+      .select(col("neighbor_id"), col("__cell"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
+        col("__rv"), col("__cb"))
+      .withColumn("__best", array_min(transform(col("__cb"), (c, j) =>
+        struct(
+          dist2(slice(col("__rv"), col("sub_id") * subDim + 1, lit(subDim)),
+            slice(c.getField("sv"), col("sub_id") * subDim + 1, lit(subDim)))
+            .as("d2"),
+          j.as("j")))))
+      .groupBy(col("neighbor_id"), col("__cell"))
+      .agg(sort_array(collect_list(struct(col("sub_id").cast("long").as("sub_id"),
+        col("__best").getField("j").cast("long").as("code")))).as("__codes"))
+    // nprobe nearest cells per query, each with the query's residual
+    // against that cell's centroid
+    val qScored = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("__qv"), explode(col("__cents")).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__c").getField("cid").as("__cell"),
+        col("__c").getField("cv").as("__ccv"),
+        dist2(col("__qv"), col("__c").getField("cv")).as("__qd"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__qd").asc, col("__cell").asc)
+    val probes = qScored.withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__cell"),
+        zip_with(col("__qv"), col("__ccv"), (x, y) => x - y).as("__qr"))
+    val lutKey = (m: Column, j: Column) => (m * lit(1 << 20) + j).cast("long")
+    val lut = probes.crossJoin(cb)
+      .select(col("query_id"), col("__cell"),
+        map_from_entries(flatten(transform(col("__cb"), (c, j) =>
+          transform(sequence(lit(0), lit(numSub - 1)), m =>
+            struct(
+              lutKey(m, j).as("k"),
+              dist2(slice(col("__qr"), m * subDim + 1, lit(subDim)),
+                slice(c.getField("sv"), m * subDim + 1, lit(subDim)))
+                .as("v")))))).as("__lut"))
+    // ADC chained in sub_id order (sort_array above) — engine-exact
+    val adc = aggregate(col("__codes"), lit(0.0), (acc, x) =>
+      acc + element_at(col("__lut"),
+        lutKey(x.getField("sub_id"), x.getField("code"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("__cell"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist2")
+  }
 }

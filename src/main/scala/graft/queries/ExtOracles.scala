@@ -580,6 +580,92 @@ object ExtOracles {
         |JOIN surp s ON s.doc_id = d.doc_id
         |JOIN gq ON gq.doc_id = d.doc_id""".stripMargin,
 
+    // exact prefix-filter similarity join: the oracle is the BRUTE
+    // FORCE all-pairs truth (full shingle self-join + integer
+    // cross-multiply threshold), so equality proves the engine's
+    // prefix/length/positional pruning dropped no qualifying pair
+    "q_prefix_join" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM sh sa JOIN sh sb
+        |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.i AS inter, na.n AS na, nb.n AS nb
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b
+        |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
+
+    // IVFADC: sqrt(N) L2 cells -> residual PQ codes -> per-(query,
+    // probed-cell) residual LUTs -> sub_id-ordered ADC chain. Every
+    // double is a chained IEEE subtract/multiply/add in a pinned
+    // order, so Spark and DuckDB agree bit-for-bit
+    "q_ivf_pq_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+        |stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+        |    AS m FROM cand),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
+        |  WHERE vec_id % stride.m = 0),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+        |    v AS sv
+        |  FROM cand WHERE vec_id < 36),
+        |asg AS (SELECT neighbor_id, cell, rv FROM (
+        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+        |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM cand c, cent ct) WHERE rk = 1),
+        |sub AS (SELECT a.neighbor_id, a.cell, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i])
+        |      * (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
+        |  FROM asg a, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |codes AS (SELECT neighbor_id, cell, m, j FROM (
+        |  SELECT neighbor_id, cell, m, j, row_number() OVER (
+        |      PARTITION BY neighbor_id, m ORDER BY d2 ASC, j ASC) AS rk
+        |  FROM sub) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, cell, qr FROM (
+        |  SELECT q.query_id, ct.cid AS cell,
+        |    list_transform(range(1, 65), i -> q.v[i] - ct.cv[i]) AS qr,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (q.v[i] - ct.cv[i]) * (q.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM q, cent ct) WHERE rk <= 3),
+        |lut AS (SELECT p.query_id, p.cell, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i])
+        |      * (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
+        |  FROM probes p, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |adc AS (SELECT l.query_id, c.neighbor_id,
+        |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
+        |  FROM codes c
+        |  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.j = c.j
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id, adc_dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  adc_dist2
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
     // epoch shuffle: the engine's bucket-decomposed ranking equals
     // one global ORDER BY (bucket, hash, id) because the bucket is a
     // prefix of the sort key; md5-hex15 is the shared hash domain

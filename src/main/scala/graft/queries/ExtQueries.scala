@@ -72,6 +72,17 @@ object ExtQueries {
       "doc_id", "text", maxBucketSize = 6)
   }
 
+  /** EXACT Jaccard self-join through the oracle gate: the prefix-
+    * filter path (rarity-ordered prefixes + length + positional
+    * pruning, Dedup.prefixFilterPairs) over the near-dup corpus at
+    * τ = 0.6. The DuckDB oracle computes the same pairs by BRUTE
+    * FORCE (full shingle self-join — affordable at gate sf, the very
+    * thing the prefix filter exists to avoid at 100 TB), so a green
+    * row is an exactness proof: the pruned candidate set lost no
+    * qualifying pair. Integer columns only (inter, na, nb). */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(nearCorpus(spark, dir), "doc_id", "text")
+
   /** Blocked char-5-gram Jaccard: candidate pairs come from cheap
     * metadata blocking (source, n_chars) — near-copies keep the base
     * doc's recorded n_chars, so each lands in its original's block.
@@ -404,6 +415,26 @@ object ExtQueries {
     val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
       e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
     Similarity.recallAudit(exact, pqTopKQ(spark, dir))
+  }
+
+  /** IVFADC through the gate (Similarity.ivfPqTopK): the two ANN
+    * scale paths COMPOSED the way a billion-vector index actually
+    * ships — √N L2 cells (the scale-safe sizing q_ivf_topk pins),
+    * residual PQ codes on the same 16-seed codebook as q_pq_*, 3
+    * probes, ADC top-3. The oracle re-derives cell assignment,
+    * residual codes, per-(query, cell) LUTs, and the sub_id-ordered
+    * ADC chain in SQL, so the whole composition is value-checked,
+    * not just its parts. */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cands = e.filter(col("vec_id") >= 20)
+    val stride = math.max(1L,
+      math.floor(math.sqrt(cands.count().toDouble)).toLong)
+    Similarity.ivfPqTopK(
+      e.filter(col("vec_id") < 20), cands,
+      cands.filter(col("vec_id") % stride === 0),
+      pqSeeds(spark, dir),
+      "vec_id", "embedding", k = 3, nprobe = 3, numSub = 8, subDim = 8)
   }
 
   /** Quality ROUTING — the decision table a corpus pass actually
@@ -901,5 +932,7 @@ object ExtQueries {
     "q_pq_topk"           -> (pqTopKQ _),
     "q_pq_recall"         -> (pqRecall _),
     "q_quality_route"     -> (qualityRoute _),
+    "q_prefix_join"       -> (prefixJoin _),
+    "q_ivf_pq_topk"       -> (ivfPq _),
   )
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided star schema (TESTDATA.md).
   *
@@ -23,17 +23,30 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in the fixture parquet,
-    * which Spark 4 refuses to read as TimestampType; read it as the
-    * raw nanos long (legacy conf) and truncate to micros — integer
-    * `DIV` (nanos exceed double's 53-bit mantissa; a float division
-    * would corrupt timestamps), matching DuckDB's own ns→µs read. */
+  /** `events.ts` normalizes to TimestampType whatever encoding the
+    * driver's fixture generation used — it has shipped BOTH:
+    *  - INT64 TIMESTAMP(NANOS) (rounds ≤6), which Spark 4 refuses to
+    *    read as TimestampType; read as the raw nanos long (legacy
+    *    conf) and truncate to micros with integer `DIV` (nanos exceed
+    *    double's 53-bit mantissa; float division would corrupt
+    *    timestamps), matching DuckDB's own ns→µs read;
+    *  - timestamp[us] without UTC adjustment (round 7+), which Spark
+    *    reads as TIMESTAMP_NTZ — a type `unix_micros`, watermarks,
+    *    and stream-stream range joins all reject. The session
+    *    timezone is pinned UTC everywhere (GraftSession/TestSpark/
+    *    Bench), so the NTZ→TIMESTAMP cast is value-preserving and
+    *    keeps every downstream micros comparison identical to the
+    *    DuckDB oracle's naive read. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

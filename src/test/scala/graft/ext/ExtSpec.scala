@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1164,6 +1165,52 @@ class ExtSpec extends AnyFunSuite {
     // a doc's overlap with one 50-gram profile is at most 50
     conf.foreach { case (_, _, n, so) =>
       assert(so <= n * 50, "overlap exceeds profile size") }
+  }
+
+  test("ivfPqTopK with one centroid reduces exactly to pqTopK on translated vectors") {
+    // K = 1 -> every candidate lands in the single cell and nprobe=1
+    // probes it, so IVFADC degenerates to plain ADC over residuals
+    // v - c. Feeding pqTopK the PRE-translated vectors must therefore
+    // reproduce the ivfPqTopK output bit-for-bit (same codebook, same
+    // argmin ties, same fold order) — the composition adds routing,
+    // never different arithmetic.
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") < 5)
+    val cands = e.filter(col("vec_id") >= 5 && col("vec_id") < 60)
+    val seeds = e.filter(col("vec_id") >= 5 && col("vec_id") < 21)
+    val cent = cands.filter(col("vec_id") === 5)
+    val composed = Similarity.ivfPqTopK(qs, cands, cent, seeds,
+      "vec_id", "embedding", k = 3, nprobe = 1, numSub = 8, subDim = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val cv = cent.select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0)
+    val shift = (v: Column) =>
+      zip_with(Similarity.toDouble(v),
+        lit(cv.toArray), (x, y) => x - y)
+    val translated = Similarity.pqTopK(
+      qs.select(col("vec_id"), shift(col("embedding")).as("embedding")),
+      cands.select(col("vec_id"), shift(col("embedding")).as("embedding")),
+      seeds, "vec_id", "embedding", k = 3, numSub = 8, subDim = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(composed === translated)
+  }
+
+  test("ivfPqTopK emits k dense ranks per query from probed cells only") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cands = e.filter(col("vec_id") >= 20)
+    val out = Similarity.ivfPqTopK(
+      e.filter(col("vec_id") < 8), cands,
+      cands.filter(col("vec_id") % 25 === 0),
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 36),
+      "vec_id", "embedding", k = 3, nprobe = 2, numSub = 8, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 8)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 3), s"ranks for query $q")
+      rows.foreach { case (_, _, d) => assert(d >= 0.0, s"negative ADC for $q") }
+    }
   }
 
   test("vocab coverage: tie-break is by token ascending, not hash order") {
