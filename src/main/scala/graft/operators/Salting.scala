@@ -62,4 +62,27 @@ object Salting {
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** The MEASUREMENT that picks the salt knob: per-key row counts for
+    * every key whose group exceeds `targetPerTask`, with the minimal
+    * bucket count that brings its per-bucket share back under target —
+    * `suggested_salt = ⌈cnt / target⌉`, integer-exact. Feed the max
+    * over the report into [[saltedAgg]]/[[saltedEquiJoin]]'s `buckets`
+    * (or fix the partitioning upstream); an empty report means the key
+    * is safe unsalted.
+    *
+    * This is the same decide-from-data posture as the dedup/ANN
+    * audits: salting by guesswork either under-splits (the hot task
+    * still stalls the stage) or over-splits (buckets× replication of
+    * the join's right side for nothing). One map-side-combinable
+    * count agg at 100 TB — the cost of knowing. */
+  def skewAudit(df: DataFrame, keys: Seq[String],
+                targetPerTask: Long): DataFrame = {
+    require(keys.nonEmpty && targetPerTask > 0)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > targetPerTask)
+      .withColumn("suggested_salt",
+        floor((col("cnt") + targetPerTask - 1) / targetPerTask))
+  }
 }

@@ -244,6 +244,14 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the skew report: hot keys over the 1000-row target + the
+    // minimal sufficient salt, ceil via (cnt + target - 1) // target
+    "q_skew_audit" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  (COUNT(*) + 999) // 1000 AS suggested_salt
+        |FROM events GROUP BY event_type
+        |HAVING COUNT(*) > 1000""".stripMargin,
+
     "q_salted_join" ->
       """SELECT e.event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value * CAST(weight AS DOUBLE) AS DECIMAL(18,4)))
@@ -378,6 +386,25 @@ object StarOracles {
         |WHERE (v.event_id IS NOT NULL AND p.event_id IS NOT NULL)
         |   OR (p.event_id IS NULL AND v.ts + INTERVAL 1 HOUR < wm.w)
         |   OR (v.event_id IS NULL AND p.ts < wm.w)""".stripMargin,
+
+    // ingest-drift monitor: per (hour window, type) stream volume vs
+    // the static per-type reference rate, routed low/ok/high with
+    // integer cross-multiplies (1.5x / 0.5x the reference rate)
+    "q_stream_drift" ->
+      """WITH ref AS (SELECT event_type, COUNT(*) AS ref_cnt
+        |  FROM events GROUP BY event_type),
+        |hrs AS (SELECT COUNT(DISTINCT date_trunc('hour', ts))
+        |    AS ref_hours FROM events),
+        |win AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w.ws, w.event_type, w.n, r.ref_cnt, h.ref_hours,
+        |  CASE WHEN w.n * h.ref_hours * 100 > r.ref_cnt * 150 THEN 'high'
+        |    WHEN w.n * h.ref_hours * 100 < r.ref_cnt * 50 THEN 'low'
+        |    ELSE 'ok' END AS drift
+        |FROM win w
+        |JOIN ref r ON r.event_type = w.event_type
+        |CROSS JOIN hrs h""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT date_trunc('hour', ts) AS ws, e.event_type, COUNT(*) AS n,

@@ -197,6 +197,15 @@ object StarQueries {
   // partials per key. count/decimal-sum are associative, so the
   // result is bit-identical to the direct GROUP BY — which is exactly
   // what the oracle runs.
+  // §4.2 — the measurement that SIZES the two salted shapes below:
+  // per-key counts over target with the minimal sufficient salt,
+  // ⌈cnt/1000⌉ integer-exact. The fixture's 5 event types all exceed
+  // the 1000-row target, so the report names every hot key and the
+  // bucket count a caller would feed saltedAgg/saltedEquiJoin.
+  def skewAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    Salting.skewAudit(Tables.events(spark, dir).select("event_type"),
+      keys = Seq("event_type"), targetPerTask = 1000L)
+
   def saltedAggQuery(spark: SparkSession, dir: String): DataFrame =
     Salting.saltedAgg(
         Tables.events(spark, dir).select("event_type", "event_id", "value"),
@@ -757,6 +766,38 @@ object StarQueries {
     }
   }
 
+  // §2.11 — STREAMING INGEST-DRIFT MONITOR: the live face of
+  // q_source_divergence. Per completed 1-hour window and event type,
+  // the stream's volume is compared against a STATIC reference rate
+  // (the batch table standing in for yesterday's corpus: per-type
+  // totals + the reference span in whole hours) and routed to
+  // low/ok/high entirely in integer cross-multiplies — a window is
+  // "high" when its hourly volume exceeds 1.5× the reference rate
+  // (n·ref_hours·100 > ref_cnt·150), "low" under 0.5×. Shape: one
+  // windowed streaming agg, then a stateless broadcast join against
+  // the tiny reference — per-key state is the window count only, and
+  // the reference never shuffles. The two driver scalars (ref span)
+  // are 1-row collects, the documented J5 pattern.
+  def streamDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("ts", "event_type")
+    val refHours = ev.select(
+      countDistinct(date_trunc("hour", col("ts")))).head.getLong(0)
+    val ref = broadcast(
+      ev.groupBy("event_type").agg(count(lit(1)).as("ref_cnt")))
+    runStagedStream(spark, ev, "q_stream_drift", "complete") { src =>
+      src().withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .join(ref, Seq("event_type"))
+        .select(col("ws"), col("event_type"), col("n"), col("ref_cnt"),
+          lit(refHours).as("ref_hours"),
+          when(col("n") * refHours * 100 > col("ref_cnt") * 150, "high")
+            .when(col("n") * refHours * 100 < col("ref_cnt") * 50, "low")
+            .otherwise("ok").as("drift"))
+    }
+  }
+
   // §2.5 — exact multi-quantile per group: p25/p50/p75 of order value
   // by priority through the same percentile definition both engines
   // share (linear interpolation on the sorted values). One sort-based
@@ -1029,6 +1070,7 @@ object StarQueries {
     "q_custom_sessions"    -> (customSessionsQuery _),
     "q_stream_join"        -> (streamJoinQuery _),
     "q_stream_static_join" -> (streamStaticJoinQuery _),
+    "q_stream_drift"       -> (streamDriftQuery _),
     "q_stream_dedup"       -> (streamDedupQuery _),
     "q_stream_neardup"     -> (streamNearDupQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
@@ -1071,6 +1113,7 @@ object StarQueries {
     "q_sliding_window"     -> (slidingWindowAgg _),
     "q_star_join"          -> (starJoin _),
     "q_salted_agg"         -> (saltedAggQuery _),
+    "q_skew_audit"         -> (skewAuditQuery _),
     "q_salted_join"        -> (saltedJoinQuery _),
     "q_histogram"          -> (histogram _),
     "q_corr"               -> (corrByGroup _),

@@ -40,4 +40,17 @@ object SaltingProps extends Properties("Salting") {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       Prop(direct == salted) :| s"direct=$direct salted=$salted buckets=$buckets"
     }
+
+  property("skewAudit reports exactly the over-target keys with the MINIMAL sufficient salt") =
+    forAllNoShrink(rowsGen, Gen.choose(1L, 40L)) { (rows, target) =>
+      import spark.implicits._
+      val got = Salting.skewAudit(rows.toDF("k", "id", "v"), Seq("k"), target)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 > target)
+        .map { case (k, n) => (k, n, (n + target - 1) / target) }.toSet
+      val minimal = got.forall { case (_, n, s) =>
+        n <= s * target && n > (s - 1) * target }
+      Prop(got == want && minimal) :| s"got=$got want=$want target=$target"
+    }
 }
