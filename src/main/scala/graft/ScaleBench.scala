@@ -91,7 +91,11 @@ object ScaleBench {
     "q_prefix_join",
     // IVFADC: assignment + residual encode are linear projections;
     // the probe join scales with probed-cell occupancy (√N sizing)
-    "q_ivf_pq_topk")
+    "q_ivf_pq_topk",
+    // DSIR: the lm-surprisal token-key shuffle twice (corpus LM +
+    // target LM left join) — the two-LM variant's curve beside
+    // q_lm_surprisal's single-LM one
+    "q_dsir_select")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -625,6 +625,55 @@ object TextOps {
         sum(col("__c")).cast("long").as("sum_count"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023),
+    * reduced to the same deterministic integer core as
+    * [[lmSurprisal]]: every corpus document scores under TWO add-one-
+    * smoothed unigram LMs — one fit on a small target-domain sample,
+    * one on the full corpus — and the importance signal is the
+    * log-likelihood ratio log p_target(doc) − log p_corpus(doc),
+    * expressed as `weight_bits = bits_corpus − bits_target` with each
+    * token's surprisal quantized through the integer bit length
+    * (exact in both engines; a float `ln` is correctly rounded in
+    * neither). Positive weight = the doc looks more target-like than
+    * corpus-average at integer-bit resolution; `selected` is that
+    * threshold, the resampling step's deterministic skeleton (the
+    * published method samples ∝ weight; a reproducible pipeline wants
+    * the rank/threshold form).
+    *
+    * Tokens outside the target vocabulary smooth to count 0+1 under
+    * the target LM's own (N_t + V_t) mass — the unseen-token path the
+    * left join makes explicit.
+    *
+    * Scale shape: both LM joins ride the TOKEN key (one corpus
+    * explode reused for both), not a vocabulary broadcast — a 100 TB
+    * corpus vocabulary fits no driver; the target LM count frame is
+    * typically small enough that AQE broadcasts it on its own. One
+    * per-doc agg closes. */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val toks = corpus.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val ttoks = target.select(explode(tokens(col(textCol))).as("tok"))
+    val cu = toks.groupBy("tok").agg(count(lit(1)).as("__cr"))
+    val ct = ttoks.groupBy("tok").agg(count(lit(1)).as("__ct"))
+    val totc = broadcast(cu.agg(sum("__cr").as("__nr"), count(lit(1)).as("__vr")))
+    val tott = broadcast(ct.agg(sum("__ct").as("__nt"), count(lit(1)).as("__vt")))
+    def bits(x: Column): Column = length(bin(x))
+    toks.join(cu, "tok").join(ct, Seq("tok"), "left")
+      .crossJoin(totc).crossJoin(tott)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(bits(col("__nt") + col("__vt"))
+          - bits(coalesce(col("__ct"), lit(0L)) + 1))
+          .cast("long").as("bits_target"),
+        sum(bits(col("__nr") + col("__vr")) - bits(col("__cr") + 1))
+          .cast("long").as("bits_corpus"))
+      .select(col(idCol), col("n_tokens"), col("bits_target"),
+        col("bits_corpus"),
+        (col("bits_corpus") - col("bits_target")).as("weight_bits"),
+        (col("bits_corpus") > col("bits_target")).as("selected"))
+  }
+
   /** Character-trigram profile language identification (the
     * textcat/CLD family, reduced to its deterministic core): build a
     * top-`topR` trigram profile per labeled language from the corpus

@@ -606,6 +606,40 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // DSIR importance weights: the lm-surprisal chain twice (target =
+    // src0 docs, corpus = all docs), integer bit-length surprisal,
+    // weight = bits_corpus - bits_target; unseen-in-target tokens
+    // smooth to 0+1 via the left join's COALESCE
+    "q_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |ttoks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source = 'src0'),
+        |cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY tok),
+        |ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ttoks GROUP BY tok),
+        |totc AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM cu),
+        |tott AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM ct)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(bin(tott.n + tott.v))
+        |    - length(bin(COALESCE(ct.c, 0) + 1))) AS BIGINT) AS bits_target,
+        |  CAST(SUM(length(bin(totc.n + totc.v))
+        |    - length(bin(cu.c + 1))) AS BIGINT) AS bits_corpus,
+        |  CAST(SUM(length(bin(totc.n + totc.v)) - length(bin(cu.c + 1)))
+        |    - SUM(length(bin(tott.n + tott.v))
+        |      - length(bin(COALESCE(ct.c, 0) + 1))) AS BIGINT)
+        |    AS weight_bits,
+        |  SUM(length(bin(totc.n + totc.v)) - length(bin(cu.c + 1)))
+        |    > SUM(length(bin(tott.n + tott.v))
+        |      - length(bin(COALESCE(ct.c, 0) + 1))) AS selected
+        |FROM toks t
+        |JOIN cu ON cu.tok = t.tok
+        |LEFT JOIN ct ON ct.tok = t.tok, totc, tott
+        |GROUP BY t.doc_id""".stripMargin,
+
     // IVFADC: sqrt(N) L2 cells -> residual PQ codes -> per-(query,
     // probed-cell) residual LUTs -> sub_id-ordered ADC chain. Every
     // double is a chained IEEE subtract/multiply/add in a pinned

@@ -417,6 +417,18 @@ object ExtQueries {
     Similarity.recallAudit(exact, pqTopKQ(spark, dir))
   }
 
+  /** DSIR importance selection through the gate: src0 documents
+    * stand in for the target domain; every corpus doc gets its
+    * integer log-ratio weight between the src0 LM and the corpus LM,
+    * with `selected` = weight > 0. The src0 docs themselves score
+    * positive on average (they ARE the target sample), which the
+    * spec pins; the oracle re-derives both LM chains in SQL. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.dsirWeights(d, d.filter(col("source") === "src0"),
+      "doc_id", "text")
+  }
+
   /** IVFADC through the gate (Similarity.ivfPqTopK): the two ANN
     * scale paths COMPOSED the way a billion-vector index actually
     * ships — √N L2 cells (the scale-safe sizing q_ivf_topk pins),
@@ -934,5 +946,6 @@ object ExtQueries {
     "q_quality_route"     -> (qualityRoute _),
     "q_prefix_join"       -> (prefixJoin _),
     "q_ivf_pq_topk"       -> (ivfPq _),
+    "q_dsir_select"       -> (dsirSelect _),
   )
 }

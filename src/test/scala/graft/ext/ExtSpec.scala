@@ -1167,6 +1167,32 @@ class ExtSpec extends AnyFunSuite {
       assert(so <= n * 50, "overlap exceeds profile size") }
   }
 
+  test("dsirWeights: target-vocab docs score positive, alien docs negative; micro-case exact") {
+    import spark.implicits._
+    // corpus = {aa aa, bb bb}; target = {aa aa}. Corpus LM: N=4,V=2 ->
+    // per-token bits 3-2=1 for both docs (bits_corpus = 2 each).
+    // Target LM: N=2,V=1 -> 'aa' costs bits(3)-bits(3)=0, 'bb' is
+    // unseen: bits(3)-bits(1)=1. So weight(doc1)=2-0=2 (selected),
+    // weight(doc2)=2-2=0 (not selected).
+    val corpus = Seq((1L, "aa aa"), (2L, "bb bb")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1L)
+    val got = TextOps.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((2L, 0L, 2L, true)))
+    assert(got(2L) === ((2L, 2L, 0L, false)))
+  }
+
+  test("dsir gate: the target sample itself skews positive vs the rest of the corpus") {
+    val out = ExtQueries.dsirSelect(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("weight_bits").cast("double")).as("mean_w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(out(true) > out(false),
+      s"target-sample mean weight ${out(true)} not above corpus ${out(false)}")
+  }
+
   test("ivfPqTopK with one centroid reduces exactly to pqTopK on translated vectors") {
     // K = 1 -> every candidate lands in the single cell and nprobe=1
     // probes it, so IVFADC degenerates to plain ADC over residuals
