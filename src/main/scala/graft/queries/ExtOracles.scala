@@ -606,6 +606,48 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // the exact pipeline composed: brute-force exact-Jaccard pairs
+    // (the q_prefix_join truth) -> recursive-CTE component closure ->
+    // windowed keep-best argmax (n_toks DESC, id ASC)
+    "q_exact_prep" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM sh sa JOIN sh sb
+        |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n_toks FROM corpus)
+        |SELECT component AS cluster_id, id AS rep_id,
+        |  n_toks AS rep_quality, cluster_size
+        |FROM (SELECT c.component, c.id, q.n_toks,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY q.n_toks DESC, c.id ASC) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+        |      AS cluster_size
+        |  FROM comp c JOIN q ON q.doc_id = c.id) t
+        |WHERE rk = 1""".stripMargin,
+
     // DSIR importance weights: the lm-surprisal chain twice (target =
     // src0 docs, corpus = all docs), integer bit-length surprisal,
     // weight = bits_corpus - bits_target; unseen-in-target tokens

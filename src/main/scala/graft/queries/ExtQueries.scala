@@ -417,6 +417,24 @@ object ExtQueries {
     Similarity.recallAudit(exact, pqTopKQ(spark, dir))
   }
 
+  /** The EXACT dedup pipeline COMPOSED end to end — the
+    * no-false-negatives sibling of q_training_prep's LSH chain:
+    * prefix-filter exact Jaccard pairs → connected components →
+    * keep-best-representative per cluster (quality = token count,
+    * ties to the smallest id). Every stage is individually
+    * oracle-pinned (q_prefix_join, q_dedup_clusters, q_cluster_reps);
+    * this row pins that they COMPOSE, with the DuckDB side running
+    * brute-force pairs + a recursive-CTE closure + a windowed argmax. */
+  def exactPrep(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearCorpus(spark, dir)
+    val pairs = Dedup.prefixFilterPairs(corpus, "doc_id", "text")
+    val labels = Dedup.connectedComponents(
+      pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val quality = corpus.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    Dedup.clusterRepresentatives(labels, quality, "doc_id", "n_toks")
+  }
+
   /** DSIR importance selection through the gate: src0 documents
     * stand in for the target domain; every corpus doc gets its
     * integer log-ratio weight between the src0 LM and the corpus LM,
@@ -947,5 +965,6 @@ object ExtQueries {
     "q_prefix_join"       -> (prefixJoin _),
     "q_ivf_pq_topk"       -> (ivfPq _),
     "q_dsir_select"       -> (dsirSelect _),
+    "q_exact_prep"        -> (exactPrep _),
   )
 }
