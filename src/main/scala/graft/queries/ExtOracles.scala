@@ -742,6 +742,78 @@ object ExtOracles {
         |  adc_dist2
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // IVFADC recall audit: the full q_ivf_pq_topk chain as `approx`
+    // beside the exact full-vector L2 top-3, reduced to the same
+    // integer overlap counts as the other recall audits
+    "q_ivf_pq_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+        |stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+        |    AS m FROM cand),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
+        |  WHERE vec_id % stride.m = 0),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+        |    v AS sv
+        |  FROM cand WHERE vec_id < 36),
+        |asg AS (SELECT neighbor_id, cell, rv FROM (
+        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+        |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM cand c, cent ct) WHERE rk = 1),
+        |sub AS (SELECT a.neighbor_id, a.cell, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i])
+        |      * (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
+        |  FROM asg a, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |codes AS (SELECT neighbor_id, cell, m, j FROM (
+        |  SELECT neighbor_id, cell, m, j, row_number() OVER (
+        |      PARTITION BY neighbor_id, m ORDER BY d2 ASC, j ASC) AS rk
+        |  FROM sub) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, cell, qr FROM (
+        |  SELECT q.query_id, ct.cid AS cell,
+        |    list_transform(range(1, 65), i -> q.v[i] - ct.cv[i]) AS qr,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (q.v[i] - ct.cv[i]) * (q.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM q, cent ct) WHERE rk <= 3),
+        |lut AS (SELECT p.query_id, p.cell, m.m, s.j,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i])
+        |      * (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
+        |  FROM probes p, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
+        |adc AS (SELECT l.query_id, c.neighbor_id,
+        |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
+        |  FROM codes c
+        |  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.j = c.j
+        |  GROUP BY 1, 2),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+        |  FROM adc) WHERE rank <= 3),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) ASC,
+        |      c.vec_id ASC) AS rank
+        |  FROM q, cand c) WHERE rank <= 3)
+        |SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM approx a2
+        |    WHERE a2.query_id = e2.query_id) AS BIGINT) AS n_approx,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hit
+        |FROM exact e2 LEFT JOIN approx a
+        |  ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+        |GROUP BY e2.query_id""".stripMargin,
+
     // epoch shuffle: the engine's bucket-decomposed ranking equals
     // one global ORDER BY (bucket, hash, id) because the bucket is a
     // prefix of the sort key; md5-hex15 is the shared hash domain

@@ -467,6 +467,24 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, nprobe = 3, numSub = 8, subDim = 8)
   }
 
+  /** IVFADC recall audit — the audit-family policy applied to the
+    * composed index: integer overlap between the IVFADC top-3 and the
+    * exact full-vector L2 top-3 per query. ANN (q_ann_recall) and PQ
+    * (q_pq_recall) each audit their own approximation; the
+    * composition compounds cell-routing loss ON TOP of quantization
+    * loss, so it gets its own measured row rather than an inference
+    * from the parts. The fixture's measured recall@3 is ~0.10 — a
+    * deliberate indictment of the INJECTED stand-in codebook (16 raw
+    * seed vectors, not a trained k-means fit; pqCodebook documents
+    * the swap point), not of the chain: the audit existing is what
+    * makes a bad codebook visible instead of silently shipped. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact, ivfPq(spark, dir))
+  }
+
   /** Quality ROUTING — the decision table a corpus pass actually
     * ships, composing three oracle-verified signals per document:
     * the Gopher rule gate, the LM surprisal score, and language-ID
@@ -966,5 +984,6 @@ object ExtQueries {
     "q_ivf_pq_topk"       -> (ivfPq _),
     "q_dsir_select"       -> (dsirSelect _),
     "q_exact_prep"        -> (exactPrep _),
+    "q_ivf_pq_recall"     -> (ivfPqRecall _),
   )
 }
