@@ -95,7 +95,11 @@ object ScaleBench {
     // DSIR: the lm-surprisal token-key shuffle twice (corpus LM +
     // target LM left join) — the two-LM variant's curve beside
     // q_lm_surprisal's single-LM one
-    "q_dsir_select")
+    "q_dsir_select",
+    // the exact incremental check: cross-corpus prefix join where
+    // each incoming clone matches its base's whole clique — true
+    // cross pairs grow ~10× per clone under the clique corpus
+    "q_incr_exact")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -738,6 +738,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
   }
 
+  /** The TWO-CORPUS exact similarity join — [[prefixFilterPairs]]'
+    * R×S form and the no-false-negatives sibling of
+    * [[incrementalNearDups]]: every (index doc, incoming doc) pair
+    * with Jaccard ≥ τ, nothing missed. The daily-ingest shape: only
+    * incoming×index prefix collisions become candidates; neither
+    * corpus is ever paired against itself.
+    *
+    * Exactness across two corpora needs ONE detail beyond the
+    * self-join: the rarity order must be a SINGLE total order both
+    * sides share — frequencies are counted over the UNION of both
+    * shingle tables (one combined map-side agg), so the prefix lemma
+    * and PPJoin positional bound apply unchanged to cross pairs. At
+    * production scale the index side's positional prefix table is
+    * exactly what you persist between ingests; only the (small)
+    * incoming side is shingled fresh, plus one frequency refresh.
+    * Output: (index_id, new_id, inter, n_index, n_new) — integer
+    * columns, same contract as the self-join. Caller guarantees the
+    * two id spaces are disjoint (same contract as
+    * [[incrementalNearDups]]). */
+  def prefixFilterJoinAB(index: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, tauPct: Int = 60): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    import org.apache.spark.sql.expressions.Window
+    val shI = shingleRows(index, idCol, textCol, shingleN)
+    val shN = shingleRows(incoming, idCol, textCol, shingleN)
+    val freq = shI.unionByName(shN)
+      .groupBy("shingle").agg(count(lit(1)).as("__df"))
+    def posOf(sh: DataFrame): DataFrame = {
+      val byRarity = Window.partitionBy(col(idCol))
+        .orderBy(col("__df").asc, col("shingle").asc)
+      sh.join(freq, Seq("shingle"))
+        .select(col(idCol), col("shingle"),
+          row_number().over(byRarity).as("__p"),
+          count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
+    }
+    def prefixOf(pos: DataFrame): DataFrame =
+      pos.filter(col("__p") <=
+        col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
+    val posI = posOf(shI)
+    val posN = posOf(shN)
+    val a = prefixOf(posI).select(col(idCol).as("index_id"), col("shingle"),
+      col("__p").as("__pa"), col("__sz").as("__sa"))
+    val b = prefixOf(posN).select(col(idCol).as("new_id"), col("shingle"),
+      col("__p").as("__pb"), col("__sz").as("__sb"))
+    val alpha = floor((lit(tauPct) * (col("__sa") + col("__sb"))
+      + (99 + tauPct)) / (100 + tauPct))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("__sa") * 100 >= col("__sb") * tauPct &&
+        col("__sb") * 100 >= col("__sa") * tauPct &&
+        lit(1) + least(col("__sa") - col("__pa"),
+          col("__sb") - col("__pb")) >= alpha)
+      .select("index_id", "new_id").distinct()
+    val inter = cand
+      .join(shI.select(col(idCol).as("index_id"), col("shingle")),
+        Seq("index_id"))
+      .join(shN.select(col(idCol).as("new_id"), col("shingle")),
+        Seq("new_id", "shingle"))
+      .groupBy("index_id", "new_id").agg(count(lit(1)).as("inter"))
+    val szI = shI.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val szN = shN.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(szI.select(col(idCol).as("index_id"), col("n").as("n_index")),
+        Seq("index_id"))
+      .join(szN.select(col(idCol).as("new_id"), col("n").as("n_new")),
+        Seq("new_id"))
+      .filter(col("inter") * 100 >=
+        lit(tauPct) * (col("n_index") + col("n_new") - col("inter")))
+      .select(col("index_id"), col("new_id"), col("inter"),
+        col("n_index"), col("n_new"))
+  }
+
   /** Reference composition path (explode × bits → two aggregations),
     * kept to pin the native expression bit-for-bit in DedupSpec. */
   def simhashComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {

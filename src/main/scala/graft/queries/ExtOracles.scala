@@ -606,6 +606,41 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // exact incremental check: brute-force incoming x index truth —
+    // every cross pair sharing >= 1 shingle, integer threshold
+    "q_incr_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |inc AS (SELECT doc_id + 600000 AS doc_id,
+        |    text || ' graftincr end' AS text
+        |  FROM d WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT doc_id + 700000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM d WHERE doc_id % 19 = 0),
+        |shi AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)
+        |  WHERE len(w) >= 3) t),
+        |shn AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inc)
+        |  WHERE len(w) >= 3) t),
+        |szi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM shi GROUP BY doc_id),
+        |szn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM shn GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS index_id, b.doc_id AS new_id,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM shi a JOIN shn b ON a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.index_id, i.new_id, i.i AS inter,
+        |  na.n AS n_index, nb.n AS n_new
+        |FROM inter i
+        |JOIN szi na ON na.doc_id = i.index_id
+        |JOIN szn nb ON nb.doc_id = i.new_id
+        |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
+
     // the exact pipeline composed: brute-force exact-Jaccard pairs
     // (the q_prefix_join truth) -> recursive-CTE component closure ->
     // windowed keep-best argmax (n_toks DESC, id ASC)

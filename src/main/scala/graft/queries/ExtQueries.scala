@@ -873,6 +873,26 @@ object ExtQueries {
     Dedup.incrementalNearDups(d, incoming, "doc_id", "text")
   }
 
+  /** The EXACT incremental ingest check (Dedup.prefixFilterJoinAB):
+    * the same batch-vs-index shape as q_incr_dedup — clones of every
+    * 13th doc must match their base, token-reversed copies of every
+    * 19th must NOT (reversal preserves tokens but destroys ordered
+    * 3-gram shingles) — but with the exact join's no-false-negatives
+    * contract in place of MinHash banding. The DuckDB oracle is the
+    * brute-force incoming×index truth, so the green row proves the
+    * shared-rarity-order prefix pruning is candidate-complete across
+    * two corpora, not just within one. */
+  def incrExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          array_join(reverse(TextOps.tokens(col("text"))), " ").as("text")))
+    Dedup.prefixFilterJoinAB(d, incoming, "doc_id", "text")
+  }
+
   /** Leakage-proof split (Sampling.clusterAwareSplit): near-dup
     * clusters from the LSH→CC chain move between train/val/test as a
     * unit — a near-pair split across train and test would score
@@ -985,5 +1005,6 @@ object ExtQueries {
     "q_dsir_select"       -> (dsirSelect _),
     "q_exact_prep"        -> (exactPrep _),
     "q_ivf_pq_recall"     -> (ivfPqRecall _),
+    "q_incr_exact"        -> (incrExact _),
   )
 }

@@ -67,4 +67,29 @@ object PrefixJoinProps extends Properties("PrefixFilterJoin") {
         println(s"tau=$tau missing=${want -- got} extra=${got -- want}")
       got == want
     }
+
+  property("AB join equals brute-force cross-corpus Jaccard for any split and threshold") =
+    forAllNoShrink(docsGen, docsGen, tauGen) { (left, right, tau) =>
+      import spark.implicits._
+      // disjoint id spaces: offset the incoming side (caller contract)
+      val inc = right.map { case (id, t) => (id + 100000L, t) }
+      val got = Dedup
+        .prefixFilterJoinAB(left.toDF("doc_id", "text"),
+          inc.toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, tauPct = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      val shI = left.map { case (id, t) => id -> shingleSet(t) }
+      val shN = inc.map { case (id, t) => id -> shingleSet(t) }
+      val want = (for {
+        (ia, sa) <- shI; (ib, sb) <- shN
+        i = (sa & sb).size.toLong
+        if i > 0 && i * 100 >= tau.toLong * (sa.size + sb.size - i)
+      } yield (ia, ib, i, sa.size.toLong, sb.size.toLong)).toSet
+      if (got != want)
+        println(s"AB tau=$tau missing=${want -- got} extra=${got -- want}")
+      got == want
+    }
 }
