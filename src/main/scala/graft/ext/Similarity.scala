@@ -432,6 +432,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc_dist2")
   }
 
+  /** Binary (sign-bit) embedding quantization — the 32× compression
+    * floor of the quantization ladder (int8 4× → PQ 32× with
+    * codebooks → sign bits 32× with NONE): bit i = (v[i] > 0), so a
+    * 64-dim float vector becomes 64 bits and similarity becomes a
+    * Hamming distance — two XOR+popcount instructions. The bits pack
+    * into TWO 32-bit halves carried in BIGINTs rather than one full
+    * 64-bit word: bit 31 is the highest position used per word, so
+    * the packed domain never touches an engine-specific 64-bit sign
+    * wrap (the lesson SimHash64's 4×16-bit oracle encodes).
+    * Zero-shuffle projection; scan partitioning inherited. */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def word(from: Int): Column = expr(
+      s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> " +
+      s"acc + IF(element_at($vecCol, i + ${from + 1}) > 0, " +
+      s"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+    df.select(col(idCol), word(0).as("b_lo"), word(32).as("b_hi"))
+  }
+
+  /** Hamming top-k over [[binaryQuantize]] codes: the query side's
+    * packed words ride a broadcast; every candidate costs two
+    * XOR+popcount per query — the brute scan whose per-row cost is
+    * so small that at 100 TB the binary code table (64 bits/vector ×
+    * corpus) IS the index, re-rankable by any exact metric
+    * afterwards. All-integer output, ties to the smaller neighbor. */
+  def hammingTopK(queries: DataFrame, candidates: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(binaryQuantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        col("b_lo").as("__qlo"), col("b_hi").as("__qhi")))
+    val c = binaryQuantize(candidates, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        col("b_lo").as("__clo"), col("b_hi").as("__chi"))
+    val dist = (expr("bit_count(__qlo ^ __clo)")
+      + expr("bit_count(__qhi ^ __chi)")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"), dist.as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+  }
+
   /** IVF + PQ composition — IVFADC (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011), the
     * production shape of billion-vector ANN (FAISS's IndexIVFPQ):

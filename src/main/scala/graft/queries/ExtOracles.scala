@@ -606,6 +606,84 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // sign-bit binary quantization: two 32-bit words per vector, all
+    // integer — bit 31 is the highest used, no 64-bit sign wrap
+    "q_binary_embed" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    CASE WHEN embedding[i + 1] > 0
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_lo,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    CASE WHEN embedding[i + 33] > 0
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_hi
+        |FROM embeddings""".stripMargin,
+
+    // Hamming top-3 over the packed words: XOR + popcount per half
+    "q_hamming_topk" ->
+      """WITH bq AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_lo,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, b_lo AS qlo, b_hi AS qhi
+        |  FROM bq WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, b_lo AS clo, b_hi AS chi
+        |  FROM bq WHERE vec_id >= 20)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  hamming
+        |FROM (SELECT q.query_id, c.neighbor_id,
+        |    CAST(bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi))
+        |      AS BIGINT) AS hamming,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi))
+        |        ASC, c.neighbor_id ASC) AS rank
+        |  FROM q, c) t
+        |WHERE rank <= 3""".stripMargin,
+
+    // Hamming recall audit: the binary top-3 vs the exact cosine
+    // top-3, integer overlap counts
+    "q_hamming_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bq AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_lo,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_hi
+        |  FROM embeddings),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |          q.v[i] * q.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |          c.v[i] * c.v[i]))))
+        |      DESC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+        |       (SELECT * FROM e WHERE vec_id >= 20) c) t WHERE rank <= 3),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.b_lo, c.b_lo))
+        |        + bit_count(xor(q.b_hi, c.b_hi)) ASC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM bq WHERE vec_id < 20) q,
+        |       (SELECT * FROM bq WHERE vec_id >= 20) c) t WHERE rank <= 3)
+        |SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM approx a2
+        |    WHERE a2.query_id = e2.query_id) AS BIGINT) AS n_approx,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hit
+        |FROM exact e2 LEFT JOIN approx a
+        |  ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+        |GROUP BY e2.query_id""".stripMargin,
+
     // exact incremental check: brute-force incoming x index truth —
     // every cross pair sharing >= 1 shingle, integer threshold
     "q_incr_exact" ->

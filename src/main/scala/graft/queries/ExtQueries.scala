@@ -467,6 +467,31 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, nprobe = 3, numSub = 8, subDim = 8)
   }
 
+  /** Sign-bit binary codes for every embedding (Similarity
+    * .binaryQuantize): 64 dims → two 32-bit words, all integer. */
+  def binaryEmbed(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryQuantize(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      "vec_id", "embedding")
+
+  /** Hamming top-3 over the binary codes — the codebook-free end of
+    * the ANN ladder: XOR+popcount against a broadcast query set. */
+  def hammingTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.hammingTopK(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
+  }
+
+  /** Hamming recall audit vs the exact cosine top-3 — what 1 bit per
+    * dimension keeps of the float geometry, same integer-counts form
+    * as the other recall rows. */
+  def hammingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val exact = Similarity.bruteTopK(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact, hammingTopKQ(spark, dir))
+  }
+
   /** IVFADC recall audit — the audit-family policy applied to the
     * composed index: integer overlap between the IVFADC top-3 and the
     * exact full-vector L2 top-3 per query. ANN (q_ann_recall) and PQ
@@ -1006,5 +1031,8 @@ object ExtQueries {
     "q_exact_prep"        -> (exactPrep _),
     "q_ivf_pq_recall"     -> (ivfPqRecall _),
     "q_incr_exact"        -> (incrExact _),
+    "q_binary_embed"      -> (binaryEmbed _),
+    "q_hamming_topk"      -> (hammingTopKQ _),
+    "q_hamming_recall"    -> (hammingRecall _),
   )
 }

@@ -1167,6 +1167,23 @@ class ExtSpec extends AnyFunSuite {
       assert(so <= n * 50, "overlap exceeds profile size") }
   }
 
+  test("binaryQuantize packs sign bits exactly; identical codes retrieve at hamming 0") {
+    import spark.implicits._
+    val v = (1 to 64).map(i => if (i % 3 == 0) 1.0f else -1.0f).toArray
+    val df = Seq((1L, v), (2L, v), (3L, v.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.binaryQuantize(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def word(from: Int, pos: Boolean): Long =
+      (0 until 32).map(i => if (((i + from + 1) % 3 == 0) == pos) 1L << i else 0L).sum
+    assert(codes(1L) === ((word(0, true), word(32, true))))
+    assert(codes(3L) === ((word(0, false), word(32, false))))
+    val top = Similarity.hammingTopK(df.filter(col("vec_id") === 1L),
+        df.filter(col("vec_id") > 1L), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getLong(3)))
+    assert(top.sortBy(_._1).toSeq === Seq((1, 2L, 0L), (2, 3L, 64L)))
+  }
+
   test("dsirWeights: target-vocab docs score positive, alien docs negative; micro-case exact") {
     import spark.implicits._
     // corpus = {aa aa, bb bb}; target = {aa aa}. Corpus LM: N=4,V=2 ->
