@@ -475,6 +475,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "hamming")
   }
 
+  /** TWO-STAGE retrieval — the deployment shape of every production
+    * vector search: a cheap approximate stage shortlists `kCoarse`
+    * candidates per query ([[hammingTopK]] — XOR+popcount over the
+    * binary codes), then the exact metric re-ranks ONLY the
+    * shortlist to the final `k`. At 100 TB the float vectors are
+    * touched for shortlist×queries rows instead of corpus×queries —
+    * the re-rank join is a semi-join against the code-table scan's
+    * winners. Recall is bounded by stage 1 (audited by
+    * q_hamming_recall); ties break by neighbor id in both stages. */
+  def rerankTopK(queries: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String,
+                 kCoarse: Int, k: Int): DataFrame = {
+    require(k <= kCoarse, s"k=$k must be <= kCoarse=$kCoarse")
+    val shortlist = hammingTopK(queries, candidates, idCol, vecCol, kCoarse)
+      .select("query_id", "neighbor_id")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("__qv")))
+    val cos = nativeCosine(candidates) _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(candidates.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Contrastive HARD-PAIR mining — the training-data op behind
+    * embedding-model fine-tuning (triplet/InfoNCE batches): for each
+    * anchor, the hardest POSITIVE (lowest-cosine same-label
+    * candidate — the pair the model must pull together from
+    * farthest) and the hardest NEGATIVE (highest-cosine
+    * different-label candidate — the imposter it must push away).
+    * One scan of the candidates against a broadcast anchor set (ids,
+    * vectors, labels), two conditional argmin/argmax structs in one
+    * map-side-combinable agg — no shuffle of the corpus, the exact
+    * shape hard-negative mining keeps at 100 TB (anchors batch
+    * through the broadcast). Ties break toward the smaller candidate
+    * id via the negated-id struct trick; anchors with no same/other-
+    * label candidate emit NULLs rather than dropping. */
+  def hardPairs(anchors: DataFrame, candidates: DataFrame,
+                idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      toDouble(col(vecCol)).as("__av"), col(labelCol).as("__albl")))
+    val cos = nativeCosine(candidates) _
+    val scored = candidates
+      .select(col(idCol).as("__cid"), toDouble(col(vecCol)).as("__cv"),
+        col(labelCol).as("__clbl"))
+      .crossJoin(a)
+      .select(col("anchor_id"), col("__albl"), col("__cid"), col("__clbl"),
+        cos(col("__av"), col("__cv")).as("__cos"))
+    scored.groupBy("anchor_id")
+      .agg(
+        min(when(col("__clbl") === col("__albl"),
+          struct(col("__cos").as("c"), col("__cid").as("id")))).as("__hp"),
+        max(when(col("__clbl") =!= col("__albl"),
+          struct(col("__cos").as("c"), (-col("__cid")).as("nid")))).as("__hn"))
+      .select(col("anchor_id"),
+        col("__hp").getField("id").as("pos_id"),
+        col("__hp").getField("c").as("pos_cos"),
+        (-col("__hn").getField("nid")).as("neg_id"),
+        col("__hn").getField("c").as("neg_cos"))
+  }
+
   /** IVF + PQ composition — IVFADC (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011), the
     * production shape of billion-vector ANN (FAISS's IndexIVFPQ):

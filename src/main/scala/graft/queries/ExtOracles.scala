@@ -606,6 +606,79 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // two-stage retrieval: hamming top-20 shortlist -> exact cosine
+    // re-rank to 3; the cosine form matches the engine's expression
+    "q_rerank" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bq AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_lo,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_hi
+        |  FROM embeddings),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.b_lo, c.b_lo))
+        |        + bit_count(xor(q.b_hi, c.b_hi)) ASC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM bq WHERE vec_id < 20) q,
+        |       (SELECT * FROM bq WHERE vec_id >= 20) c) t WHERE rank <= 20)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  cosine
+        |FROM (SELECT s.query_id, s.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        q.v[i] * q.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        c.v[i] * c.v[i])))) AS cosine,
+        |    row_number() OVER (PARTITION BY s.query_id
+        |      ORDER BY list_sum(list_transform(range(1, 65), i ->
+        |          q.v[i] * c.v[i]))
+        |        / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |            q.v[i] * q.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |            c.v[i] * c.v[i])))) DESC,
+        |        s.neighbor_id ASC) AS rank
+        |  FROM short s
+        |  JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e c ON c.vec_id = s.neighbor_id) t
+        |WHERE rank <= 3""".stripMargin,
+
+    // hard-pair mining: per anchor the lowest-cosine same-label and
+    // highest-cosine other-label candidate, ties to the smaller id
+    "q_hard_pairs" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    label
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, v, label FROM e
+        |  WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, v, label FROM e WHERE vec_id >= 20),
+        |s AS (SELECT a.anchor_id, a.label AS albl, c.cid,
+        |    c.label AS clbl,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        a.v[i] * a.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        c.v[i] * c.v[i])))) AS cos
+        |  FROM a, c),
+        |pos AS (SELECT anchor_id, cid AS pos_id, cos AS pos_cos FROM (
+        |  SELECT anchor_id, cid, cos, row_number() OVER (
+        |      PARTITION BY anchor_id ORDER BY cos ASC, cid ASC) AS rk
+        |  FROM s WHERE clbl = albl) t WHERE rk = 1),
+        |neg AS (SELECT anchor_id, cid AS neg_id, cos AS neg_cos FROM (
+        |  SELECT anchor_id, cid, cos, row_number() OVER (
+        |      PARTITION BY anchor_id ORDER BY cos DESC, cid ASC) AS rk
+        |  FROM s WHERE clbl <> albl) t WHERE rk = 1)
+        |SELECT a.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+        |FROM a
+        |LEFT JOIN pos p ON p.anchor_id = a.anchor_id
+        |LEFT JOIN neg n ON n.anchor_id = a.anchor_id""".stripMargin,
+
     // sign-bit binary quantization: two 32-bit words per vector, all
     // integer — bit 31 is the highest used, no 64-bit sign wrap
     "q_binary_embed" ->

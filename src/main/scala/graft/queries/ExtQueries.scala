@@ -492,6 +492,26 @@ object ExtQueries {
     Similarity.recallAudit(exact, hammingTopKQ(spark, dir))
   }
 
+  /** Two-stage retrieval through the gate: hamming top-20 shortlist,
+    * exact cosine re-rank to 3 — float vectors touched only for the
+    * shortlist. */
+  def rerankQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.rerankTopK(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      kCoarse = 20, k = 3)
+  }
+
+  /** Contrastive hard-pair mining through the gate: per anchor, the
+    * lowest-cosine same-label and highest-cosine other-label
+    * candidate — triplet construction for embedding fine-tuning. */
+  def hardPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label")
+    Similarity.hardPairs(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", "label")
+  }
+
   /** IVFADC recall audit — the audit-family policy applied to the
     * composed index: integer overlap between the IVFADC top-3 and the
     * exact full-vector L2 top-3 per query. ANN (q_ann_recall) and PQ
@@ -1034,5 +1054,7 @@ object ExtQueries {
     "q_binary_embed"      -> (binaryEmbed _),
     "q_hamming_topk"      -> (hammingTopKQ _),
     "q_hamming_recall"    -> (hammingRecall _),
+    "q_rerank"            -> (rerankQ _),
+    "q_hard_pairs"        -> (hardPairsQ _),
   )
 }
