@@ -99,7 +99,11 @@ object ScaleBench {
     // the exact incremental check: cross-corpus prefix join where
     // each incoming clone matches its base's whole clique — true
     // cross pairs grow ~10× per clone under the clique corpus
-    "q_incr_exact")
+    "q_incr_exact",
+    // binary-retrieval family: XOR+popcount scans (the linear floor
+    // of the ANN ladder) and the shortlist-then-rerank composition;
+    // hard-pair mining is the same scan with two conditional argmaxes
+    "q_hamming_topk", "q_rerank", "q_hard_pairs")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
