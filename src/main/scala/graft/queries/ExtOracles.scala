@@ -606,6 +606,35 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // corpus data card: per-doc stats in one agg + the exact-vocab
+    // token count, emitted long-form (metric, value) all BIGINT
+    "q_data_card" ->
+      """WITH a AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(MAX(len(string_split(text, ' '))) AS BIGINT)
+        |      AS max_doc_tokens,
+        |    CAST(MIN(len(string_split(text, ' '))) AS BIGINT)
+        |      AS min_doc_tokens,
+        |    CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+        |      AS n_exact_dup_docs,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        |UNION ALL SELECT 'n_chars', n_chars FROM a
+        |UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM a
+        |UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM a
+        |UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a
+        |UNION ALL SELECT 'n_langs', n_langs FROM a
+        |UNION ALL SELECT 'n_sources', n_sources FROM a
+        |UNION ALL SELECT 'n_vocab', n_vocab FROM v""".stripMargin,
+
     // two-stage retrieval: hamming top-20 shortlist -> exact cosine
     // re-rank to 3; the cosine form matches the engine's expression
     "q_rerank" ->

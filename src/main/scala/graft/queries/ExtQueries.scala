@@ -467,6 +467,42 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, nprobe = 3, numSub = 8, subDim = 8)
   }
 
+  /** Corpus DATA CARD — the one-query summary a dataset release ships
+    * (the quantitative face of "Datasheets for Datasets", Gebru et
+    * al. CACM'21): docs, tokens, chars, token extremes, exact-dup
+    * count, language/source cardinalities, exact vocabulary size —
+    * in long (metric, value) form, all BIGINT, so adding a metric is
+    * a row not a schema change. Shape: ONE pass over the corpus for
+    * every per-doc stat (count/sum/min/max/distinct-hash in a single
+    * partial+final agg) plus the one token-key shuffle an exact
+    * vocabulary needs — at extreme cardinality the sketch family
+    * (q_hll_distinct/q_kmv_distinct) is the documented approximate
+    * stand-in for that column. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.select(col("lang"), col("source"),
+      length(col("text")).cast("long").as("__ch"),
+      size(split(col("text"), " ")).cast("long").as("__nt"),
+      md5(col("text")).as("__h"))
+    val a = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).as("n_tokens"),
+      sum(col("__ch")).as("n_chars"),
+      max(col("__nt")).as("max_doc_tokens"),
+      min(col("__nt")).as("min_doc_tokens"),
+      (count(lit(1)) - countDistinct(col("__h"))).as("n_exact_dup_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val vocab = d.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("n_vocab"))
+    a.crossJoin(vocab).selectExpr(
+      "stack(9, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, 'max_doc_tokens', max_doc_tokens, " +
+        "'min_doc_tokens', min_doc_tokens, " +
+        "'n_exact_dup_docs', n_exact_dup_docs, 'n_langs', n_langs, " +
+        "'n_sources', n_sources, 'n_vocab', n_vocab) AS (metric, value)")
+  }
+
   /** Sign-bit binary codes for every embedding (Similarity
     * .binaryQuantize): 64 dims → two 32-bit words, all integer. */
   def binaryEmbed(spark: SparkSession, dir: String): DataFrame =
@@ -1056,5 +1092,6 @@ object ExtQueries {
     "q_hamming_recall"    -> (hammingRecall _),
     "q_rerank"            -> (rerankQ _),
     "q_hard_pairs"        -> (hardPairsQ _),
+    "q_data_card"         -> (dataCard _),
   )
 }
