@@ -707,8 +707,11 @@ object Dedup {
       .select(col(idCol), col("shingle"),
         row_number().over(byRarity).as("__p"),
         count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
-    // prefix length L = sz − ⌈τ·sz⌉ + 1; ceil via (a+99) div 100 —
-    // integer arithmetic end to end so the oracle agrees bit-for-bit
+    // prefix length L = sz − ⌈τ·sz⌉ + 1; ceil via floor((a+99)/100).
+    // Spark's `/` is double division, so this is floor-of-double:
+    // exact (and oracle-bit-equal) while the numerator stays under
+    // 2^53 — sz is a per-doc shingle count, so the bound is
+    // unreachable by ~8 orders of magnitude for any real document
     val prefix = pos.filter(col("__p") <=
       col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
     val a = prefix.select(col(idCol).as("doc_a"), col("shingle"),
@@ -751,8 +754,12 @@ object Dedup {
     * shingle tables (one combined map-side agg), so the prefix lemma
     * and PPJoin positional bound apply unchanged to cross pairs. At
     * production scale the index side's positional prefix table is
-    * exactly what you persist between ingests; only the (small)
-    * incoming side is shingled fresh, plus one frequency refresh.
+    * persistable between ingests ONLY while the rarity order is
+    * frozen: the order is computed over the union of both corpora,
+    * so an ingest's frequency refresh can reorder prefixes and
+    * invalidate a stored index-side table — persist the frequency
+    * snapshot with the table and re-derive prefixes when it moves
+    * (or accept the recall of a stale order until the next rebuild).
     * Output: (index_id, new_id, inter, n_index, n_new) — integer
     * columns, same contract as the self-join. Caller guarantees the
     * two id spaces are disjoint (same contract as

@@ -305,13 +305,13 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** One broadcast row holding the PQ codebook: the seed vectors in
-    * vec-id-ascending order; centroid j of every subspace is seed j's
+  /** One broadcast row holding the PQ codebook: the codebook rows in
+    * id-ascending order; centroid j of subspace m is row j's m-th
     * subvector, so the whole codebook is numCentroids full vectors —
-    * sliced per subspace at use sites. The deterministic seed-pick
-    * stands in for a trained k-means codebook (injectable: pass any
-    * 16/256-row centroid frame); the ENCODING/ADC machinery is what
-    * scales, not the codebook fit. */
+    * sliced per subspace at use sites. The expected producer is
+    * [[KMeans.codebook]] over a [[KMeans.fit]] (per-subspace Lloyd
+    * training — the gate queries train on the corpus / on IVF
+    * residuals); any centroid frame injects through the same seam. */
   private def pqCodebook(seeds: DataFrame, idCol: String,
                          vecCol: String): DataFrame =
     broadcast(
@@ -404,25 +404,28 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
         .as("__codes"))
     // per-query LUT: (sub_id, centroid) -> d2, keyed by the integer
-    // sub_id * 2^20 + centroid in one broadcast-joined map column
-    // (integer map lookups keep the per-candidate fold cheap — a
-    // string key measured ~2x slower at 10x scale)
+    // sub_id * |codebook| + centroid in one broadcast-joined map
+    // column (integer map lookups keep the per-candidate fold cheap —
+    // a string key measured ~2x slower at 10x scale). The stride is
+    // the codebook LENGTH taken from the broadcast row itself, so the
+    // key is collision-free for any codebook size by construction.
     val cb = pqCodebook(seeds, idCol, vecCol)
-    val lutKey = (m: Column, j: Column) => (m * lit(1 << 20) + j).cast("long")
+    val lutKey = (m: Column, j: Column, stride: Column) =>
+      (m * stride + j).cast("long")
     val lut = queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
       .crossJoin(cb)
-      .select(col("query_id"),
+      .select(col("query_id"), size(col("__cb")).cast("long").as("__stride"),
         map_from_entries(flatten(transform(col("__cb"), (c, j) =>
           transform(sequence(lit(0), lit(numSub - 1)), m =>
             struct(
-              lutKey(m, j).as("k"),
+              lutKey(m, j, size(col("__cb"))).as("k"),
               dist2(slice(col("__qv"), m * subDim + 1, lit(subDim)),
                 slice(c.getField("sv"), m * subDim + 1, lit(subDim)))
                 .as("v")))))).as("__lut"))
     val adc = aggregate(col("__codes"), lit(0.0), (acc, x) =>
       acc + element_at(col("__lut"),
-        lutKey(x.getField("sub_id"), x.getField("code"))))
+        lutKey(x.getField("sub_id"), x.getField("code"), col("__stride"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
     codes.crossJoin(broadcast(lut))
@@ -441,7 +444,13 @@ object Similarity {
     * 64-bit word: bit 31 is the highest position used per word, so
     * the packed domain never touches an engine-specific 64-bit sign
     * wrap (the lesson SimHash64's 4×16-bit oracle encodes).
-    * Zero-shuffle projection; scan partitioning inherited. */
+    * Zero-shuffle projection; scan partitioning inherited.
+    *
+    * PRECONDITION: exactly 64-dim vectors (words pack offsets 0-31
+    * and 32-63). A shorter vector throws under ANSI `element_at`; a
+    * longer one would silently ignore dims past 64 — callers with
+    * other widths slice/pad to 64 first (the gate corpus is 64-dim by
+    * schema). */
   def binaryQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     def word(from: Int): Column = expr(
       s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> " +
@@ -574,18 +583,20 @@ object Similarity {
     * The encode inlines [[pqEncode]]'s argmin (same codebook, same
     * tie rule) to carry the cell through the explode instead of
     * re-deriving the assignment with a second pass or a join. */
-  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
-                centroids: DataFrame, seeds: DataFrame,
-                idCol: String, vecCol: String, k: Int, nprobe: Int,
-                numSub: Int, subDim: Int): DataFrame = {
-    require(numSub >= 1 && subDim >= 1)
+  /** IVF cell assignment + residual, the shared first stage of IVFADC
+    * (and the input a residual-space codebook trains on — KMeans.fit
+    * over `__rv` is how `ivfPqTopK`'s codebook is fitted): nearest
+    * cell by squared L2 (argmin via array_min over struct(d2, cid),
+    * ties to the smallest centroid id), then the residual
+    * v − centroid(cell). The centroid vector is re-fetched by cid so
+    * the argmin struct stays scalar-ordered (no array-typed
+    * comparison in the min). One pass over the candidates against the
+    * broadcast centroid row — no shuffle, vectors stay in their scan
+    * partitions. Output: (neighbor_id, __cell, __rv). */
+  def ivfResiduals(candidates: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String): DataFrame = {
     val cents = centroidRow(centroids, idCol, vecCol)
-    val cb = pqCodebook(seeds, idCol, vecCol)
-    // nearest cell by L2 (argmin via array_min over struct(d2, cid)),
-    // then the residual against THAT cell's centroid — the centroid
-    // vector is re-fetched by cid so the argmin struct stays
-    // scalar-ordered (no array-typed comparison in the min)
-    val assigned = candidates
+    candidates
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
       .crossJoin(cents)
       .withColumn("__best", array_min(transform(col("__cents"), c =>
@@ -596,6 +607,16 @@ object Similarity {
         c => c.getField("cid") === col("__cell")), 1).getField("cv"))
       .select(col("neighbor_id"), col("__cell"),
         zip_with(col("__v"), col("__ccv"), (x, y) => x - y).as("__rv"))
+  }
+
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                centroids: DataFrame, seeds: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                numSub: Int, subDim: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1)
+    val cents = centroidRow(centroids, idCol, vecCol)
+    val cb = pqCodebook(seeds, idCol, vecCol)
+    val assigned = ivfResiduals(candidates, centroids, idCol, vecCol)
     val codes = assigned
       .crossJoin(cb)
       .select(col("neighbor_id"), col("__cell"),
@@ -625,20 +646,24 @@ object Similarity {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__cell"),
         zip_with(col("__qv"), col("__ccv"), (x, y) => x - y).as("__qr"))
-    val lutKey = (m: Column, j: Column) => (m * lit(1 << 20) + j).cast("long")
+    // LUT key stride = codebook length from the broadcast row itself
+    // (collision-free for any codebook size, same rule as pqTopK)
+    val lutKey = (m: Column, j: Column, stride: Column) =>
+      (m * stride + j).cast("long")
     val lut = probes.crossJoin(cb)
       .select(col("query_id"), col("__cell"),
+        size(col("__cb")).cast("long").as("__stride"),
         map_from_entries(flatten(transform(col("__cb"), (c, j) =>
           transform(sequence(lit(0), lit(numSub - 1)), m =>
             struct(
-              lutKey(m, j).as("k"),
+              lutKey(m, j, size(col("__cb"))).as("k"),
               dist2(slice(col("__qr"), m * subDim + 1, lit(subDim)),
                 slice(c.getField("sv"), m * subDim + 1, lit(subDim)))
                 .as("v")))))).as("__lut"))
     // ADC chained in sub_id order (sort_array above) — engine-exact
     val adc = aggregate(col("__codes"), lit(0.0), (acc, x) =>
       acc + element_at(col("__lut"),
-        lutKey(x.getField("sub_id"), x.getField("code"))))
+        lutKey(x.getField("sub_id"), x.getField("code"), col("__stride"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
     codes.join(broadcast(lut), Seq("__cell"))

@@ -731,4 +731,151 @@ object TextOps {
         col("__best")("lang").as("pred_lang"),
         col("__best")("overlap").cast("long").as("overlap"))
   }
+
+  /** BPE merge LEARNING — the training half of [[bpeMergeStats]]'s
+    * merge-table *application* (the corpus-scale tokenizer trainer):
+    * the classic Sennrich-et-al iterative top-pair merge. Start from
+    * the pretoken frequency table split to characters; each round,
+    * (1) count adjacent symbol pairs weighted by pretoken frequency —
+    * ONE map-side-combinable groupBy over the word table, (2) take
+    * the most frequent pair (ties: lexicographic smallest (left,
+    * right) — a total order, so the learned table is deterministic),
+    * (3) fuse it everywhere. Returns the ranked merge table
+    * `(rank, left, right, pair_count)` — the exact shape
+    * [[graft.catalyst.BpeEncode]] consumes (BpeLearnSpec round-trips
+    * it).
+    *
+    * Words are carried as CHR(31)-DELIMITED STRINGS (`␟a␟b␟`), so the
+    * fuse step is one anchored string `replace` — left-to-right
+    * non-overlapping, which IS greedy BPE fusion semantics, and the
+    * identical primitive in every engine (the oracle replays the loop
+    * with the same replaces). Two fused words may collide onto one
+    * string (["a","b"] + fuse → ["ab"]); rows stay separate — pair
+    * counts only ever sum over rows, so collisions are harmless and
+    * the fuse stays a zero-shuffle projection.
+    *
+    * Scale shape: the corpus is touched ONCE (pretoken explode +
+    * count — the word table is the distinct-pretoken frequency table,
+    * orders of magnitude smaller than the corpus); every round then
+    * costs one pair-count shuffle over the word table, a 1-row
+    * TakeOrdered for the winner (broadcast back in-plan, no collect),
+    * and a projection fuse. Lineage is cut per round
+    * (localCheckpoint), same loop policy as Dedup.connectedComponents
+    * and KMeans.fit. */
+  def bpeLearn(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1)
+    val SEP = ""
+    val spark = df.sparkSession
+    var words = df
+      .select(explode(bpePretokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .select(concat(lit(SEP), array_join(split(col("__w"), ""), SEP),
+        lit(SEP)).as("__s"), col("__cnt"))
+      .localCheckpoint()
+    val learned = (1 to numMerges).map { rank =>
+      val syms = filter(split(col("__s"), SEP), x => x =!= "")
+      val pairs = words
+        .select(col("__cnt"),
+          explode(when(size(syms) >= 2,
+            transform(sequence(lit(0), size(syms) - 2), i =>
+              struct(element_at(syms, i + 1).as("left"),
+                element_at(syms, i + 2).as("right"))))
+            .otherwise(array().cast("array<struct<left:string,right:string>>")))
+            .as("__p"))
+      val top = pairs
+        .groupBy(col("__p.left").as("left"), col("__p.right").as("right"))
+        .agg(sum(col("__cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(1)
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(top))
+        .select(call_function("replace", col("__s"),
+          concat(lit(SEP), col("left"), lit(SEP), col("right"), lit(SEP)),
+          concat(lit(SEP), col("left"), col("right"), lit(SEP))).as("__s"),
+          col("__cnt"))
+        .localCheckpoint()
+      top.select(lit(rank.toLong).as("rank"), col("left"), col("right"),
+        col("pair_count"))
+    }
+    learned.reduce(_ unionByName _)
+  }
+
+  /** Raw-document EXTRACTION — the trafilatura/jusText slot that
+    * precedes every real web-corpus pass: HTML/markup → clean text.
+    * Deterministic column pipeline (regex patterns restricted to the
+    * Java∩RE2 common subset, so the DuckDB oracle runs the identical
+    * rules), in the order a boilerplate extractor applies them:
+    *
+    *  1. script/style/noscript/template ELEMENTS drop whole (their
+    *     content is code, not text), HTML comments drop;
+    *  2. the document splits into BLOCKS at block-level tag
+    *     boundaries (p, div, h1-h6, li, tr, nav, header, footer…) — the
+    *     units boilerplate heuristics reason about;
+    *  3. per block, the LINK DENSITY heuristic (jusText's core rule):
+    *     count `<a` tags before stripping; a block is boilerplate
+    *     when it has fewer than `minWords` words or at least half its
+    *     words sit in links (n_words <= 2·n_links) — navigation bars,
+    *     footers, and link farms go, prose stays;
+    *  4. inline tags strip (`<[^>]*>`), the five ubiquitous entities
+    *     decode (&lt; &gt; &quot; &#39; &nbsp;, then &amp; LAST so
+    *     double-escaped text decodes one level exactly), whitespace
+    *     collapses.
+    *
+    * Kept blocks reassemble in document order. Output: (id,
+    * clean_text, n_blocks, n_kept, n_links) — the drop counts make
+    * the heuristic's bite observable per document, same audit policy
+    * as the dedup caps. Docs whose every block drops keep a row with
+    * clean_text = '' (left join back to the id spine).
+    *
+    * Scale shape: stages 1-4 are pure projections; the block explode
+    * inherits the scan partitioning; the only shuffle is the per-doc
+    * reassembly groupBy — exactly [[removeBoilerplateLines]]'s shape,
+    * and the natural downstream is that operator plus [[normalize]]
+    * over `clean_text`. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 3): DataFrame = {
+    val dropElems = regexp_replace(col(htmlCol),
+      "(?is)<(script|style|noscript|template)(>|[ \t][^>]*>).*?</(script|style|noscript|template)>",
+      "")
+    val dropComments = regexp_replace(dropElems, "(?s)<!--.*?-->", "")
+    val blockTag =
+      "(?i)</?(p|div|h[1-6]|li|ul|ol|tr|td|th|table|section|article|header|footer|nav|blockquote|pre|form)(>|[ \t][^>]*>)|<br[ \t]*/?>"
+    val blocks = df
+      .select(col(idCol), split(dropComments, blockTag).as("__blocks"))
+      .select(col(idCol), size(col("__blocks")).as("__nb"),
+        posexplode(col("__blocks")).as(Seq("__pos", "__blk")))
+    val nLinks = regexp_count(col("__blk"), lit("(?i)<a[ >]"))
+    val noTags = regexp_replace(col("__blk"), "<[^>]*>", "")
+    // entity names contain no regex metacharacters in either engine,
+    // so the patterns are literal on both sides
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val cleanBlk = trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
+    val scored = blocks.select(col(idCol), col("__nb"), col("__pos"),
+        cleanBlk.as("__txt"), nLinks.cast("long").as("__links"))
+      .withColumn("__words",
+        when(col("__txt") === "", lit(0))
+          .otherwise(size(split(col("__txt"), " "))).cast("long"))
+    val kept = scored
+      .filter(col("__words") >= minWords &&
+        col("__words") > col("__links") * 2)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__txt")))),
+            s => s.getField("__txt")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        first(col("__nb")).cast("long").as("n_blocks"))
+    val linkTotals = scored.groupBy(col(idCol))
+      .agg(sum(col("__links")).as("n_links"),
+        first(col("__nb")).cast("long").as("__nb2"))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .join(linkTotals, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_blocks"), col("__nb2")).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_links"))
+  }
 }

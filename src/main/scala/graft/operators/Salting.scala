@@ -66,7 +66,8 @@ object Salting {
   /** The MEASUREMENT that picks the salt knob: per-key row counts for
     * every key whose group exceeds `targetPerTask`, with the minimal
     * bucket count that brings its per-bucket share back under target —
-    * `suggested_salt = ⌈cnt / target⌉`, integer-exact. Feed the max
+    * `suggested_salt = ⌈cnt / target⌉` (exact for counts under 2^53
+    * — see the ceil note below). Feed the max
     * over the report into [[saltedAgg]]/[[saltedEquiJoin]]'s `buckets`
     * (or fix the partitioning upstream); an empty report means the key
     * is safe unsalted.
@@ -82,6 +83,8 @@ object Salting {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > targetPerTask)
+      // ceil via floor-of-double division: exact while cnt stays
+      // under 2^53 per key (row counts — unreachable in practice)
       .withColumn("suggested_salt",
         floor((col("cnt") + targetPerTask - 1) / targetPerTask))
   }

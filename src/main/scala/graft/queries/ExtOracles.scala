@@ -38,6 +38,290 @@ object ExtOracles {
        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
        |       * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
 
+
+  // ===== trained-codebook (k-means) oracle machinery =====
+  //
+  // The unrolled Lloyd chain mirroring ext.KMeans.fit EXACTLY:
+  // components quantize ONCE to BIGINT (floor(x*scale + 0.5) — exact
+  // in IEEE double, identical in every engine), assignment distances
+  // are integer sums (order-independent, so grouped SUM is safe to
+  // parallelize), and centroid updates are round-half-up integer
+  // means via floor((2s+n)/(2n)) with exact-integer s, n and a
+  // correctly-rounded double division — every engine floors the same
+  // value while 2s stays under 2^53. The in-row argmin
+  // (list_indexof of list_min over a cid-ORDERED centroid list)
+  // implements "min d2, ties to the smallest cid": centroid ids are
+  // 0..k-1 contiguous by construction, so index-1 = cid. Expects a
+  // CTE `kmsrc(rid BIGINT, v DOUBLE[])` in scope; produces
+  // kmc{iters} (cid, m, cv BIGINT[]) plus the [[kmCodebookCtes]]
+  // views of it.
+  private def kmAssign(name: String, src: String, sd: Int): String =
+    s"""$name AS (SELECT rid, m,
+       |    cl[list_indexof(ds, list_min(ds))].cid AS cid FROM (
+       |    SELECT q.rid, q.m,
+       |      list_transform(c.cl, cc -> list_sum(list_transform(
+       |        range(1, ${sd + 1}),
+       |        i -> (q.qv[i] - cc.cv[i]) * (q.qv[i] - cc.cv[i])))) AS ds,
+       |      c.cl
+       |    FROM kmqv q JOIN (SELECT m, list({'cid': cid, 'cv': cv}
+       |        ORDER BY cid) AS cl FROM $src GROUP BY m) c
+       |      ON c.m = q.m) t)""".stripMargin
+
+  private def kmChain(k: Int, ns: Int, sd: Int, iters: Int,
+                      scale: Long): String = {
+    val sums = (1 to sd).map(i => s"SUM(q.qv[$i]) AS s$i").mkString(", ")
+    val means = (1 to sd).map(i =>
+      s"CAST(FLOOR((2.0 * u.s$i + u.n) / (2.0 * u.n)) AS BIGINT)")
+      .mkString(", ")
+    val head =
+      s"""kmqv AS (SELECT s.rid, m.m, list_transform(range(1, ${sd + 1}), i ->
+         |    CAST(FLOOR(s.v[m.m * $sd + i] * $scale + 0.5) AS BIGINT)) AS qv
+         |  FROM kmsrc s, (SELECT unnest(range(0, $ns)) AS m) m),
+         |kminit AS (SELECT cid, rid FROM (
+         |    SELECT rid, row_number() OVER (
+         |        ORDER BY (rid * 48271) % 2147483647, rid) - 1 AS cid
+         |    FROM kmsrc) t WHERE cid < $k),
+         |kmc0 AS (SELECT n.cid, q.m, q.qv AS cv
+         |  FROM kminit n JOIN kmqv q ON q.rid = n.rid)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      kmAssign(s"kma$t", s"kmc${t - 1}", sd) + ",\n" +
+        s"""kmc$t AS (SELECT p.cid, p.m,
+           |    CASE WHEN u.n IS NULL THEN p.cv
+           |      ELSE list_value($means) END AS cv
+           |  FROM kmc${t - 1} p LEFT JOIN (
+           |    SELECT a.cid, a.m, COUNT(*) AS n, $sums
+           |    FROM kma$t a JOIN kmqv q ON q.rid = a.rid AND q.m = a.m
+           |    GROUP BY 1, 2) u ON u.cid = p.cid AND u.m = p.m)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** Codebook views over the fitted kmc{iters}: `kmseeds (j, sv)` —
+    * full-width rows (sub-centroids concatenated in (m, i) order,
+    * components /scale back to vector space, exact dyadic doubles),
+    * the shape the wide LUT joins want; and `kmsub (m, scl)` — the
+    * per-subspace slice lists the in-row encode argmin wants. */
+  private def kmCodebookCtes(sd: Int, iters: Int, scale: Long): String =
+    s"""kmseeds AS (SELECT cid AS j,
+       |    list(CAST(cv[i.i] AS DOUBLE) / $scale.0 ORDER BY m, i.i) AS sv
+       |  FROM kmc$iters CROSS JOIN
+       |    (SELECT unnest(range(1, ${sd + 1})) AS i) i
+       |  GROUP BY cid),
+       |kmsub AS (SELECT m, list(list_transform(range(1, ${sd + 1}), i ->
+       |    CAST(cv[i] AS DOUBLE) / $scale.0) ORDER BY cid) AS scl
+       |  FROM kmc$iters GROUP BY m)""".stripMargin
+
+  /** Unrolled BPE merge-learning chain mirroring TextOps.bpeLearn:
+    * pretoken frequency table → per round, one pair-count agg, a
+    * 1-row top pick (count DESC, then lexicographic pair — a total
+    * order), and the chr(31)-anchored replace fuse (left-to-right
+    * non-overlapping = greedy BPE fusion, the identical primitive in
+    * both engines). */
+  private def bpeLearnSql(numMerges: Int): String = {
+    val head =
+      """WITH rich AS (SELECT doc_id,
+        |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||
+        |      CAST(n_chars AS VARCHAR) || '!' AS rich
+        |  FROM documents),
+        |pt AS (SELECT unnest(regexp_extract_all(rich,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+        |    AS w FROM rich),
+        |w0 AS (SELECT chr(31) || array_to_string(string_split(w, ''), chr(31))
+        |      || chr(31) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pt GROUP BY 1)""".stripMargin
+    val steps = (1 to numMerges).map { t =>
+      s"""m$t AS (SELECT l, r, pc FROM (
+         |    SELECT (u).l AS l, (u).r AS r, SUM(cnt) AS pc FROM (
+         |      SELECT cnt, unnest(list_transform(range(1, len(sy)), i ->
+         |          {'l': sy[i], 'r': sy[i + 1]})) AS u
+         |      FROM (SELECT cnt, list_filter(string_split(s, chr(31)),
+         |          x -> x <> '') AS sy FROM w${t - 1}) q0) q1
+         |    GROUP BY 1, 2) g
+         |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |w$t AS (SELECT replace(w.s, chr(31) || m.l || chr(31) || m.r
+         |      || chr(31), chr(31) || m.l || m.r || chr(31)) AS s, w.cnt
+         |  FROM w${t - 1} w, m$t m)""".stripMargin
+    }
+    val tail = (1 to numMerges).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  CAST(pc AS BIGINT) AS pair_count FROM m$t""".stripMargin
+    }.mkString("\n", "\nUNION ALL ", "")
+    (head +: steps).mkString(",\n") + tail
+  }
+
+  private def eCandCtes: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20)""".stripMargin
+
+  /** e/cand + kmsrc over the raw candidate vectors + the fitted
+    * codebook CTEs — the preamble of every trained-PQ oracle. */
+  private def pqPreamble: String =
+    eCandCtes + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
+      kmChain(ExtQueries.PqK, ExtQueries.PqSub, ExtQueries.PqDim,
+        ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
+
+  /** PQ encode of `cand` against kmsub — in-row argmin per (vector,
+    * subspace); d2 runs in FLOAT space (v minus the dyadic-exact
+    * codebook slice), the same left-to-right fold as pqEncode. */
+  private def pqEncodeCte(sd: Int): String =
+    s"""codes AS (SELECT vec_id, m,
+       |    list_indexof(ds, list_min(ds)) - 1 AS code,
+       |    list_min(ds) AS d2 FROM (
+       |  SELECT c.vec_id, k.m, list_transform(k.scl, sc ->
+       |    list_sum(list_transform(range(1, ${sd + 1}), i ->
+       |      (c.v[k.m * $sd + i] - sc[i])
+       |      * (c.v[k.m * $sd + i] - sc[i])))) AS ds
+       |  FROM cand c, kmsub k) t)""".stripMargin
+
+  private def pqLutCte(ns: Int, sd: Int): String =
+    s"""lut AS (SELECT q.query_id, m.m, s.j,
+       |    list_sum(list_transform(range(1, ${sd + 1}), i ->
+       |      (q.v[m.m * $sd + i] - s.sv[m.m * $sd + i])
+       |      * (q.v[m.m * $sd + i] - s.sv[m.m * $sd + i]))) AS d2
+       |  FROM q, (SELECT unnest(range(0, $ns)) AS m) m, kmseeds s)""".stripMargin
+
+  private val pqAdcRankedCtes: String =
+    """adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
+      |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, neighbor_id, adc_dist2,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+      |  FROM adc)""".stripMargin
+
+  private val qCte: String =
+    "q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20)"
+
+  private val recallTailSql: String =
+    """SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST((SELECT COUNT(*) FROM approx a2
+      |    WHERE a2.query_id = e2.query_id) AS BIGINT) AS n_approx,
+      |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_hit
+      |FROM exact e2 LEFT JOIN approx a
+      |  ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+      |GROUP BY e2.query_id""".stripMargin
+
+  private val exactL2Cte: String =
+    """exact AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+      |      PARTITION BY q.query_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i ->
+      |        (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) ASC,
+      |      c.vec_id ASC) AS rank
+      |  FROM q, cand c) t WHERE rank <= 3)""".stripMargin
+
+  private def pqCodesSql: String =
+    pqPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim) + "\n" +
+      """SELECT vec_id, CAST(m AS BIGINT) AS sub_id,
+        |  CAST(code AS BIGINT) AS code, d2 AS dist2
+        |FROM codes""".stripMargin
+
+  private def pqTopkSql: String =
+    pqPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim) + ",\n" + qCte +
+      ",\n" + pqLutCte(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
+      pqAdcRankedCtes + "\n" +
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  adc_dist2
+        |FROM ranked WHERE rank <= 3""".stripMargin
+
+  private def pqRecallSql: String =
+    pqPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim) + ",\n" + qCte +
+      ",\n" + pqLutCte(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
+      pqAdcRankedCtes + ",\n" +
+      "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
+      exactL2Cte + "\n" + recallTailSql
+
+  /** IVF cells + residuals (identical to the r7 chain) + a km fit
+    * whose kmsrc is the RESIDUAL vectors — the codebook the ADC
+    * probes against is trained on what it quantizes. */
+  private def ivfPreamble: String =
+    eCandCtes + ",\n" +
+      """stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+        |    AS m FROM cand),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
+        |  WHERE vec_id % stride.m = 0),
+        |asg AS (SELECT neighbor_id, cell, rv FROM (
+        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+        |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM cand c, cent ct) WHERE rk = 1),
+        |kmsrc AS (SELECT neighbor_id AS rid, rv AS v FROM asg)""".stripMargin +
+      ",\n" +
+      kmChain(ExtQueries.PqK, ExtQueries.PqSub, ExtQueries.PqDim,
+        ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
+
+  private def ivfBodyCtes(ns: Int, sd: Int): String =
+    s"""codes AS (SELECT neighbor_id, cell, m,
+       |    list_indexof(ds, list_min(ds)) - 1 AS code FROM (
+       |  SELECT a.neighbor_id, a.cell, k.m, list_transform(k.scl, sc ->
+       |    list_sum(list_transform(range(1, ${sd + 1}), i ->
+       |      (a.rv[k.m * $sd + i] - sc[i])
+       |      * (a.rv[k.m * $sd + i] - sc[i])))) AS ds
+       |  FROM asg a, kmsub k) t),
+       |$qCte,
+       |probes AS (SELECT query_id, cell, qr FROM (
+       |  SELECT q.query_id, ct.cid AS cell,
+       |    list_transform(range(1, 65), i -> q.v[i] - ct.cv[i]) AS qr,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i ->
+       |        (q.v[i] - ct.cv[i]) * (q.v[i] - ct.cv[i]))) ASC,
+       |      ct.cid ASC) AS rk
+       |  FROM q, cent ct) WHERE rk <= 3),
+       |lut AS (SELECT p.query_id, p.cell, m.m, s.j,
+       |    list_sum(list_transform(range(1, ${sd + 1}), i ->
+       |      (p.qr[m.m * $sd + i] - s.sv[m.m * $sd + i])
+       |      * (p.qr[m.m * $sd + i] - s.sv[m.m * $sd + i]))) AS d2
+       |  FROM probes p, (SELECT unnest(range(0, $ns)) AS m) m, kmseeds s),
+       |adc AS (SELECT l.query_id, c.neighbor_id,
+       |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
+       |  FROM codes c
+       |  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.j = c.code
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, adc_dist2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+       |  FROM adc)""".stripMargin
+
+  private def ivfPqTopkSql: String =
+    ivfPreamble + ",\n" + ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) +
+      "\n" +
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  adc_dist2
+        |FROM ranked WHERE rank <= 3""".stripMargin
+
+  private def ivfPqRecallSql: String =
+    ivfPreamble + ",\n" + ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) +
+      ",\n" +
+      "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
+      exactL2Cte + "\n" + recallTailSql
+
+  /** The k-means fit itself through the gate: candidate-corpus
+    * chain + one more assignment under the FINAL centroids for
+    * n_members, exploded to (sub_id, cid, dim_id, c, n_members). */
+  private def kmeansFitSql: String =
+    eCandCtes + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
+      kmChain(ExtQueries.PqK, ExtQueries.PqSub, ExtQueries.PqDim,
+        ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmAssign("kmaf", s"kmc${ExtQueries.PqIters}", ExtQueries.PqDim) + "\n" +
+      s"""SELECT CAST(c.m AS BIGINT) AS sub_id, CAST(c.cid AS BIGINT) AS cid,
+         |  CAST(i.i - 1 AS BIGINT) AS dim_id, c.cv[i.i] AS c,
+         |  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members
+         |FROM kmc${ExtQueries.PqIters} c
+         |LEFT JOIN (SELECT cid, m, COUNT(*) AS n FROM kmaf GROUP BY 1, 2) n
+         |  ON n.cid = c.cid AND n.m = c.m
+         |CROSS JOIN (SELECT unnest(range(1, ${ExtQueries.PqDim + 1})) AS i) i"""
+        .stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_dedup_exact" ->
@@ -402,128 +686,22 @@ object ExtOracles {
         |  MAX(fill) AS max_fill, MIN(fill) AS min_fill
         |FROM pk GROUP BY source""".stripMargin,
 
-    // PQ codes: centroid j of subspace m = seed j's m-th subvector;
-    // nearest = min squared L2 (double subtract/multiply/add are
-    // exact IEEE ops; list_sum is the same sequential fold as the
-    // engine's aggregate), ties to the smallest centroid index
-    "q_pq_codes" ->
-      """WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-        |    AS j, embedding AS sv
-        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
-        |cand AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id >= 20),
-        |sub AS (SELECT c.vec_id, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
-        |      * (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
-        |  FROM cand c, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |best AS (SELECT vec_id, m, j, d2, row_number() OVER (
-        |    PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rk
-        |  FROM sub)
-        |SELECT vec_id, CAST(m AS BIGINT) AS sub_id,
-        |  CAST(j AS BIGINT) AS code, d2 AS dist2
-        |FROM best WHERE rk = 1""".stripMargin,
+    // PQ codes over the TRAINED codebook: the unrolled Lloyd fit
+    // (kmChain) followed by an in-row encode argmin; d2 is the
+    // winner's float-space residual, ties to the smallest code
+    "q_pq_codes" -> pqCodesSql,
 
-    // PQ ADC top-3: per-query lookup table to every centroid per
-    // subspace; a candidate's distance is the table sum over its
-    // codes in sub_id order (list(... ORDER BY m) -> list_sum = the
-    // engine's sorted-fold)
-    "q_pq_topk" ->
-      """WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-        |    AS j, embedding AS sv
-        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
-        |cand AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id >= 20),
-        |sub AS (SELECT c.vec_id, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
-        |      * (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
-        |  FROM cand c, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |codes AS (SELECT vec_id, m, j FROM (
-        |  SELECT vec_id, m, j, row_number() OVER (
-        |      PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rk
-        |  FROM sub) WHERE rk = 1),
-        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-        |  WHERE vec_id < 20),
-        |lut AS (SELECT q.query_id, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
-        |      * (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
-        |  FROM q, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
-        |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
-        |  GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, neighbor_id, adc_dist2,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
-        |  FROM adc)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        |  adc_dist2
-        |FROM ranked WHERE rank <= 3""".stripMargin,
+    // PQ ADC top-3 over the trained codebook: per-query lookup
+    // table against kmseeds; a candidate's distance is the table
+    // sum over its codes in sub_id order (list(... ORDER BY m) ->
+    // list_sum = the engine's sorted-fold)
+    "q_pq_topk" -> pqTopkSql,
 
-    // PQ recall audit: ADC top-3 (same chain as q_pq_topk) vs the
-    // exact full-vector squared-L2 top-3, reduced to integer
-    // per-query overlap counts
-    "q_pq_recall" ->
-      """WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-        |    AS j, embedding AS sv
-        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
-        |cand AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id >= 20),
-        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-        |  WHERE vec_id < 20),
-        |sub AS (SELECT c.vec_id, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
-        |      * (CAST(c.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
-        |  FROM cand c, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |codes AS (SELECT vec_id, m, j FROM (
-        |  SELECT vec_id, m, j, row_number() OVER (
-        |      PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rk
-        |  FROM sub) WHERE rk = 1),
-        |lut AS (SELECT q.query_id, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE))
-        |      * (CAST(q.embedding[m.m * 8 + i] AS DOUBLE)
-        |        - CAST(s.sv[m.m * 8 + i] AS DOUBLE)))) AS d2
-        |  FROM q, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |approx AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT a.query_id, a.neighbor_id, row_number() OVER (
-        |      PARTITION BY a.query_id
-        |      ORDER BY a.adc_dist2 ASC, a.neighbor_id ASC) AS rank
-        |  FROM (SELECT l.query_id, c.vec_id AS neighbor_id,
-        |      list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
-        |    FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
-        |    GROUP BY 1, 2) a) WHERE rank <= 3),
-        |exact AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
-        |      PARTITION BY q.query_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (CAST(q.embedding[i] AS DOUBLE)
-        |          - CAST(c.embedding[i] AS DOUBLE))
-        |        * (CAST(q.embedding[i] AS DOUBLE)
-        |          - CAST(c.embedding[i] AS DOUBLE)))) ASC,
-        |      c.vec_id ASC) AS rank
-        |  FROM q, cand c) WHERE rank <= 3)
-        |SELECT e.query_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_exact,
-        |  CAST((SELECT COUNT(*) FROM approx a2
-        |    WHERE a2.query_id = e.query_id) AS BIGINT) AS n_approx,
-        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
-        |    END) AS BIGINT) AS n_hit
-        |FROM exact e LEFT JOIN approx a
-        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        |GROUP BY e.query_id""".stripMargin,
+    // PQ recall audit: trained-codebook ADC top-3 vs the exact
+    // full-vector squared-L2 top-3, reduced to integer per-query
+    // overlap counts (>= 0.7 on the gate fixture with the fit in
+    // place — the round-7 stand-in measured ~0.10)
+    "q_pq_recall" -> pqRecallSql,
 
     // quality routing: the lang-id argmax chain + the surprisal LM
     // chain + the gopher pass boolean, joined per doc and reduced to
@@ -676,6 +854,112 @@ object ExtOracles {
         |  JOIN e q ON q.vec_id = s.query_id
         |  JOIN e c ON c.vec_id = s.neighbor_id) t
         |WHERE rank <= 3""".stripMargin,
+
+    // composed two-stage recall audit: the full q_rerank chain
+    // (hamming top-20 shortlist -> exact cosine re-rank to 3) as
+    // `approx` beside the exact cosine top-3, reduced to the same
+    // integer overlap counts as the other recall audits — stage 2 is
+    // exact on the shortlist, so n_exact - n_hit IS stage-1 loss
+    "q_rerank_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bq AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_lo,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] > 0
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS b_hi
+        |  FROM embeddings),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.b_lo, c.b_lo))
+        |        + bit_count(xor(q.b_hi, c.b_hi)) ASC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM bq WHERE vec_id < 20) q,
+        |       (SELECT * FROM bq WHERE vec_id >= 20) c) t WHERE rank <= 20),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    row_number() OVER (PARTITION BY s.query_id
+        |      ORDER BY ${cosSql("q.v", "c.v")} DESC,
+        |        s.neighbor_id ASC) AS rank
+        |  FROM short s
+        |  JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e c ON c.vec_id = s.neighbor_id) t WHERE rank <= 3),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${cosSql("q.v", "c.v")} DESC,
+        |        c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+        |       (SELECT * FROM e WHERE vec_id >= 20) c) t WHERE rank <= 3)
+        |SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM approx a2
+        |    WHERE a2.query_id = e2.query_id) AS BIGINT) AS n_approx,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hit
+        |FROM exact e2 LEFT JOIN approx a
+        |  ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+        |GROUP BY e2.query_id""".stripMargin,
+
+    // HTML extraction: rebuild the planted HTML by concat, then the
+    // identical pipeline — drop script/style elements + comments,
+    // split into blocks at block-tag boundaries, per block count <a
+    // tags / strip tags / decode entities (&amp; last) / collapse
+    // whitespace, keep blocks with >= 3 words and words > 2*links,
+    // reassemble in document order
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var nav = 1;'
+        |    || '</script><style>.m{color:red}</style></head><body>'
+        |    || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+        |    || '<a href="/b">Contact</a></nav><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><p>Tail &amp; entities &lt;kept&gt; here</p>'
+        |    || '<footer><a href="/privacy">Privacy</a></footer>'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |    '(?is)<(script|style|noscript|template)(>|[ \t][^>]*>).*?</(script|style|noscript|template)>',
+        |    '', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '',
+        |    'g') AS t FROM s1),
+        |b AS (SELECT doc_id, len(arr) AS nb,
+        |    unnest(list_transform(range(1, len(arr) + 1), i ->
+        |      {'pos': i, 'blk': arr[i]})) AS u
+        |  FROM (SELECT doc_id, regexp_split_to_array(t,
+        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|td|th|table|section|article|header|footer|nav|blockquote|pre|form)(>|[ \t][^>]*>)|<br[ \t]*/?>')
+        |    AS arr FROM s2) t2),
+        |c AS (SELECT doc_id, nb, u.pos AS pos, u.blk AS blk FROM b),
+        |d AS (SELECT doc_id, nb, pos,
+        |    len(regexp_extract_all(blk, '(?i)<a[ >]')) AS links,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(
+        |          regexp_replace(blk, '<[^>]*>', '', 'g'),
+        |          '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')) AS txt0
+        |  FROM c),
+        |e2 AS (SELECT doc_id, nb, pos, links,
+        |    trim(regexp_replace(txt0, '[ \t\r\n]+', ' ', 'g')) AS txt
+        |  FROM d),
+        |e3 AS (SELECT *, CASE WHEN txt = '' THEN 0
+        |    ELSE len(string_split(txt, ' ')) END AS words FROM e2),
+        |k AS (SELECT doc_id,
+        |    string_agg(txt, chr(10) ORDER BY pos) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM e3 WHERE words >= 3 AND words > links * 2
+        |  GROUP BY doc_id),
+        |lt AS (SELECT doc_id, CAST(SUM(links) AS BIGINT) AS n_links,
+        |    CAST(MAX(nb) AS BIGINT) AS n_blocks FROM e3 GROUP BY doc_id)
+        |SELECT d0.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+        |  lt.n_blocks, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  lt.n_links
+        |FROM documents d0
+        |LEFT JOIN k ON k.doc_id = d0.doc_id
+        |LEFT JOIN lt ON lt.doc_id = d0.doc_id""".stripMargin,
 
     // hard-pair mining: per anchor the lowest-cosine same-label and
     // highest-cosine other-label candidate, ties to the smaller id
@@ -897,137 +1181,23 @@ object ExtOracles {
         |LEFT JOIN ct ON ct.tok = t.tok, totc, tott
         |GROUP BY t.doc_id""".stripMargin,
 
-    // IVFADC: sqrt(N) L2 cells -> residual PQ codes -> per-(query,
-    // probed-cell) residual LUTs -> sub_id-ordered ADC chain. Every
-    // double is a chained IEEE subtract/multiply/add in a pinned
-    // order, so Spark and DuckDB agree bit-for-bit
-    "q_ivf_pq_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
-        |stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
-        |    AS m FROM cand),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
-        |  WHERE vec_id % stride.m = 0),
-        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
-        |    v AS sv
-        |  FROM cand WHERE vec_id < 36),
-        |asg AS (SELECT neighbor_id, cell, rv FROM (
-        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
-        |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
-        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
-        |      ct.cid ASC) AS rk
-        |  FROM cand c, cent ct) WHERE rk = 1),
-        |sub AS (SELECT a.neighbor_id, a.cell, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i])
-        |      * (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
-        |  FROM asg a, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |codes AS (SELECT neighbor_id, cell, m, j FROM (
-        |  SELECT neighbor_id, cell, m, j, row_number() OVER (
-        |      PARTITION BY neighbor_id, m ORDER BY d2 ASC, j ASC) AS rk
-        |  FROM sub) WHERE rk = 1),
-        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
-        |probes AS (SELECT query_id, cell, qr FROM (
-        |  SELECT q.query_id, ct.cid AS cell,
-        |    list_transform(range(1, 65), i -> q.v[i] - ct.cv[i]) AS qr,
-        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (q.v[i] - ct.cv[i]) * (q.v[i] - ct.cv[i]))) ASC,
-        |      ct.cid ASC) AS rk
-        |  FROM q, cent ct) WHERE rk <= 3),
-        |lut AS (SELECT p.query_id, p.cell, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i])
-        |      * (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
-        |  FROM probes p, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |adc AS (SELECT l.query_id, c.neighbor_id,
-        |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
-        |  FROM codes c
-        |  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.j = c.j
-        |  GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, neighbor_id, adc_dist2,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
-        |  FROM adc)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        |  adc_dist2
-        |FROM ranked WHERE rank <= 3""".stripMargin,
+    // IVFADC over the RESIDUAL-trained codebook: sqrt(N) L2 cells
+    // -> km fit on the residuals -> residual PQ codes ->
+    // per-(query, cell) residual LUTs -> sub_id-ordered ADC chain
+    "q_ivf_pq_topk" -> ivfPqTopkSql,
 
-    // IVFADC recall audit: the full q_ivf_pq_topk chain as `approx`
-    // beside the exact full-vector L2 top-3, reduced to the same
+    // IVFADC recall audit: the full residual-trained chain as
+    // `approx` beside the exact full-vector L2 top-3, the same
     // integer overlap counts as the other recall audits
-    "q_ivf_pq_recall" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
-        |stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
-        |    AS m FROM cand),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
-        |  WHERE vec_id % stride.m = 0),
-        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
-        |    v AS sv
-        |  FROM cand WHERE vec_id < 36),
-        |asg AS (SELECT neighbor_id, cell, rv FROM (
-        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
-        |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
-        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
-        |      ct.cid ASC) AS rk
-        |  FROM cand c, cent ct) WHERE rk = 1),
-        |sub AS (SELECT a.neighbor_id, a.cell, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i])
-        |      * (a.rv[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
-        |  FROM asg a, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |codes AS (SELECT neighbor_id, cell, m, j FROM (
-        |  SELECT neighbor_id, cell, m, j, row_number() OVER (
-        |      PARTITION BY neighbor_id, m ORDER BY d2 ASC, j ASC) AS rk
-        |  FROM sub) WHERE rk = 1),
-        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
-        |probes AS (SELECT query_id, cell, qr FROM (
-        |  SELECT q.query_id, ct.cid AS cell,
-        |    list_transform(range(1, 65), i -> q.v[i] - ct.cv[i]) AS qr,
-        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (q.v[i] - ct.cv[i]) * (q.v[i] - ct.cv[i]))) ASC,
-        |      ct.cid ASC) AS rk
-        |  FROM q, cent ct) WHERE rk <= 3),
-        |lut AS (SELECT p.query_id, p.cell, m.m, s.j,
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i])
-        |      * (p.qr[m.m * 8 + i] - s.sv[m.m * 8 + i]))) AS d2
-        |  FROM probes p, (SELECT unnest(range(0, 8)) AS m) m, seeds s),
-        |adc AS (SELECT l.query_id, c.neighbor_id,
-        |    list_sum(list(l.d2 ORDER BY c.m)) AS adc_dist2
-        |  FROM codes c
-        |  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.j = c.j
-        |  GROUP BY 1, 2),
-        |approx AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id, row_number() OVER (
-        |      PARTITION BY query_id
-        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
-        |  FROM adc) WHERE rank <= 3),
-        |exact AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
-        |      PARTITION BY q.query_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) ASC,
-        |      c.vec_id ASC) AS rank
-        |  FROM q, cand c) WHERE rank <= 3)
-        |SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-        |  CAST((SELECT COUNT(*) FROM approx a2
-        |    WHERE a2.query_id = e2.query_id) AS BIGINT) AS n_approx,
-        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
-        |    END) AS BIGINT) AS n_hit
-        |FROM exact e2 LEFT JOIN approx a
-        |  ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
-        |GROUP BY e2.query_id""".stripMargin,
+    "q_ivf_pq_recall" -> ivfPqRecallSql,
+
+    // the k-means trainer itself: fitted centroids + final-assignment
+    // populations, integer-exact end to end
+    "q_kmeans_fit" -> kmeansFitSql,
+
+    // BPE merge learning: 12 unrolled top-pair rounds over the
+    // enriched corpus's pretoken frequency table
+    "q_bpe_learn" -> bpeLearnSql(12),
 
     // epoch shuffle: the engine's bucket-decomposed ranking equals
     // one global ORDER BY (bucket, hash, id) because the bucket is a

@@ -1034,35 +1034,46 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("pq: seeds self-encode at zero residual; adc matches a scala re-derivation") {
+    // operator-level invariant (raw-seed codebook): a codebook row's
+    // own subvector is its centroid, so seeds self-encode residual 0
+    val rawCands = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 20).select("vec_id", "embedding")
+    val rawSeeds = rawCands.filter(col("vec_id") < 36)
+    val selfEnc = Similarity.pqEncode(rawSeeds, rawSeeds,
+      "vec_id", "embedding", numSub = 8, subDim = 8).collect()
+    assert(selfEnc.length == 16 * 8)
+    selfEnc.foreach(r => assert(r.getDouble(3) === 0.0,
+      s"seed ${r.getLong(0)} sub ${r.getLong(1)}"))
+
+    // gate config (TRAINED 256x16x4 codebook): shape + ADC equals an
+    // independent double re-derivation from raw floats against the
+    // collected trained codebook
     val enc = ExtQueries.pqCodes(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
     val byVec = enc.toMap
-    assert(enc.nonEmpty && enc.forall { case (_, (c, d)) => c >= 0 && c < 16 && d >= 0.0 })
-    // every vector has exactly 8 subspace rows
-    assert(enc.groupBy(_._1._1).forall(_._2.length == 8))
-    // a seed's own subvector is its centroid: residual exactly 0
-    (20L until 36L).foreach { sid =>
-      (0 until 8).foreach { m =>
-        assert(byVec((sid, m.toLong))._2 === 0.0, s"seed $sid sub $m") }
-    }
+    assert(enc.nonEmpty && enc.forall { case (_, (c, d)) => c >= 0 && c < 256 && d >= 0.0 })
+    // every vector has exactly 16 subspace rows
+    assert(enc.groupBy(_._1._1).forall(_._2.length == 16))
 
-    // ADC equals an independent double re-derivation from raw floats
     val emb = Tables.embeddings(spark, sf)
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    val seeds = emb.keys.filter(id => id >= 20 && id < 36).toArray.sorted
+    val cb = KMeans.codebook(
+      KMeans.fit(rawCands, "vec_id", "embedding",
+        k = 256, numSub = 16, subDim = 4, iters = 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     def d2(a: Array[Double], b: Array[Double], m: Int): Double = {
-      var s = 0.0; var i = m * 8
-      while (i < m * 8 + 8) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+      var s = 0.0; var i = m * 4
+      while (i < m * 4 + 4) { val t = a(i) - b(i); s += t * t; i += 1 }; s
     }
     val got = ExtQueries.pqTopKQ(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(got.nonEmpty)
     got.foreach { case (q, n, rank, adc) =>
       assert(rank >= 1 && rank <= 3)
-      val expected = (0 until 8).map { m =>
-        val code = byVec((n, m.toLong))._1.toInt
-        d2(emb(q), emb(seeds(code)), m)
+      val expected = (0 until 16).map { m =>
+        val code = byVec((n, m.toLong))._1
+        d2(emb(q), cb(code), m)
       }.foldLeft(0.0)(_ + _)
       assert(adc === expected, s"adc mismatch for ($q,$n)")
     }
