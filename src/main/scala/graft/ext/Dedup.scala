@@ -483,6 +483,58 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication over an embedding column — k-means-cluster the
+    * corpus ([[KMeans.fit]] with one full-width subspace), compare
+    * vectors ONLY within a cluster, connect pairs whose cosine clears
+    * `minCosine`, and keep the min-id representative per component.
+    * The cluster step is the paper's own scale trick and the
+    * embedding-space analogue of an LSH band: all-pairs cosine is
+    * O(N²), but pairs across k-means cells are overwhelmingly below
+    * any dedup threshold, so the pairwise stage runs per cell at
+    * O(Σ cell²). Size `k ≈ N / targetCellSize` to bound the in-cell
+    * quadratic exactly like `maxBucketSize` bounds the LSH path — and
+    * monitor cell occupancy with the same audit posture
+    * (`Similarity.ivfCellStats` reads any centroid frame).
+    *
+    * Output: one row per input vector —
+    * `(idCol, cell, component, is_rep)` with `component` the min-id
+    * closure label (a vector with no qualifying pair is its own
+    * component) and `is_rep` the keep decision. Deterministic end to
+    * end: the fit is integer-domain Lloyd, assignment ties go to the
+    * smallest cid, and the closure label is a min. Pairing uses the
+    * full-precision DOUBLE cosine on the original vectors (the fit's
+    * integer quantization only shapes the CELLS, never the scores). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, k: Int, iters: Int,
+                    minCosine: Double): DataFrame = {
+    val fitted = KMeans.fit(df, idCol, vecCol, k = k, numSub = 1,
+      subDim = dim, iters = iters)
+    val cells = KMeans.assignTo(df, idCol, vecCol, fitted,
+      numSub = 1, subDim = dim)
+      .select(col(idCol), col("cid").as("cell"))
+    val v = df
+      .select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+      .join(cells, Seq(idCol))
+      .localCheckpoint() // 2 pair sides + final output off one scan
+    val a = v.select(col(idCol).as("__a"), col("__v").as("__va"), col("cell"))
+    val b = v.select(col(idCol).as("__b"), col("__v").as("__vb"), col("cell"))
+    // a vector lives in exactly one cell, so a pair surfaces at most
+    // once — no distinct; the join shuffles by cell only
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("__a") < col("__b"))
+      .filter(Similarity.nativeCosine(df)(col("__va"), col("__vb"))
+        >= minCosine)
+      .select(col("__a"), col("__b"))
+    val comp = connectedComponents(pairs, "__a", "__b")
+      .select(col("id").as(idCol), col("component"))
+    v.select(col(idCol), col("cell"))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("is_rep", col("component") === col(idCol))
+  }
+
   /** Composed reference pipeline (explode → wide sort-aggregate),
     * kept to pin the native path's equivalence in ExtSpec. */
   def nearDupPairsComposed(df: DataFrame, idCol: String, textCol: String,

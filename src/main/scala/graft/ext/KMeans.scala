@@ -60,24 +60,31 @@ object KMeans {
   def quantizeVec(vec: Column, scale: Long): Column =
     transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
 
-  private def d2Long(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-
-  /** One broadcast row per subspace: (sub_id, [(cid, cv)...] sorted). */
+  /** One broadcast row per subspace: (sub_id, [cv...] in cid order).
+    * Position = cid (ids are contiguous 0..k-1 by construction —
+    * init assigns row_number-1 and updates preserve the id set), so
+    * the native argmin's index IS the centroid id. */
   private def centRows(cents: DataFrame): DataFrame =
     broadcast(cents.groupBy("sub_id")
-      .agg(array_sort(collect_list(struct(col("cid"), col("__cv")))).as("__cs")))
+      .agg(transform(
+        array_sort(collect_list(struct(col("cid"), col("__cv")))),
+        c => c.getField("__cv")).as("__cs")))
 
   /** Argmin assignment: (id, sub_id, __qv) → + __cid. In-row argmin
-    * over the broadcast centroid array (struct(d2, cid) min — ties to
-    * the smallest cid), corpus never shuffled. */
-  private def assign(quant: DataFrame, cents: DataFrame): DataFrame =
+    * over the broadcast centroid array via the native
+    * [[graft.catalyst.NearestCentroid]] loop (min d2, ties to the
+    * smallest cid — bit-identical to the struct-min HOF it replaced,
+    * which interpreted ~k zip/fold lambdas per row), corpus never
+    * shuffled. */
+  private def assign(quant: DataFrame, cents: DataFrame,
+                     subDim: Int): DataFrame = {
+    graft.catalyst.NearestCentroid.register(quant.sparkSession)
     quant.join(centRows(cents), Seq("sub_id"))
-      .withColumn("__best", array_min(transform(col("__cs"), c =>
-        struct(d2Long(col("__qv"), c.getField("__cv")).as("d2"),
-          c.getField("cid").as("cid")))))
+      .withColumn("__best", call_function("graft_nearest_centroid",
+        col("__qv"), col("__cs"), lit(0), lit(subDim)))
       .select(col("__id"), col("sub_id"), col("__qv"),
-        col("__best").getField("cid").as("__cid"))
+        col("__best").getField("j").cast("long").as("__cid"))
+  }
 
   /** Fit `k` centroids per PQ subspace (`numSub` subspaces of
     * `subDim` dims; `numSub = 1, subDim = dim` is plain k-means over
@@ -122,7 +129,7 @@ object KMeans {
     var iter = 0
     var movedLast = -1L
     while (iter < iters && movedLast != 0) {
-      val sums = assign(quant, cents)
+      val sums = assign(quant, cents, subDim)
         .groupBy(col("sub_id"), col("__cid").as("cid"))
         .agg(count(lit(1)).as("__n"),
           (0 until subDim).map(i =>
@@ -146,7 +153,7 @@ object KMeans {
       System.err.println(
         s"[graft.KMeans] iteration $iter/$iters: $movedLast centroid(s) moved")
     }
-    val members = assign(quant, cents)
+    val members = assign(quant, cents, subDim)
       .groupBy(col("sub_id"), col("__cid").as("cid"))
       .agg(count(lit(1)).as("__m"))
     cents.join(members, Seq("sub_id", "cid"), "left")
@@ -156,6 +163,34 @@ object KMeans {
       .select(col("sub_id").cast("long").as("sub_id"), col("cid"),
         col("dim_id").cast("long").as("dim_id"),
         col("c"), col("n_members"))
+  }
+
+  /** Nearest-centroid assignment of a corpus under a [[fit]] result:
+    * one row per (id, sub_id) with the winning `cid` — the SAME
+    * quantized-domain integer argmin (ties to the smallest cid) the
+    * fit's own assign step runs, so an external caller reproduces the
+    * fit's final partition exactly. With `numSub = 1` this is the
+    * cluster-assignment face of plain k-means (the SemDeDup cell
+    * step). Scale shape: identical to fit's ASSIGN — broadcast
+    * centroid rows, in-row argmin, zero corpus shuffle. */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               fitted: DataFrame, numSub: Int, subDim: Int,
+               scale: Long = 32768L): DataFrame = {
+    val cents = fitted
+      .groupBy(col("sub_id"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim_id"), col("c")))).as("__dc"))
+      .select(col("sub_id"), col("cid"),
+        transform(col("__dc"), d => d.getField("c")).as("__cv"))
+    val subIds = explode(sequence(lit(0), lit(numSub - 1))).as("sub_id")
+    val quant = df
+      .select(col(idCol).as("__id"),
+        quantizeVec(Similarity.toDouble(col(vecCol)), scale).as("__q"))
+      .select(col("__id"), subIds, col("__q"))
+      .select(col("__id"), col("sub_id"),
+        slice(col("__q"), col("sub_id") * subDim + 1, lit(subDim)).as("__qv"))
+    assign(quant, cents, subDim)
+      .select(col("__id").as(idCol),
+        col("sub_id").cast("long").as("sub_id"), col("__cid").as("cid"))
   }
 
   /** Reassemble a [[fit]] result into codebook ROWS compatible with

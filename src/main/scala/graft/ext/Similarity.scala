@@ -34,7 +34,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Fast path: the native single-pass Catalyst expression. */
-  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+  private[ext] def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
     graft.catalyst.CosineSimilarity.register(df.sparkSession)
     call_function("graft_cosine", a, b)
   }
@@ -317,8 +317,21 @@ object Similarity {
     broadcast(
       seeds.select(col(idCol).as("sid"), toDouble(col(vecCol)).as("sv"))
         .groupBy()
-        .agg(array_sort(collect_list(struct(col("sid"), col("sv"))))
-          .as("__cb")))
+        // bare vector list in sid order: position = code j (the id
+        // column only orders; every consumer indexes positionally)
+        .agg(transform(
+          array_sort(collect_list(struct(col("sid"), col("sv")))),
+          c => c.getField("sv")).as("__cb")))
+
+  /** Native per-subspace argmin over the broadcast codebook — see
+    * [[graft.catalyst.NearestCentroid]] for the bit-equality
+    * contract with the struct-min HOF form it replaced. */
+  private def nearestSub(df: DataFrame)(v: Column, cb: Column,
+                                        sub: Column, subDim: Int): Column = {
+    graft.catalyst.NearestCentroid.register(df.sparkSession)
+    call_function("graft_nearest_centroid", v, cb,
+      (sub * subDim).cast("int"), lit(subDim))
+  }
 
   /** Squared L2 between two equal-length double arrays, summed
     * strictly left-to-right — subtraction/multiply/add are exact
@@ -371,12 +384,8 @@ object Similarity {
       .select(col(idCol),
         explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
         col("__v"), col("__cb"))
-      .withColumn("__best", array_min(transform(col("__cb"), (c, j) =>
-        struct(
-          dist2(slice(col("__v"), col("sub_id") * subDim + 1, lit(subDim)),
-            slice(c.getField("sv"), col("sub_id") * subDim + 1, lit(subDim)))
-            .as("d2"),
-          j.as("j")))))
+      .withColumn("__best",
+        nearestSub(df)(col("__v"), col("__cb"), col("sub_id"), subDim))
       .select(col(idCol), col("sub_id").cast("long").as("sub_id"),
         col("__best").getField("j").cast("long").as("code"),
         col("__best").getField("d2").as("dist2"))
@@ -403,29 +412,28 @@ object Similarity {
       .groupBy(col(idCol).as("neighbor_id"))
       .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
         .as("__codes"))
-    // per-query LUT: (sub_id, centroid) -> d2, keyed by the integer
-    // sub_id * |codebook| + centroid in one broadcast-joined map
-    // column (integer map lookups keep the per-candidate fold cheap —
-    // a string key measured ~2x slower at 10x scale). The stride is
-    // the codebook LENGTH taken from the broadcast row itself, so the
-    // key is collision-free for any codebook size by construction.
+    // per-query LUT: a POSITION-INDEXED array with d2 for (sub m,
+    // centroid j) at index m * |codebook| + j (m-major flatten, so
+    // the layout is the index formula by construction). An array
+    // `element_at` is O(1); the previous integer-keyed MAP was an
+    // O(|map|) scan per lookup in Spark's MapData, which at the
+    // trained 256-centroid codebook (4096 entries × 16 lookups per
+    // candidate×query row) turned the ADC fold from ~1 s into ~14 s
+    // at sf0.1. The stride is the codebook LENGTH from the broadcast
+    // row itself, collision-free for any codebook size.
     val cb = pqCodebook(seeds, idCol, vecCol)
-    val lutKey = (m: Column, j: Column, stride: Column) =>
-      (m * stride + j).cast("long")
     val lut = queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
       .crossJoin(cb)
       .select(col("query_id"), size(col("__cb")).cast("long").as("__stride"),
-        map_from_entries(flatten(transform(col("__cb"), (c, j) =>
-          transform(sequence(lit(0), lit(numSub - 1)), m =>
-            struct(
-              lutKey(m, j, size(col("__cb"))).as("k"),
-              dist2(slice(col("__qv"), m * subDim + 1, lit(subDim)),
-                slice(c.getField("sv"), m * subDim + 1, lit(subDim)))
-                .as("v")))))).as("__lut"))
+        flatten(transform(sequence(lit(0), lit(numSub - 1)), m =>
+          transform(col("__cb"), c =>
+            dist2(slice(col("__qv"), m * subDim + 1, lit(subDim)),
+              slice(c, m * subDim + 1, lit(subDim)))))).as("__lut"))
     val adc = aggregate(col("__codes"), lit(0.0), (acc, x) =>
       acc + element_at(col("__lut"),
-        lutKey(x.getField("sub_id"), x.getField("code"), col("__stride"))))
+        (x.getField("sub_id") * col("__stride") + x.getField("code") + 1)
+          .cast("int")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
     codes.crossJoin(broadcast(lut))
@@ -593,18 +601,35 @@ object Similarity {
     * comparison in the min). One pass over the candidates against the
     * broadcast centroid row — no shuffle, vectors stay in their scan
     * partitions. Output: (neighbor_id, __cell, __rv). */
+  /** Parallel-array centroid broadcast: vectors and ids, both in
+    * cid-ascending order so the native argmin's INDEX translates to
+    * the id through one O(1) element_at (ids here are NOT contiguous
+    * — IVF centroids carry corpus vec_ids). */
+  private def centroidArrays(centroids: DataFrame, idCol: String,
+                             vecCol: String): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("cid"), col("cv"))))
+    broadcast(
+      centroids.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+        .groupBy()
+        .agg(transform(sorted, c => c.getField("cv")).as("__cvs"),
+          transform(sorted, c => c.getField("cid")).as("__cids")))
+  }
+
   def ivfResiduals(candidates: DataFrame, centroids: DataFrame,
                    idCol: String, vecCol: String): DataFrame = {
-    val cents = centroidRow(centroids, idCol, vecCol)
+    val cents = centroidArrays(centroids, idCol, vecCol)
+    graft.catalyst.NearestCentroid.register(candidates.sparkSession)
     candidates
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
       .crossJoin(cents)
-      .withColumn("__best", array_min(transform(col("__cents"), c =>
-        struct(dist2(col("__v"), c.getField("cv")).as("d2"),
-          c.getField("cid").as("cid")))))
-      .withColumn("__cell", col("__best").getField("cid"))
-      .withColumn("__ccv", element_at(filter(col("__cents"),
-        c => c.getField("cid") === col("__cell")), 1).getField("cv"))
+      // native full-width L2 argmin (ties to the smallest index = the
+      // smallest cid under the sorted layout — the struct-min rule)
+      .withColumn("__best", call_function("graft_nearest_centroid",
+        col("__v"), col("__cvs"), lit(0), size(col("__v"))))
+      .withColumn("__cell",
+        element_at(col("__cids"), col("__best").getField("j") + 1))
+      .withColumn("__ccv",
+        element_at(col("__cvs"), col("__best").getField("j") + 1))
       .select(col("neighbor_id"), col("__cell"),
         zip_with(col("__v"), col("__ccv"), (x, y) => x - y).as("__rv"))
   }
@@ -622,12 +647,8 @@ object Similarity {
       .select(col("neighbor_id"), col("__cell"),
         explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
         col("__rv"), col("__cb"))
-      .withColumn("__best", array_min(transform(col("__cb"), (c, j) =>
-        struct(
-          dist2(slice(col("__rv"), col("sub_id") * subDim + 1, lit(subDim)),
-            slice(c.getField("sv"), col("sub_id") * subDim + 1, lit(subDim)))
-            .as("d2"),
-          j.as("j")))))
+      .withColumn("__best",
+        nearestSub(candidates)(col("__rv"), col("__cb"), col("sub_id"), subDim))
       .groupBy(col("neighbor_id"), col("__cell"))
       .agg(sort_array(collect_list(struct(col("sub_id").cast("long").as("sub_id"),
         col("__best").getField("j").cast("long").as("code")))).as("__codes"))
@@ -646,24 +667,23 @@ object Similarity {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__cell"),
         zip_with(col("__qv"), col("__ccv"), (x, y) => x - y).as("__qr"))
-    // LUT key stride = codebook length from the broadcast row itself
-    // (collision-free for any codebook size, same rule as pqTopK)
-    val lutKey = (m: Column, j: Column, stride: Column) =>
-      (m * stride + j).cast("long")
+    // per-(query, probed-cell) LUT as a POSITION-INDEXED array —
+    // d2 for (sub m, centroid j) at index m * |codebook| + j, the
+    // same O(1)-lookup layout as pqTopK (the integer-keyed map it
+    // replaces scanned O(|map|) per lookup in Spark's MapData);
+    // stride = codebook length from the broadcast row itself
     val lut = probes.crossJoin(cb)
       .select(col("query_id"), col("__cell"),
         size(col("__cb")).cast("long").as("__stride"),
-        map_from_entries(flatten(transform(col("__cb"), (c, j) =>
-          transform(sequence(lit(0), lit(numSub - 1)), m =>
-            struct(
-              lutKey(m, j, size(col("__cb"))).as("k"),
-              dist2(slice(col("__qr"), m * subDim + 1, lit(subDim)),
-                slice(c.getField("sv"), m * subDim + 1, lit(subDim)))
-                .as("v")))))).as("__lut"))
+        flatten(transform(sequence(lit(0), lit(numSub - 1)), m =>
+          transform(col("__cb"), c =>
+            dist2(slice(col("__qr"), m * subDim + 1, lit(subDim)),
+              slice(c, m * subDim + 1, lit(subDim)))))).as("__lut"))
     // ADC chained in sub_id order (sort_array above) — engine-exact
     val adc = aggregate(col("__codes"), lit(0.0), (acc, x) =>
       acc + element_at(col("__lut"),
-        lutKey(x.getField("sub_id"), x.getField("code"), col("__stride"))))
+        (x.getField("sub_id") * col("__stride") + x.getField("code") + 1)
+          .cast("int")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
     codes.join(broadcast(lut), Seq("__cell"))

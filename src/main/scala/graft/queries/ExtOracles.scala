@@ -67,7 +67,9 @@ object ExtOracles {
        |        ORDER BY cid) AS cl FROM $src GROUP BY m) c
        |      ON c.m = q.m) t)""".stripMargin
 
-  private def kmChain(k: Int, ns: Int, sd: Int, iters: Int,
+  // k is a SQL expression (a literal, or a scalar subquery for
+  // data-dependent sizing like the coarse quantizer's √N)
+  private def kmChain(k: String, ns: Int, sd: Int, iters: Int,
                       scale: Long): String = {
     val sums = (1 to sd).map(i => s"SUM(q.qv[$i]) AS s$i").mkString(", ")
     val means = (1 to sd).map(i =>
@@ -160,7 +162,7 @@ object ExtOracles {
     * codebook CTEs — the preamble of every trained-PQ oracle. */
   private def pqPreamble: String =
     eCandCtes + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
-      kmChain(ExtQueries.PqK, ExtQueries.PqSub, ExtQueries.PqDim,
+      kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
         ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
       kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
 
@@ -256,7 +258,7 @@ object ExtOracles {
         |  FROM cand c, cent ct) WHERE rk = 1),
         |kmsrc AS (SELECT neighbor_id AS rid, rv AS v FROM asg)""".stripMargin +
       ",\n" +
-      kmChain(ExtQueries.PqK, ExtQueries.PqSub, ExtQueries.PqDim,
+      kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
         ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
       kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
 
@@ -310,7 +312,7 @@ object ExtOracles {
     * n_members, exploded to (sub_id, cid, dim_id, c, n_members). */
   private def kmeansFitSql: String =
     eCandCtes + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
-      kmChain(ExtQueries.PqK, ExtQueries.PqSub, ExtQueries.PqDim,
+      kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
         ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
       kmAssign("kmaf", s"kmc${ExtQueries.PqIters}", ExtQueries.PqDim) + "\n" +
       s"""SELECT CAST(c.m AS BIGINT) AS sub_id, CAST(c.cid AS BIGINT) AS cid,
@@ -321,6 +323,104 @@ object ExtOracles {
          |  ON n.cid = c.cid AND n.m = c.m
          |CROSS JOIN (SELECT unnest(range(1, ${ExtQueries.PqDim + 1})) AS i) i"""
         .stripMargin
+
+  /** Coarse-quantizer preamble: e/cand + kmsrc over the RAW candidate
+    * vectors + a FULL-WIDTH (ns = 1, sd = 64) Lloyd chain with
+    * k = √N as a scalar subquery — the trained replacement for the
+    * modulo centroid pick. */
+  private def coarsePreamble: String =
+    eCandCtes + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
+      kmChain(
+        "(SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM kmsrc)",
+        1, 64, ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmCodebookCtes(64, ExtQueries.PqIters, ExtQueries.PqScale)
+
+  /** The cosine-IVF assign/probe/scan chain of q_ivf_topk,
+    * parameterized on the centroid CTE and a name prefix so two
+    * flavors (modulo-picked vs trained) can coexist in one oracle.
+    * Emits `${p}top (query_id, neighbor_id, rank, cosine)`. */
+  private def ivfCosineCtes(p: String, cent: String): String =
+    s"""${p}asg AS (SELECT neighbor_id, nv, cell FROM (
+       |  SELECT c.vec_id AS neighbor_id, c.v AS nv, ct.cid AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosSql("c.v", "ct.cv")} DESC, ct.cid ASC) AS rn
+       |  FROM cand c CROSS JOIN $cent ct) t WHERE rn = 1),
+       |${p}probes AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, ct.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.v", "ct.cv")} DESC, ct.cid ASC) AS pr
+       |  FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN $cent ct) t
+       |  WHERE pr <= 3),
+       |${p}top AS (SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM (
+       |    SELECT p.query_id, a.neighbor_id,
+       |      ${cosSql("p.qv", "a.nv")} AS cosine
+       |    FROM ${p}probes p JOIN ${p}asg a ON p.cell = a.cell) s) t
+       |  WHERE rank <= 3)""".stripMargin
+
+  private def ivfTrainedSql: String =
+    coarsePreamble +
+      ",\ncentt AS (SELECT j AS cid, sv AS cv FROM kmseeds),\n" +
+      ivfCosineCtes("t_", "centt") + "\n" +
+      "SELECT query_id, neighbor_id, rank, cosine FROM t_top"
+
+  private def ivfRouteRecallSql: String =
+    coarsePreamble + ",\n" +
+      """stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*)))
+        |    AS BIGINT)) AS m FROM cand),
+        |centm AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
+        |  WHERE vec_id % stride.m = 0),
+        |centt AS (SELECT j AS cid, sv AS cv FROM kmseeds)""".stripMargin +
+      ",\n" + ivfCosineCtes("m_", "centm") +
+      ",\n" + ivfCosineCtes("t_", "centt") + ",\n" +
+      s"""exc AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, cand c) t
+         |  WHERE rank <= 3)
+         |SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_hit_mod,
+         |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_hit_trained
+         |FROM exc e2
+         |LEFT JOIN m_top m ON m.query_id = e2.query_id
+         |  AND m.neighbor_id = e2.neighbor_id
+         |LEFT JOIN t_top t ON t.query_id = e2.query_id
+         |  AND t.neighbor_id = e2.neighbor_id
+         |GROUP BY e2.query_id""".stripMargin
+
+  /** SemDeDup: clone-planted corpus → full-width k-means cells →
+    * in-cell cosine pairs → recursive-CTE closure → min-id rep. */
+  private def semanticDedupSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |corpus AS (SELECT vec_id, v FROM e
+      |  UNION ALL SELECT vec_id + 10000, v FROM e WHERE vec_id % 13 = 0),
+      |kmsrc AS (SELECT vec_id AS rid, v FROM corpus)""".stripMargin +
+      ",\n" +
+      kmChain(ExtQueries.SemK.toString, 1, 64, ExtQueries.SemIters,
+        ExtQueries.PqScale) + ",\n" +
+      kmAssign("kmacell", s"kmc${ExtQueries.SemIters}", 64) + ",\n" +
+      s"""pv AS (SELECT a.rid AS vec_id, a.cid AS cell, s.v
+         |  FROM kmacell a JOIN kmsrc s ON s.rid = a.rid),
+         |pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+         |  FROM pv a JOIN pv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= ${ExtQueries.SemMinCos}),
+         |edges AS (SELECT pa AS s, pb AS d FROM pairs
+         |  UNION SELECT pb, pa FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e2.s, r.r FROM edges e2 JOIN reach r ON e2.d = r.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT p.vec_id, CAST(p.cell AS BIGINT) AS cell,
+         |  COALESCE(c.component, p.vec_id) AS component,
+         |  (COALESCE(c.component, p.vec_id) = p.vec_id) AS is_rep
+         |FROM pv p LEFT JOIN comp c ON c.id = p.vec_id""".stripMargin
 
   val sql: Map[String, String] = Map(
 
@@ -1194,6 +1294,21 @@ object ExtOracles {
     // the k-means trainer itself: fitted centroids + final-assignment
     // populations, integer-exact end to end
     "q_kmeans_fit" -> kmeansFitSql,
+
+    // IVF over the TRAINED √N coarse quantizer (full-width Lloyd fit,
+    // k as a scalar subquery) — q_ivf_topk's chain with data-matched
+    // cells; the routing dividend is measured in q_ivf_route_recall
+    "q_ivf_trained" -> ivfTrainedSql,
+
+    // routing-recall audit: modulo-picked vs trained centroids at the
+    // same nprobe, both against the exact cosine top-3, one row per
+    // query — isolates the cell-routing term of q_ivf_pq_recall's loss
+    "q_ivf_route_recall" -> ivfRouteRecallSql,
+
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
+    // cosine stage, closure over qualifying pairs, min-id rep — the
+    // full fit + assignment + closure re-derived in SQL
+    "q_semantic_dedup" -> semanticDedupSql,
 
     // BPE merge learning: 12 unrolled top-pair rounds over the
     // enriched corpus's pretoken frequency table

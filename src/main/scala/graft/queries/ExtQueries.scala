@@ -387,6 +387,16 @@ object ExtQueries {
   private[queries] val PqIters = 4
   private[queries] val PqScale = 32768L
 
+  /** SemDeDup gate configuration: 8 cells × 3 Lloyd rounds over the
+    * full 64-dim vectors, cosine ≥ 0.99 within a cell. The corpus
+    * plants exact clones (every 13th vector, +10000 id offset) so the
+    * qualifying pairs are known; 8 cells keep the in-cell quadratic
+    * ≈ N²/8 at fixture size — at scale k tracks N / targetCellSize
+    * (see Dedup.semanticDedup). */
+  private[queries] val SemK = 8
+  private[queries] val SemIters = 3
+  private[queries] val SemMinCos = 0.99
+
   /** Train-once memo for fitted codebooks, keyed by (session, corpus,
     * kind) — the deployment shape: a real pipeline fits a codebook
     * ONCE, stores it, and every encode/probe job reads the stored
@@ -782,6 +792,71 @@ object ExtQueries {
       .select(col("vec_id"), col("scale"),
         array_join(col("q").cast("array<string>"), ",").as("q_csv"),
         col("max_abs_err"))
+
+  /** The TRAINED coarse quantizer: KMeans.fit over the full 64-dim
+    * candidate vectors as ONE subspace, k = √N cells (the same sizing
+    * rule as the modulo pick it replaces), reassembled to centroid
+    * rows for the `centroids` seam of ivfTopK/ivfPqTopK. Train-once
+    * memo, same deployment shape as the PQ codebook. */
+  private def trainedCoarse(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "coarse") {
+      val cands = pqCands(spark, dir)
+      val k = math.max(1, math.floor(
+        math.sqrt(cands.count().toDouble)).toInt)
+      KMeans.codebook(
+        KMeans.fit(cands, "vec_id", "embedding",
+          k = k, numSub = 1, subDim = 64, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+
+  /** IVF top-3 over the TRAINED coarse quantizer — q_ivf_topk's exact
+    * shape with the modulo-picked centroids replaced by a Lloyd fit
+    * on the corpus (k = √N, one full-width subspace). Data-matched
+    * cells route queries to where their neighbors actually sit; the
+    * routing gain over the modulo pick is measured, not asserted, in
+    * q_ivf_route_recall. The oracle re-derives the whole fit. */
+  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      trainedCoarse(spark, dir), "vec_id", "embedding", k = 3, nprobe = 3)
+  }
+
+  /** IVF ROUTING recall, modulo-picked vs TRAINED centroids in one
+    * row: per query, the exact cosine top-3 overlap of each IVF
+    * flavor at the same nprobe = 3. This is the audit that isolates
+    * cell-routing loss (the compounding term q_ivf_pq_recall
+    * measures on top of quantization loss) and quantifies what
+    * training the coarse quantizer buys — same integer-counts policy
+    * as every other recall row. */
+  def ivfRouteRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val exact = Similarity.bruteTopK(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", k = 3)
+    val mod = Similarity.recallAudit(exact, ivfTopK(spark, dir))
+      .select(col("query_id"), col("n_exact"),
+        col("n_hit").as("n_hit_mod"))
+    val tr = Similarity.recallAudit(exact, ivfTrained(spark, dir))
+      .select(col("query_id"), col("n_hit").as("n_hit_trained"))
+    mod.join(tr, Seq("query_id"))
+  }
+
+  /** SemDeDup through the gate (Dedup.semanticDedup): embedding-space
+    * near-dup removal — k-means cells bound the pairwise cosine stage
+    * (never all-pairs), closure over qualifying pairs, min-id
+    * representative. The corpus plants exact clones of every 13th
+    * vector (+10000 offset, the q_embed_neardup pattern) so the
+    * expected components are known; the oracle re-derives the fit,
+    * the cell assignment, the in-cell pairs, and the closure
+    * (recursive CTE). */
+  def semanticDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = e.unionByName(e.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      dim = 64, k = SemK, iters = SemIters, minCosine = SemMinCos)
+  }
 
   /** IVF cell-occupancy audit (Similarity.ivfCellStats): cells whose
     * membership exceeds the probe budget are reported, not silently
@@ -1202,6 +1277,9 @@ object ExtQueries {
     "q_hard_pairs"        -> (hardPairsQ _),
     "q_data_card"         -> (dataCard _),
     "q_kmeans_fit"        -> (kmeansFit _),
+    "q_ivf_trained"       -> (ivfTrained _),
+    "q_ivf_route_recall"  -> (ivfRouteRecall _),
+    "q_semantic_dedup"    -> (semanticDedupQ _),
     "q_rerank_recall"     -> (rerankRecall _),
     "q_html_extract"      -> (htmlExtractQ _),
     "q_bpe_learn"         -> (bpeLearnQ _),

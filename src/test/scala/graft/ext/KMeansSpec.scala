@@ -99,6 +99,42 @@ class KMeansSpec extends AnyFunSuite {
     assert(t < s * 0.7, s"trained distortion $t not well below stand-in $s")
   }
 
+  test("assignTo reproduces the fit's own final partition") {
+    val fit = KMeans.fit(cands, "vec_id", "embedding",
+      k = 8, numSub = 4, subDim = 16, iters = 2)
+    val asg = KMeans.assignTo(cands, "vec_id", "embedding", fit,
+      numSub = 4, subDim = 16)
+    // per (sub_id, cid) population under assignTo == fit's n_members
+    val fromFit = fit.filter(col("dim_id") === 0)
+      .select("sub_id", "cid", "n_members").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fromAsg = asg.groupBy("sub_id", "cid").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    fromFit.foreach { case (key, n) =>
+      assert(fromAsg.getOrElse(key, 0L) == n, s"cell $key") }
+  }
+
+  test("assignTo matches a brute-force nearest-centroid argmin") {
+    val fit = KMeans.fit(cands, "vec_id", "embedding",
+      k = 6, numSub = 1, subDim = 64, iters = 2)
+    val asg = KMeans.assignTo(cands, "vec_id", "embedding", fit,
+      numSub = 1, subDim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cents = fit.collect()
+      .groupBy(_.getLong(1))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getLong(2)).map(_.getLong(3)) }
+    val vecs = cands.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 32768.0 + 0.5).toLong))
+    vecs.foreach { case (id, q) =>
+      val best = cents.toSeq.map { case (cid, cv) =>
+        (cv.zip(q).map { case (c, x) => (x - c) * (x - c) }.sum, cid)
+      }.min
+      assert(asg(id) == best._2, s"vec $id")
+    }
+  }
+
   test("trained-PQ recall@3 >= 0.7 on the gate fixture") {
     // the driver's correctness gate runs at sf0.01 — measure there
     val r = ExtQueries.pqRecall(spark, "/root/testdata/sf0.01")
