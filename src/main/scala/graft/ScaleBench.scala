@@ -103,7 +103,16 @@ object ScaleBench {
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
-    "q_hamming_topk", "q_rerank", "q_hard_pairs")
+    "q_hamming_topk", "q_rerank", "q_hard_pairs",
+    // round 8: the k-means TRAINING cost curve (broadcast-assign +
+    // k·numSub-row shuffle per round — the corpus never shuffles, so
+    // the curve should track the linear assign), SemDeDup (in-cell
+    // pairwise — on this corpus every clique lands in one cell, so
+    // the cell-bounded quadratic absorbs the 45×-pair pressure), the
+    // trained-coarse IVF (fit + probe), and the markup-extraction +
+    // BPE-learning projections
+    "q_kmeans_fit", "q_semantic_dedup", "q_ivf_trained",
+    "q_html_extract", "q_bpe_learn")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
