@@ -200,6 +200,24 @@ object ScaleBench {
       graft.ext.Dedup.incrementalNearDups(docs, incoming, "doc_id", "text",
         maxBucketSize = 64)
     }),
+    // SemDeDup at the production cell sizing: k tracks N / targetCell
+    // (≈270, the gate query's base-corpus cell occupancy) instead of
+    // the gate's fixture-pinned k = 8. The in-cell pairwise stage is
+    // O(Σ cell²) = O(N·targetCell) under this rule — linear in N —
+    // where a FIXED k is O(N²/k): at 100× the fixed-k gate config
+    // would evaluate ~10,000× the base pair count (the measured
+    // blowup class the LSH bucket cap documents), while this sizing
+    // holds the per-cell work constant. Same operator, same
+    // threshold; only the k knob moves — the knob the operator's
+    // scaladoc tells a deployment to move.
+    "q_semdedup_sized" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 600000000L).as("vec_id"), col("embedding")))
+      val k = math.max(8, (corpus.count() / 270L).toInt)
+      graft.ext.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        dim = 64, k = k, iters = 3, minCosine = 0.99)
+    }),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {
       graft.catalyst.MinHashSig.register(s)
