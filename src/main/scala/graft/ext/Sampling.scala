@@ -115,6 +115,63 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Temperature-scaled source mixing weights (the multilingual /
+    * multi-domain sampling recipe of mT5 and the Llama corpora):
+    * sample source i proportional to count^α with α = 1/2, which
+    * up-weights small sources relative to proportional sampling
+    * without letting any source dominate. Exact-integer form: the
+    * weight is floor(sqrt(count · 2^20)) — sqrt is IEEE
+    * correctly-rounded in every engine (unlike ln/pow), and the floor
+    * is exact while count·2^20 < 2^52, i.e. count < ~4.5e9 docs per
+    * source; beyond that a deployment shifts the fixed point down.
+    * The per-source quota out of `budget` is one integral division
+    * `(budget · w) div Σw` — quotas can undershoot budget by at most
+    * (#sources − 1) rows (floor rounding), never overshoot.
+    *
+    * Returns one row per source: (source, n_docs, weight, quota).
+    * Scale shape: one map-side-combinable count agg; the quota math
+    * runs on the #sources-row result against a one-row broadcast
+    * total. */
+  def temperatureQuotas(df: DataFrame, idCol: String, sourceCol: String,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs") * lit(1048576L))).cast("long").as("weight"))
+    val tot = broadcast(counts.agg(sum("weight").as("__wsum")))
+    counts.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("weight"),
+        expr(s"($budget * weight) div __wsum").as("quota"))
+  }
+
+  /** The selection step for [[temperatureQuotas]]: the first `quota`
+    * documents of each source under the salted-id-hash order (same
+    * total order as [[stratifiedSample]] — hash asc, id asc — so the
+    * picked set is deterministic, content-independent, and stable
+    * under re-partitioning). Returns (idCol, source, rk) for the
+    * kept rows.
+    *
+    * Scale shape: the quota table is #sources rows (broadcast); the
+    * ranking window partitions by source — a hot source at extreme
+    * scale pre-thins through [[domainMix]] first, same caveat as
+    * stratifiedSample. */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        budget: Long): DataFrame = {
+    val quotas = broadcast(
+      temperatureQuotas(df, idCol, sourceCol, budget)
+        .select(col("source").as("__qsrc"), col("quota")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol)
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.select(col(idCol), col(sourceCol),
+        hashBucket(col(idCol), "temp").as("__h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(quotas, col(sourceCol) === col("__qsrc"))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col("rk"))
+  }
+
   /** Deterministic epoch shuffle + fixed-size batch assignment: the
     * global training-order permutation every pre-training run needs,
     * without the global-window bottleneck. A naive `row_number()

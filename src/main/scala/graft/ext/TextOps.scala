@@ -832,6 +832,99 @@ object TextOps {
     * reassembly groupBy — exactly [[removeBoilerplateLines]]'s shape,
     * and the natural downstream is that operator plus [[normalize]]
     * over `clean_text`. */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every positional word
+    * `k`-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum — the guarantee is that any shared run of
+    * `w + k − 1` tokens between two documents shares at least one
+    * selected fingerprint, at an expected density of 2/(w+1) instead
+    * of every-position. The shingle hash is the engine-portable md5
+    * domain ([[hex15]]), so ties inside a window are ~2^-60 and the
+    * min is well-defined identically in every engine; documents with
+    * fewer than `w` shingles degenerate to one global-min window
+    * (fewer than `k` tokens → no fingerprints).
+    *
+    * Returns (idCol, fp) — the DISTINCT selected hashes per document.
+    * Scale shape: a pure per-row projection (token array → shingle
+    * hashes → window minima, all array HOFs) + one explode; no
+    * shuffle, no state. The selected-set size is ~2·len/(w+1) per
+    * doc — the storage win over full shingle sets is the point. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val hs = transform(wordShingles(tokens(col(textCol)), k),
+      s => hex15(s))
+    val mins = when(size(hs) === 0, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(lit(1), size(hs) - (w - 1))),
+        j => array_min(slice(hs, j, lit(w)))))
+    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** Cross-document overlap detection over [[winnowFingerprints]]:
+    * pairs of documents sharing at least `minShared` selected
+    * fingerprints, with the shared count — the MOSS report row, and
+    * the plagiarism/contamination signal at corpus scale.
+    *
+    * Fingerprints held by more than `maxDf` documents are dropped
+    * BEFORE pairing (boilerplate k-grams — a fingerprint shared by
+    * everything identifies nothing and would quadratically inflate
+    * the equi-join, the same hot-bucket failure the LSH band cap
+    * guards; the df filter is one count agg, and what it drops is
+    * observable by re-running with a higher cap). Scale shape: one
+    * fingerprint-key equi-join bounded per key by maxDf², then a
+    * map-side-combinable pair count — never all-pairs. */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, w: Int = 4, minShared: Int = 2,
+                    maxDf: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val kept = fps.join(rare.select("fp"), "fp")
+    val a = kept.select(col("fp"), col(idCol).as("doc_a"))
+    val b = kept.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** CCNet-style perplexity-bucket routing (Wenzek et al., LREC'20):
+    * per LANGUAGE, rank documents by LM perplexity and cut into
+    * head / middle / tail terciles — the quality routing CommonCrawl
+    * corpora ship with (head feeds pre-training, tail gets dropped or
+    * re-filtered). The perplexity key is [[lmSurprisal]]'s integer
+    * surprisal normalized per token in fixed point — `(surprisal_bits
+    * · 2^20) div n_tokens` — so the ordering (key asc, id asc) is a
+    * total order computed identically in every engine, and `ntile(3)`
+    * over it is engine-exact (equal-size buckets, earlier buckets
+    * take the remainder, both engines implement the SQL standard).
+    *
+    * Returns (idCol, lang, n_tokens, ppl_q, bucket, tier) with tier ∈
+    * head/middle/tail. Scale shape: lmSurprisal's token-key shuffle +
+    * one per-language ranking window — a hot language ranks in one
+    * task chain per ntile partition; at extreme scale the epoch-
+    * shuffle bucket-offset trick applies the same way (rank =
+    * bucket-local rank + broadcast offsets) since the key is already
+    * a hash-free total order. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val surp = lmSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol).as("lang")), idCol)
+      .select(col(idCol), col("lang"), col("n_tokens"),
+        expr("(surprisal_bits * 1048576) div n_tokens").as("ppl_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("ppl_q").asc, col(idCol).asc)
+    surp.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+  }
+
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 3): DataFrame = {
     val dropElems = regexp_replace(col(htmlCol),

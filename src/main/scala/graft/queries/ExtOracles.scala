@@ -21,6 +21,69 @@ object ExtOracles {
       |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
       |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
+  /** BM25 scoring CTE block (Retrieval.bm25TopK's integer form):
+    * postings with tf/dl over the doc_id >= 20 corpus, df, one-row
+    * (N, T) totals, distinct first-3-token query terms from the
+    * doc_id < 20 probes, and the per-(query, doc) integer score —
+    * idf in clamped whole bits, tf saturation as one integral
+    * division in 2^10 fixed point (k1 = 3/2, b = 3/4 multiplied
+    * through by 8T). */
+  private val bm25Ctes: String =
+    """post AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+      |    MAX(dl) AS dl
+      |  FROM (SELECT doc_id,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |      unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id >= 20) tk
+      |  GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM post GROUP BY tok),
+      |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(dl) AS BIGINT) AS t
+      |  FROM (SELECT doc_id, MAX(dl) AS dl FROM post GROUP BY doc_id) u),
+      |bq AS (SELECT DISTINCT query_id, tok FROM (
+      |  SELECT doc_id AS query_id,
+      |      unnest(list_slice(string_split(text, ' '), 1, 3)) AS tok
+      |  FROM documents WHERE doc_id < 20) s),
+      |bm25scored AS (SELECT bq.query_id, p.doc_id,
+      |    CAST(SUM(GREATEST(0, length(bin(2 * (btot.n - d.df) + 1))
+      |                       - length(bin(2 * d.df + 1)))
+      |      * ((20480 * btot.t * p.tf)
+      |         // (8 * btot.t * p.tf + 3 * btot.t + 9 * p.dl * btot.n))
+      |    ) AS BIGINT) AS score_q
+      |  FROM bq JOIN post p ON p.tok = bq.tok
+      |  JOIN dfreq d ON d.tok = bq.tok, btot
+      |  GROUP BY bq.query_id, p.doc_id)""".stripMargin
+
+  /** Winnowing CTE block (TextOps.winnowFingerprints k=3, w=4) over a
+    * `corpus(doc_id, text)` CTE: zipped positional unnest of the
+    * 3-gram hex15 hashes, per-doc shingle count, and the 4-window
+    * rolling min. */
+  private val winnowFpCtes: String =
+    """wtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |sh AS (SELECT doc_id,
+      |    unnest(range(1, len(w) - 1)) AS pos,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] ||
+      |        ' ' || w[i+2]), 1, 15) AS BIGINT))) AS h
+      |  FROM wtoks WHERE len(w) >= 3),
+      |wm AS (SELECT doc_id, pos, cnt,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      |  FROM (SELECT doc_id, pos, h,
+      |      COUNT(*) OVER (PARTITION BY doc_id) AS cnt FROM sh) t)""".stripMargin
+
+  /** Temperature-mix CTE block (Sampling.temperatureQuotas): per-
+    * source counts, sqrt-weight in 2^10 fixed point, one-row Σw. */
+  private val tempQuotaCtes: String =
+    """c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs * 1048576 AS DOUBLE))) AS BIGINT)
+      |      AS weight
+      |  FROM c),
+      |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w)""".stripMargin
+
   /** Same hyperplanes as Similarity.planes(8, 64), inlined. */
   private val planesLit: String =
     Similarity.planes(8, 64)
@@ -2339,5 +2402,124 @@ object ExtOracles {
         |           + (4096 - COUNT(*)) * 562949953421312 AS DOUBLE) AS est_distinct,
         |  CAST(SUM(nd) AS BIGINT) AS n_exact
         |FROM mx""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT query_id, doc_id, rank, score_q FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_q DESC, doc_id ASC) AS rank
+         |  FROM bm25scored) r
+         |WHERE rank <= 5""".stripMargin,
+
+    // hybrid RRF: dense exact-cosine top-20 (vec_id<20 queries, same
+    // 64-dim sequential list_sum reduction as q_cosine_topk) fused
+    // with the BM25 top-20 via 1000000 // (60 + rank) contributions —
+    // the engine's fixed-point 1/(60+r), summed per candidate
+    "q_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+         |      AS cosine
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+         |       (SELECT * FROM e WHERE vec_id >= 20) c),
+         |dense AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM dsc) t
+         |  WHERE rank <= 20),
+         |sparse AS (SELECT query_id, doc_id AS neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_q DESC, doc_id ASC) AS rank FROM bm25scored) t
+         |  WHERE rank <= 20),
+         |contrib AS (
+         |  SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c
+         |  FROM dense
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c
+         |  FROM sparse),
+         |fused AS (SELECT query_id, neighbor_id,
+         |    CAST(SUM(c) AS BIGINT) AS rrf_score
+         |  FROM contrib GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, rank, rrf_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+         |  FROM fused) t
+         |WHERE rank <= 3""".stripMargin,
+
+    // winnowing (MOSS): positional 3-gram md5-hex15 hashes, window
+    // min over 4 consecutive (ROWS CURRENT..3 FOLLOWING), selection
+    // positions 1..max(1, cnt-3) — docs with <4 shingles degenerate
+    // to one global-min window; DISTINCT mins per doc
+    "q_winnow_fp" ->
+      s"""WITH $nearCorpus,
+         |$winnowFpCtes
+         |SELECT DISTINCT doc_id, m AS fp FROM wm
+         |WHERE pos <= GREATEST(1, cnt - 3)""".stripMargin,
+
+    "q_winnow_overlap" ->
+      s"""WITH $nearCorpus,
+         |$winnowFpCtes,
+         |fps AS (SELECT DISTINCT doc_id, m AS fp FROM wm
+         |  WHERE pos <= GREATEST(1, cnt - 3)),
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+         |kept AS (SELECT f.doc_id, f.fp FROM fps f
+         |  JOIN rare r ON r.fp = f.fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // CCNet terciles: the lm_surprisal integer chain, per-token key
+    // in 2^20 fixed point, ntile(3) per language over (key, doc_id)
+    "q_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM u),
+        |surp AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(bin(tot.n + tot.v))
+        |      - length(bin(u.c + 1))) AS BIGINT) AS sbits
+        |  FROM toks t JOIN u ON u.tok = t.tok, tot
+        |  GROUP BY t.doc_id),
+        |keyed AS (SELECT s.doc_id, d.lang, s.n_tokens,
+        |    (s.sbits * 1048576) // s.n_tokens AS ppl_q
+        |  FROM surp s JOIN documents d ON d.doc_id = s.doc_id),
+        |b AS (SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY ppl_q ASC, doc_id ASC) AS BIGINT) AS bucket
+        |  FROM keyed)
+        |SELECT doc_id, lang, n_tokens, ppl_q, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head'
+        |       WHEN bucket = 2 THEN 'middle'
+        |       ELSE 'tail' END AS tier
+        |FROM b""".stripMargin,
+
+    // temperature mixing, alpha = 1/2 in 2^10 fixed point:
+    // weight = floor(sqrt(n * 2^20)) (sqrt is correctly rounded in
+    // both engines; floor exact below 2^52), quota = (200·w) // Σw
+    "q_temp_quotas" ->
+      s"""WITH $tempQuotaCtes
+         |SELECT source, n_docs, weight, (200 * weight) // t.wsum AS quota
+         |FROM w, t""".stripMargin,
+
+    "q_temp_sample" ->
+      s"""WITH $tempQuotaCtes,
+         |q AS (SELECT source, (200 * weight) // t.wsum AS quota
+         |  FROM w, t),
+         |r AS (SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+         |      CAST('0x' || substr(md5('temp|' || CAST(doc_id AS VARCHAR)),
+         |        1, 15) AS BIGINT) % 10000 ASC,
+         |      doc_id ASC) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.rk
+         |FROM r JOIN q ON q.source = r.source
+         |WHERE r.rk <= q.quota""".stripMargin,
   )
 }

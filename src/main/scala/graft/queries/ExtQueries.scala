@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, KMeans, Multimodal, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline}
+import graft.ext.{Dedup, KMeans, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -1199,6 +1199,74 @@ object ExtQueries {
       docs(spark, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload")
 
+  /** Query text for the lexical-retrieval queries: the first three
+    * tokens of each query doc — short keyword-ish probes, derived
+    * identically in the oracle. Queries are doc_id < 20; the corpus
+    * is the rest (same split convention as the ANN family). */
+  private def bm25Queries(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        slice(TextOps.tokens(col("text")), 1, 3).as("terms"))
+
+  /** BM25 lexical top-5 (Retrieval.bm25TopK) in exact integer form —
+    * the sparse leg of the retrieval surface beside the dense ANN
+    * family. Token-key score join, vocabulary never broadcast. */
+  def bm25TopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Retrieval.bm25TopK(bm25Queries(d), "query_id", "terms",
+      d.filter(col("doc_id") >= 20), "doc_id", "text", k = 5)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the dense exact-
+    * cosine top-20 (over embeddings, vec_id aligned with doc_id) and
+    * the lexical BM25 top-20 — the production hybrid-search shape,
+    * fused in exact integer form (Retrieval.rrfFuse). */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dense = Similarity.bruteTopK(e.filter(col("vec_id") < 20),
+        e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 20)
+      .select("query_id", "neighbor_id", "rank")
+    val d = docs(spark, dir)
+    val sparse = Retrieval.bm25TopK(bm25Queries(d), "query_id", "terms",
+        d.filter(col("doc_id") >= 20), "doc_id", "text", k = 20)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(dense, sparse), k = 3)
+  }
+
+  /** Winnowing (MOSS) fingerprint selection over the near-dup corpus:
+    * the DISTINCT window-min k-gram hashes per document — ~2/(w+1)
+    * the storage of the full shingle set with the shared-run
+    * guarantee intact. */
+  def winnowFp(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(nearCorpus(spark, dir), "doc_id", "text")
+
+  /** MOSS overlap report over the winnowed fingerprints: document
+    * pairs sharing >= 2 selected fingerprints (boilerplate
+    * fingerprints df-capped before pairing). The planted near-copies
+    * must surface; the df cap keeps the equi-join off the
+    * quadratic cliff. */
+  def winnowOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowOverlap(nearCorpus(spark, dir), "doc_id", "text")
+
+  /** CCNet head/middle/tail perplexity routing per language
+    * (TextOps.ccnetBuckets) — the quality tercile cut CommonCrawl
+    * corpora ship with, on the integer surprisal key. */
+  def ccnetBucketsQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ccnetBuckets(docs(spark, dir), "doc_id", "text", "lang")
+
+  /** Temperature-scaled (alpha = 1/2) per-source sampling quotas
+    * (Sampling.temperatureQuotas) for a 200-doc budget — the
+    * multi-domain mixing recipe in exact integer form. */
+  def tempQuotas(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureQuotas(docs(spark, dir), "doc_id", "source",
+      budget = 200L)
+
+  /** The picked rows for the temperature quotas: first quota docs per
+    * source in the salted-hash order (Sampling.temperatureSample). */
+  def tempSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(docs(spark, dir), "doc_id", "source",
+      budget = 200L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1283,5 +1351,12 @@ object ExtQueries {
     "q_rerank_recall"     -> (rerankRecall _),
     "q_html_extract"      -> (htmlExtractQ _),
     "q_bpe_learn"         -> (bpeLearnQ _),
+    "q_bm25_topk"         -> (bm25TopKQ _),
+    "q_rrf_fusion"        -> (rrfFusion _),
+    "q_winnow_fp"         -> (winnowFp _),
+    "q_winnow_overlap"    -> (winnowOverlapQ _),
+    "q_ccnet_buckets"     -> (ccnetBucketsQ _),
+    "q_temp_quotas"       -> (tempQuotas _),
+    "q_temp_sample"       -> (tempSample _),
   )
 }
