@@ -112,7 +112,25 @@ object ScaleBench {
     // trained-coarse IVF (fit + probe), and the markup-extraction +
     // BPE-learning projections
     "q_kmeans_fit", "q_semantic_dedup", "q_ivf_trained",
-    "q_html_extract", "q_bpe_learn")
+    "q_html_extract", "q_bpe_learn",
+    // round-8 continuation 2: BM25 (posting build + token-key score
+    // join — the inverted-index linear floor), hybrid RRF (both
+    // ranker legs + the bounded fusion agg), winnowing overlap (a
+    // fingerprint equi-join under clique pressure: on this corpus
+    // every base doc's clique shares most selected fingerprints, so
+    // the df cap's pair bound is what's being measured), CCNet
+    // terciles (surprisal chain + per-language window), and the
+    // temperature sampler (per-source ranking window + broadcast
+    // quota join)
+    "q_bm25_topk", "q_rrf_fusion", "q_winnow_overlap",
+    "q_ccnet_buckets", "q_temp_sample",
+    // wave 2: containment (shingle equi-join under clique pressure —
+    // the df cap's pair bound again, with excerpt probes), span
+    // excision (gram-key shuffle + covered-position explode + per-doc
+    // rebuild — on the clique corpus most 5-grams are duplicated, so
+    // this measures near-worst-case excision), and the bigram LM
+    // (two token-key shuffles + the per-doc lag window)
+    "q_containment", "q_span_removal", "q_bigram_surprisal")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

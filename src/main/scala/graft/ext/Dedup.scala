@@ -869,6 +869,46 @@ object Dedup {
         col("n_index"), col("n_new"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder's containment c(A,B) =
+    * |A∩B|/|A|): the quote/subsumption detector Jaccard-based dedup
+    * is blind to — an excerpt inside a long document has high
+    * containment but low Jaccard, so MinHash-LSH (which indexes
+    * Jaccard) misses it by design; candidates here come from a
+    * df-capped SHINGLE equi-join instead, which catches any pair
+    * sharing >= minInter rare shingles regardless of the size ratio.
+    *
+    * Output is integer-only house style: (doc_a, doc_b, inter, na,
+    * nb) with na/nb the distinct-shingle set sizes — c(A,B) = inter/
+    * na and c(B,A) = inter/nb stay with the reader. Shingles held by
+    * more than `maxDf` documents are dropped before pairing (the
+    * same hot-bucket guard as winnowOverlap: a boilerplate shingle
+    * identifies nothing and inflates the join quadratically; the cap
+    * is observable by re-running with it lifted). Scale shape: one
+    * shingle-key equi-join bounded per key by maxDf², map-side pair
+    * count, two broadcast-able size joins — never all-pairs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minInter: Long = 2,
+                       maxDf: Int = 50): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val kept = sh.join(rare.select("shingle"), Seq("shingle"))
+    val inter = kept.select(col("shingle"), col(idCol).as("doc_a"))
+      .join(kept.select(col("shingle"), col(idCol).as("doc_b")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minInter)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("na"), col("nb"))
+  }
+
   /** Reference composition path (explode × bits → two aggregations),
     * kept to pin the native expression bit-for-bit in DedupSpec. */
   def simhashComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -172,6 +172,91 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("rk"))
   }
 
+  /** Token-budget corpus assembly: keep, per source, the hash-order
+    * PREFIX of documents whose cumulative token count stays within
+    * `budgetTokens` — corpus specs are written in tokens, not
+    * documents ("50B tokens of web, 5B of code"), and a doc-count
+    * quota ([[temperatureSample]]) hits a token target only in
+    * expectation. The order is the same salted-hash total order as
+    * the other samplers (content-independent, reorder-stable); the
+    * budget rule is prefix-inclusive — a document is kept iff the
+    * running total INCLUDING it is <= budget, so the kept set is a
+    * deterministic prefix and never overshoots.
+    *
+    * Returns (idCol, source, n_tokens, cum_tokens) for kept rows.
+    * Scale shape: one narrow projection for the token count, one
+    * per-source ranking/cumsum window (hot-source caveat shared with
+    * stratifiedSample; the epoch-shuffle bucket-offset decomposition
+    * applies the same way at extreme scale). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.select(col(idCol), col(sourceCol).as("source"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        hashBucket(col(idCol), "tokbudget").as("__h"))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("long"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Deterministic output-shard planning: assign every document to a
+    * fixed-token-budget shard (`shard_id = cum_before div
+    * shardTokens` over the global salted-hash order) — the writer
+    * plan that turns a 100 TB corpus into ~uniform shard files with
+    * reproducible membership (re-running the plan on the same corpus
+    * yields byte-identical shards; `rand()`-partitioned writers give
+    * neither uniformity nor reproducibility). Shards are contiguous
+    * runs of the hash order, so membership is stable under
+    * re-partitioning and cluster size.
+    *
+    * The global cumulative sum does NOT use a global window (the
+    * repo's plan lint rejects one — it funnels the corpus through a
+    * single task): the permutation key is (bucket, hash, id) with
+    * bucket = hash % numBuckets, so the cumsum decomposes exactly
+    * like [[epochShuffle]]'s rank — a per-bucket window (parallel)
+    * plus broadcast cumulative bucket token-offsets, and because the
+    * bucket is a prefix of the sort key, bucket-local cumsum +
+    * bucket offset IS the global cumsum.
+    *
+    * Returns (idCol, n_tokens, cum_before, shard_id). A document
+    * larger than `shardTokens` still lands in exactly one shard (the
+    * plan never splits documents; the oversized shard is observable
+    * through cum_before). */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+                shardTokens: Long, numBuckets: Int = 1024): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val h = TextOps.hex15(
+      concat(lit("shard|"), col(idCol).cast("string")))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy(col("__h").asc, col(idCol).asc)
+    val local = df.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        h.as("__h"), (h % numBuckets).as("__bucket"))
+      .withColumn("__cum",
+        sum("n_tokens").over(wLocal.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val counts = local.groupBy("__bucket")
+      .agg(sum("n_tokens").as("__cnt"))
+    val lower = broadcast(counts
+      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
+    val offsets = counts.join(lower, col("__lb") < col("__bucket"), "left")
+      .groupBy("__bucket")
+      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__bucket"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__off") + col("__cum") - col("n_tokens")).cast("long")
+          .as("cum_before"),
+        expr(s"(__off + __cum - n_tokens) div $shardTokens")
+          .as("shard_id"))
+  }
+
   /** Deterministic epoch shuffle + fixed-size batch assignment: the
     * global training-order permutation every pre-training run needs,
     * without the global-window bottleneck. A naive `row_number()

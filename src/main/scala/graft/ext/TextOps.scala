@@ -832,6 +832,139 @@ object TextOps {
     * reassembly groupBy — exactly [[removeBoilerplateLines]]'s shape,
     * and the natural downstream is that operator plus [[normalize]]
     * over `clean_text`. */
+  /** Corpus version diff by content hash — the dataset-versioning
+    * report a release pipeline ships between corpus snapshots: per
+    * doc id, `added` (in v2 only), `removed` (in v1 only), `changed`
+    * (both, md5(text) differs). Unchanged documents are omitted (at
+    * corpus scale the diff is the small output; the identity set is
+    * the big one). md5 is the engine-portable content fingerprint
+    * used everywhere else in this surface.
+    *
+    * Scale shape: one full-outer id-key join of two projections that
+    * carry (id, md5) only — text never moves; the diff is bounded by
+    * churn, not corpus size. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val a = v1.select(col(idCol), md5(col(textCol)).as("__h1"))
+    val b = v2.select(col(idCol), md5(col(textCol)).as("__h2"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h1").isNull, "added")
+          .when(col("__h2").isNull, "removed")
+          .when(col("__h1") =!= col("__h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** Duplicated-span EXCISION — the remediation half of
+    * [[dupNgramSpans]]'s signal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22: remove the repeated
+    * substring, keep the document): a token is cut iff some n-gram
+    * that occurs in >= minDocs distinct documents covers it; the
+    * cleaned text is the kept tokens re-joined in position order.
+    *
+    * Shape: the same positional gram table and df filter as
+    * dupNgramSpans (gram-key shuffle, map-side combinable); each
+    * duplicated gram START expands to its n covered positions
+    * (`sequence(q, q+n-1)` explode — bounded by n × duplicated
+    * grams, not tokens); kept tokens are a left-anti join and the
+    * reconstruction is one per-doc agg whose collect_list goes
+    * through sort_array on the (pos, tok) struct — deterministic
+    * regardless of arrival order. Returns (idCol, clean_text,
+    * n_kept, n_removed); docs that lose everything keep a row with
+    * clean_text = '' (the audit trail matters more than the text). */
+  def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2)
+    val toksOf = tokens(col(textCol))
+    val tok = df.select(col(idCol), posexplode(toksOf).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"), col("tok"))
+    val grams = element_at(transform(array(toksOf), t =>
+      transform(slice(t, lit(1), greatest(size(t) - (n - 1), lit(0))),
+        (x, i) => struct((i + lit(1)).cast("long").as("pos"),
+          hex15(concat_ws(" ",
+            (0 until n).map(j => element_at(t, i + lit(j + 1))): _*))
+            .as("gh")))), 1)
+    val gpos = df.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), col("g.pos").as("gp"), col("g.gh").as("gh"))
+    val dupGrams = gpos.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("gh")
+    val covered = gpos.join(dupGrams, Seq("gh"))
+      .select(col(idCol),
+        explode(sequence(col("gp"), col("gp") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq(idCol, "pos"), "left_anti")
+    val counts = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__ntok"))
+    counts
+      .join(kept.groupBy(col(idCol))
+        .agg(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        (col("__ntok") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+
+  /** Bigram-LM surprisal — the n-gram upgrade of [[lmSurprisal]]'s
+    * unigram filter (the KenLM-perplexity slot in whole bits):
+    * p(w_i | w_{i-1}) is add-one smoothed over the corpus bigram
+    * table, per-position surprisal quantized through the integer bit
+    * length — `bits(c1(prev) + V) − bits(c2(prev,cur) + 1)` — and the
+    * document's first token scores under the unigram LM exactly as
+    * lmSurprisal does. A fluent document (common bigrams) scores far
+    * lower than shuffled common tokens — the signal unigram
+    * perplexity cannot see. `n_unseen` (corpus-unique bigram
+    * positions) is the tail the quantization flattens.
+    *
+    * Scale shape: one positional explode reused for both count
+    * tables; the bigram and context joins ride the BIGRAM/TOKEN keys
+    * (never a vocabulary broadcast); one map-side-combinable doc agg
+    * closes. The (V) total collapses to one broadcast row. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val seqd = tok.withColumn("prev", lag("tok", 1).over(w))
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("__c1"))
+    val tot = broadcast(uni.agg(sum("__c1").as("__n"),
+      count(lit(1)).as("__v")))
+    val bi = seqd.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("__c2"))
+    def bits(x: Column): Column = length(bin(x))
+    val scoredBi = seqd.filter(col("prev").isNotNull)
+      .join(bi, Seq("prev", "tok"))
+      .join(uni.select(col("tok").as("prev"), col("__c1").as("__cp")),
+        Seq("prev"))
+      .crossJoin(tot)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nbi"),
+        sum(bits(col("__cp") + col("__v")) - bits(col("__c2") + 1))
+          .cast("long").as("__bibits"),
+        sum(when(col("__c2") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_unseen"))
+    val first = tok.filter(col("pos") === 1)
+      .join(uni, Seq("tok")).crossJoin(tot)
+      .select(col(idCol),
+        (bits(col("__n") + col("__v")) - bits(col("__c1") + 1))
+          .cast("long").as("__fbits"))
+    first.join(scoredBi, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("__nbi"), lit(0L)) + 1).cast("long").as("n_tokens"),
+        (col("__fbits") + coalesce(col("__bibits"), lit(0L))).cast("long")
+          .as("bits_total"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every positional word
     * `k`-gram, slide a window of `w` consecutive hashes, keep each
@@ -853,12 +986,18 @@ object TextOps {
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val hs = transform(wordShingles(tokens(col(textCol)), k),
-      s => hex15(s))
-    val mins = when(size(hs) === 0, array().cast("array<long>"))
-      .otherwise(transform(
-        sequence(lit(1), greatest(lit(1), size(hs) - (w - 1))),
-        j => array_min(slice(hs, j, lit(w)))))
+    // The hash array is bound as a LAMBDA VARIABLE (transform over a
+    // one-element wrapper — the distinctShingles trick) so the md5
+    // chain evaluates ONCE per row; referencing the raw expression
+    // inside the window transform would re-evaluate every shingle
+    // hash per window = O(L²) md5 calls per document (measured 231 s
+    // on the sf0.1 gate corpus vs ~1 s in this form).
+    val mins = element_at(transform(
+      array(transform(wordShingles(tokens(col(textCol)), k), s => hex15(s))),
+      hs => when(size(hs) === 0, array().cast("array<long>"))
+        .otherwise(transform(
+          sequence(lit(1), greatest(lit(1), size(hs) - (w - 1))),
+          j => array_min(slice(hs, j, lit(w)))))), 1)
     df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
 
@@ -879,14 +1018,49 @@ object TextOps {
                     k: Int = 3, w: Int = 4, minShared: Int = 2,
                     maxDf: Int = 50): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-    val kept = fps.join(rare.select("fp"), "fp")
-    val a = kept.select(col("fp"), col(idCol).as("doc_a"))
-    val b = kept.select(col("fp"), col(idCol).as("doc_b"))
-    a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
+    // One fp-key shuffle builds the bucket (the fingerprint chain
+    // evaluates ONCE — a rare-filter + two-sided equi-join would
+    // recompute the md5/window projection per plan reference,
+    // measured 3× the runtime); pairs expand IN-ROW from the sorted
+    // ≤maxDf id list (≤ maxDf²/2 per fingerprint, the same bounded-
+    // bucket expansion as the LSH candidate generator).
+    val buckets = fps.groupBy("fp")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+    val pairs = buckets.select(explode(flatten(
+      transform(col("__ids"), (a, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+    pairs.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Winnowing-based decontamination — the fingerprint face of
+    * [[graft.ext.Dedup.decontaminate]]: flag corpus documents sharing
+    * >= `minShared` SELECTED (window-min) fingerprints with a
+    * benchmark document. Winnowing keeps ~2/(w+1) of the shingle
+    * hashes with the shared-run guarantee intact, so the benchmark
+    * index this broadcast carries is ~2.5× smaller than the full
+    * shingle set at the same k — the storage trade the MOSS selection
+    * exists for, applied to the eval-leakage check every training
+    * corpus runs.
+    *
+    * Returns (idCol, eval_id, shared) pairs. Scale shape: the
+    * benchmark fingerprint table is tiny and broadcasts; the corpus
+    * side is the winnow projection + one broadcast-hash semi-ish join
+    * + a map-side pair count — the corpus never shuffles. */
+  def winnowDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 3, w: Int = 4,
+                          minShared: Long = 2): DataFrame = {
+    val cfp = winnowFingerprints(docs, idCol, textCol, k, w)
+    val bfp = broadcast(
+      winnowFingerprints(benchmark, idCol, textCol, k, w)
+        .select(col(idCol).as("eval_id"), col("fp")))
+    cfp.join(bfp, Seq("fp"))
+      .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

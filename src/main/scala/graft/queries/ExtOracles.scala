@@ -2508,6 +2508,226 @@ object ExtOracles {
          |SELECT source, n_docs, weight, (200 * weight) // t.wsum AS quota
          |FROM w, t""".stripMargin,
 
+    // containment: 3-gram distinct shingle sets over documents ∪
+    // 10-token excerpts (id+800000), df-capped equi-join, integer
+    // (inter, na, nb) with true (uncapped) set sizes
+    "q_containment" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 800000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 10),
+        |      ' ')
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(*) <= 50),
+        |kept AS (SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN rare r ON r.shingle = s.shingle),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id)
+        |SELECT i.doc_a, i.doc_b, i.inter, na.n AS na, nb.n AS nb
+        |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('tokbudget|'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM r)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 800""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2 edit'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL SELECT doc_id + 900000, text FROM documents
+        |  WHERE doc_id % 23 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, h1, h2
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |         WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 <> h2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM j)
+        |SELECT doc_id, status FROM s
+        |WHERE status <> 'unchanged'""".stripMargin,
+
+    // span excision: positional 5-gram hashes, grams in >=2 docs
+    // expand to their 5 covered positions, kept tokens re-join in
+    // position order; fully-excised docs keep an empty-text row
+    "q_span_removal" ->
+      s"""WITH $dupCorpus,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM corpus),
+         |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+         |    unnest(w) AS tok FROM toks),
+         |g AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS gp,
+         |    unnest(list_transform(range(1, len(w) - 3),
+         |      i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] ||
+         |        ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]),
+         |        1, 15) AS BIGINT))) AS gh
+         |  FROM toks WHERE len(w) >= 5),
+         |dg AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g) d
+         |  GROUP BY gh HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT g.doc_id, unnest(range(g.gp, g.gp + 5)) AS pos
+         |  FROM g JOIN dg ON dg.gh = g.gh) t),
+         |k AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |ka AS (SELECT doc_id,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM k GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS ntok
+         |  FROM toks)
+         |SELECT nt.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(nt.ntok - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM nt LEFT JOIN ka ON ka.doc_id = nt.doc_id""".stripMargin,
+
+    // bigram LM: lag window per doc, add-one over (c1(prev)+V),
+    // first token under the unigram LM — lm_surprisal's chain one
+    // order up, all in whole bits
+    "q_bigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents) t),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+        |sq AS (SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tok),
+        |bi AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM sq WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |sb AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS nbi,
+        |    CAST(SUM(length(bin(u.c1 + tot.v))
+        |      - length(bin(b.c2 + 1))) AS BIGINT) AS bibits,
+        |    CAST(SUM(CASE WHEN b.c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unseen
+        |  FROM sq s JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+        |  JOIN uni u ON u.tok = s.prev, tot
+        |  WHERE s.prev IS NOT NULL GROUP BY s.doc_id),
+        |fs AS (SELECT t.doc_id,
+        |    CAST(length(bin(tot.n + tot.v))
+        |      - length(bin(u.c1 + 1)) AS BIGINT) AS fbits
+        |  FROM tok t JOIN uni u ON u.tok = t.tok, tot WHERE t.pos = 1)
+        |SELECT fs.doc_id,
+        |  CAST(COALESCE(sb.nbi, 0) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(fs.fbits + COALESCE(sb.bibits, 0) AS BIGINT) AS bits_total,
+        |  CAST(COALESCE(sb.n_unseen, 0) AS BIGINT) AS n_unseen
+        |FROM fs LEFT JOIN sb ON sb.doc_id = fs.doc_id""".stripMargin,
+
+    // winnow decontamination: the corpus winnow table re-filtered for
+    // the benchmark subset (winnowing is per-doc, so the subset's
+    // fingerprints equal its standalone run), >=2 shared selected fps
+    "q_winnow_decon" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$winnowFpCtes,
+         |fps AS (SELECT DISTINCT doc_id, m AS fp FROM wm
+         |  WHERE pos <= GREATEST(1, cnt - 3)),
+         |bf AS (SELECT doc_id AS eval_id, fp FROM fps
+         |  WHERE doc_id % 31 = 0)
+         |SELECT c.doc_id, b.eval_id, CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM fps c JOIN bf b ON b.fp = c.fp
+         |GROUP BY c.doc_id, b.eval_id
+         |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // shard plan: global token cumsum over the (h%1024, h, id)
+    // permutation — the oracle's ONE global window IS the equality
+    // check that the engine's bucket-decomposed cumsum (no global
+    // window in its plan) equals the global order
+    "q_shard_plan" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h % 1024, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM h)
+        |SELECT doc_id, n_tokens, cum_before,
+        |  cum_before // 2000 AS shard_id
+        |FROM r""".stripMargin,
+
+    // cluster-size histogram: the q_dedup_clusters chain reduced to
+    // (size, n_clusters), singletons = total - clustered
+    "q_cluster_stats" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |    FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 300000, text || ' graftmarker two'
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |mh AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY component),
+        |hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT)
+        |    AS n_clusters FROM cs GROUP BY cluster_size),
+        |tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM corpus),
+        |lab AS (SELECT CAST(COALESCE(SUM(cluster_size), 0) AS BIGINT)
+        |    AS l FROM cs)
+        |SELECT cluster_size, n_clusters FROM hist
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS cluster_size, t - l AS n_clusters
+        |FROM tots, lab""".stripMargin,
+
     "q_temp_sample" ->
       s"""WITH $tempQuotaCtes,
          |q AS (SELECT source, (200 * weight) // t.wsum AS quota

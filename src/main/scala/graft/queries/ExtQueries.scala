@@ -1267,6 +1267,97 @@ object ExtQueries {
     Sampling.temperatureSample(docs(spark, dir), "doc_id", "source",
       budget = 200L)
 
+  /** Containment pairs (Dedup.containmentPairs) over documents ∪ a
+    * 10-token EXCERPT of every 13th doc (id+800000) — the quote/
+    * subsumption case Jaccard-indexed LSH misses by design: the
+    * excerpt pairs carry high containment (inter ≈ na) at low
+    * Jaccard. Integer-only output; ratios stay with the reader. */
+  def containmentQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val withExcerpts = d.unionByName(d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 10), " ")
+          .as("text")))
+    Dedup.containmentPairs(withExcerpts, "doc_id", "text")
+  }
+
+  /** Token-budget corpus assembly (Sampling.tokenBudgetSample): the
+    * per-source hash-order prefix within an 800-token budget —
+    * corpus specs are written in tokens, and the doc-count quota
+    * only hits a token target in expectation. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetSample(docs(spark, dir), "doc_id", "text",
+      "source", budgetTokens = 800L)
+
+  /** Corpus version diff (TextOps.corpusDiff): v2 removes every 17th
+    * doc, rewrites every 13th (suffix marker), adds a new doc per
+    * 23rd (id+900000) — the release-to-release churn report, derived
+    * identically in the oracle. */
+  def corpusDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val v2 = d.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2 edit"))).otherwise(col("text"))
+          .as("text"))
+      .unionByName(d.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    TextOps.corpusDiff(d, v2, "doc_id", "text")
+  }
+
+  /** Duplicated-span excision (TextOps.dupSpanRemoval) over the
+    * exact-dup corpus: tokens covered by any cross-document 5-gram
+    * are cut and the text re-joined — the Lee et al. remediation
+    * beside q_dup_ngram_spans' signal. Planted exact copies lose
+    * everything (clean_text = '', the audit row stays). */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dupSpanRemoval(dupCorpus(spark, dir), "doc_id", "text")
+
+  /** Bigram-LM surprisal (TextOps.bigramSurprisal) — the KenLM-
+    * perplexity slot in whole bits; fluency beyond unigram rarity. */
+  def bigramSurprisalQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramSurprisal(docs(spark, dir), "doc_id", "text")
+
+  /** Winnow-fingerprint decontamination (TextOps.winnowDecontaminate):
+    * every 31st doc stands in as the benchmark; its own corpus copy
+    * must surface (shared run = the whole doc) alongside any true
+    * near-matches — self-pairs stay in the report (id equality is
+    * the caller's trivial filter, and seeing them is the check that
+    * the index isn't broken). */
+  def winnowDecon(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    TextOps.winnowDecontaminate(d, d.filter(col("doc_id") % 31 === 0),
+      "doc_id", "text")
+  }
+
+  /** Deterministic output-shard plan (Sampling.shardPlan): every doc
+    * assigned to a 2000-token shard over the (bucket, hash, id)
+    * permutation — reproducible ~uniform shard files without a
+    * global window (bucket-local cumsum + broadcast offsets IS the
+    * global cumsum, same decomposition as q_epoch_shuffle). */
+  def shardPlanQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardPlan(docs(spark, dir), "doc_id", "text",
+      shardTokens = 2000L)
+
+  /** Near-dup cluster-size histogram over the planted-clique corpus —
+    * the dedup observability report (how much of the corpus is in
+    * clusters of what size?): CC cluster sizes → (size, n_clusters),
+    * with the singleton count derived as total − clustered (CC
+    * labels only docs that HAVE a near-dup). */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedClusterCorpus(spark, dir)
+    val sizes = dedupClusters(spark, dir)
+    val multi = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val tot = corpus.agg(count(lit(1)).as("__t"))
+    val lab = sizes.agg(sum("cluster_size").as("__l"))
+    val singles = tot.crossJoin(lab)
+      .select(lit(1L).as("cluster_size"),
+        (col("__t") - coalesce(col("__l"), lit(0L))).cast("long")
+          .as("n_clusters"))
+    multi.unionByName(singles)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1358,5 +1449,13 @@ object ExtQueries {
     "q_ccnet_buckets"     -> (ccnetBucketsQ _),
     "q_temp_quotas"       -> (tempQuotas _),
     "q_temp_sample"       -> (tempSample _),
+    "q_containment"       -> (containmentQ _),
+    "q_token_budget"      -> (tokenBudget _),
+    "q_corpus_diff"       -> (corpusDiffQ _),
+    "q_span_removal"      -> (spanRemoval _),
+    "q_bigram_surprisal"  -> (bigramSurprisalQ _),
+    "q_winnow_decon"      -> (winnowDecon _),
+    "q_shard_plan"        -> (shardPlanQ _),
+    "q_cluster_stats"     -> (clusterStats _),
   )
 }
