@@ -67,6 +67,21 @@ object Multimodal {
       .otherwise("unknown")
   }
 
+  /** Container-invariant content signature: md5 over the (lowercased)
+    * hex of the payload with its container header stripped — the
+    * perceptual-hash SLOT of media dedup, with a deterministic
+    * byte-exact stand-in for the codec this container doesn't ship:
+    * the same content re-wrapped in a different container (PNG vs
+    * JPEG magic) signs identically, so media dedup groups across
+    * trivial re-encodes while exact-byte hashing cannot. `headerLen`
+    * is data-dependent (derived from the sniffed kind). Hex is
+    * lowercased because Spark emits uppercase hex and DuckDB
+    * lowercase — the signature domain must be engine-portable.
+    * Zero-shuffle projection. */
+  def contentSignature(payload: org.apache.spark.sql.Column,
+                       headerLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(lower(hex(payload.substr(headerLen + 1, length(payload)))))
+
   /** Partition-batched decode + feature extraction over a typed
     * Dataset. One pass per partition; at 100 TB this is the shape that
     * lets a real codec initialize once per task, not once per row. */

@@ -2741,5 +2741,230 @@ object ExtOracles {
          |SELECT r.doc_id, r.source, r.rk
          |FROM r JOIN q ON q.source = r.source
          |WHERE r.rk <= q.quota""".stripMargin,
+
+    // quality-classifier trainer: 12 unrolled hard-sigmoid full-batch
+    // gradient rounds over hashed bag-of-words counts, integer-exact
+    // (Classifier.fit defaults) — the fastText-slot training loop
+    // itself re-derived in SQL
+    "q_qcls_train" -> ("WITH " + qclsChain(12) + "\n" +
+      """SELECT CAST(t.j AS BIGINT) AS j, w.wl[t.j + 1] AS w
+        |FROM w12 w, (SELECT unnest(range(0, 17)) AS j) t""".stripMargin),
+
+    // scoring under the trained weights: margin, clamped hard-sigmoid
+    // p, keep decision — the zero-shuffle face, weights re-derived
+    "q_qcls_score" -> ("WITH " + qclsChain(12) + ",\n" + qclsScoreCtes +
+      "\nSELECT doc_id, z, p, CAST(CASE WHEN p >= 32768 THEN 1 ELSE 0 " +
+      "END AS INTEGER) AS keep FROM sc2"),
+
+    // confusion-matrix audit vs the training label: 0.962 train
+    // accuracy on the fixture (majority baseline 0.5), through the
+    // gate like the recall audits
+    "q_qcls_audit" -> ("WITH " + qclsChain(12) + ",\n" + qclsScoreCtes +
+      "\n" +
+      """SELECT
+        |  CAST(SUM(CASE WHEN p >= 32768 AND y = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p >= 32768 AND y = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN p < 32768 AND y = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN p < 32768 AND y = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tn,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM sc2""".stripMargin),
+
+    // URL canonicalization: every normalization rule (case, default
+    // port, www, trailing slash, fragment, trackers, param sort)
+    // string-exact per doc
+    "q_url_normalize" -> ("WITH " + urlCtes + "\n" +
+      "SELECT doc_id, url, norm_url, host, reg_domain FROM nu"),
+
+    // URL-level dedup on the canonical key: mess variants 0 and 2
+    // collapse; keeper = min doc_id, variant count observable
+    "q_url_dedup" -> ("WITH " + urlCtes + "\n" +
+      """SELECT norm_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_variants
+        |FROM nu GROUP BY norm_url""".stripMargin),
+
+    // per-registered-domain cap: quality rank (n_chars DESC, doc_id
+    // ASC) within the domain, keep rank <= 40
+    "q_domain_cap" -> ("WITH " + urlCtes + "\n" +
+      """SELECT doc_id, reg_domain, rk FROM (
+        |  SELECT doc_id, reg_domain,
+        |    CAST(row_number() OVER (PARTITION BY reg_domain
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM nu) t WHERE rk <= 40""".stripMargin),
+
+    // PageRank: 10 unrolled integer-domain damped rounds over the
+    // deduped events-derived graph — floored shares, dropped dangling
+    // mass, every long reproduced exactly (GraphOps.pageRank verbatim)
+    "q_pagerank" -> ("WITH " + pageRankChain(10) +
+      s"\nSELECT node, pr FROM pr10"),
+
+    // cross-container media dedup: the oracle signs the RAW content
+    // (no header ever attached), so Spark's sniffed-kind header strip
+    // must land on exactly the planted content bytes to match
+    "q_media_dedup" ->
+      """WITH mc AS (SELECT d.doc_id,
+        |    CASE d.doc_id % 3 WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS kind,
+        |    c.text AS content
+        |  FROM documents d JOIN documents c ON c.doc_id = d.doc_id % 250),
+        |s AS (SELECT doc_id, kind,
+        |    md5(lower(hex(encode(content)))) AS sig FROM mc)
+        |SELECT sig, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds
+        |FROM s GROUP BY sig""".stripMargin,
+
+    // per-dimension quantized embedding moments: integer-exact
+    // normalization parameters (round-half-up mean, variance
+    // numerator in closed integer form)
+    "q_embed_stats" ->
+      """WITH e2 AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT t.i - 1 AS dim_id,
+        |    CAST(floor(v[t.i] * 32768 + 0.5) AS BIGINT) AS q
+        |  FROM e2, (SELECT unnest(range(1, 65)) AS i) t),
+        |g AS (SELECT dim_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sum_q,
+        |    CAST(SUM(q * q) AS BIGINT) AS sum_q2
+        |  FROM qv GROUP BY dim_id)
+        |SELECT CAST(dim_id AS BIGINT) AS dim_id, n, sum_q, sum_q2,
+        |  CAST(floor((2.0 * sum_q + n) / (2.0 * n)) AS BIGINT) AS mean_q,
+        |  n * sum_q2 - sum_q * sum_q AS var_num
+        |FROM g""".stripMargin,
   )
+
+  /** Planted messy-URL corpus + normalization components — the
+    * ExtQueries.urlCorpus / UrlOps rules verbatim in RE2-safe SQL:
+    * emits `u (doc_id, n_chars, url)` and `nu (doc_id, n_chars, url,
+    * scheme, host, path, q, norm_url, reg_domain)`. */
+  private def urlCtes: String =
+    """u AS (SELECT doc_id, n_chars,
+      |    CASE (doc_id // 100) % 5
+      |      WHEN 0 THEN 'HTTPS://WWW.' || upper(dom) || ':443' || base
+      |        || '/?utm_source=feed&x=1#top'
+      |      WHEN 1 THEN 'http://' || dom || ':80' || base
+      |      WHEN 2 THEN 'https://www.' || dom || base || '/?x=1'
+      |      WHEN 3 THEN 'https://' || dom || base
+      |        || '?b=2&a=1&utm_campaign=x&ref=rss'
+      |      ELSE 'https://cdn.' || dom || base || '?a=1&b=2' END AS url
+      |  FROM (SELECT doc_id, n_chars,
+      |      'site' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.' ||
+      |        CASE (doc_id % 100 % 7) % 3 WHEN 0 THEN 'com'
+      |          WHEN 1 THEN 'org' ELSE 'net' END AS dom,
+      |      '/p/' || CAST(doc_id % 100 AS VARCHAR) AS base
+      |    FROM documents) s),
+      |nu AS (SELECT doc_id, n_chars, url, scheme, host, path, q,
+      |    scheme || '://' || host || path ||
+      |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url,
+      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain
+      |  FROM (SELECT doc_id, n_chars, url,
+      |      lower(regexp_extract(url,
+      |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |      regexp_replace(
+      |        CASE lower(regexp_extract(url,
+      |            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |          WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
+      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+      |          WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
+      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+      |          ELSE lower(regexp_extract(url,
+      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END,
+      |        '^www\.', '') AS host,
+      |      regexp_replace(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+      |        '/+$', '') AS path,
+      |      COALESCE(array_to_string(list_sort(list_filter(
+      |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |        p -> p <> '' AND NOT regexp_matches(p,
+      |          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&'), '') AS q
+      |    FROM u) c)""".stripMargin
+
+  /** Quality-classifier training chain (Classifier.fit defaults:
+    * 16 hashed buckets + gain-32 bias slot, scale 2^16, lr = 2^-8,
+    * label = n_chars >= 306), unrolled: feat / cden / w0 then one
+    * (p_i, g_i, w_i) triple per round — the scaled-integer hard-
+    * sigmoid gradient loop verbatim. Emits `w$iters (wl)`. */
+  private def qclsChain(iters: Int): String = {
+    val head =
+      """feat AS (SELECT doc_id,
+        |    CASE WHEN n_chars >= 306 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS y,
+        |    list_concat([CAST(32 AS BIGINT)],
+        |      list_transform(range(0, 16), j ->
+        |        CAST(len(list_filter(bs, b -> b = j)) AS BIGINT))) AS x
+        |  FROM (SELECT doc_id, n_chars,
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16)
+        |        AS bs
+        |    FROM documents) s),
+        |cden AS (SELECT CAST(COUNT(*) AS BIGINT) * 256 AS d FROM feat),
+        |w0 AS (SELECT list_transform(range(0, 17),
+        |    j -> CAST(0 AS BIGINT)) AS wl)""".stripMargin
+    // ONE reference to w{i-1} per round (the doc × j cross join
+    // carries the weight list into both the margin and the update):
+    // a doubly-referenced CTE would inline 2^iters times in DuckDB —
+    // the q_qcls chain is 12 rounds, so the p/g/w three-CTE form
+    // measured minutes where this single-reference form runs in ms
+    val rounds = (1 to iters).map { i =>
+      s"""w$i AS (SELECT list(wn ORDER BY j) AS wl FROM (
+         |  SELECT t.j, MAX(w.wl[t.j + 1])
+         |    - CAST(floor((2 * SUM((GREATEST(0, LEAST(65536,
+         |        32768 + CAST(floor(list_sum(list_transform(range(1, 18),
+         |          i -> w.wl[i] * f.x[i])) / 4.0) AS BIGINT)))
+         |        - f.y * 65536) * f.x[t.j + 1]) + MAX(c.d))
+         |      / (2.0 * MAX(c.d))) AS BIGINT) AS wn
+         |  FROM feat f, w${i - 1} w, cden c,
+         |    (SELECT unnest(range(0, 17)) AS j) t
+         |  GROUP BY t.j) u)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** PageRank chain (GraphOps.pageRank over the events-derived
+    * graph): deduped edges, node set, out-degrees, then one pr CTE
+    * per round — pr_{i-1} referenced exactly ONCE per round (the
+    * single-reference rule the qcls chain documents), so DuckDB's
+    * inlining stays linear. Emits `pr$iters (node, pr)`. */
+  private def pageRankChain(iters: Int): String = {
+    val head =
+      """ed AS (SELECT DISTINCT user_id % 100 AS src,
+        |    event_id % 100 AS dst
+        |  FROM events WHERE user_id % 100 <> event_id % 100),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM ed
+        |  UNION ALL SELECT dst FROM ed) q),
+        |ncnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outd
+        |  FROM ed GROUP BY src),
+        |pr0 AS (SELECT node, 1000000000000 // c.n AS pr
+        |  FROM nodes, ncnt c)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n2.node,
+         |    (150000000000 // c.n) + 85 * COALESCE(s.contrib, 0) // 100
+         |      AS pr
+         |  FROM nodes n2 CROSS JOIN ncnt c
+         |  LEFT JOIN (SELECT e.dst,
+         |      CAST(SUM(p.pr // o.outd) AS BIGINT) AS contrib
+         |    FROM pr${i - 1} p
+         |    JOIN odeg o ON o.src = p.node
+         |    JOIN ed e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.dst = n2.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Margin + clamped p per doc under the trained `w12` weights. */
+  private def qclsScoreCtes: String =
+    """sc AS (SELECT f.doc_id, f.y,
+      |    CAST(list_sum(list_transform(range(1, 18),
+      |      i -> w.wl[i] * f.x[i])) AS BIGINT) AS z
+      |  FROM feat f, w12 w),
+      |sc2 AS (SELECT doc_id, y, z,
+      |    GREATEST(0, LEAST(65536,
+      |      32768 + CAST(floor(z / 4.0) AS BIGINT))) AS p
+      |  FROM sc)""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, KMeans, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline}
+import graft.ext.{Classifier, Dedup, GraphOps, KMeans, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -1358,6 +1358,179 @@ object ExtQueries {
     multi.unionByName(singles)
   }
 
+  /** Quality-classifier label: docs at/above 306 chars (the fixture
+    * median) are the "good" class — a linearly-separable proxy the
+    * hashed-count features genuinely carry (total token count), so
+    * the audit's accuracy row measures real learning, not noise. */
+  private[queries] val QcThresh = 306L
+
+  private def labeledDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("text"),
+      when(col("n_chars") >= QcThresh, 1L).otherwise(0L).as("label"))
+
+  /** Train-once memo for the classifier weights (same deployment
+    * shape as the codebook memo: fit once, score everywhere). The
+    * training cost itself stays measurable in q_qcls_train's row. */
+  private val wMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Long]]
+  private def trainedWeights(spark: SparkSession, dir: String): Array[Long] =
+    wMemo.computeIfAbsent((spark, dir),
+      _ => Classifier.fit(labeledDocs(spark, dir), "text", "label"))
+
+  /** The classifier TRAINER through the gate: 12 full-batch hard-
+    * sigmoid gradient rounds over hashed bag-of-words counts,
+    * integer-exact end to end, unrolled in the oracle. Runs the REAL
+    * fit on every call (the train-cost row). */
+  def qclsTrain(spark: SparkSession, dir: String): DataFrame =
+    Classifier.fitFrame(labeledDocs(spark, dir), "text", "label")
+
+  /** Scoring under the trained weights: margin, hard-sigmoid p, and
+    * the keep decision per doc — the zero-shuffle 100 TB face. */
+  def qclsScore(spark: SparkSession, dir: String): DataFrame =
+    Classifier.score(labeledDocs(spark, dir), "text",
+        trainedWeights(spark, dir).toIndexedSeq)
+      .select("doc_id", "z", "p", "keep")
+
+  /** Confusion-matrix audit of the trained classifier against its own
+    * training label: (tp, fp, fn, tn, n_docs) — 0.962 train accuracy
+    * on the gate fixture (majority baseline 0.5), measured THROUGH
+    * the gate like the recall audits. */
+  def qclsAudit(spark: SparkSession, dir: String): DataFrame =
+    Classifier.score(labeledDocs(spark, dir), "text",
+        trainedWeights(spark, dir).toIndexedSeq)
+      .agg(
+        sum(when(col("keep") === 1 && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("keep") === 1 && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("keep") === 0 && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("keep") === 0 && col("label") === 0, 1L)
+          .otherwise(0L)).as("tn"),
+        count(lit(1)).as("n_docs"))
+
+  /** Planted messy-URL corpus (derived identically in the oracle):
+    * page = doc_id % 100 names the underlying resource, site =
+    * page % 7 its domain (tld rotates com/org/net), and mess =
+    * (doc_id div 100) % 5 the citation style — uppercase scheme/host
+    * + default port + utm + fragment (0), http with :80 (1), the
+    * clean https www/trailing-slash form (2), param-shuffled with
+    * trackers (3), a cdn subdomain (4). Variants 0 and 2 normalize
+    * to the SAME canonical URL, so URL-level dedup visibly merges;
+    * 1 (scheme) and 4 (host) stay distinct — the rules are load-
+    * bearing, not cosmetic. */
+  private def urlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "n_chars")
+    val page = (col("doc_id") % 100).cast("string")
+    val site = col("doc_id") % 100 % 7
+    val v = expr("(doc_id div 100) % 5")
+    val tld = when(site % 3 === 0, "com").when(site % 3 === 1, "org")
+      .otherwise("net")
+    val dom = concat(lit("site"), site.cast("string"), lit("."), tld)
+    val base = concat(lit("/p/"), page)
+    d.withColumn("url",
+      when(v === 0, concat(lit("HTTPS://WWW."), upper(dom), lit(":443"),
+        base, lit("/?utm_source=feed&x=1#top")))
+      .when(v === 1, concat(lit("http://"), dom, lit(":80"), base))
+      .when(v === 2, concat(lit("https://www."), dom, base, lit("/?x=1")))
+      .when(v === 3, concat(lit("https://"), dom, base,
+        lit("?b=2&a=1&utm_campaign=x&ref=rss")))
+      .otherwise(concat(lit("https://cdn."), dom, base, lit("?a=1&b=2"))))
+  }
+
+  /** URL canonicalization: every normalization rule per doc —
+    * zero-shuffle projection, each component string-exact. */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame =
+    urlCorpus(spark, dir).select(col("doc_id"), col("url"),
+      UrlOps.normalize(col("url")).as("norm_url"),
+      UrlOps.host(col("url")).as("host"),
+      UrlOps.registeredDomain(col("url")).as("reg_domain"))
+
+  /** URL-level dedup over canonical URLs: the pre-fetch merge (mess
+    * variants 0 and 2 collapse). Keeper = smallest doc_id, variant
+    * count observable. One groupBy on the canonical key. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlCorpus(spark, dir)
+      .select(col("doc_id"), UrlOps.normalize(col("url")).as("norm_url"))
+      .groupBy("norm_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+
+  /** Per-registered-domain contribution cap (RefinedWeb's 40-doc
+    * slot): rank within the domain by quality (n_chars DESC, doc_id
+    * ASC tiebreak), keep rank ≤ 40. The window partitions on the
+    * domain key — a key-parallel shuffle, never global. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("reg_domain"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    urlCorpus(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        UrlOps.registeredDomain(col("url")).as("reg_domain"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 40)
+      .select("doc_id", "reg_domain", "rk")
+  }
+
+  /** PageRank over the interaction graph derived from events (src =
+    * user_id % 100, dst = event_id % 100 — a dense deterministic
+    * 100-node multigraph the oracle re-derives): 10 integer-domain
+    * damped rounds, unrolled in SQL. The authority scores a crawl
+    * frontier would weight by. */
+  def pageRankQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.pageRank(
+      Tables.events(spark, dir).select(
+        (col("user_id") % 100).as("src"),
+        (col("event_id") % 100).as("dst")),
+      "src", "dst", iters = 10)
+
+  /** Cross-container media dedup: pages 0..249 each appear TWICE
+    * (doc_id and doc_id+250 share content = text of doc_id % 250)
+    * under DIFFERENT planted containers (kind rotates mod 3, and
+    * 250 % 3 = 1 shifts the rotation), so exact-byte hashing finds
+    * nothing while the header-stripped content signature groups every
+    * pair. Header length is sniffed-kind-dependent (JPEG magic is 3
+    * bytes, PNG/GIF 4) — the strip is real work, pinned by the
+    * oracle re-deriving the signature from the raw content. One
+    * groupBy on the signature key. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val content = docs(spark, dir)
+      .select(col("doc_id").as("cid"), col("text").as("ctext"))
+    val enc = encode(col("ctext"), "UTF-8")
+    val payload = when(col("doc_id") % 3 === 0,
+        concat(unhex(lit("89504E47")), enc))
+      .when(col("doc_id") % 3 === 1, concat(unhex(lit("FFD8FF")), enc))
+      .otherwise(concat(unhex(lit("47494638")), enc))
+    val kind = Multimodal.sniffKindCol(payload)
+    val headerLen = when(kind === "image/jpeg", 3).otherwise(4)
+    docs(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 250).as("cid"))
+      .join(content, "cid")
+      .select(col("doc_id"), kind.as("kind"),
+        Multimodal.contentSignature(payload, headerLen).as("sig"))
+      .groupBy("sig")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct("kind").as("n_kinds"))
+  }
+
+  /** Per-dimension corpus statistics over the quantized embedding
+    * domain (KMeans.quantizeVec at 2^15) — the feature-normalization
+    * parameter table (n, Σq, Σq², round-half-up mean, and the exact
+    * integer variance numerator n·Σq² − (Σq)²). One posexplode +
+    * one 64-group aggregation, map-side combinable. */
+  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(KMeans.quantizeVec(
+        Similarity.toDouble(col("embedding")), 32768L)).as(Seq("dim_id", "q")))
+      .groupBy("dim_id")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"))
+      .select(col("dim_id").cast("long").as("dim_id"), col("n"),
+        col("sum_q"), col("sum_q2"),
+        floor((lit(2.0) * col("sum_q") + col("n")) /
+          (lit(2.0) * col("n"))).cast("long").as("mean_q"),
+        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+          .as("var_num"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1457,5 +1630,14 @@ object ExtQueries {
     "q_winnow_decon"      -> (winnowDecon _),
     "q_shard_plan"        -> (shardPlanQ _),
     "q_cluster_stats"     -> (clusterStats _),
+    "q_qcls_train"        -> (qclsTrain _),
+    "q_qcls_score"        -> (qclsScore _),
+    "q_qcls_audit"        -> (qclsAudit _),
+    "q_url_normalize"     -> (urlNormalize _),
+    "q_url_dedup"         -> (urlDedup _),
+    "q_domain_cap"        -> (domainCap _),
+    "q_pagerank"          -> (pageRankQ _),
+    "q_media_dedup"       -> (mediaDedup _),
+    "q_embed_stats"       -> (embedStats _),
   )
 }
