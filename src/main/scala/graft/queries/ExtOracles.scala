@@ -2835,7 +2835,33 @@ object ExtOracles {
         |  CAST(floor((2.0 * sum_q + n) / (2.0 * n)) AS BIGINT) AS mean_q,
         |  n * sum_q2 - sum_q * sum_q AS var_num
         |FROM g""".stripMargin,
+
+    // JSONL ingest: explicit columns (the no-inference rule), broken
+    // lines kept as null rows (ignore_errors = DuckDB's PERMISSIVE),
+    // good rows = id present by schema contract
+    "q_jsonl_read" ->
+      s"""SELECT id, lang, meta.source AS source, meta.stars AS stars,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM read_json('$JsonlFixture',
+         |  format='newline_delimited', ignore_errors=true,
+         |  columns={id: 'BIGINT', lang: 'VARCHAR', text: 'VARCHAR',
+         |    meta: 'STRUCT(source VARCHAR, stars BIGINT)'})
+         |WHERE id IS NOT NULL""".stripMargin,
+
+    // ingest-health audit: lines vs schema-valid vs broken
+    "q_jsonl_audit" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(COUNT(id) AS BIGINT) AS n_good,
+         |  CAST(COUNT(*) - COUNT(id) AS BIGINT) AS n_corrupt
+         |FROM read_json('$JsonlFixture',
+         |  format='newline_delimited', ignore_errors=true,
+         |  columns={id: 'BIGINT', lang: 'VARCHAR', text: 'VARCHAR',
+         |    meta: 'STRUCT(source VARCHAR, stars BIGINT)'})""".stripMargin,
   )
+
+  // def, not val: referenced by the sql map above, which initializes
+  // first in object-body order
+  private def JsonlFixture: String = graft.sources.JsonlCorpus.FixtureFile
 
   /** Planted messy-URL corpus + normalization components — the
     * ExtQueries.urlCorpus / UrlOps rules verbatim in RE2-safe SQL:

@@ -1531,6 +1531,24 @@ object ExtQueries {
         (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
           .as("var_num"))
 
+  /** JSONL ingest (the corpus interchange format): explicit-schema
+    * PERMISSIVE read of the committed fixture, good rows projected
+    * with the nested meta struct flattened. */
+  def jsonlRead(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.JsonlCorpus.load(spark)
+      .filter(col("id").isNotNull)
+      .select(col("id"), col("lang"), col("meta.source").as("source"),
+        col("meta.stars").as("stars"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** Ingest-health audit of the same read: total lines vs
+    * schema-valid rows vs broken lines — the observability PERMISSIVE
+    * buys over DROPMALFORMED. */
+  def jsonlAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.JsonlCorpus.load(spark)
+      .agg(count(lit(1)).as("n_lines"), count(col("id")).as("n_good"),
+        (count(lit(1)) - count(col("id"))).as("n_corrupt"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1639,5 +1657,7 @@ object ExtQueries {
     "q_pagerank"          -> (pageRankQ _),
     "q_media_dedup"       -> (mediaDedup _),
     "q_embed_stats"       -> (embedStats _),
+    "q_jsonl_read"        -> (jsonlRead _),
+    "q_jsonl_audit"       -> (jsonlAudit _),
   )
 }
