@@ -130,7 +130,22 @@ object ScaleBench {
     // rebuild — on the clique corpus most 5-grams are duplicated, so
     // this measures near-worst-case excision), and the bigram LM
     // (two token-key shuffles + the per-doc lag window)
-    "q_containment", "q_span_removal", "q_bigram_surprisal")
+    "q_containment", "q_span_removal", "q_bigram_surprisal",
+    // wave 3: the classifier trainer (12 full-batch gradient rounds,
+    // each ONE map-side-combinable agg to 17 longs — the curve should
+    // track the linear feature scan ×12) and its zero-shuffle scorer;
+    // URL canonicalization dedup (regex projection + canonical-key
+    // groupBy — the canonical key space is bounded by the page set,
+    // so map-side combine absorbs the growth), the domain-keyed cap
+    // window, cross-container media dedup (content-key self-join +
+    // signature groupBy), and the per-dimension embedding moments
+    // (posexplode ×64 + 64-group agg — the widest linear explode)
+    "q_qcls_train", "q_qcls_score", "q_url_dedup", "q_domain_cap",
+    "q_media_dedup", "q_embed_stats",
+    // PageRank: nodes saturate at the 100-key graph while EDGES grow
+    // with events until the 9900-edge simple-graph cap — the curve
+    // measures the per-round contribution join under edge growth
+    "q_pagerank")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
