@@ -73,7 +73,14 @@ object GraphOps {
     val base = (15L * Scale / 100L) / n
     var pr = nodes.select(col("node"), lit(Scale / n).as("pr"))
       .localCheckpoint()
-    for (iter <- 1 to iters) {
+    var iter = 0
+    var movedLast = -1L
+    // early exit on |Δ| = 0 only: the integer domain reaches an exact
+    // fixed point (measured by round ~6 on the gate graph), and once
+    // no rank changed, further rounds are provably identity — the
+    // fixed-cap result is unchanged (the KMeans.fit exit rule)
+    while (iter < iters && movedLast != 0) {
+      iter += 1
       val contrib = pr
         .join(outDeg, col("node") === col("osrc"))
         .select(col("node"), expr("pr div out").as("share"))
@@ -86,13 +93,13 @@ object GraphOps {
           (lit(base) + expr("85 * coalesce(contrib, 0L) div 100"))
             .as("pr"))
         .localCheckpoint()
-      val moved = pr.select(col("node"), col("pr").as("__old"))
+      movedLast = pr.select(col("node"), col("pr").as("__old"))
         .join(next, "node")
         .agg(sum(abs(col("pr") - col("__old"))).as("d"))
         .head().getLong(0)
       pr = next
       System.err.println(
-        s"[graft.GraphOps] pageRank iteration $iter/$iters: |delta| = $moved")
+        s"[graft.GraphOps] pageRank iteration $iter/$iters: |delta| = $movedLast")
     }
     pr
   }

@@ -2848,6 +2848,23 @@ object ExtOracles {
          |    meta: 'STRUCT(source VARCHAR, stars BIGINT)'})
          |WHERE id IS NOT NULL""".stripMargin,
 
+    // composed web-corpus prep: canonical-URL keeper ∧ classifier
+    // keep ∧ domain cap — the three crawl-side stages as one chain
+    "q_web_prep" -> ("WITH " + urlCtes + ",\n" + qclsChain(12) + ",\n" +
+      qclsScoreCtes + ",\n" +
+      """k AS (SELECT doc_id, n_chars, norm_url, reg_domain,
+        |    min(doc_id) OVER (PARTITION BY norm_url) AS keep0
+        |  FROM nu),
+        |surv AS (SELECT k.doc_id, k.n_chars, k.reg_domain, s.p
+        |  FROM k JOIN sc2 s ON s.doc_id = k.doc_id
+        |  WHERE k.doc_id = k.keep0 AND s.p >= 32768)
+        |SELECT doc_id, reg_domain, p, rk FROM (
+        |  SELECT doc_id, reg_domain, p,
+        |    CAST(row_number() OVER (PARTITION BY reg_domain
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM surv) t
+        |WHERE rk <= 40""".stripMargin),
+
     // ingest-health audit: lines vs schema-valid vs broken
     "q_jsonl_audit" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,

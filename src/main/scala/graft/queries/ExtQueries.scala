@@ -1549,6 +1549,33 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_lines"), count(col("id")).as("n_good"),
         (count(lit(1)) - count(col("id"))).as("n_corrupt"))
 
+  /** The composed web-corpus prep pipeline — the full pre-text-dedup
+    * curation path as ONE oracle-checked query: canonical-URL dedup
+    * (keep the smallest doc per normalized URL) ∧ trained-classifier
+    * quality gate (p ≥ scale/2) ∧ per-registered-domain cap (rank ≤ 40
+    * by n_chars DESC). Every stage key-parallel: a canonical-URL
+    * window, an id-key join against the zero-shuffle scores, a
+    * domain-keyed window. The LLM analogue of q_training_prep for the
+    * crawl-side stages. */
+  def webPrep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = urlCorpus(spark, dir).select(col("doc_id"), col("n_chars"),
+      UrlOps.normalize(col("url")).as("norm_url"),
+      UrlOps.registeredDomain(col("url")).as("reg_domain"))
+    val keepers = norm
+      .withColumn("__k", min("doc_id").over(Window.partitionBy("norm_url")))
+      .filter(col("doc_id") === col("__k"))
+    val scores = Classifier.score(labeledDocs(spark, dir), "text",
+        trainedWeights(spark, dir).toIndexedSeq)
+      .filter(col("keep") === 1).select("doc_id", "p")
+    val wDom = Window.partitionBy("reg_domain")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    keepers.join(scores, "doc_id")
+      .withColumn("rk", row_number().over(wDom).cast("long"))
+      .filter(col("rk") <= 40)
+      .select("doc_id", "reg_domain", "p", "rk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1659,5 +1686,6 @@ object ExtQueries {
     "q_embed_stats"       -> (embedStats _),
     "q_jsonl_read"        -> (jsonlRead _),
     "q_jsonl_audit"       -> (jsonlAudit _),
+    "q_web_prep"          -> (webPrep _),
   )
 }
