@@ -2773,6 +2773,33 @@ object ExtOracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM sc2""".stripMargin),
 
+    // held-out generalization audit: train on the 4/5 md5-split
+    // train fold, confusion on the unseen 1/5 — the figure a model
+    // card actually wants (train accuracy flatters)
+    "q_qcls_holdout" -> ("WITH " + qclsChain(12, "split <> 0") + ",\n" +
+      qclsScoreCtes + "\n" +
+      """SELECT
+        |  CAST(SUM(CASE WHEN p >= 32768 AND y = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p >= 32768 AND y = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN p < 32768 AND y = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN p < 32768 AND y = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tn,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test
+        |FROM sc2 WHERE split = 0""".stripMargin),
+
+    // streaming quality gate: the scored stream's per-source keep
+    // report, batch-equivalent by the stream contract
+    "q_stream_quality" -> ("WITH " + qclsChain(12) + ",\n" +
+      qclsScoreCtes + "\n" +
+      """SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN s.p >= 32768 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_keep
+        |FROM sc2 s JOIN documents d ON d.doc_id = s.doc_id
+        |GROUP BY d.source""".stripMargin),
+
     // URL canonicalization: every normalization rule (case, default
     // port, www, trailing slash, fragment, trackers, param sort)
     // string-exact per doc
@@ -2928,12 +2955,16 @@ object ExtOracles {
 
   /** Quality-classifier training chain (Classifier.fit defaults:
     * 16 hashed buckets + gain-32 bias slot, scale 2^16, lr = 2^-8,
-    * label = n_chars >= 306), unrolled: feat / cden / w0 then one
-    * (p_i, g_i, w_i) triple per round — the scaled-integer hard-
-    * sigmoid gradient loop verbatim. Emits `w$iters (wl)`. */
-  private def qclsChain(iters: Int): String = {
+    * label = n_chars >= 306), unrolled: feat / trainfeat / cden / w0
+    * then one (p_i, g_i, w_i) triple per round — the scaled-integer
+    * hard-sigmoid gradient loop verbatim. `trainWhere` restricts the
+    * training corpus (the holdout face); feat always carries the
+    * md5 split column. Emits `w$iters (wl)`. */
+  private def qclsChain(iters: Int, trainWhere: String = "TRUE"): String = {
     val head =
-      """feat AS (SELECT doc_id,
+      s"""feat AS MATERIALIZED (SELECT doc_id,
+        |    CAST('0x' || substr(md5('qcls|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 5 AS split,
         |    CASE WHEN n_chars >= 306 THEN CAST(1 AS BIGINT)
         |      ELSE CAST(0 AS BIGINT) END AS y,
         |    list_concat([CAST(32 AS BIGINT)],
@@ -2944,23 +2975,27 @@ object ExtOracles {
         |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16)
         |        AS bs
         |    FROM documents) s),
-        |cden AS (SELECT CAST(COUNT(*) AS BIGINT) * 256 AS d FROM feat),
+        |trainfeat AS MATERIALIZED (SELECT * FROM feat WHERE $trainWhere),
+        |cden AS (SELECT CAST(COUNT(*) AS BIGINT) * 256 AS d
+        |  FROM trainfeat),
         |w0 AS (SELECT list_transform(range(0, 17),
         |    j -> CAST(0 AS BIGINT)) AS wl)""".stripMargin
     // ONE reference to w{i-1} per round (the doc × j cross join
-    // carries the weight list into both the margin and the update):
-    // a doubly-referenced CTE would inline 2^iters times in DuckDB —
-    // the q_qcls chain is 12 rounds, so the p/g/w three-CTE form
-    // measured minutes where this single-reference form runs in ms
+    // carries the weight list into both the margin and the update) —
+    // the p/g/w three-CTE form was 2^iters inlining — AND the round
+    // CTEs are AS MATERIALIZED: even single-referenced, the 12-deep
+    // nested inline sends DuckDB's planner super-linear (measured
+    // 0.85 s at 9 rounds → 62 s at 12); materializing each round
+    // pins the plan to 12 small independent queries (0.19 s)
     val rounds = (1 to iters).map { i =>
-      s"""w$i AS (SELECT list(wn ORDER BY j) AS wl FROM (
+      s"""w$i AS MATERIALIZED (SELECT list(wn ORDER BY j) AS wl FROM (
          |  SELECT t.j, MAX(w.wl[t.j + 1])
          |    - CAST(floor((2 * SUM((GREATEST(0, LEAST(65536,
          |        32768 + CAST(floor(list_sum(list_transform(range(1, 18),
          |          i -> w.wl[i] * f.x[i])) / 4.0) AS BIGINT)))
          |        - f.y * 65536) * f.x[t.j + 1]) + MAX(c.d))
          |      / (2.0 * MAX(c.d))) AS BIGINT) AS wn
-         |  FROM feat f, w${i - 1} w, cden c,
+         |  FROM trainfeat f, w${i - 1} w, cden c,
          |    (SELECT unnest(range(0, 17)) AS j) t
          |  GROUP BY t.j) u)""".stripMargin
     }
@@ -3002,11 +3037,11 @@ object ExtOracles {
 
   /** Margin + clamped p per doc under the trained `w12` weights. */
   private def qclsScoreCtes: String =
-    """sc AS (SELECT f.doc_id, f.y,
+    """sc AS (SELECT f.doc_id, f.split, f.y,
       |    CAST(list_sum(list_transform(range(1, 18),
       |      i -> w.wl[i] * f.x[i])) AS BIGINT) AS z
       |  FROM feat f, w12 w),
-      |sc2 AS (SELECT doc_id, y, z,
+      |sc2 AS (SELECT doc_id, split, y, z,
       |    GREATEST(0, LEAST(65536,
       |      32768 + CAST(floor(z / 4.0) AS BIGINT))) AS p
       |  FROM sc)""".stripMargin

@@ -1576,6 +1576,46 @@ object ExtQueries {
       .select("doc_id", "reg_domain", "p", "rk")
   }
 
+  /** Held-out generalization audit: train on the 4/5 md5-split train
+    * fold, confusion matrix on the unseen 1/5 — the model-card
+    * figure (train accuracy flatters; this doesn't). Runs its own
+    * fit on the fold (a different corpus than the memoized
+    * full-corpus weights). */
+  def qclsHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val split = TextOps.hex15(
+      concat(lit("qcls|"), col("doc_id").cast("string"))) % 5
+    val lab = labeledDocs(spark, dir)
+    val w = Classifier.fit(lab.filter(split =!= 0), "text", "label")
+    Classifier.score(lab.filter(split === 0), "text", w.toIndexedSeq)
+      .agg(
+        sum(when(col("keep") === 1 && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("keep") === 1 && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("keep") === 0 && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("keep") === 0 && col("label") === 0, 1L)
+          .otherwise(0L)).as("tn"),
+        count(lit(1)).as("n_test"))
+  }
+
+  /** Streaming quality gate: the trained classifier scoring a live
+    * document stream (a pure stateless projection — streaming-legal
+    * by construction) with a per-source keep report in complete
+    * mode. The model-gated-ingest deployment shape; batch-equivalence
+    * enforced by the DuckDB oracle like every stream query. */
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainedWeights(spark, dir).toIndexedSeq
+    StarQueries.runStagedStream(spark,
+      docs(spark, dir).select("doc_id", "text", "source"),
+      "q_stream_quality", "complete") { src =>
+      Classifier.score(src(), "text", w)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_keep"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1687,5 +1727,7 @@ object ExtQueries {
     "q_jsonl_read"        -> (jsonlRead _),
     "q_jsonl_audit"       -> (jsonlAudit _),
     "q_web_prep"          -> (webPrep _),
+    "q_qcls_holdout"      -> (qclsHoldout _),
+    "q_stream_quality"    -> (streamQuality _),
   )
 }

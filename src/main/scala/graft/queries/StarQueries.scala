@@ -608,7 +608,7 @@ object StarQueries {
   // driver — bounded for these queries (aggregates / a 1-hour-window
   // join), by design not a pattern for unaggregated streams.
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-  private def runStagedStream(spark: SparkSession, batch: DataFrame,
+  private[queries] def runStagedStream(spark: SparkSession, batch: DataFrame,
       namePrefix: String, mode: String)
       (mk: (() => DataFrame) => DataFrame): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory(namePrefix)
