@@ -96,6 +96,50 @@ object Retrieval {
       .select(col("query_id"), col(idCol), col("rank"), col("score_q"))
   }
 
+  /** Positional posting lists: (id, pos, tok) — the index layout that
+    * upgrades term retrieval to phrase/proximity retrieval. Pure
+    * posexplode; inherits scan partitioning. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+
+  /** Exact-phrase top-k over [[positionalPostings]]: a 2-term phrase
+    * matches where its terms sit at adjacent positions, score =
+    * occurrence count (phrase tf), rank by tf desc / id asc — the
+    * positional-index adjacency join every search engine runs for
+    * quoted queries, and the decontamination probe for verbatim
+    * phrase leakage.
+    *
+    * Scale shape: postings are pruned to the query TERM SET first —
+    * the query side is tiny and broadcasts, so the corpus-sized
+    * posting stream shrinks to matching-term rows before any
+    * shuffle; the adjacency join then rides the (doc, position) key.
+    * Counts are integers; no floats anywhere. */
+  def phraseTopK(queries: DataFrame, queryIdCol: String, t1Col: String,
+                 t2Col: String, corpus: DataFrame, idCol: String,
+                 textCol: String, k: Int): DataFrame = {
+    val post = positionalPostings(corpus, idCol, textCol)
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(t1Col).as("__t1"), col(t2Col).as("__t2")))
+    val p1 = q.join(post, post("tok") === col("__t1"))
+      .select(col("query_id"), col("__t2"), col(idCol), col("pos"))
+    // renamed projection, not an alias: the two posting references
+    // share lineage and an `.as` self-join would be ambiguous
+    val p2 = post.select(col(idCol).as("__id2"), col("pos").as("__pos2"),
+      col("tok").as("__tok2"))
+    val hits = p1.join(p2,
+        col("__id2") === col(idCol) && col("__pos2") === col("pos") + 1 &&
+          col("__tok2") === col("__t2"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("phrase_tf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("phrase_tf").desc, col(idCol).asc)
+    hits.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("phrase_tf"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) of
     * N rankers over the same (query_id, neighbor_id) space, in exact
     * integer form: contribution of a rank-r hit = `scale div

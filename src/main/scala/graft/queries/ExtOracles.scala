@@ -2773,6 +2773,48 @@ object ExtOracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM sc2""".stripMargin),
 
+    // CSV sidecar ingest: explicit columns, RFC 4180 quoting both
+    // engines (Spark pins escape='"'), empty -> NULL
+    "q_csv_read" ->
+      s"""SELECT id, title,
+         |  string_split(tags, ';')[1] AS lang_tag,
+         |  string_split(tags, ';')[2] AS source_tag,
+         |  score, note
+         |FROM read_csv('$CsvFixture', header=true,
+         |  columns={id: 'BIGINT', title: 'VARCHAR', tags: 'VARCHAR',
+         |    score: 'BIGINT', note: 'VARCHAR'})""".stripMargin,
+
+    // ORC round-trip: the oracle reports from the PARQUET original;
+    // the Spark side must survive write-to-ORC + read-back unchanged
+    "q_orc_roundtrip" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // exact-phrase retrieval: positional postings + adjacency join,
+    // phrase-tf ranking — integer counts end to end
+    "q_phrase_topk" ->
+      """WITH ppost AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents WHERE doc_id >= 20) d,
+        |  unnest(range(1, len(w) + 1)) AS t(i)),
+        |pq AS (SELECT doc_id AS query_id, w[1] AS t1, w[2] AS t2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents WHERE doc_id < 20) q WHERE len(w) >= 2),
+        |m AS (SELECT q.query_id, a.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS phrase_tf
+        |  FROM pq q
+        |  JOIN ppost a ON a.tok = q.t1
+        |  JOIN ppost b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |    AND b.tok = q.t2
+        |  GROUP BY q.query_id, a.doc_id)
+        |SELECT query_id, doc_id, rank, phrase_tf FROM (
+        |  SELECT query_id, doc_id, phrase_tf,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM m) t WHERE rank <= 3""".stripMargin,
+
     // held-out generalization audit: train on the 4/5 md5-split
     // train fold, confusion on the unseen 1/5 — the figure a model
     // card actually wants (train accuracy flatters)
@@ -2903,9 +2945,10 @@ object ExtOracles {
          |    meta: 'STRUCT(source VARCHAR, stars BIGINT)'})""".stripMargin,
   )
 
-  // def, not val: referenced by the sql map above, which initializes
-  // first in object-body order
+  // defs, not vals: referenced by the sql map above, which
+  // initializes first in object-body order
   private def JsonlFixture: String = graft.sources.JsonlCorpus.FixtureFile
+  private def CsvFixture: String = graft.sources.CsvMeta.FixtureFile
 
   /** Planted messy-URL corpus + normalization components — the
     * ExtQueries.urlCorpus / UrlOps rules verbatim in RE2-safe SQL:

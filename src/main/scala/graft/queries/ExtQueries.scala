@@ -1616,6 +1616,53 @@ object ExtQueries {
     }
   }
 
+  /** Exact-phrase retrieval: first-two-token phrases from the probe
+    * docs against the positional index of the corpus — adjacency
+    * join, phrase-tf ranking (Retrieval.phraseTopK). The quoted-query
+    * face of the lexical leg, and the verbatim-leak decontamination
+    * probe. */
+  def phraseTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val q = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        element_at(TextOps.tokens(col("text")), 1).as("t1"),
+        element_at(TextOps.tokens(col("text")), 2).as("t2"))
+      .filter(col("t2").isNotNull)
+    Retrieval.phraseTopK(q, "query_id", "t1", "t2",
+      d.filter(col("doc_id") >= 20), "doc_id", "text", k = 3)
+  }
+
+  /** CSV sidecar ingest: RFC 4180 quoting pinned (embedded commas,
+    * doubled quotes, empty→NULL), tags split into typed columns. */
+  def csvRead(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.CsvMeta.load(spark)
+      .select(col("id"), col("title"),
+        element_at(split(col("tags"), ";"), 1).as("lang_tag"),
+        element_at(split(col("tags"), ";"), 2).as("source_tag"),
+        col("score"), col("note"))
+
+  /** ORC round-trip: the documents table written to ORC (Spark's
+    * other first-class columnar format) and read back, aggregated per
+    * source — the oracle computes the same report from the PARQUET
+    * original, so any loss or type drift in the ORC path breaks the
+    * hash. Temp-staged like the stream queries. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("q_orc")
+    try {
+      docs(spark, dir).write.mode("overwrite").orc(staged.toString)
+      val back = spark.read.orc(staged.toString)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"))
+      val rows = back.collectAsList()
+      spark.createDataFrame(rows, back.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1729,5 +1776,8 @@ object ExtQueries {
     "q_web_prep"          -> (webPrep _),
     "q_qcls_holdout"      -> (qclsHoldout _),
     "q_stream_quality"    -> (streamQuality _),
+    "q_phrase_topk"       -> (phraseTopKQ _),
+    "q_csv_read"          -> (csvRead _),
+    "q_orc_roundtrip"     -> (orcRoundtrip _),
   )
 }
