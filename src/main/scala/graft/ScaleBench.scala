@@ -145,7 +145,10 @@ object ScaleBench {
     // PageRank: nodes saturate at the 100-key graph while EDGES grow
     // with events until the 9900-edge simple-graph cap — the curve
     // measures the per-round contribution join under edge growth
-    "q_pagerank")
+    "q_pagerank",
+    // phrase retrieval: positional postings prune to the broadcast
+    // query-term set before the (doc, position) adjacency join
+    "q_phrase_topk")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
