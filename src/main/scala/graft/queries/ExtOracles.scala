@@ -195,8 +195,12 @@ object ExtOracles {
         |      || chr(31) AS s,
         |    CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM pt GROUP BY 1)""".stripMargin
+    // AS MATERIALIZED on every step CTE: w{t-1} is referenced twice
+    // per round (pair count + rewrite) and the rounds nest 12 deep —
+    // the DuckDB planner blowup the qcls chain measured (62 s at 12
+    // inlined rounds; ms materialized)
     val steps = (1 to numMerges).map { t =>
-      s"""m$t AS (SELECT l, r, pc FROM (
+      s"""m$t AS MATERIALIZED (SELECT l, r, pc FROM (
          |    SELECT (u).l AS l, (u).r AS r, SUM(cnt) AS pc FROM (
          |      SELECT cnt, unnest(list_transform(range(1, len(sy)), i ->
          |          {'l': sy[i], 'r': sy[i + 1]})) AS u
@@ -204,8 +208,9 @@ object ExtOracles {
          |          x -> x <> '') AS sy FROM w${t - 1}) q0) q1
          |    GROUP BY 1, 2) g
          |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
-         |w$t AS (SELECT replace(w.s, chr(31) || m.l || chr(31) || m.r
-         |      || chr(31), chr(31) || m.l || m.r || chr(31)) AS s, w.cnt
+         |w$t AS MATERIALIZED (SELECT replace(w.s, chr(31) || m.l
+         |      || chr(31) || m.r || chr(31),
+         |      chr(31) || m.l || m.r || chr(31)) AS s, w.cnt
          |  FROM w${t - 1} w, m$t m)""".stripMargin
     }
     val tail = (1 to numMerges).map { t =>
