@@ -67,6 +67,17 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("fit is invariant under partition layout") {
+    // the gradient is a LONG sum — order-independent by construction;
+    // this pins it: 1 partition and 32 partitions produce identical
+    // weights (a float gradient loop would differ in the last ulps)
+    val w1 = Classifier.fit(labeled.repartition(1), "text", "label",
+      iters = 4)
+    val w32 = Classifier.fit(labeled.repartition(32), "text", "label",
+      iters = 4)
+    assert(w1.toSeq == w32.toSeq)
+  }
+
   test("fit rejects mis-sized scale and empty corpora") {
     intercept[IllegalArgumentException] {
       Classifier.fit(labeled, "text", "label", scale = 1L << 21)

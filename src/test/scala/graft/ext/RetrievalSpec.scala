@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.sources.Tables
 
 /** BM25 + RRF semantics on hand-built corpora: term-match ranking,
   * idf ordering, length normalization, the integer quantization
@@ -120,5 +121,44 @@ class RetrievalSpec extends AnyFunSuite {
       .toDF("query_id", "neighbor_id", "rank")
     val top = Retrieval.rrfFuse(Seq(a, b), k = 1).collect()
     assert(top(0).getLong(1) == 9L)
+  }
+
+  test("phrase tf equals the brute-force adjacent-pair count") {
+    // the positional-index join must agree with literally counting
+    // adjacent (t1, t2) token pairs per doc — including overlapping
+    // occurrences ("x x x" contains "x x" twice)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val q = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        element_at(TextOps.tokens(col("text")), 1).as("t1"),
+        element_at(TextOps.tokens(col("text")), 2).as("t2"))
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val got = Retrieval.phraseTopK(q, "query_id", "t1", "t2",
+        corpus, "doc_id", "text", k = 1000000)
+      .select(col("query_id"), col("doc_id"), col("phrase_tf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val brute = q.crossJoin(corpus.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("__w")))
+      .select(col("query_id"), col("doc_id"),
+        size(filter(expr("sequence(1, size(__w) - 1)"),
+          i => element_at(col("__w"), i) === col("t1") &&
+            element_at(col("__w"), i + 1) === col("t2")))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == brute)
+  }
+
+  test("phrase ranking: overlapping occurrences count individually") {
+    val corpus = Seq((20L, "x x x y"), (21L, "x x y")).toDF("doc_id", "text")
+    val q = Seq((1L, "x", "x")).toDF("query_id", "t1", "t2")
+    val got = Retrieval.phraseTopK(q, "query_id", "t1", "t2",
+        corpus, "doc_id", "text", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((20L, 1L, 2L), (21L, 2L, 1L)))
   }
 }

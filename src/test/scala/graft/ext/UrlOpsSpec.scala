@@ -53,4 +53,15 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(norm("https://ex.com/") == "https://ex.com")
     assert(norm("https://ex.com/a//") == "https://ex.com/a")
   }
+
+  test("normalize is idempotent over the planted-mess corpus") {
+    // a canonical URL has nothing left to strip: re-normalizing the
+    // normalized form must be the identity, or the canonical key is
+    // not a fixed point and URL dedup would depend on pass count
+    val urls = graft.queries.ExtQueries.all("q_url_normalize")(
+      spark, "/root/testdata/sf0.001")
+    val twice = urls.select(col("norm_url"),
+      UrlOps.normalize(col("norm_url")).as("again"))
+    assert(twice.filter(col("again") =!= col("norm_url")).count() == 0)
+  }
 }
