@@ -986,19 +986,19 @@ object TextOps {
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    // The hash array is bound as a LAMBDA VARIABLE (transform over a
-    // one-element wrapper — the distinctShingles trick) so the md5
-    // chain evaluates ONCE per row; referencing the raw expression
-    // inside the window transform would re-evaluate every shingle
-    // hash per window = O(L²) md5 calls per document (measured 231 s
-    // on the sf0.1 gate corpus vs ~1 s in this form).
-    val mins = element_at(transform(
-      array(transform(wordShingles(tokens(col(textCol)), k), s => hex15(s))),
-      hs => when(size(hs) === 0, array().cast("array<long>"))
-        .otherwise(transform(
-          sequence(lit(1), greatest(lit(1), size(hs) - (w - 1))),
-          j => array_min(slice(hs, j, lit(w)))))), 1)
-    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    // Native one-pass expression (graft.catalyst.WinnowFp): reused
+    // thread-local digest + primitive long arrays, ONE scalar call
+    // per document — value-identical to the composed Column form it
+    // replaces (the unchanged DuckDB oracles re-prove it), with the
+    // same plan shape (shuffle-free projection + explode). History
+    // of this hot path: the naive window transform re-evaluated the
+    // md5 chain per window (O(L²) md5/doc, 231 s at sf0.1); the
+    // lambda-bound Column form fixed that (≈3.5 s); the native
+    // expression halves it again by dropping the per-shingle
+    // expression interpretation and array-HOF allocation.
+    graft.catalyst.WinnowFp.register(df.sparkSession)
+    df.select(col(idCol), explode(call_function("winnow_fp",
+      tokens(col(textCol)), lit(k), lit(w))).as("fp"))
   }
 
   /** Cross-document overlap detection over [[winnowFingerprints]]:
