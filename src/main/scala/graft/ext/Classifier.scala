@@ -111,7 +111,10 @@ object Classifier {
     require(scale > 0 && scale <= (1L << 20),
       s"scale must be in (0, 2^20] to keep the integer domain exact, got $scale")
     val dims = numBuckets + 1
-    val feat = df.select(
+    // unsplittable-input guard (TextOps.rebalance): the checkpointed
+    // feature table keeps its partitioning for all `iters` gradient
+    // aggregations
+    val feat = TextOps.rebalance(df).select(
       hashedFeatures(col(textCol), numBuckets, biasGain).as("__x"),
       col(labelCol).cast("long").as("__y"))
       .localCheckpoint()

@@ -32,7 +32,9 @@ object Dedup {
     * re-evaluated per element (no CSE across lambda boundaries) —
     * ~3 regex splits per shingle instead of 1 per document. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    TextOps.rebalance(df) // unsplittable-input guard: the shingle
+      // explode is the CPU-heavy stage of every exact-similarity path
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(wordShingles(col("__toks"), n)).as("shingle"))
       .distinct()
 
@@ -253,8 +255,9 @@ object Dedup {
     * unchanged on a STREAMING DataFrame, which is what
     * [[graft.streaming.StreamingOps.streamNearDupCandidates]] feeds
     * into a stream-static join. */
-  def nativeBands(df: DataFrame, idCol: String, textCol: String,
+  def nativeBands(rawDf: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    val df = TextOps.rebalance(rawDf) // signature pass parallelism
     graft.catalyst.MinHashSig.register(df.sparkSession)
     df.select(col(idCol),
       call_function("minhash_sig", tokens(col(textCol)),

@@ -95,10 +95,13 @@ object KMeans {
     * [[codebook]] does) and `n_members` the centroid's population
     * under the FINAL assignment (0 = an empty cell that carried its
     * previous position — the audit face of codebook collapse). */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+  def fit(rawDf: DataFrame, idCol: String, vecCol: String, k: Int,
           numSub: Int, subDim: Int, iters: Int,
           scale: Long = 32768L): DataFrame = {
     require(k >= 1 && numSub >= 1 && subDim >= 1 && iters >= 1)
+    // unsplittable-input guard (TextOps.rebalance): the checkpointed
+    // quantized corpus keeps its partitioning for EVERY assign pass
+    val df = TextOps.rebalance(rawDf)
     // |component|·scale < 2^20 keeps d2 < 2^46 and corpus sums < 2^52
     // for any realistic corpus — embedding components are O(1)
     require(scale > 0 && scale <= (1L << 20),
@@ -173,9 +176,10 @@ object KMeans {
     * cluster-assignment face of plain k-means (the SemDeDup cell
     * step). Scale shape: identical to fit's ASSIGN — broadcast
     * centroid rows, in-row argmin, zero corpus shuffle. */
-  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+  def assignTo(rawDf: DataFrame, idCol: String, vecCol: String,
                fitted: DataFrame, numSub: Int, subDim: Int,
                scale: Long = 32768L): DataFrame = {
+    val df = TextOps.rebalance(rawDf)
     val cents = fitted
       .groupBy(col("sub_id"), col("cid"))
       .agg(array_sort(collect_list(struct(col("dim_id"), col("c")))).as("__dc"))
