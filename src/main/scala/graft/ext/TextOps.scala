@@ -1175,4 +1175,49 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("n_links"))
   }
+
+  /** Per-document unigram-LM segmentation stats over the native
+    * Viterbi expression ([[graft.catalyst.UnigramSegment]]): piece
+    * count, UNK count, total integer score, and an order-sensitive
+    * md5 fingerprint of the piece sequence (chr(31)-joined) that
+    * pins the EXACT segmentation — not just its size — through the
+    * gate. Zero-shuffle projection: the vocab rides the expression's
+    * reference object and a broadcast map literal; the array
+    * aggregations run in-row. */
+  def unigramStats(rawDf: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val df = rebalance(rawDf)
+    graft.catalyst.UnigramSegment.register(df.sparkSession)
+    val vm = typedLit(graft.catalyst.UnigramSegment.DefaultVocab.toMap)
+    val unk = lit(graft.catalyst.UnigramSegment.DefaultUnkScore)
+    val pieces = call_function("unigram_segment", col(textCol))
+    df.select(col(idCol), pieces.as("__p"))
+      .select(col(idCol),
+        size(col("__p")).cast("long").as("n_pieces"),
+        size(filter(col("__p"), p => element_at(vm, p).isNull))
+          .cast("long").as("n_unk"),
+        aggregate(col("__p"), lit(0L),
+          (acc, p) => acc + coalesce(element_at(vm, p), unk))
+          .as("score_total"),
+        md5(encode(concat_ws("", col("__p")), "UTF-8"))
+          .as("pieces_fp"))
+  }
+
+  /** Viterbi piece-usage counts — the hard-EM sufficient statistic a
+    * unigram-LM trainer prunes the vocab by (pieces whose usage
+    * count collapses are the removal candidates each EM round).
+    * One map-side-combinable agg keyed by piece: the shuffle domain
+    * is bounded by |vocab| + the UNK alphabet, never the corpus. */
+  def unigramPieceCounts(rawDf: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val df = rebalance(rawDf)
+    graft.catalyst.UnigramSegment.register(df.sparkSession)
+    val vm = typedLit(graft.catalyst.UnigramSegment.DefaultVocab.toMap)
+    df.select(col(idCol),
+        explode(call_function("unigram_segment", col(textCol))).as("piece"))
+      .groupBy("piece")
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("in_vocab", element_at(vm, col("piece")).isNotNull)
+  }
 }

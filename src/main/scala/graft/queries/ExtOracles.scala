@@ -2797,6 +2797,34 @@ object ExtOracles {
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
 
+    // unigram-LM Viterbi segmentation: the recursive CTE re-derives
+    // the DP over DISTINCT tokens — candidates per position compared
+    // by ONE struct sort on (negscore, count, piece-sequence), the
+    // exact contract order (UnigramSegment scaladoc) — and the doc
+    // fingerprint pins the full piece sequence, not just its size
+    "q_unigram_segment" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT r.doc_id,
+         |  CAST(COALESCE(len(p.pieces), 0) AS BIGINT) AS n_pieces,
+         |  CAST(COALESCE(len(list_filter(p.pieces,
+         |    x -> len(map_extract(v.m, x)) = 0)), 0) AS BIGINT) AS n_unk,
+         |  CAST(COALESCE(list_sum(list_transform(p.pieces, x ->
+         |    COALESCE(map_extract(v.m, x)[1], $UnigramUnk))), 0) AS BIGINT)
+         |    AS score_total,
+         |  md5(COALESCE(array_to_string(p.pieces, chr(31)), '')) AS pieces_fp
+         |FROM rich r CROSS JOIN vm v LEFT JOIN docp p USING (doc_id)""".stripMargin,
+
+    // Viterbi piece-usage counts (the unigram trainer's hard-EM
+    // pruning statistic), derived from the same DP
+    "q_unigram_counts" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT u.piece, CAST(COUNT(*) AS BIGINT) AS n_uses,
+         |  CAST(COUNT(DISTINCT u.doc_id) AS BIGINT) AS n_docs,
+         |  len(map_extract(v.m, u.piece)) > 0 AS in_vocab
+         |FROM (SELECT doc_id, unnest(pieces) AS piece FROM docp) u
+         |CROSS JOIN vm v
+         |GROUP BY u.piece, len(map_extract(v.m, u.piece)) > 0""".stripMargin,
+
     // exact-phrase retrieval: positional postings + adjacency join,
     // phrase-tf ranking — integer counts end to end
     "q_phrase_topk" ->
@@ -3081,6 +3109,65 @@ object ExtOracles {
          |    GROUP BY e.dst) s ON s.dst = n2.node)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  // def, not val: the `sql` map interpolates this during object init,
+  // which runs in declaration order — a val down here would still be 0
+  private def UnigramUnk: Long = graft.catalyst.UnigramSegment.DefaultUnkScore
+
+  /** Shared CTE chain of the unigram-LM oracles: enriched corpus →
+    * vocab map (the SAME piece list the native expression carries,
+    * inlined as VALUES) → Viterbi DP per DISTINCT token as a
+    * recursive CTE over end position j, each row carrying the dp
+    * cell list so far — candidates at j compared by one ascending
+    * struct sort on (negscore, count, pieces), the contract's
+    * (score desc, count asc, sequence lex asc) — → per-doc piece
+    * reassembly in token order. */
+  private def unigramCtes: String = {
+    val vocabVals = graft.catalyst.UnigramSegment.DefaultVocab
+      .map { case (p, s) => s"('${p.replace("'", "''")}', $s)" }
+      .mkString(", ")
+    s"""rich AS (SELECT doc_id,
+       |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||
+       |      CAST(n_chars AS VARCHAR) || '! café' AS rich
+       |  FROM documents),
+       |vocab(piece, s) AS (VALUES $vocabVals),
+       |vm AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m,
+       |              max(len(piece)) AS maxl FROM vocab),
+       |toks AS (SELECT DISTINCT tok FROM (
+       |  SELECT unnest(string_split(rich, ' ')) AS tok FROM rich) WHERE tok <> ''),
+       |dp AS (
+       |  SELECT tok, 0 AS j,
+       |    [struct_pack(ns := CAST(0 AS BIGINT), cnt := CAST(0 AS BIGINT),
+       |                 ps := CAST([] AS VARCHAR[]))] AS cells
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT tok, j + 1,
+       |    cells || [list_sort(list_filter(
+       |      list_transform(range(1, least(maxl, j + 1) + 1), l ->
+       |        CASE
+       |          WHEN len(map_extract(m, substr(tok, j + 2 - l, l))) > 0
+       |          THEN struct_pack(
+       |            ns := cells[j + 2 - l].ns
+       |              - map_extract(m, substr(tok, j + 2 - l, l))[1],
+       |            cnt := cells[j + 2 - l].cnt + 1,
+       |            ps := cells[j + 2 - l].ps || [substr(tok, j + 2 - l, l)])
+       |          WHEN l = 1
+       |          THEN struct_pack(
+       |            ns := cells[j + 1].ns + ${-UnigramUnk},
+       |            cnt := cells[j + 1].cnt + 1,
+       |            ps := cells[j + 1].ps || [substr(tok, j + 1, 1)])
+       |          ELSE NULL END),
+       |      x -> x IS NOT NULL))[1]]
+       |  FROM dp, vm WHERE j < len(tok)),
+       |seg AS (SELECT tok, cells[len(tok) + 1].ps AS ps
+       |  FROM dp WHERE j = len(tok)),
+       |dtoks AS (SELECT doc_id, tok_idx, tok FROM (
+       |  SELECT doc_id, generate_subscripts(st, 1) AS tok_idx, unnest(st) AS tok
+       |  FROM (SELECT doc_id, string_split(rich, ' ') AS st FROM rich))
+       |  WHERE tok <> ''),
+       |docp AS (SELECT doc_id, flatten(list(ps ORDER BY tok_idx)) AS pieces
+       |  FROM dtoks JOIN seg USING (tok) GROUP BY doc_id)""".stripMargin
   }
 
   /** Margin + clamped p per doc under the trained `w12` weights. */

@@ -1663,6 +1663,30 @@ object ExtQueries {
     }
   }
 
+  /** The enriched corpus shared by the unigram-LM queries: same
+    * punctuation/digit enrichment as q_bpe_merges plus one non-ASCII
+    * token ('café') so the UNK fallback is exercised THROUGH the
+    * gate, not just in specs. */
+  private def unigramRich(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" doc-"), col("doc_id").cast("string"),
+        lit(" it's v1.2, n="), col("n_chars").cast("string"),
+        lit("! café")).as("rich"))
+
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation through
+    * the gate: the native expression segments every whitespace token
+    * into the score-maximal piece sequence and the md5 fingerprint
+    * pins the EXACT sequence per document. The oracle re-derives the
+    * DP with a recursive CTE over DISTINCT tokens (score/count/lex
+    * triple compared by one struct sort) and reassembles per doc. */
+  def unigramSegmentQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramStats(unigramRich(spark, dir), "doc_id", "rich")
+
+  /** Viterbi piece-usage counts — the hard-EM pruning statistic of
+    * unigram-LM training (which pieces earn their vocab slot). */
+  def unigramCountsQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramPieceCounts(unigramRich(spark, dir), "doc_id", "rich")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1779,5 +1803,7 @@ object ExtQueries {
     "q_phrase_topk"       -> (phraseTopKQ _),
     "q_csv_read"          -> (csvRead _),
     "q_orc_roundtrip"     -> (orcRoundtrip _),
+    "q_unigram_segment"   -> (unigramSegmentQ _),
+    "q_unigram_counts"    -> (unigramCountsQ _),
   )
 }
