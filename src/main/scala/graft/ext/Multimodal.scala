@@ -142,4 +142,48 @@ object Multimodal {
       when(n > 0, element_at(bytes, 1)).otherwise(lit(-1L)).as("first_byte"),
       checksum.as("checksum"))
   }
+
+  /** Perceptual 64-bit hash per media row ([[graft.catalyst.Phash64]]):
+    * container header stripped (length data-dependent, from the
+    * sniffed kind), content folded to an 8×8 grid, integer DCT-II,
+    * one bit per AC coefficient vs the median. Re-wraps hash
+    * identically; small content perturbations land a few Hamming bits
+    * away; unrelated content ~32. Zero-shuffle projection. */
+  def phash(df: DataFrame, idCol: String, payloadCol: String,
+            headerLen: org.apache.spark.sql.Column): DataFrame = {
+    graft.catalyst.Phash64.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("phash64", col(payloadCol), headerLen.cast("int"))
+        .as("phash"))
+  }
+
+  /** Perceptual near-dup PAIRS over [[phash]] codes: the 64-bit hash
+    * bands into 8 bytes — two hashes within Hamming distance 7 agree
+    * on at least one full byte (pigeonhole), so the banded candidate
+    * join has FULL recall at the threshold, same scale shape as the
+    * SimHash64 bands: pairing stays bucket-local, never all-pairs,
+    * and only 8-byte codes move. Hot buckets (a degenerate hash value
+    * shared corpus-wide) are dropped from pairing by the same
+    * [[Dedup.boundBlocks]] cap as every other banded path — audit
+    * with [[Dedup.oversizeBlocks]] on ("band", "nib"). Exact Hamming
+    * on candidates via one XOR+popcount. */
+  def phashPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                 maxHamming: Int = 7, maxBucket: Int = 256): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit bands guarantee recall only to hamming 7")
+    val bands = hashes.select(col(idCol), col(hashCol).as("__h"),
+      posexplode(array((0 until 8).map { k =>
+        shiftright(col(hashCol), 8 * k).bitwiseAND(lit(255L))
+      }: _*)).as(Seq("band", "nib")))
+    val bounded = Dedup.boundBlocks(bands, Seq("band", "nib"), maxBucket)
+    val a = bounded.select(col(idCol).as("media_a"), col("__h").as("ha"),
+      col("band"), col("nib"))
+    val b = bounded.select(col(idCol).as("media_b"), col("__h").as("hb"),
+      col("band"), col("nib"))
+    a.join(b, Seq("band", "nib"))
+      .where(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ha", "hb").distinct()
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -2797,6 +2797,38 @@ object ExtOracles {
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
 
+    // perceptual media hash: the oracle re-derives the integer DCT →
+    // median-sign pipeline from the bare content bytes (the Spark
+    // side must strip the sniffed container header to line up)
+    "q_phash_media" ->
+      s"""WITH $phashCtes
+         |SELECT doc_id,
+         |  CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+         |    ELSE 'image/gif' END AS kind,
+         |  phash
+         |FROM hsh""".stripMargin,
+
+    // perceptual near-dup pairs: banded-join recall is total at
+    // hamming <= 7 (pigeonhole over 8 byte-bands), so the oracle can
+    // brute-force all pairs — the band cap is replicated so a
+    // degenerate bucket drops identically on both sides
+    "q_phash_neardup" ->
+      s"""WITH $phashCtes,
+         |bandt AS (SELECT doc_id, phash, b.bk AS band,
+         |    (phash >> (8 * b.bk)) & 255 AS nib
+         |  FROM hsh, (SELECT unnest(range(8)) AS bk) b),
+         |ok AS (SELECT band, nib FROM bandt
+         |  GROUP BY band, nib HAVING COUNT(*) <= 256),
+         |cand AS (SELECT DISTINCT a.doc_id AS media_a, c.doc_id AS media_b,
+         |    a.phash AS ha, c.phash AS hb
+         |  FROM bandt a
+         |  JOIN ok o ON o.band = a.band AND o.nib = a.nib
+         |  JOIN bandt c ON c.band = a.band AND c.nib = a.nib
+         |    AND a.doc_id < c.doc_id)
+         |SELECT media_a, media_b,
+         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin,
+
     // unigram-LM Viterbi segmentation: the recursive CTE re-derives
     // the DP over DISTINCT tokens — candidates per position compared
     // by ONE struct sort on (negscore, count, piece-sequence), the
@@ -3114,6 +3146,59 @@ object ExtOracles {
   // def, not val: the `sql` map interpolates this during object init,
   // which runs in declaration order — a val down here would still be 0
   private def UnigramUnk: Long = graft.catalyst.UnigramSegment.DefaultUnkScore
+
+  /** Shared CTE chain of the perceptual-hash oracles: planted media
+    * corpus (base / re-wrap / perturbed) → content bytes → 8×8 luma
+    * fold (modular per-cell sums, same arithmetic as the running
+    * modular accumulation in Phash64.compute) → integer DCT-II with
+    * the SAME scaled-cosine matrix the expression carries
+    * (interpolated from Phash64.Coef, so one matrix by construction)
+    * → median-sign bits at 63−k. The oracle hashes the BARE content;
+    * the container header only exists on the Spark side, where the
+    * sniff→strip path must remove it exactly. */
+  private def phashCtes: String = {
+    val coefVals = graft.catalyst.Phash64.Coef.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map { case (c, x) => s"($u, $x, $c)" }
+    }.mkString(", ")
+    s"""corpus AS (
+       |  SELECT doc_id, text AS content, doc_id % 3 AS k FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text, (doc_id % 3 + 1) % 3
+       |  FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000,
+       |    substr(text, 1, 100) || 'XQZ' || substr(text, 104), doc_id % 3
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |coef(u, x, c) AS (VALUES $coefVals),
+       |hx AS (SELECT doc_id, k, hex(encode(content)) AS h,
+       |    octet_length(encode(content)) AS n FROM corpus),
+       |by AS (SELECT doc_id, t.i AS j,
+       |    CAST('0x' || substr(h, t.i * 2 + 1, 2) AS BIGINT) AS b
+       |  FROM hx, unnest(range(n)) AS t(i)),
+       |luma AS (SELECT g.doc_id, g.cell, COALESCE(l.v, 0) AS v
+       |  FROM (SELECT doc_id, t.cell
+       |        FROM hx, (SELECT unnest(range(64)) AS cell) t) g
+       |  LEFT JOIN (SELECT doc_id, j % 64 AS cell,
+       |      CAST(SUM(b * ((j // 64) % 7 + 1)) % 1000003 AS BIGINT) AS v
+       |    FROM by GROUP BY doc_id, j % 64) l
+       |  ON l.doc_id = g.doc_id AND l.cell = g.cell),
+       |inner_ AS (SELECT l.doc_id, cf.u AS v, l.cell // 8 AS x,
+       |    CAST(SUM(l.v * cf.c) AS BIGINT) AS s
+       |  FROM luma l JOIN coef cf ON cf.x = l.cell % 8
+       |  GROUP BY l.doc_id, cf.u, l.cell // 8),
+       |t AS (SELECT i.doc_id, cf.u, i.v,
+       |    CAST(SUM(cf.c * i.s) AS BIGINT) AS tv
+       |  FROM inner_ i JOIN coef cf ON cf.x = i.x
+       |  GROUP BY i.doc_id, cf.u, i.v),
+       |med AS (SELECT doc_id, list_sort(list(tv))[32] AS m
+       |  FROM t WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+       |hsh AS (SELECT h2.doc_id, h2.k, CAST(COALESCE(s.ph, 0) AS BIGINT) AS phash
+       |  FROM hx h2 LEFT JOIN (
+       |    SELECT t.doc_id, SUM(1::BIGINT << (63 - (t.u * 8 + t.v))) AS ph
+       |    FROM t JOIN med ON med.doc_id = t.doc_id
+       |    WHERE NOT (t.u = 0 AND t.v = 0) AND t.tv > med.m
+       |    GROUP BY t.doc_id) s ON s.doc_id = h2.doc_id)""".stripMargin
+  }
 
   /** Shared CTE chain of the unigram-LM oracles: enriched corpus →
     * vocab map (the SAME piece list the native expression carries,

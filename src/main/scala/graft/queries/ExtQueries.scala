@@ -1687,6 +1687,52 @@ object ExtQueries {
   def unigramCountsQ(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramPieceCounts(unigramRich(spark, dir), "doc_id", "rich")
 
+  /** Perceptual-media corpus: every doc wears a container (rotating
+    * magic header); %4 docs are RE-WRAPPED (same content, next
+    * container — must hash identically), %5 docs carry a 3-char
+    * content perturbation (must land a few Hamming bits away). */
+  private def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"),
+      (col("doc_id") % 3).as("k"))
+    val rewrap = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+        ((col("doc_id") % 3) + 1) % 3 as "k")
+    val pert = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(substring(col("text"), 1, 100), lit("XQZ"),
+          substring(col("text"), 104, 1 << 30)).as("text"),
+        (col("doc_id") % 3).as("k"))
+    val all = base.unionByName(rewrap).unionByName(pert)
+    val hdr = when(col("k") === 0, lit("89504E47"))
+      .when(col("k") === 1, lit("FFD8FF")).otherwise(lit("47494638"))
+    all.select(col("doc_id"),
+      concat(unhex(hdr), encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** Perceptual 64-bit media hash (native integer-DCT expression):
+    * header length is derived from the SNIFFED container, so the
+    * strip path — not fixture bookkeeping — must line up with the
+    * oracle, which hashes the bare content. */
+  def phashMedia(spark: SparkSession, dir: String): DataFrame = {
+    val c = phashCorpus(spark, dir)
+    val kind = Multimodal.sniffKindCol(col("payload"))
+    val hdrLen = when(kind === "image/jpeg", 3).otherwise(4)
+    Multimodal.phash(c.withColumn("kind", kind), "doc_id", "payload", hdrLen)
+      .join(c.select(col("doc_id"), kind.as("kind")), "doc_id")
+      .select("doc_id", "kind", "phash")
+  }
+
+  /** Perceptual near-dup pairs: banded Hamming join over the phash
+    * codes — re-wraps pair at distance 0, perturbed clones a few bits
+    * out, unrelated docs (~32 bits) never pair. */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val c = phashCorpus(spark, dir)
+    val hdrLen = when(
+      Multimodal.sniffKindCol(col("payload")) === "image/jpeg", 3).otherwise(4)
+    val h = Multimodal.phash(c, "doc_id", "payload", hdrLen)
+    Multimodal.phashPairs(h, "doc_id", "phash")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1805,5 +1851,7 @@ object ExtQueries {
     "q_orc_roundtrip"     -> (orcRoundtrip _),
     "q_unigram_segment"   -> (unigramSegmentQ _),
     "q_unigram_counts"    -> (unigramCountsQ _),
+    "q_phash_media"       -> (phashMedia _),
+    "q_phash_neardup"     -> (phashNearDup _),
   )
 }
