@@ -294,16 +294,20 @@ object Dedup {
     // agreement is an in-array zip over the two signature arrays —
     // one codegen'd projection, not numHashes column comparisons
     graft.catalyst.MinHashSig.register(df.sparkSession)
+    // signatures and candidate pairs are each consumed by multiple
+    // downstream joins — checkpoint both so the native-signature pass
+    // and the band self-join run once, not once per consumer
     val sig = df.select(col(idCol),
       call_function("minhash_sig", tokens(col(textCol)),
         lit(shingleN), lit(numHashes)).as("__sig"))
+      .localCheckpoint()
     val bands = sig
       .select(col(idCol), col("__sig"),
         explode(sequence(lit(0), lit(numHashes / 2 - 1))).as("band"))
       .select(col(idCol), col("band"),
         expr("concat(__sig[CAST(band * 2 AS INT)], __sig[CAST(band * 2 + 1 AS INT)])")
           .as("bkey"))
-    val cand = lshCandidates(bands, idCol)
+    val cand = lshCandidates(bands, idCol).localCheckpoint()
     val nMatch = size(filter(
       zip_with(col("__siga"), col("__sigb"), (x, y) => x === y),
       b => b)).cast("long")
@@ -315,25 +319,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
     // exact counts only for docs that appear in a candidate pair —
     // the ngramJaccard prune rule: at scale banding prunes most of
-    // the corpus and the shingle explode must not run over everything
+    // the corpus and the shingle explode must not run over everything.
+    // Intersections are in-row array_intersect on the candidate pairs
+    // (the prefixFilterPairs restructure): only pairs shuffle.
     val candDocs = cand.select(col("doc_a").as(idCol))
       .unionByName(cand.select(col("doc_b").as(idCol))).distinct()
-    val sh = shingleRows(df.join(candDocs, Seq(idCol), "left_semi"),
-      idCol, textCol, shingleN)
-    val inter = cand
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    est.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_match"), col("inter"),
-        (col("na") + col("nb") - col("inter")).as("n_union"),
+    val docSets = shingleRows(df.join(candDocs, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_list(col("shingle")).as("__set"))
+    val inter = size(array_intersect(col("__seta"), col("__setb")))
+      .cast("long")
+    val uni = (size(col("__seta")) + size(col("__setb"))).cast("long") - inter
+    est
+      .join(docSets.select(col(idCol).as("doc_a"), col("__set").as("__seta")),
+        Seq("doc_a"))
+      .join(docSets.select(col(idCol).as("doc_b"), col("__set").as("__setb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"), inter.as("inter"),
+        uni.as("n_union"),
         (col("n_match").cast("double") / numHashes).as("est_jaccard"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
+        (inter.cast("double") / uni).as("jaccard"))
   }
 
   /** Incremental near-dup check of an incoming batch against an
