@@ -148,7 +148,16 @@ object ScaleBench {
     "q_pagerank",
     // phrase retrieval: positional postings prune to the broadcast
     // query-term set before the (doc, position) adjacency join
-    "q_phrase_topk")
+    "q_phrase_topk",
+    // wave 4: unigram-LM Viterbi segmentation (zero-shuffle native
+    // projection + the vocab-bounded piece agg — both linear floors),
+    // the perceptual hash (one-pass projection), and its banded
+    // Hamming join: 8-bit bands saturate as the corpus outgrows
+    // 256 buckets/band (the clique corpus pairs every copy set), so
+    // the curve measures the bucket cap holding the pair stage —
+    // same story as the LSH caps, audited via oversizeBlocks
+    "q_unigram_segment", "q_unigram_counts",
+    "q_phash_media", "q_phash_neardup")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
