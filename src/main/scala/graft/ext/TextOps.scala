@@ -1220,4 +1220,47 @@ object TextOps {
         countDistinct(col(idCol)).as("n_docs"))
       .withColumn("in_vocab", element_at(vm, col("piece")).isNotNull)
   }
+
+  /** ONE hard-EM prune round of the unigram-LM trainer: segment under
+    * the full vocab, count Viterbi piece usage, drop every multi-char
+    * piece used fewer than `minUses` times (single code points always
+    * survive — the coverage guarantee that keeps every token
+    * segmentable), re-segment under the pruned vocab, and report both
+    * piece counts plus the pruned segmentation's fingerprint per doc.
+    * This is the SentencePiece training loop's inner step — iterate
+    * it and the vocab converges onto the pieces that pay for their
+    * slots.
+    *
+    * The usage collect is DRIVER-SIDE BOUNDED: its domain is
+    * |vocab| + the UNK alphabet, never the corpus (same bounded-
+    * collect class as the bloom bitmap build) — it sizes the pruned
+    * vocab that parameterizes the second expression instance. Both
+    * segmentation passes are zero-shuffle projections. */
+  def unigramPruneRound(rawDf: DataFrame, idCol: String, textCol: String,
+                        minUses: Long = 600L): DataFrame = {
+    require(minUses >= 1)
+    val df = rebalance(rawDf)
+    val spark = df.sparkSession
+    graft.catalyst.UnigramSegment.register(spark)
+    val full = graft.catalyst.UnigramSegment.DefaultVocab
+    val counts = df
+      .select(explode(call_function("unigram_segment", col(textCol)))
+        .as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = full.filter { case (p, _) =>
+      p.codePointCount(0, p.length) == 1 || counts.getOrElse(p, 0L) >= minUses
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unigram_segment_pruned",
+      exprs => graft.catalyst.UnigramSegment(exprs.head, kept), "built-in")
+    df.select(col(idCol),
+        call_function("unigram_segment", col(textCol)).as("__p1"),
+        call_function("unigram_segment_pruned", col(textCol)).as("__p2"))
+      .select(col(idCol),
+        size(col("__p1")).cast("long").as("n_pieces_full"),
+        size(col("__p2")).cast("long").as("n_pieces_pruned"),
+        md5(encode(concat_ws("", col("__p2")), "UTF-8"))
+          .as("pieces_fp_pruned"))
+  }
 }

@@ -2846,6 +2846,30 @@ object ExtOracles {
          |  md5(COALESCE(array_to_string(p.pieces, chr(31)), '')) AS pieces_fp
          |FROM rich r CROSS JOIN vm v LEFT JOIN docp p USING (doc_id)""".stripMargin,
 
+    // one hard-EM prune round: usage counts from the full-vocab DP
+    // decide the surviving multi-char pieces (singles always stay —
+    // the coverage guarantee), then the SAME DP re-runs under the
+    // pruned vocab; the second segmentation is fingerprint-pinned
+    "q_unigram_prune" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |cnt AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, unnest(pieces) AS piece FROM docp)
+         |  GROUP BY piece),
+         |vocab2 AS (SELECT v.piece, v.s FROM vocab v
+         |  LEFT JOIN cnt ON cnt.piece = v.piece
+         |  WHERE len(v.piece) = 1 OR COALESCE(cnt.n, 0) >= 600),
+         |vm2 AS (SELECT map(list(piece ORDER BY piece),
+         |                   list(s ORDER BY piece)) AS m,
+         |               max(len(piece)) AS maxl FROM vocab2),
+         |${unigramDpCtes("vm2", "dp2", "seg2", "docp2")}
+         |SELECT r.doc_id,
+         |  CAST(COALESCE(len(p1.pieces), 0) AS BIGINT) AS n_pieces_full,
+         |  CAST(COALESCE(len(p2.pieces), 0) AS BIGINT) AS n_pieces_pruned,
+         |  md5(COALESCE(array_to_string(p2.pieces, chr(31)), ''))
+         |    AS pieces_fp_pruned
+         |FROM rich r LEFT JOIN docp p1 USING (doc_id)
+         |LEFT JOIN docp2 p2 USING (doc_id)""".stripMargin,
+
     // Viterbi piece-usage counts (the unigram trainer's hard-EM
     // pruning statistic), derived from the same DP
     "q_unigram_counts" ->
@@ -3208,20 +3232,13 @@ object ExtOracles {
     * struct sort on (negscore, count, pieces), the contract's
     * (score desc, count asc, sequence lex asc) — → per-doc piece
     * reassembly in token order. */
-  private def unigramCtes: String = {
-    val vocabVals = graft.catalyst.UnigramSegment.DefaultVocab
-      .map { case (p, s) => s"('${p.replace("'", "''")}', $s)" }
-      .mkString(", ")
-    s"""rich AS (SELECT doc_id,
-       |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||
-       |      CAST(n_chars AS VARCHAR) || '! café' AS rich
-       |  FROM documents),
-       |vocab(piece, s) AS (VALUES $vocabVals),
-       |vm AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m,
-       |              max(len(piece)) AS maxl FROM vocab),
-       |toks AS (SELECT DISTINCT tok FROM (
-       |  SELECT unnest(string_split(rich, ' ')) AS tok FROM rich) WHERE tok <> ''),
-       |dp AS (
+  /** One Viterbi DP + per-doc reassembly block over `toks`/`dtoks`,
+    * parameterized by the vocab-map CTE it reads and the names it
+    * defines — emitted twice by the prune oracle (full vocab, then
+    * the usage-pruned one). */
+  private def unigramDpCtes(vm: String, dp: String, seg: String,
+                            docp: String): String =
+    s"""$dp AS (
        |  SELECT tok, 0 AS j,
        |    [struct_pack(ns := CAST(0 AS BIGINT), cnt := CAST(0 AS BIGINT),
        |                 ps := CAST([] AS VARCHAR[]))] AS cells
@@ -3244,16 +3261,32 @@ object ExtOracles {
        |            ps := cells[j + 1].ps || [substr(tok, j + 1, 1)])
        |          ELSE NULL END),
        |      x -> x IS NOT NULL))[1]]
-       |  FROM dp, vm WHERE j < len(tok)),
-       |seg AS (SELECT tok, cells[len(tok) + 1].ps AS ps
-       |  FROM dp WHERE j = len(tok)),
+       |  FROM $dp, $vm WHERE j < len(tok)),
+       |$seg AS (SELECT tok, cells[len(tok) + 1].ps AS ps
+       |  FROM $dp WHERE j = len(tok)),
+       |$docp AS (SELECT doc_id, flatten(list(ps ORDER BY tok_idx)) AS pieces
+       |  FROM dtoks JOIN $seg USING (tok) GROUP BY doc_id)""".stripMargin
+
+  private def unigramVocabVals: String =
+    graft.catalyst.UnigramSegment.DefaultVocab
+      .map { case (p, s) => s"('${p.replace("'", "''")}', $s)" }
+      .mkString(", ")
+
+  private def unigramCtes: String =
+    s"""rich AS (SELECT doc_id,
+       |    text || ' doc-' || CAST(doc_id AS VARCHAR) || ' it''s v1.2, n=' ||
+       |      CAST(n_chars AS VARCHAR) || '! café' AS rich
+       |  FROM documents),
+       |vocab(piece, s) AS (VALUES $unigramVocabVals),
+       |vm AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m,
+       |              max(len(piece)) AS maxl FROM vocab),
+       |toks AS (SELECT DISTINCT tok FROM (
+       |  SELECT unnest(string_split(rich, ' ')) AS tok FROM rich) WHERE tok <> ''),
        |dtoks AS (SELECT doc_id, tok_idx, tok FROM (
        |  SELECT doc_id, generate_subscripts(st, 1) AS tok_idx, unnest(st) AS tok
        |  FROM (SELECT doc_id, string_split(rich, ' ') AS st FROM rich))
        |  WHERE tok <> ''),
-       |docp AS (SELECT doc_id, flatten(list(ps ORDER BY tok_idx)) AS pieces
-       |  FROM dtoks JOIN seg USING (tok) GROUP BY doc_id)""".stripMargin
-  }
+       |${unigramDpCtes("vm", "dp", "seg", "docp")}""".stripMargin
 
   /** Margin + clamped p per doc under the trained `w12` weights. */
   private def qclsScoreCtes: String =

@@ -1687,6 +1687,13 @@ object ExtQueries {
   def unigramCountsQ(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramPieceCounts(unigramRich(spark, dir), "doc_id", "rich")
 
+  /** One hard-EM prune round THROUGH the gate: the trainer's inner
+    * loop (count → prune → re-segment), with the re-segmentation
+    * fingerprint-pinned so the pruned vocab's effect on every doc is
+    * value-checked, not just counted. */
+  def unigramPruneQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramPruneRound(unigramRich(spark, dir), "doc_id", "rich")
+
   /** Perceptual-media corpus: every doc wears a container (rotating
     * magic header); %4 docs are RE-WRAPPED (same content, next
     * container — must hash identically), %5 docs carry a 3-char
@@ -1853,5 +1860,6 @@ object ExtQueries {
     "q_unigram_counts"    -> (unigramCountsQ _),
     "q_phash_media"       -> (phashMedia _),
     "q_phash_neardup"     -> (phashNearDup _),
+    "q_unigram_prune"     -> (unigramPruneQ _),
   )
 }

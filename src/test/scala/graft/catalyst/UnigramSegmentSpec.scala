@@ -113,6 +113,28 @@ class UnigramSegmentSpec extends AnyFunSuite {
     }
   }
 
+  test("prune round: monotone piece counts, pruned pieces really gone") {
+    UnigramSegment.register(spark)
+    // 'the' lands 250 Viterbi uses (survives at 100); 'doc' lands 50
+    // (pruned), as do the rarer bigram chunks
+    val df = (1 to 50).map(i =>
+        (i.toLong, s"the the the the doc-$i the value"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps
+      .unigramPruneRound(df, "doc_id", "text", minUses = 100L)
+      .collect()
+    assert(out.length === 50)
+    // dropping vocab entries can only lengthen a Viterbi segmentation
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    // 'doc' (100 uses < 200) was pruned, so every doc re-segments longer
+    assert(out.forall(r => r.getLong(2) > r.getLong(1)))
+    // the pruned expression is registered: spot-check it directly
+    val p2 = df.limit(1).select(
+      call_function("unigram_segment_pruned", col("text"))).collect()
+    assert(!p2.head.getSeq[String](0).contains("doc"))
+    assert(p2.head.getSeq[String](0).contains("the"))
+  }
+
   test("piece counts are partitioning-invariant") {
     UnigramSegment.register(spark)
     val df = (1 to 40).map(i => (i.toLong, s"the nation doc-$i café"))
