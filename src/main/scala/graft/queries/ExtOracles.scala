@@ -2829,6 +2829,25 @@ object ExtOracles {
          |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin,
 
+    // streaming perceptual dedup: the completed stream must equal
+    // this batch band join (index = base corpus, incoming = clones)
+    "q_stream_phash" ->
+      s"""WITH $phashCtes,
+         |bandt AS (SELECT doc_id, phash, b.bk AS band,
+         |    (phash >> (8 * b.bk)) & 255 AS nib
+         |  FROM hsh, (SELECT unnest(range(8)) AS bk) b),
+         |idx AS (SELECT doc_id AS index_id, phash AS h_index, band, nib
+         |  FROM bandt WHERE doc_id < 10000),
+         |inc AS (SELECT doc_id AS new_id, phash, band, nib
+         |  FROM bandt WHERE doc_id >= 10000)
+         |SELECT i.new_id, x.index_id,
+         |  CAST(bit_count(xor(i.phash, x.h_index)) AS BIGINT) AS hamming,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bands
+         |FROM inc i JOIN idx x ON x.band = i.band AND x.nib = i.nib
+         |WHERE bit_count(xor(i.phash, x.h_index)) <= 7
+         |GROUP BY i.new_id, x.index_id, bit_count(xor(i.phash, x.h_index))"""
+        .stripMargin,
+
     // unigram-LM Viterbi segmentation: the recursive CTE re-derives
     // the DP over DISTINCT tokens — candidates per position compared
     // by ONE struct sort on (negscore, count, piece-sequence), the

@@ -1740,6 +1740,28 @@ object ExtQueries {
     Multimodal.phashPairs(h, "doc_id", "phash")
   }
 
+  /** Streaming perceptual media dedup through the gate: the wave-4
+    * phash corpus's re-wraps and perturbed clones arrive as a
+    * file-source stream, hash through the one-pass projection, and
+    * band-join the static base corpus's persisted phash index; the
+    * completed stream must equal the batch band join DuckDB runs —
+    * integer hamming + band counts, no floats. */
+  def streamPhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = phashCorpus(spark, dir)
+    def hdrLen = when(
+      Multimodal.sniffKindCol(col("payload")) === "image/jpeg", 3).otherwise(4)
+    val indexBands = Multimodal
+      .phash(c.filter(col("doc_id") < 10000), "doc_id", "payload", hdrLen)
+      .select(col("doc_id").as("index_id"), col("phash").as("h_index"),
+        posexplode(array((0 until 8).map { k =>
+          shiftright(col("phash"), 8 * k).bitwiseAND(lit(255L))
+        }: _*)).as(Seq("band", "nib")))
+    StarQueries.runStagedStream(spark, c.filter(col("doc_id") >= 10000),
+      "q_stream_phash", "complete")(src =>
+      graft.streaming.StreamingOps
+        .streamPhashCandidates(src(), indexBands, hdrLen))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1861,5 +1883,6 @@ object ExtQueries {
     "q_phash_media"       -> (phashMedia _),
     "q_phash_neardup"     -> (phashNearDup _),
     "q_unigram_prune"     -> (unigramPruneQ _),
+    "q_stream_phash"      -> (streamPhashQuery _),
   )
 }

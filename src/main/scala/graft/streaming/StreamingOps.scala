@@ -301,4 +301,36 @@ object StreamingOps {
       .join(indexBands, Seq("band", "bkey"))
       .groupBy("new_id", "index_id")
       .agg(count(lit(1)).as("n_bands"))
+
+  /** Streaming perceptual media dedup — the media face of
+    * [[streamNearDupCandidates]]: incoming payloads hash through the
+    * one-pass [[graft.catalyst.Phash64]] projection (streaming-legal
+    * by construction), band into 8 bytes, and join the STATIC
+    * corpus's persisted band index; pairs within `maxHamming` are
+    * counted per (new, index) in complete/update mode. Same posture:
+    * the stream-static join is stateless, the only state is the
+    * bounded pair count, and the Hamming filter runs BEFORE the
+    * aggregation so non-matching collisions never enter state.
+    *
+    * `indexBands` must carry (index_id, band, nib, h_index) —
+    * persist the banded [[graft.ext.Multimodal.phash]] output at
+    * ingest time, exactly like the MinHash band index. */
+  def streamPhashCandidates(stream: DataFrame, indexBands: DataFrame,
+                            hdrLen: Column,
+                            idCol: String = "doc_id",
+                            payloadCol: String = "payload",
+                            maxHamming: Int = 7): DataFrame = {
+    val h = graft.ext.Multimodal.phash(stream, idCol, payloadCol, hdrLen)
+      .withColumnRenamed(idCol, "new_id")
+    h.select(col("new_id"), col("phash"),
+        posexplode(array((0 until 8).map { k =>
+          shiftright(col("phash"), 8 * k).bitwiseAND(lit(255L))
+        }: _*)).as(Seq("band", "nib")))
+      .join(indexBands, Seq("band", "nib"))
+      .withColumn("hamming",
+        bit_count(col("phash").bitwiseXOR(col("h_index"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("new_id", "index_id", "hamming")
+      .agg(count(lit(1)).as("n_bands"))
+  }
 }
