@@ -263,6 +263,30 @@ object ScaleBench {
       graft.ext.Dedup.semanticDedup(corpus, "vec_id", "embedding",
         dim = 64, k = k, iters = 3, minCosine = 0.99)
     }),
+    // perceptual near-dup at the production band width: 16-bit bands
+    // (65,536 buckets/band, pigeonhole recall to hamming 3) — the
+    // knob a deployment turns when 8-bit bands saturate 256 buckets
+    // (at 10× the clique corpus already averages >200 docs per 8-bit
+    // bucket; see Multimodal.phashPairs' bandBits scaladoc)
+    "q_phash_banded16" -> ((s: SparkSession, d: String) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        (col("doc_id") % 3).as("k"))
+      val pert = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 600000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 100), lit("XQZ"),
+            substring(col("text"), 104, 1 << 30)).as("text"),
+          (col("doc_id") % 3).as("k"))
+      val all = base.unionByName(pert)
+      val hdr = when(col("k") === 0, lit("89504E47"))
+        .when(col("k") === 1, lit("FFD8FF")).otherwise(lit("47494638"))
+      val c = all.select(col("doc_id"),
+        concat(unhex(hdr), encode(col("text"), "UTF-8")).as("payload"))
+      val hdrLen = when(graft.ext.Multimodal.sniffKindCol(col("payload"))
+        === "image/jpeg", 3).otherwise(4)
+      val h = graft.ext.Multimodal.phash(c, "doc_id", "payload", hdrLen)
+      graft.ext.Multimodal.phashPairs(h, "doc_id", "phash",
+        maxHamming = 3, bandBits = 16)
+    }),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {
       graft.catalyst.MinHashSig.register(s)

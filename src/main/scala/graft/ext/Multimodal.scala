@@ -168,11 +168,24 @@ object Multimodal {
     * with [[Dedup.oversizeBlocks]] on ("band", "nib"). Exact Hamming
     * on candidates via one XOR+popcount. */
   def phashPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                 maxHamming: Int = 7, maxBucket: Int = 256): DataFrame = {
-    require(maxHamming <= 7, "8x8-bit bands guarantee recall only to hamming 7")
+                 maxHamming: Int = 7, maxBucket: Int = 256,
+                 bandBits: Int = 8): DataFrame = {
+    // `bandBits` is the CORPUS-SIZE knob: pigeonhole recall holds to
+    // (64/bandBits − 1), and bucket count per band is 2^bandBits —
+    // 8-bit bands (recall ≤ 7) saturate 256 buckets as the corpus
+    // outgrows ~cap·256 rows; a deployment at larger N moves to
+    // 16-bit bands (65 536 buckets, recall ≤ 3), trading Hamming
+    // radius for bucket locality. Same trade the SimHash64 path
+    // documents.
+    require(64 % bandBits == 0 && bandBits >= 8,
+      s"bandBits must divide 64 (got $bandBits)")
+    val numBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    require(maxHamming < numBands,
+      s"$numBands ${bandBits}-bit bands guarantee recall only to hamming ${numBands - 1}")
     val bands = hashes.select(col(idCol), col(hashCol).as("__h"),
-      posexplode(array((0 until 8).map { k =>
-        shiftright(col(hashCol), 8 * k).bitwiseAND(lit(255L))
+      posexplode(array((0 until numBands).map { k =>
+        shiftright(col(hashCol), bandBits * k).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "nib")))
     val bounded = Dedup.boundBlocks(bands, Seq("band", "nib"), maxBucket)
     val a = bounded.select(col(idCol).as("media_a"), col("__h").as("ha"),

@@ -65,5 +65,17 @@ class Phash64Spec extends AnyFunSuite {
     } yield (ia, ib, d.toLong)).sortBy(p => (p._1, p._2))
     assert(got === brute)
     assert(brute.nonEmpty) // the planted single-char clones must pair
+
+    // the production band width: 4×16-bit bands, full recall <= 3
+    val got16 = graft.ext.Multimodal
+      .phashPairs(h, "media_id", "phash", maxHamming = 3, bandBits = 16)
+      .orderBy("media_a", "media_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val brute3 = brute.filter(_._3 <= 3)
+    assert(got16 === brute3)
+    intercept[IllegalArgumentException] {
+      graft.ext.Multimodal.phashPairs(h, "media_id", "phash",
+        maxHamming = 4, bandBits = 16) // pigeonhole only covers <= 3
+    }
   }
 }
