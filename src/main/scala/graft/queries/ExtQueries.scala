@@ -1722,11 +1722,14 @@ object ExtQueries {
     * oracle, which hashes the bare content. */
   def phashMedia(spark: SparkSession, dir: String): DataFrame = {
     val c = phashCorpus(spark, dir)
+    graft.catalyst.Phash64.register(spark)
     val kind = Multimodal.sniffKindCol(col("payload"))
     val hdrLen = when(kind === "image/jpeg", 3).otherwise(4)
-    Multimodal.phash(c.withColumn("kind", kind), "doc_id", "payload", hdrLen)
-      .join(c.select(col("doc_id"), kind.as("kind")), "doc_id")
-      .select("doc_id", "kind", "phash")
+    // kind and hash in ONE projection — a join back to the corpus for
+    // the kind column would scan/build the payload twice
+    c.select(col("doc_id"), kind.as("kind"),
+      call_function("phash64", col("payload"), hdrLen.cast("int"))
+        .as("phash"))
   }
 
   /** Perceptual near-dup pairs: banded Hamming join over the phash
