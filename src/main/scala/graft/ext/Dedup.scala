@@ -383,24 +383,30 @@ object Dedup {
           .select("band", "bkey")
         bIdx.join(small, Seq("band", "bkey"), "left_semi")
       }
+    // candidate pairs feed two consumers (the verification join and
+    // the index-doc prune) — checkpoint so the band join runs once
     val cand = bandsOf(incoming, "new_id")
       .join(limitedIdx, Seq("band", "bkey"))
       .select("new_id", "index_id").distinct()
-    val shNew = shingleRows(incoming, idCol, textCol, shingleN)
-      .select(col(idCol).as("new_id"), col("shingle"))
+      .localCheckpoint()
+    // in-row verification (the prefixFilterPairs restructure): each
+    // side's distinct shingles ride ONE array, only pairs shuffle;
+    // the index side still shingles CANDIDATE docs only
+    val setsNew = shingleRows(incoming, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__seta"))
+      .select(col(idCol).as("new_id"), col("__seta"))
     val candIdx = cand.select(col("index_id").as(idCol)).distinct()
-    val shIdx = shingleRows(index.join(candIdx, Seq(idCol), "left_semi"),
+    val setsIdx = shingleRows(index.join(candIdx, Seq(idCol), "left_semi"),
         idCol, textCol, shingleN)
-      .select(col(idCol).as("index_id"), col("shingle"))
-    val inter = cand.join(shNew, Seq("new_id"))
-      .join(shIdx, Seq("index_id", "shingle"))
-      .groupBy("new_id", "index_id").agg(count(lit(1)).as("inter"))
-    val szNew = shNew.groupBy("new_id").agg(count(lit(1)).as("na"))
-    val szIdx = shIdx.groupBy("index_id").agg(count(lit(1)).as("nb"))
-    inter.join(szNew, Seq("new_id")).join(szIdx, Seq("index_id"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__setb"))
+      .select(col(idCol).as("index_id"), col("__setb"))
+    val inter = size(array_intersect(col("__seta"), col("__setb")))
+    val union = size(col("__seta")) + size(col("__setb")) - inter
+    cand.join(setsNew, Seq("new_id")).join(setsIdx, Seq("index_id"))
       .select(col("new_id"), col("index_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
+        (inter.cast("double") / union).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
