@@ -1221,6 +1221,54 @@ object TextOps {
       .withColumn("in_vocab", element_at(vm, col("piece")).isNotNull)
   }
 
+  /** Markdown → clean text — the sibling of [[htmlExtract]] for the
+    * other big web-corpus source format (READMEs, wikis, forum
+    * exports). Deterministic regex pipeline, zero-shuffle projection:
+    * fenced code blocks drop (code is the classic training-data
+    * contaminant the extractor's caller routes separately), images
+    * and links keep their alt/anchor text, heading/blockquote/list
+    * markers and horizontal rules strip, emphasis unwraps, whitespace
+    * collapses. Structure counts (headings, links, images, code
+    * blocks) ride along — the quality-filter features a markdown
+    * corpus keys on. Every pattern stays in the Java∩RE2 subset
+    * (same discipline as [[htmlExtract]]/[[UrlOps]]); replacement
+    * backreferences are `$1` here and `\\1` in the DuckDB oracle —
+    * dialect syntax, same semantics.
+    *
+    * Ordering constraints the pipeline encodes: images strip before
+    * links (an image IS a link form — counting links after the image
+    * strip keeps the two counts disjoint), horizontal rules before
+    * list bullets (`---` vs `- item`), bold before italic (`**` vs
+    * `*`). */
+  def markdownExtract(df: DataFrame, idCol: String, mdCol: String)
+      : DataFrame = {
+    val md = col(mdCol)
+    val nCode = regexp_count(md, lit("(?s)```.*?```")).cast("long")
+    val nHead = regexp_count(md, lit("(?m)^#{1,6}[ \t]")).cast("long")
+    val nImg = regexp_count(md,
+      lit("!\\[[^\\]]*\\]\\([^)]*\\)")).cast("long")
+    val noCode = regexp_replace(md, "(?s)```.*?```", "")
+    val noInline = regexp_replace(noCode, "`([^`]+)`", "$1")
+    val noImg = regexp_replace(noInline,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val nLink = regexp_count(noImg,
+      lit("\\[[^\\]]*\\]\\([^)]*\\)")).cast("long")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHead = regexp_replace(noLink, "(?m)^#{1,6}[ \t]+", "")
+    val noQuote = regexp_replace(noHead, "(?m)^>[ \t]?", "")
+    val noHr = regexp_replace(noQuote, "(?m)^[ \t]*(-{3,}|\\*{3,})[ \t]*$", "")
+    val noBullet = regexp_replace(noHr, "(?m)^[ \t]*[-*+][ \t]+", "")
+    val noNum = regexp_replace(noBullet, "(?m)^[ \t]*[0-9]+\\.[ \t]+", "")
+    val noBold = regexp_replace(noNum, "\\*\\*([^*]+)\\*\\*", "$1")
+    val noItal = regexp_replace(noBold, "\\*([^*]+)\\*", "$1")
+    val noUl2 = regexp_replace(noItal, "__([^_]+)__", "$1")
+    val noUl1 = regexp_replace(noUl2, "_([^_]+)_", "$1")
+    val clean = trim(regexp_replace(noUl1, "[ \t\r\n]+", " "))
+    df.select(col(idCol), clean.as("clean_text"),
+      nHead.as("n_headings"), nLink.as("n_links"),
+      nImg.as("n_images"), nCode.as("n_code_blocks"))
+  }
+
   /** ONE hard-EM prune round of the unigram-LM trainer: segment under
     * the full vocab, count Viterbi piece usage, drop every multi-char
     * piece used fewer than `minUses` times (single code points always

@@ -2829,6 +2829,60 @@ object ExtOracles {
          |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin,
 
+    // markdown extraction: the same regex pipeline in DuckDB dialect
+    // (backreferences are \1 here, $1 in Spark; 'g' is explicit);
+    // strip order matters — images before links, rules before
+    // bullets, bold before italic — and both sides encode it
+    "q_md_extract" ->
+      """WITH m AS (SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+        |    || 'intro **' || lang || '** and *' || source
+        |    || '* with `inline code` and [site link](https://example.com/'
+        |    || CAST(doc_id AS VARCHAR)
+        |    || ') plus ![fig alt](img.png)' || chr(10) || chr(10)
+        |    || '## Stats' || chr(10) || chr(10) || '- first '
+        |    || CAST(n_chars AS VARCHAR) || ' chars' || chr(10)
+        |    || '- second item' || chr(10) || chr(10) || '1. one'
+        |    || chr(10) || '2. two' || chr(10) || chr(10)
+        |    || '> quoted wisdom' || chr(10) || chr(10) || '```'
+        |    || chr(10) || 'code block dropped' || chr(10) || '```'
+        |    || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+        |    || text AS md
+        |  FROM documents),
+        |c AS (SELECT doc_id, md,
+        |    CAST(len(regexp_extract_all(md, '(?s)```.*?```')) AS BIGINT)
+        |      AS n_code_blocks,
+        |    CAST(len(regexp_extract_all(md, '(?m)^#{1,6}[ \t]')) AS BIGINT)
+        |      AS n_headings,
+        |    CAST(len(regexp_extract_all(md, '!\[[^\]]*\]\([^)]*\)'))
+        |      AS BIGINT) AS n_images,
+        |    regexp_replace(regexp_replace(regexp_replace(md,
+        |      '(?s)```.*?```', '', 'g'), '`([^`]+)`', '\1', 'g'),
+        |      '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t1
+        |  FROM m),
+        |d AS (SELECT doc_id, n_code_blocks, n_headings, n_images,
+        |    CAST(len(regexp_extract_all(t1, '\[[^\]]*\]\([^)]*\)'))
+        |      AS BIGINT) AS n_links,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(t1,
+        |        '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |        '(?m)^#{1,6}[ \t]+', '', 'g'),
+        |        '(?m)^>[ \t]?', '', 'g'),
+        |        '(?m)^[ \t]*(-{3,}|\*{3,})[ \t]*$', '', 'g'),
+        |        '(?m)^[ \t]*[-*+][ \t]+', '', 'g'),
+        |        '(?m)^[ \t]*[0-9]+\.[ \t]+', '', 'g'),
+        |        '\*\*([^*]+)\*\*', '\1', 'g'),
+        |        '\*([^*]+)\*', '\1', 'g'),
+        |        '__([^_]+)__', '\1', 'g'),
+        |        '_([^_]+)_', '\1', 'g') AS t2
+        |  FROM c)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t2, '[ \t\r' || chr(10) || ']+', ' ', 'g'))
+        |    AS clean_text,
+        |  n_headings, n_links, n_images, n_code_blocks
+        |FROM d""".stripMargin,
+
     // streaming perceptual dedup: the completed stream must equal
     // this batch band join (index = base corpus, incoming = clones)
     "q_stream_phash" ->

@@ -1765,6 +1765,25 @@ object ExtQueries {
         .streamPhashCandidates(src(), indexBands, hdrLen))
   }
 
+  /** Markdown extraction over a planted-markup corpus: every doc
+    * wears headings, emphasis, inline/fenced code, a link, an image,
+    * lists, a blockquote, and a horizontal rule around its text, so
+    * each strip rule is exercised on every row THROUGH the gate. */
+  def mdExtract(spark: SparkSession, dir: String): DataFrame = {
+    val md = concat(
+      lit("# Doc "), col("doc_id").cast("string"), lit("\n\n"),
+      lit("intro **"), col("lang"), lit("** and *"), col("source"),
+      lit("* with `inline code` and [site link](https://example.com/"),
+      col("doc_id").cast("string"),
+      lit(") plus ![fig alt](img.png)\n\n"),
+      lit("## Stats\n\n- first "), col("n_chars").cast("string"),
+      lit(" chars\n- second item\n\n1. one\n2. two\n\n"),
+      lit("> quoted wisdom\n\n```\ncode block dropped\n```\n\n---\n\n"),
+      col("text"))
+    TextOps.markdownExtract(
+      docs(spark, dir).select(col("doc_id"), md.as("md")), "doc_id", "md")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1887,5 +1906,6 @@ object ExtQueries {
     "q_phash_neardup"     -> (phashNearDup _),
     "q_unigram_prune"     -> (unigramPruneQ _),
     "q_stream_phash"      -> (streamPhashQuery _),
+    "q_md_extract"        -> (mdExtract _),
   )
 }
