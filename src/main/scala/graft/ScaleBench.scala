@@ -157,7 +157,10 @@ object ScaleBench {
     // the curve measures the bucket cap holding the pair stage —
     // same story as the LSH caps, audited via oversizeBlocks
     "q_unigram_segment", "q_unigram_counts",
-    "q_phash_media", "q_phash_neardup")
+    "q_phash_media", "q_phash_neardup",
+    // markdown extraction: a pure regex-projection chain — the
+    // linear floor, like its HTML sibling
+    "q_md_extract")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
