@@ -2829,6 +2829,51 @@ object ExtOracles {
          |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin,
 
+    // parquet-footer layout inventory: DuckDB's parquet_metadata
+    // reads the same footers (absolute fixture path — the F1-oracle
+    // precedent; the correctness gate always runs at sf0.01)
+    "q_parquet_layout" ->
+      """SELECT regexp_replace(file_name, '.*/', '') AS file_name,
+        |  CAST(row_group_id AS BIGINT) AS row_group_id,
+        |  CAST(MIN(row_group_num_rows) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_columns
+        |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Matryoshka truncation audit: full-width exact top-3 vs top-3
+    // over the first 16 dims, integer-overlap recall per query
+    "q_mrl_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+        |      DESC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+        |       (SELECT * FROM e WHERE vec_id >= 20) c) t WHERE rank <= 3),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 17), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 17), i -> c.v[i] * c.v[i]))))
+        |      DESC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+        |       (SELECT * FROM e WHERE vec_id >= 20) c) t WHERE rank <= 3)
+        |SELECT x.query_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM tr WHERE tr.query_id = x.query_id)
+        |    AS BIGINT) AS n_approx,
+        |  CAST(COALESCE(SUM(CASE WHEN t2.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+        |FROM ex x LEFT JOIN tr t2
+        |  ON t2.query_id = x.query_id AND t2.neighbor_id = x.neighbor_id
+        |GROUP BY x.query_id""".stripMargin,
+
     // markdown extraction: the same regex pipeline in DuckDB dialect
     // (backreferences are \1 here, $1 in Spark; 'g' is explicit);
     // strip order matters — images before links, rules before

@@ -1784,6 +1784,29 @@ object ExtQueries {
       docs(spark, dir).select(col("doc_id"), md.as("md")), "doc_id", "md")
   }
 
+  /** Matryoshka-truncation recall audit: top-3 cosine retrieval over
+    * the FIRST 16 of 64 dimensions vs the full-width exact top-3 —
+    * the dimension-truncation trade (MRL-style) measured the same
+    * integer-overlap way as every other recall audit. At 100 TB the
+    * truncated table is the 4×-smaller first-stage index; this row
+    * reports what that buys and what it costs on the gate corpus. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val exact = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 3)
+    val t = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+    val trunc = Similarity.bruteTopK(t.filter(col("vec_id") < 20),
+      t.filter(col("vec_id") >= 20), "vec_id", "emb16", k = 3)
+    Similarity.recallAudit(exact, trunc)
+  }
+
+  /** Parquet-footer layout inventory over the documents table — the
+    * zero-scan manifest audit (rows and column chunks per row group,
+    * straight from the footers, footer reads distributed). */
+  def parquetLayoutQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.parquetLayout(spark, s"$dir/documents.parquet")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1907,5 +1930,7 @@ object ExtQueries {
     "q_unigram_prune"     -> (unigramPruneQ _),
     "q_stream_phash"      -> (streamPhashQuery _),
     "q_md_extract"        -> (mdExtract _),
+    "q_mrl_recall"        -> (mrlRecall _),
+    "q_parquet_layout"    -> (parquetLayoutQ _),
   )
 }

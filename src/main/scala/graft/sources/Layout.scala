@@ -78,4 +78,44 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Parquet footer inventory — the layout-observability face of the
+    * module: one row per (file, row group) with its row count and
+    * leaf-column-chunk count, read straight from the footers. At
+    * 100 TB this manifest job is how a pipeline audits its own
+    * layout (row groups per file, rows per row group — the knobs
+    * `maxPartitionBytes` and partition pruning actually see) without
+    * scanning a byte of data. Footer reads DISTRIBUTE: the file list
+    * is a Dataset and each task opens only its own footers — a
+    * driver-side loop over a million files is the anti-pattern this
+    * shape avoids. Accepts a single parquet file or a directory of
+    * part files. */
+  def parquetLayout(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val f = new java.io.File(path)
+    val files: Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      else Seq(f.getAbsolutePath)
+    spark.createDataset(files)
+      .repartition(math.min(files.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+            case (b, i) =>
+              (p.substring(p.lastIndexOf('/') + 1), i.toLong,
+                b.getRowCount, b.getColumns.size.toLong)
+          }
+        } finally r.close()
+      }
+      .toDF("file_name", "row_group_id", "n_rows", "n_columns")
+  }
 }
