@@ -160,7 +160,11 @@ object ScaleBench {
     "q_phash_media", "q_phash_neardup",
     // markdown extraction: a pure regex-projection chain — the
     // linear floor, like its HTML sibling
-    "q_md_extract")
+    "q_md_extract",
+    // wave 5: the truncated-retrieval audit (two fixed-query brute
+    // scans — candidate-side linear) and the footer inventory (no
+    // data scanned; cost tracks file count, not rows)
+    "q_mrl_recall", "q_parquet_layout")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
