@@ -2829,6 +2829,109 @@ object ExtOracles {
          |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin,
 
+    // the production dedup cascade: canonical-URL keeper → exact
+    // content hash → LSH near-dup + recursive-CTE components, each
+    // stage only over the previous stage's survivors; per-doc
+    // decision rows (first dropping stage + keeper)
+    "q_dedup_cascade" ->
+      """WITH RECURSIVE u0 AS (SELECT doc_id, text,
+        |    CASE (doc_id // 100) % 5
+        |      WHEN 0 THEN 'HTTPS://WWW.' || upper(dom) || ':443' || base
+        |        || '/?utm_source=feed&x=1#top'
+        |      WHEN 1 THEN 'http://' || dom || ':80' || base
+        |      WHEN 2 THEN 'https://www.' || dom || base || '/?x=1'
+        |      WHEN 3 THEN 'https://' || dom || base
+        |        || '?b=2&a=1&utm_campaign=x&ref=rss'
+        |      ELSE 'https://cdn.' || dom || base || '?a=1&b=2' END AS url
+        |  FROM (SELECT doc_id, text,
+        |      'site' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.' ||
+        |        CASE (doc_id % 100 % 7) % 3 WHEN 0 THEN 'com'
+        |          WHEN 1 THEN 'org' ELSE 'net' END AS dom,
+        |      '/p/' || CAST(doc_id % 100 AS VARCHAR) AS base
+        |    FROM documents) s),
+        |corpus AS (SELECT doc_id, text, url FROM u0
+        |  UNION ALL SELECT doc_id + 300000, text,
+        |    'https://mirror.example/m/' || CAST(doc_id AS VARCHAR)
+        |  FROM u0 WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end',
+        |    'https://alt.example/a/' || CAST(doc_id AS VARCHAR)
+        |  FROM u0 WHERE doc_id % 11 = 0),
+        |nu AS (SELECT doc_id, text,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url
+        |  FROM (SELECT doc_id, text,
+        |      lower(regexp_extract(url,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |      regexp_replace(
+        |        CASE lower(regexp_extract(url,
+        |            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |          WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
+        |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+        |          WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
+        |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+        |          ELSE lower(regexp_extract(url,
+        |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END,
+        |        '^www\.', '') AS host,
+        |      regexp_replace(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+        |        '/+$', '') AS path,
+        |      COALESCE(array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        p -> p <> '' AND NOT regexp_matches(p,
+        |          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&'), '') AS q
+        |    FROM corpus) c),
+        |uk AS (SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY norm_url) AS k FROM nu),
+        |udrop AS (SELECT doc_id, 'url' AS dropped_by, k AS keeper_id
+        |  FROM uk WHERE doc_id <> k),
+        |ek AS (SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS k
+        |  FROM uk WHERE doc_id = k),
+        |edrop AS (SELECT doc_id, 'exact' AS dropped_by, k AS keeper_id
+        |  FROM ek WHERE doc_id <> k),
+        |se AS (SELECT doc_id, text FROM ek WHERE doc_id = k),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM se),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |mh AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |ndrop AS (SELECT id AS doc_id, 'near' AS dropped_by,
+        |    component AS keeper_id FROM comp WHERE id <> component),
+        |drops AS (SELECT * FROM udrop UNION ALL SELECT * FROM edrop
+        |  UNION ALL SELECT * FROM ndrop)
+        |SELECT c.doc_id,
+        |  COALESCE(d.dropped_by, 'kept') AS dropped_by,
+        |  CAST(COALESCE(d.keeper_id, c.doc_id) AS BIGINT) AS keeper_id
+        |FROM corpus c LEFT JOIN drops d ON d.doc_id = c.doc_id""".stripMargin,
+
     // parquet-footer layout inventory: DuckDB's parquet_metadata
     // reads the same footers (absolute fixture path — the F1-oracle
     // precedent; the correctness gate always runs at sf0.01)

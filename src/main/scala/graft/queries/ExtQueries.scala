@@ -1807,6 +1807,60 @@ object ExtQueries {
   def parquetLayoutQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.parquetLayout(spark, s"$dir/documents.parquet")
 
+  /** The PRODUCTION dedup cascade COMPOSED end to end — cheap exact
+    * stages first, the expensive banded stage only on their
+    * survivors: canonical-URL keeper → exact content hash → LSH
+    * near-dup + connected components. Output is a per-document
+    * decision table (doc_id, dropped_by ∈ url|exact|near|kept,
+    * keeper_id) so every drop is attributable to ONE stage and one
+    * keeper — the audit trail a corpus release ships with. Planted:
+    * URL-variant groups (the urlCorpus page/variant structure),
+    * exact content clones behind distinct mirrors (+300000, %13),
+    * and marker near-clones (+200000, %11). A clone whose base
+    * already fell at an earlier stage is correctly KEPT — its
+    * content is no longer represented downstream. */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val base = d.join(urlCorpus(spark, dir).select("doc_id", "url"), "doc_id")
+    val exactC = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"),
+        concat(lit("https://mirror.example/m/"),
+          col("doc_id").cast("string")).as("url"))
+    val nearC = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text"),
+        concat(lit("https://alt.example/a/"),
+          col("doc_id").cast("string")).as("url"))
+    val corpus = base.unionByName(exactC).unionByName(nearC)
+    val uk = corpus
+      .withColumn("__uk", min("doc_id")
+        .over(Window.partitionBy(UrlOps.normalize(col("url")))))
+    val uDropped = uk.filter(col("doc_id") =!= col("__uk"))
+      .select(col("doc_id"), lit("url").as("dropped_by"),
+        col("__uk").as("keeper_id"))
+    val ek = uk.filter(col("doc_id") === col("__uk"))
+      .withColumn("__ek", min("doc_id")
+        .over(Window.partitionBy(md5(col("text")))))
+    val eDropped = ek.filter(col("doc_id") =!= col("__ek"))
+      .select(col("doc_id"), lit("exact").as("dropped_by"),
+        col("__ek").as("keeper_id"))
+    val se = ek.filter(col("doc_id") === col("__ek"))
+      .select("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(se, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val nDropped = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit("near").as("dropped_by"),
+        col("component").as("keeper_id"))
+    corpus.select("doc_id")
+      .join(uDropped.unionByName(eDropped).unionByName(nDropped),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dropped_by"), lit("kept")).as("dropped_by"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1932,5 +1986,6 @@ object ExtQueries {
     "q_md_extract"        -> (mdExtract _),
     "q_mrl_recall"        -> (mrlRecall _),
     "q_parquet_layout"    -> (parquetLayoutQ _),
+    "q_dedup_cascade"     -> (dedupCascade _),
   )
 }
