@@ -164,7 +164,11 @@ object ScaleBench {
     // wave 5: the truncated-retrieval audit (two fixed-query brute
     // scans — candidate-side linear) and the footer inventory (no
     // data scanned; cost tracks file count, not rows)
-    "q_mrl_recall", "q_parquet_layout")
+    "q_mrl_recall", "q_parquet_layout",
+    // the composed cascade: two exact window stages (cheap) feeding
+    // the banded near-dup + CC chain on their survivors — the curve
+    // should track q_dedup_clusters' on the shrunken corpus
+    "q_dedup_cascade")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
