@@ -42,5 +42,13 @@ if not m:
 src = src[:m.start(1)] + f"## Measured ({label})\n" + m.group(2) + table + src[m.end(3):]
 
 open("BASELINE.md", "w").write(src)
+
+# machine-readable twin of the measured table: graft.Bench reads it to
+# trigger its re-time pass against the RECORDED figure (not only the
+# run's own warm figure), so it must move in lockstep with the table
+with open("bench_recorded.json", "w") as f:
+    f.write("{" + ",".join(f'"{k}":{v}' for k, v in sorted(queries.items()))
+            + "}\n")
+
 print(f"BASELINE.md updated: {len(queries)} queries, total {total:.1f}s, "
-      f"{len(aliases)} aliases")
+      f"{len(aliases)} aliases, bench_recorded.json rewritten")
