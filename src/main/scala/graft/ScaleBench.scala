@@ -168,7 +168,13 @@ object ScaleBench {
     // the composed cascade: two exact window stages (cheap) feeding
     // the banded near-dup + CC chain on their survivors — the curve
     // should track q_dedup_clusters' on the shrunken corpus
-    "q_dedup_cascade")
+    "q_dedup_cascade",
+    // round 9: the two-level IVFADC assignment (per-candidate cost
+    // (1+w)·√K instead of K — the curve that retires the flat path's
+    // 34×-at-100× trend), the exact family's linear pre-flight audit,
+    // and chain-shaped CC (fixed diameter 49 here: rounds must stay
+    // ~log₂49 while chain COUNT grows with the corpus)
+    "q_ivf_hier", "q_pair_budget", "q_cc_chain")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -195,6 +201,12 @@ object ScaleBench {
     // table covers but the 100× table didn't
     "q_cc_cliques",
     "q_asof_nearest", "q_rolling_1h", "q_batch_sessions", "q_seq_packing",
+    // round 9: the two-level IVFADC at the sizing whose FLAT twin
+    // measured 34× here; the preflight-routed exact family (must
+    // REFUSE the exact path on this clique corpus instead of dying
+    // on disk); cross-copy chain CC (diameter = scale factor — the
+    // one fixture whose diameter GROWS with the corpus)
+    "q_ivf_hier", "q_exact_preflighted", "q_cc_xchain",
     // the incremental ingest check in its production (capped)
     // configuration: on this corpus every incoming clone collides
     // with a 100-member clique, so the UNCAPPED gate config's
@@ -297,6 +309,32 @@ object ScaleBench {
       val h = graft.ext.Multimodal.phash(c, "doc_id", "payload", hdrLen)
       graft.ext.Multimodal.phashPairs(h, "doc_id", "phash",
         maxHamming = 3, bandBits = 16)
+    }),
+    // the preflight-routed exact family at a production pair budget:
+    // the base corpus prices under 50M pre-filter candidate pairs and
+    // runs the exact join; the 100× clique corpus prices ~10⁹ and
+    // must ROUTE to the capped LSH path — the refusal that replaces
+    // the measured ENOSPC death (scale_out_100x_r8.json)
+    "q_exact_preflighted" -> ((s: SparkSession, d: String) =>
+      graft.ext.Dedup.exactOrCappedPairs(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        budgetPairs = 50000000L, maxBucketSize = 64)),
+    // cross-copy chain CC: edges (doc_id, doc_id + 10⁶) link copy k
+    // to copy k+1 at the same base id, so component length — and
+    // DIAMETER — equals the scale factor (the one fixture where
+    // diameter grows with the corpus; clone→base stars stay at 2).
+    // Convergence rounds are the operator's stderr log: pointer
+    // halving must hold them at ~log₂(factor). (On an UNscaled base
+    // dir there are no ≥10⁶ ids, so base timing is the empty floor.)
+    "q_cc_xchain" -> ((s: SparkSession, d: String) => {
+      val ids = Tables.documents(s, d).select("doc_id")
+      val edges = ids
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"))
+        .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+          "left_semi")
+      graft.ext.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .groupBy("component").agg(count(lit(1)).as("chain_len"))
     }),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {

@@ -417,14 +417,29 @@ object Dedup {
     * valid. Transitive closure fixes the policy: one keeper (min id)
     * per component.
     *
-    * Min-label propagation to fixpoint: label(v) ← min(label(v),
-    * min label among v's neighbors). Each iteration is one edge join +
-    * one min-aggregation, both shuffling on the vertex id — never
-    * materializing paths — and the iteration count is the cluster
-    * DIAMETER, which for near-dup graphs is small (dup chains are
-    * short). Lineage is cut per round with an eager localCheckpoint so
-    * plans stay constant-size; convergence is a changed-row existence
-    * check (a scalar action, no data collected).
+    * Min-label propagation PLUS pointer halving, to fixpoint:
+    * label(v) ← min over {label(v), neighbor labels, label(label(v))}
+    * — the last term follows the candidate label ONE hop through the
+    * label table itself. Plain min-label pays a round per hop of
+    * component diameter, which is fine for dup cliques/stars
+    * (diameter ≤ 2) but linear-in-length on CHAIN-shaped near-dup
+    * graphs (doc i ≈ doc i+1 — shingled/versioned corpora produce
+    * them), where a 100-link chain would blow the round budget. The
+    * halving hop doubles the propagation horizon per round (if labels
+    * hold the min within distance d, one round reaches 2d+1), so
+    * rounds are O(log diameter) — the q_cc_chain gate query runs
+    * 50-link chains through exactly this loop, and the ScaleBench
+    * chain fixtures measure the round count staying logarithmic while
+    * diameter grows with the corpus. Each iteration is one edge join,
+    * one min-aggregation, and one label-table self-join, all
+    * shuffling on the vertex id — never materializing paths. Lineage
+    * is cut per round with an eager localCheckpoint so plans stay
+    * constant-size; convergence is a changed-row existence check (a
+    * scalar action, no data collected). Correctness is unchanged from
+    * plain min-label: every label is always the id of a node KNOWN
+    * reachable (neighbor labels and the label's own label both are),
+    * values only decrease, and any fixpoint is label-constant across
+    * every edge — i.e. the component minimum.
     *
     * Returns (id, component) where component = min id reachable. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
@@ -444,10 +459,18 @@ object Dedup {
           Seq("dst"))
         .groupBy("src").agg(min(col("__nc")).as("__nbc"))
         .select(col("src").as("id"), col("__nbc"))
-      val merged = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("__nbc"), col("component")))
-            .as("__next"))
+            .as("__n1"))
+      // pointer halving: __n1 is a node id (labels are), so its own
+      // current component is one more join away — the hop that turns
+      // diameter-many rounds into log-many on chains
+      val merged = stepped.join(
+          labels.select(col("id").as("__n1"), col("component").as("__pc")),
+          Seq("__n1"), "left")
+        .select(col("id"), col("component"),
+          least(col("__n1"), coalesce(col("__pc"), col("__n1"))).as("__next"))
         .localCheckpoint()
       converged = merged.filter(col("__next") < col("component")).isEmpty
       labels = merged.select(col("id"), col("__next").as("component"))
@@ -814,6 +837,92 @@ object Dedup {
         size(col("__setb")).cast("long").as("nb"))
       // J ≥ τ ⟺ 100·I ≥ τ·(na+nb−I), all BIGINT
       .filter(col("inter") * 100 >= lit(tauPct) * (col("na") + col("nb") - col("inter")))
+  }
+
+  /** PRE-FLIGHT pair-mass estimate for the exact similarity family —
+    * the linear-cost audit a production engine runs BEFORE
+    * [[prefixFilterPairs]] commits to its candidate join. The exact
+    * path's one failure mode is OUTPUT-BOUND: on clique-heavy corpora
+    * the qualifying-pair set itself explodes (the measured 100×
+    * ENOSPC — the no-false-negatives contract's price), and by the
+    * time the shuffle dies the cluster has already paid for it. This
+    * operator predicts that volume from the same prefix table the
+    * join would build: per prefix shingle with document frequency
+    * pdf, the candidate equi-join emits exactly C(pdf, 2) pair rows
+    * (before the length/positional prunes and the distinct), so
+    * `est_candidate_pairs` = Σ pdf·(pdf−1)/2 is an EXACT count of the
+    * join's pre-filter output — the quantity that fills the disk —
+    * computed with one window pass and two aggregations, never a
+    * pair join.
+    *
+    * One row per entry in `budgets` (all-integer; the even product
+    * halves by shiftright so there is no double division anywhere):
+    * (budget_pairs, n_docs, n_shingle_rows, n_prefix_rows,
+    * est_candidate_pairs, within_budget). [[exactOrCappedPairs]] is
+    * the routed dispatch built on the single-budget form. */
+  def pairMassPreflight(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, tauPct: Int = 60,
+                        budgets: Seq[Long] = Seq(10000000L)): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    require(budgets.nonEmpty, "at least one budget row")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, idCol, textCol, shingleN).localCheckpoint()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    // identical prefix rule to prefixFilterPairs — the estimate is
+    // about THE join that would run, not a lookalike
+    val pos = sh.join(freq, Seq("shingle"))
+      .select(col(idCol), col("shingle"),
+        row_number().over(byRarity).as("__p"),
+        count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
+    val prefix = pos.filter(col("__p") <=
+      col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
+    val pdf = prefix.groupBy("shingle").agg(count(lit(1)).as("__pdf"))
+    val stats = sh
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_shingle_rows"))
+      .crossJoin(pdf.agg(
+        sum(col("__pdf")).as("n_prefix_rows"),
+        sum(shiftright(col("__pdf") * (col("__pdf") - 1), 1))
+          .as("est_candidate_pairs")))
+    stats
+      .select(explode(typedLit(budgets)).as("budget_pairs"),
+        col("n_docs"), col("n_shingle_rows"), col("n_prefix_rows"),
+        col("est_candidate_pairs"))
+      .withColumn("within_budget",
+        col("est_candidate_pairs") <= col("budget_pairs"))
+  }
+
+  /** Budget-routed exact/approximate dispatch — what a production
+    * pipeline actually runs where a human would otherwise choose
+    * between [[prefixFilterPairs]] (exact, output-bound) and the
+    * capped LSH path (bounded, audited recall): [[pairMassPreflight]]
+    * prices the exact join first, and only a corpus whose pre-filter
+    * candidate mass fits `budgetPairs` gets it; anything hotter
+    * routes to [[nearDupPairs]] under `maxBucketSize` — refusing the
+    * measured ENOSPC death instead of dying mid-shuffle. The
+    * preflight row is ONE collected row (driver-side bounded by
+    * construction, the bloom-bitmap pattern). Output is the common
+    * pair schema (doc_a, doc_b, route) with route ∈
+    * {'exact', 'lsh_capped'} so downstream clustering reads either
+    * branch unchanged. */
+  def exactOrCappedPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, tauPct: Int = 60,
+                         budgetPairs: Long = 10000000L,
+                         maxBucketSize: Int = 64): DataFrame = {
+    val flight = pairMassPreflight(df, idCol, textCol, shingleN, tauPct,
+      Seq(budgetPairs)).collect().head
+    val within = flight.getAs[Boolean]("within_budget")
+    System.err.println(s"[graft.Dedup] pairMassPreflight: est " +
+      s"${flight.getAs[Long]("est_candidate_pairs")} candidate pairs " +
+      s"vs budget $budgetPairs -> ${if (within) "exact" else "lsh_capped"}")
+    if (within)
+      prefixFilterPairs(df, idCol, textCol, shingleN, tauPct)
+        .select(col("doc_a"), col("doc_b"), lit("exact").as("route"))
+    else
+      nearDupPairs(df, idCol, textCol, maxBucketSize = maxBucketSize)
+        .select(col("doc_a"), col("doc_b"), lit("lsh_capped").as("route"))
   }
 
   /** The TWO-CORPUS exact similarity join — [[prefixFilterPairs]]'

@@ -634,21 +634,149 @@ object Similarity {
         zip_with(col("__v"), col("__ccv"), (x, y) => x - y).as("__rv"))
   }
 
+  /** Two-level ("hierarchical") coarse quantization — the scale-safe
+    * replacement for [[ivfResiduals]]' single-level assignment. With
+    * K ≈ √N coarse cells, scanning every centroid per candidate is
+    * O(N·√N) total — the measured 34× ScaleBench point at 100× (the
+    * one super-linear trend round 8 left named-but-unbuilt). The
+    * standard fix (FAISS's two-level / IMI-style coarse search):
+    * quantize the CENTROIDS themselves into K1 ≈ √K top-level groups,
+    * route each candidate through its `w` nearest top-level vectors,
+    * and argmin only over the leaf centroids owned by those groups —
+    * per-candidate work drops from K to K1 + w·K/K1 ≈ (1+w)·√K
+    * (O(N^¼) each at the √N sizing), i.e. total assignment cost
+    * O(N^1.25) instead of O(N^1.5).
+    *
+    * The price is exactness of the ASSIGNMENT, not of the engine: a
+    * candidate whose true nearest leaf lives outside its w probed
+    * groups lands in its best IN-PROBE cell instead. That loss is
+    * observable, not assumed — the q_ivf_hier_agree gate query counts
+    * per-candidate agreement with the flat assignment, and the ADC
+    * recall audit reads through the gate like every other ANN path.
+    *
+    * Deterministic contract (what the DuckDB oracle re-derives):
+    *  - `tops` rows sort by id ascending; tpos = that rank;
+    *  - each leaf centroid belongs to its nearest top by squared L2
+    *    over the full width, ties to the smallest tpos; within a
+    *    group, leaves sort by cid ascending;
+    *  - a candidate probes the w tops with smallest (d2, tpos);
+    *  - the winning leaf minimizes (d2, probe rank, cid) — probe rank
+    *    before cid because the native argmin runs per probed group
+    *    (group index j is cid rank inside ONE group, so the struct
+    *    min over (d2, probe, j) equals (d2, probe, cid)).
+    *
+    * Shuffle shape: identical to [[ivfResiduals]] — the candidate
+    * pass is one zero-shuffle projection against a single broadcast
+    * row; the two-level structure (top vectors + per-top leaf lists)
+    * is built from the K-row centroid frame (K ≈ √N rows — already
+    * the "small" side everywhere in this family). The top-level
+    * scoring runs as an interpreted HOF over K1 = O(N^¼) entries;
+    * the leaf argmin stays on the native expression — at any real N
+    * the leaf term dominates, so the interpreted top scan is not the
+    * hot loop.
+    *
+    * Precondition: every top should own ≥1 leaf (guaranteed when
+    * `tops ⊆ centroids`, since a top is its own nearest vector);
+    * probed groups that are empty anyway are skipped, and a candidate
+    * whose every probe is empty yields a null cell (impossible under
+    * the precondition, w ≥ 1). Output: (neighbor_id, __cell, __rv) —
+    * drop-in for [[ivfResiduals]]. */
+  def ivfResidualsHier(candidates: DataFrame, centroids: DataFrame,
+                       tops: DataFrame, idCol: String, vecCol: String,
+                       w: Int = 2): DataFrame = {
+    require(w >= 1, s"w >= 1, got $w")
+    graft.catalyst.NearestCentroid.register(candidates.sparkSession)
+    // one broadcast row of top vectors, tid-ascending (index == tpos)
+    val topRow = broadcast(
+      tops.select(col(idCol).as("tid"), toDouble(col(vecCol)).as("tv"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("tid"), col("tv")))),
+          t => t.getField("tv")).as("__tvs")))
+    // leaf -> top assignment: K rows against the broadcast top row,
+    // native argmin (ties to the smallest index = smallest tpos)
+    val leaves = centroids
+      .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .crossJoin(topRow)
+      .withColumn("__tpos", call_function("graft_nearest_centroid",
+        col("cv"), col("__tvs"), lit(0), size(col("cv"))).getField("j"))
+    // per-top leaf lists (cid-ascending), keyed as maps so a sparse
+    // tpos domain cannot shift positional lookups; map lookups here
+    // are O(K1) linear scans over a tiny broadcast map, per PROBE not
+    // per leaf
+    val grouped = leaves.groupBy(col("__tpos"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("__ls"))
+      .groupBy()
+      .agg(
+        map_from_entries(collect_list(struct(col("__tpos"),
+          transform(col("__ls"), l => l.getField("cv"))))).as("__lcvs"),
+        map_from_entries(collect_list(struct(col("__tpos"),
+          transform(col("__ls"), l => l.getField("cid"))))).as("__lcids"))
+    val structure = broadcast(grouped.crossJoin(topRow))
+    val dim = size(col("__v"))
+    // w nearest tops by (d2, tpos): K1-wide in-row sort
+    val topScores = transform(col("__tvs"), (tv, i) =>
+      struct(dist2(col("__v"), tv).as("d2"), i.cast("int").as("tpos")))
+    // per-probe native argmin over that group's leaves; probe rank
+    // rides along so the final struct-min orders (d2, probe, cid)
+    val perProbe = transform(
+      filter(col("__probes"), p =>
+        element_at(col("__lcvs"), p.getField("tpos")).isNotNull),
+      (p, r) => {
+        val lv = element_at(col("__lcvs"), p.getField("tpos"))
+        val best = call_function("graft_nearest_centroid",
+          col("__v"), lv, lit(0), dim)
+        struct(best.getField("d2").as("d2"), r.cast("int").as("pr"),
+          p.getField("tpos").as("tpos"), best.getField("j").as("j"))
+      })
+    candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
+      .crossJoin(structure)
+      .withColumn("__probes", slice(array_sort(topScores), 1, w))
+      .withColumn("__b", array_min(perProbe))
+      .withColumn("__cell", element_at(
+        element_at(col("__lcids"), col("__b").getField("tpos")),
+        col("__b").getField("j") + 1))
+      .withColumn("__ccv", element_at(
+        element_at(col("__lcvs"), col("__b").getField("tpos")),
+        col("__b").getField("j") + 1))
+      .select(col("neighbor_id"), col("__cell"),
+        zip_with(col("__v"), col("__ccv"), (x, y) => x - y).as("__rv"))
+  }
+
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
                 centroids: DataFrame, seeds: DataFrame,
                 idCol: String, vecCol: String, k: Int, nprobe: Int,
-                numSub: Int, subDim: Int): DataFrame = {
+                numSub: Int, subDim: Int): DataFrame =
+    adcTopK(ivfResiduals(candidates, centroids, idCol, vecCol),
+      queries, centroids, seeds, idCol, vecCol, k, nprobe, numSub, subDim)
+
+  /** IVFADC with the two-level coarse assignment — same probe/ADC
+    * machinery as [[ivfPqTopK]] (the query side still ranks all K
+    * cells exactly: queries are few, so the O(q·K) probe pick is
+    * never the scale term), only the O(N·K) candidate assignment
+    * switches to [[ivfResidualsHier]]'s O(N·(1+w)·√K). */
+  def ivfPqTopKHier(queries: DataFrame, candidates: DataFrame,
+                    centroids: DataFrame, tops: DataFrame, seeds: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nprobe: Int,
+                    numSub: Int, subDim: Int, w: Int = 2): DataFrame =
+    adcTopK(ivfResidualsHier(candidates, centroids, tops, idCol, vecCol, w),
+      queries, centroids, seeds, idCol, vecCol, k, nprobe, numSub, subDim)
+
+  private def adcTopK(assigned: DataFrame,
+                      queries: DataFrame, centroids: DataFrame,
+                      seeds: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nprobe: Int, numSub: Int,
+                      subDim: Int): DataFrame = {
     require(numSub >= 1 && subDim >= 1)
     val cents = centroidRow(centroids, idCol, vecCol)
     val cb = pqCodebook(seeds, idCol, vecCol)
-    val assigned = ivfResiduals(candidates, centroids, idCol, vecCol)
     val codes = assigned
       .crossJoin(cb)
       .select(col("neighbor_id"), col("__cell"),
         explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
         col("__rv"), col("__cb"))
       .withColumn("__best",
-        nearestSub(candidates)(col("__rv"), col("__cb"), col("sub_id"), subDim))
+        nearestSub(assigned)(col("__rv"), col("__cb"), col("sub_id"), subDim))
       .groupBy(col("neighbor_id"), col("__cell"))
       .agg(sort_array(collect_list(struct(col("sub_id").cast("long").as("sub_id"),
         col("__best").getField("j").cast("long").as("code")))).as("__codes"))

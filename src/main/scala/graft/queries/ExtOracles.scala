@@ -407,7 +407,7 @@ object ExtOracles {
     * parameterized on the centroid CTE and a name prefix so two
     * flavors (modulo-picked vs trained) can coexist in one oracle.
     * Emits `${p}top (query_id, neighbor_id, rank, cosine)`. */
-  private def ivfCosineCtes(p: String, cent: String): String =
+  private def ivfCosineCtes(p: String, cent: String, np: Int = 3): String =
     s"""${p}asg AS (SELECT neighbor_id, nv, cell FROM (
        |  SELECT c.vec_id AS neighbor_id, c.v AS nv, ct.cid AS cell,
        |    row_number() OVER (PARTITION BY c.vec_id
@@ -418,7 +418,7 @@ object ExtOracles {
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${cosSql("q.v", "ct.cv")} DESC, ct.cid ASC) AS pr
        |  FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN $cent ct) t
-       |  WHERE pr <= 3),
+       |  WHERE pr <= $np),
        |${p}top AS (SELECT query_id, neighbor_id, rank, cosine FROM (
        |  SELECT s.*, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM (
@@ -426,6 +426,118 @@ object ExtOracles {
        |      ${cosSql("p.qv", "a.nv")} AS cosine
        |    FROM ${p}probes p JOIN ${p}asg a ON p.cell = a.cell) s) t
        |  WHERE rank <= 3)""".stripMargin
+
+  /** stride/cent — the √N leaf-centroid pick shared by the IVF
+    * oracles (identical text lives inline in [[ivfPreamble]]). */
+  private val strideCentCtes: String =
+    """stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+      |    AS m FROM cand),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
+      |  WHERE vec_id % stride.m = 0)""".stripMargin
+
+  /** Two-level coarse assignment (Similarity.ivfResidualsHier, w=2):
+    * K1 ≈ √K tops = every (stride·tstride)-th candidate (⊆ cent, so
+    * every top owns at least itself), tpos = rank by id; candidates
+    * probe their 2 nearest tops by (d2, tpos) and the winning leaf
+    * minimizes (d2, probe rank, cid) — the operator's struct-min
+    * contract. Emits `$name (neighbor_id, cell, rv)`. */
+  private def hierAsgCtes(name: String): String =
+    s"""tstride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+       |    AS m FROM cent),
+       |tops AS (SELECT cid AS tid, cv AS tv,
+       |    row_number() OVER (ORDER BY cid) - 1 AS tpos
+       |  FROM cent, stride, tstride
+       |  WHERE cid % (stride.m * tstride.m) = 0),
+       |l2t AS (SELECT cid, cv, tpos FROM (
+       |  SELECT c.cid, c.cv, t.tpos,
+       |    row_number() OVER (PARTITION BY c.cid ORDER BY
+       |      list_sum(list_transform(range(1, 65), i ->
+       |        (c.cv[i] - t.tv[i]) * (c.cv[i] - t.tv[i]))) ASC,
+       |      t.tpos ASC) AS rk
+       |  FROM cent c, tops t) WHERE rk = 1),
+       |cprobe AS (SELECT vec_id, tpos, prank FROM (
+       |  SELECT c.vec_id, t.tpos,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i ->
+       |        (c.v[i] - t.tv[i]) * (c.v[i] - t.tv[i]))) ASC,
+       |      t.tpos ASC) AS prank
+       |  FROM cand c, tops t) WHERE prank <= 2),
+       |$name AS (SELECT neighbor_id, cell, rv FROM (
+       |  SELECT c.vec_id AS neighbor_id, l.cid AS cell,
+       |    list_transform(range(1, 65), i -> c.v[i] - l.cv[i]) AS rv,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i ->
+       |        (c.v[i] - l.cv[i]) * (c.v[i] - l.cv[i]))) ASC,
+       |      p.prank ASC, l.cid ASC) AS rk
+       |  FROM cand c JOIN cprobe p ON p.vec_id = c.vec_id
+       |  JOIN l2t l ON l.tpos = p.tpos) WHERE rk = 1)""".stripMargin
+
+  /** q_ivf_hier preamble: the hier assignment feeds the residual
+    * k-means fit (kmsrc = hier residuals) — the CTE is NAMED `asg`
+    * so [[ivfBodyCtes]] reuses unchanged (query-side probing stays
+    * flat over cent, matching ivfPqTopKHier). */
+  private def ivfHierPreamble: String =
+    eCandCtes + ",\n" + strideCentCtes + ",\n" + hierAsgCtes("asg") +
+      ",\nkmsrc AS (SELECT neighbor_id AS rid, rv AS v FROM asg),\n" +
+      kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
+        ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
+
+  private def ivfHierSql: String =
+    ivfHierPreamble + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) + "\n" +
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  adc_dist2
+        |FROM ranked WHERE rank <= 3""".stripMargin
+
+  private def ivfHierRecallSql: String =
+    ivfHierPreamble + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
+      "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
+      exactL2Cte + "\n" + recallTailSql
+
+  private def ivfHierAgreeSql: String =
+    eCandCtes + ",\n" + strideCentCtes + ",\n" + hierAsgCtes("hasg") + ",\n" +
+      """fasg AS (SELECT neighbor_id, cell FROM (
+        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM cand c, cent ct) WHERE rk = 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(CASE WHEN f.cell = h.cell THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_same_cell
+        |FROM fasg f JOIN hasg h ON h.neighbor_id = f.neighbor_id"""
+        .stripMargin
+
+  /** The coarse-IVF recall curve: one ivfCosineCtes instance per
+    * nprobe ∈ {1, 3, 5} against the same √N cells + one brute exact
+    * top-3, unioned into (nprobe, query_id, n_exact, n_approx,
+    * n_hit) rows. */
+  private def ivfProbeCurveSql: String = {
+    val curves = Seq(1, 3, 5)
+      .map(np => ivfCosineCtes(s"p${np}_", "cent", np)).mkString(",\n")
+    val tails = Seq(1, 3, 5).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, x.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST((SELECT COUNT(*) FROM p${np}_top a2
+         |    WHERE a2.query_id = x.query_id) AS BIGINT) AS n_approx,
+         |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_hit
+         |FROM exc x LEFT JOIN p${np}_top a
+         |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+         |GROUP BY x.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    eCandCtes + ",\n" + strideCentCtes + ",\n" + curves + ",\n" +
+      s"""exc AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, cand c) t
+         |  WHERE rank <= 3)
+         |""".stripMargin + tails
+  }
 
   private def ivfTrainedSql: String =
     coarsePreamble +
@@ -930,6 +1042,85 @@ object ExtOracles {
     // FORCE all-pairs truth (full shingle self-join + integer
     // cross-multiply threshold), so equality proves the engine's
     // prefix/length/positional pruning dropped no qualifying pair
+    // the exact family's pre-flight: the SAME rarity window + prefix
+    // rule as the join it prices, then pure integer arithmetic —
+    // est_candidate_pairs = sum over prefix shingles of C(pdf, 2),
+    // the pre-filter candidate row count (DuckDB // is integer
+    // division; the product is even so both engines halve exactly)
+    "q_pair_budget" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |freq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM sh GROUP BY 1),
+        |pos AS (SELECT s.doc_id, s.shingle,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY f.df ASC, s.shingle ASC) AS p,
+        |    COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+        |  FROM sh s JOIN freq f ON f.shingle = s.shingle),
+        |pre AS (SELECT doc_id, shingle FROM pos
+        |  WHERE p <= sz - (sz * 60 + 99) // 100 + 1),
+        |pdf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS pdf
+        |  FROM pre GROUP BY 1),
+        |stats AS (SELECT
+        |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh)
+        |      AS n_docs,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_shingle_rows,
+        |    CAST(COALESCE(SUM(pdf), 0) AS BIGINT) AS n_prefix_rows,
+        |    CAST(COALESCE(SUM(pdf * (pdf - 1) // 2), 0) AS BIGINT)
+        |      AS est_candidate_pairs
+        |  FROM pdf)
+        |SELECT b.b AS budget_pairs, n_docs, n_shingle_rows,
+        |  n_prefix_rows, est_candidate_pairs,
+        |  est_candidate_pairs <= b.b AS within_budget
+        |FROM stats, (SELECT unnest([CAST(10 AS BIGINT),
+        |  CAST(1000000000000 AS BIGINT)]) AS b) b""".stripMargin,
+
+    // chain CC: expected labels via gaps-and-islands — component =
+    // min id of each consecutive-id run inside a 50-id block (nodes
+    // with no edge, i.e. singleton islands, don't enter the graph)
+    "q_cc_chain" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents),
+        |grp AS (SELECT id, id - row_number() OVER (ORDER BY id) AS g1,
+        |    id // 50 AS blk
+        |  FROM ids),
+        |isl AS (SELECT id,
+        |    CAST(MIN(id) OVER (PARTITION BY g1, blk) AS BIGINT)
+        |      AS component,
+        |    COUNT(*) OVER (PARTITION BY g1, blk) AS n
+        |  FROM grp)
+        |SELECT id, component FROM isl WHERE n >= 2""".stripMargin,
+
+    // the routed dispatch's exact branch: brute-force truth over the
+    // third-corpus + clones (the route column pins WHICH branch ran)
+    "q_exact_routed" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 33 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM sh sa JOIN sh sb
+        |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, 'exact' AS route
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b
+        |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
+
     "q_prefix_join" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
@@ -1353,6 +1544,10 @@ object ExtOracles {
     // -> km fit on the residuals -> residual PQ codes ->
     // per-(query, cell) residual LUTs -> sub_id-ordered ADC chain
     "q_ivf_pq_topk" -> ivfPqTopkSql,
+    "q_ivf_hier" -> ivfHierSql,
+    "q_ivf_hier_agree" -> ivfHierAgreeSql,
+    "q_ivf_hier_recall" -> ivfHierRecallSql,
+    "q_ivf_probe_curve" -> ivfProbeCurveSql,
 
     // IVFADC recall audit: the full residual-trained chain as
     // `approx` beside the exact full-vector L2 top-3, the same

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Two-level coarse assignment (Similarity.ivfResidualsHier) and the
+  * exact-family pre-flight (Dedup.pairMassPreflight /
+  * exactOrCappedPairs): the hier path degrades to the flat argmin
+  * when every group is probed, routes through the nearest top when
+  * not, and the pre-flight's pair-mass arithmetic matches a
+  * hand-computed corpus and actually flips the route.
+  */
+class HierIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("hier assignment equals flat when w covers every top group") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val cands = e.filter(col("vec_id") >= 20)
+    val cents = cands.filter(col("vec_id") % 21 === 0)
+    val tops = cents // every leaf is its own top -> singleton groups
+    val nTops = tops.count().toInt
+    val flat = Similarity.ivfResiduals(cands, cents, "vec_id", "embedding")
+      .select(col("neighbor_id"), col("__cell").as("flat"))
+    val hier = Similarity.ivfResidualsHier(cands, cents, tops,
+      "vec_id", "embedding", w = nTops)
+      .select(col("neighbor_id"), col("__cell").as("hier"))
+    val diff = flat.join(hier, Seq("neighbor_id"))
+      .filter(col("flat") =!= col("hier")).count()
+    assert(diff == 0L)
+  }
+
+  test("hier w=1 assigns inside the nearest top's group only") {
+    // two well-separated groups; tops are the group anchors
+    val cents = vecs(
+      10L -> Array(10f, 0f, 0f, 0f), 11L -> Array(11f, 0f, 0f, 0f),
+      20L -> Array(0f, 10f, 0f, 0f), 21L -> Array(0f, 11f, 0f, 0f))
+    val tops = vecs(10L -> Array(10f, 0f, 0f, 0f),
+      20L -> Array(0f, 10f, 0f, 0f))
+    // candidate nearest 11 overall; with w=1 it still probes top 10's
+    // group (x-axis) and must pick 11 there
+    val cand = vecs(1L -> Array(11.4f, 0.1f, 0f, 0f),
+      2L -> Array(0.1f, 10.6f, 0f, 0f))
+    val out = Similarity.ivfResidualsHier(cand, cents, tops,
+      "vec_id", "embedding", w = 1)
+      .select("neighbor_id", "__cell").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 11L)
+    assert(out(2L) == 21L)
+  }
+
+  test("hier residual is candidate minus the winning leaf centroid") {
+    val cents = vecs(10L -> Array(10f, 0f, 0f, 0f),
+      20L -> Array(0f, 10f, 0f, 0f))
+    val cand = vecs(1L -> Array(9f, 1f, 0f, 0f))
+    val rv = Similarity.ivfResidualsHier(cand, cents, cents,
+      "vec_id", "embedding", w = 2)
+      .select("__rv").as[Seq[Double]].head()
+    assert(rv == Seq(-1.0, 1.0, 0.0, 0.0))
+  }
+
+  test("pairMassPreflight matches the hand-computed pair mass") {
+    // three identical 7-token docs: 5 distinct 3-shingles each,
+    // prefix L = 5 - ceil(0.6*5) + 1 = 3, each prefix shingle has
+    // pdf = 3 -> est = 3 * C(3,2) = 9
+    val docs = Seq(1L, 2L, 3L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val row = Dedup.pairMassPreflight(docs, "doc_id", "text",
+      budgets = Seq(100L)).collect().head
+    assert(row.getAs[Long]("n_docs") == 3L)
+    assert(row.getAs[Long]("n_shingle_rows") == 15L)
+    assert(row.getAs[Long]("n_prefix_rows") == 9L)
+    assert(row.getAs[Long]("est_candidate_pairs") == 9L)
+    assert(row.getAs[Boolean]("within_budget"))
+  }
+
+  test("exactOrCappedPairs takes the exact branch under budget") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z w q r s")).toDF("doc_id", "text")
+    val out = Dedup.exactOrCappedPairs(docs, "doc_id", "text",
+      budgetPairs = 1000000L)
+    val rows = out.select("doc_a", "doc_b", "route")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((1L, 2L, "exact")))
+    val expected = Dedup.prefixFilterPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)) == expected)
+  }
+
+  test("exactOrCappedPairs refuses the exact path above budget") {
+    // a 12-clique of identical docs: C(12,2)=66 pairs per prefix
+    // shingle, far above the 10-pair budget -> capped LSH route
+    val docs = (1L to 12L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactOrCappedPairs(docs, "doc_id", "text",
+      budgetPairs = 10L, maxBucketSize = 64)
+    val routes = out.select("route").distinct().as[String].collect().toSet
+    assert(routes == Set("lsh_capped"))
+    // identical docs share every band bucket -> all pairs surface
+    assert(out.count() == 66L)
+  }
+}
