@@ -174,7 +174,11 @@ object ScaleBench {
     // 34×-at-100× trend), the exact family's linear pre-flight audit,
     // and chain-shaped CC (fixed diameter 49 here: rounds must stay
     // ~log₂49 while chain COUNT grows with the corpus)
-    "q_ivf_hier", "q_pair_budget", "q_cc_chain")
+    "q_ivf_hier", "q_pair_budget", "q_cc_chain",
+    // the iterated unigram trainer: 5 rounds, each one zero-shuffle
+    // segmentation projection + a vocab-bounded count agg — the curve
+    // should track 5× q_unigram_counts' linear floor
+    "q_unigram_train")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

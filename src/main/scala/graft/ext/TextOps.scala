@@ -1311,4 +1311,78 @@ object TextOps {
         md5(encode(concat_ws("", col("__p2")), "UTF-8"))
           .as("pieces_fp_pruned"))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The ITERATED unigram-LM vocab trainer — [[unigramPruneRound]]'s
+    * single hard-EM step run to a TARGET vocab size, the SentencePiece
+    * training loop shape (Kudo 2018 §3.2: segment, count piece usage,
+    * drop the lowest-contribution slice, repeat). Deterministic
+    * schedule, integer-only:
+    *  - per round, segment under the CURRENT vocab and count Viterbi
+    *    piece usage (one map-side-combinable agg whose domain is
+    *    |vocab| + the UNK alphabet — the same bounded driver-side
+    *    collect class as the single prune round);
+    *  - rank multi-char pieces by (usage DESC, piece ASC) — a total
+    *    order — and keep the top
+    *    max(targetMulti, multi − max(1, multi/5)): a ≤20% shrink per
+    *    round, never overshooting the target, always dropping ≥1
+    *    (single code points are exempt — the coverage guarantee);
+    *  - stop when the multi-char count reaches `targetMulti` (or
+    *    `maxRounds` caps a misconfigured run).
+    * The returned frame IS the convergence log — one row per round:
+    * (round, n_multi_before, n_multi_after, n_dropped, corpus_pieces
+    * under the round's starting vocab, md5 fingerprint of the FULL
+    * surviving vocab joined by chr(31) in piece order) — so the
+    * vocab-size trajectory and each round's exact membership are
+    * oracle-checked, not narrated. The shrink schedule is a pure
+    * function of (|multi₀|, targetMulti), which is how the DuckDB
+    * oracle unrolls the same rounds as chained Viterbi-DP CTEs.
+    *
+    * Scale shape: each round is one zero-shuffle segmentation
+    * projection plus one piece-keyed count agg; the corpus never
+    * shuffles and never lands on the driver (the usage collect is
+    * |vocab|-bounded). Rounds are O(log(|multi₀|/targetMulti)) by
+    * the 20% rule. */
+  def unigramTrain(rawDf: DataFrame, textCol: String,
+                   targetMulti: Int = 15, maxRounds: Int = 8): DataFrame = {
+    require(targetMulti >= 0 && maxRounds >= 1)
+    val df = rebalance(rawDf)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def isMulti(p: String): Boolean = p.codePointCount(0, p.length) > 1
+    var vocab = graft.catalyst.UnigramSegment.DefaultVocab
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, String)]
+    var round = 1
+    var done = vocab.count(v => isMulti(v._1)) <= targetMulti
+    while (!done && round <= maxRounds) {
+      val v = vocab
+      val fname = s"unigram_segment_train_r$round"
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fname, exprs => graft.catalyst.UnigramSegment(exprs.head, v),
+        "built-in")
+      val counts = df
+        .select(explode(call_function(fname, col(textCol))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val corpusPieces = counts.valuesIterator.sum
+      val multi = vocab.filter(p => isMulti(p._1))
+      val keepK = math.max(targetMulti,
+        multi.size - math.max(1, multi.size / 5))
+      val kept = multi
+        .sortBy { case (p, _) => (-counts.getOrElse(p, 0L), p) }
+        .take(keepK).map(_._1).toSet
+      vocab = vocab.filter { case (p, _) => !isMulti(p) || kept(p) }
+      val fp = md5Hex(vocab.map(_._1).sorted.mkString(""))
+      rows += ((round.toLong, multi.size.toLong, keepK.toLong,
+        (multi.size - keepK).toLong, corpusPieces, fp))
+      done = keepK <= targetMulti
+      round += 1
+    }
+    rows.toSeq.toDF("round", "n_multi_before", "n_multi_after",
+      "n_dropped", "corpus_pieces", "vocab_fp")
+  }
 }

@@ -3288,6 +3288,8 @@ object ExtOracles {
 
     // Viterbi piece-usage counts (the unigram trainer's hard-EM
     // pruning statistic), derived from the same DP
+    "q_unigram_train" -> unigramTrainSql,
+
     "q_unigram_counts" ->
       s"""WITH RECURSIVE $unigramCtes
          |SELECT u.piece, CAST(COUNT(*) AS BIGINT) AS n_uses,
@@ -3703,6 +3705,78 @@ object ExtOracles {
        |  FROM (SELECT doc_id, string_split(rich, ' ') AS st FROM rich))
        |  WHERE tok <> ''),
        |${unigramDpCtes("vm", "dp", "seg", "docp")}""".stripMargin
+
+  /** q_unigram_train: unrolls TextOps.unigramTrain's prune schedule —
+    * a pure function of (|multi₀|, targetMulti), re-derived here with
+    * the identical recurrence — as chained Viterbi-DP CTEs: round r
+    * counts piece usage from the segmentation under vocab r−1, keeps
+    * the top-keep multi-char pieces by (usage DESC, piece ASC), and
+    * the NEXT round segments under the pruned vocab (the last round's
+    * DP is skipped — the trainer never segments under the final
+    * vocab). Each round's full vocab membership is pinned by the
+    * chr(31)-joined md5 fingerprint. */
+  private def unigramTrainSql: String = {
+    val target = 12
+    val multi0 = graft.catalyst.UnigramSegment.DefaultVocab
+      .count(p => p._1.codePointCount(0, p._1.length) > 1)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var m = multi0
+    while (m > target && rounds.size < 8) {
+      val keep = math.max(target, m - math.max(1, m / 5))
+      rounds += ((m, keep)); m = keep
+    }
+    // AS MATERIALIZED on every per-round CTE (and a materialized
+    // alias over each recursive DP's docp, which unigramDpCtes
+    // cannot mark itself): each docp/vocab is referenced twice
+    // (next round's count + the trajectory row), so without the
+    // barrier DuckDB re-inlines the ENTIRE upstream DP chain per
+    // reference — exponential planning, the same blowup the BPE
+    // oracle's 12 nested rounds hit (62 s inlined, ms materialized;
+    // here 4 chained DPs never finished inlined)
+    val ctes = rounds.zipWithIndex.map { case ((_, keep), i) =>
+      val r = i + 1
+      val prev = if (r == 1) "docpm0" else s"docpm${i}"
+      val prevVocab = if (r == 1) "vocab" else s"vocabt${i}"
+      val vocabCte =
+        s"""cntt$r AS MATERIALIZED (
+           |  SELECT piece, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(pieces) AS piece FROM $prev)
+           |  GROUP BY piece),
+           |vocabt$r AS MATERIALIZED (
+           |  SELECT piece, s FROM (
+           |    SELECT v.piece, v.s, row_number() OVER (
+           |        ORDER BY COALESCE(c.n, 0) DESC, v.piece ASC) AS rk
+           |    FROM $prevVocab v LEFT JOIN cntt$r c ON c.piece = v.piece
+           |    WHERE len(v.piece) > 1) t WHERE rk <= $keep
+           |  UNION ALL
+           |  SELECT piece, s FROM $prevVocab WHERE len(piece) = 1)"""
+          .stripMargin
+      if (r == rounds.size) vocabCte
+      else vocabCte + ",\n" +
+        s"""vmt$r AS MATERIALIZED (
+           |  SELECT map(list(piece ORDER BY piece),
+           |             list(s ORDER BY piece)) AS m,
+           |         max(len(piece)) AS maxl FROM vocabt$r),
+           |${unigramDpCtes(s"vmt$r", s"dpt$r", s"segt$r", s"docpt$r")},
+           |docpm$r AS MATERIALIZED (SELECT doc_id, pieces FROM docpt$r)"""
+          .stripMargin
+    }.mkString(",\n")
+    val rows = rounds.zipWithIndex.map { case ((before, keep), i) =>
+      val r = i + 1
+      val prev = if (r == 1) "docpm0" else s"docpm$i"
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST($before AS BIGINT) AS n_multi_before,
+         |  CAST($keep AS BIGINT) AS n_multi_after,
+         |  CAST(${before - keep} AS BIGINT) AS n_dropped,
+         |  (SELECT CAST(SUM(len(pieces)) AS BIGINT) FROM $prev)
+         |    AS corpus_pieces,
+         |  (SELECT md5(array_to_string(list(piece ORDER BY piece),
+         |      chr(31))) FROM vocabt$r) AS vocab_fp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH RECURSIVE $unigramCtes,\n" +
+      "docpm0 AS MATERIALIZED (SELECT doc_id, pieces FROM docp),\n" +
+      s"$ctes\n$rows"
+  }
 
   /** Margin + clamped p per doc under the trained `w12` weights. */
   private def qclsScoreCtes: String =

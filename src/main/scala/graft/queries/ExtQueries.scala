@@ -1844,6 +1844,18 @@ object ExtQueries {
   def unigramPruneQ(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramPruneRound(unigramRich(spark, dir), "doc_id", "rich")
 
+  /** The ITERATED unigram trainer through the gate
+    * (TextOps.unigramTrain): hard-EM prune rounds from the 30
+    * multi-char default pieces down to 12 under the ≤20%-per-round
+    * schedule (30→24→20→16→13→12, five rounds — the last two drop
+    * USED pieces, so the corpus piece count visibly rises as
+    * segmentations fall back to shorter pieces), each round's vocab
+    * membership pinned by fingerprint. The oracle unrolls the same
+    * rounds as chained Viterbi-DP CTEs. */
+  def unigramTrainQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramTrain(unigramRich(spark, dir), "rich",
+      targetMulti = 12, maxRounds = 8)
+
   /** Perceptual-media corpus: every doc wears a container (rotating
     * magic header); %4 docs are RE-WRAPPED (same content, next
     * container — must hash identically), %5 docs carry a 3-char
@@ -2139,6 +2151,7 @@ object ExtQueries {
     "q_phash_media"       -> (phashMedia _),
     "q_phash_neardup"     -> (phashNearDup _),
     "q_unigram_prune"     -> (unigramPruneQ _),
+    "q_unigram_train"     -> (unigramTrainQ _),
     "q_stream_phash"      -> (streamPhashQuery _),
     "q_md_extract"        -> (mdExtract _),
     "q_mrl_recall"        -> (mrlRecall _),
