@@ -26,28 +26,29 @@ object BenchFormat {
   // compare lines up; prepend q_ to recover the registry name.
   def short(n: String): String = n.stripPrefix("q_")
 
-  /** Deterministic 1-4 char aliases for the per-query map. Full names
-    * cost ~18 bytes/entry — at 111 queries the line overflows the
-    * driver's 2000-char stdout window and the threshold ladder starts
-    * dropping the cheap tail (r6 lost 18 sub-0.3 s figures). Aliases
-    * keep EVERY query's figure in the line to ~180 queries. Scheme:
-    * names sorted; candidate codes are initials-of-leading-tokens +
-    * a growing prefix of the last token, then numeric suffixes; first
-    * free candidate wins. The resolved map is written next to the
-    * bench output (bench_aliases.json) and committed in BASELINE.md's
-    * alias appendix, so the per-query compare lines up. */
+  /** Deterministic MINIMAL aliases for the per-query map: names
+    * sorted, then sequential base-36 codes — 1 char for the first 36,
+    * 2 chars to 1,332 queries. Full names cost ~18 bytes/entry (the
+    * line overflowed at 111 queries; r6's ladder lost 18 sub-0.3 s
+    * figures); the earlier initials-of-tokens scheme averaged 2.3
+    * chars and hit the window again at 203 queries — sequential codes
+    * average ~1.8 and carry EVERY figure to ~215 queries at the
+    * 1-decimal rung. Codes are meaningless on purpose: the resolved
+    * map is written next to the bench output (bench_aliases.json) and
+    * into BASELINE.md's alias column, and cross-round comparison uses
+    * the name-keyed bench_out.json, never the per-round codes. Past
+    * ~215 queries the next lever is a curated bench set, not another
+    * encoding squeeze. */
   def aliases(names: Seq[String]): Map[String, String] = {
-    val taken = scala.collection.mutable.Set[String]()
-    names.sorted.map { n =>
-      val toks = short(n).split('_').filter(_.nonEmpty)
-      val lead = toks.dropRight(1).map(_.head).mkString
-      val last = toks.last
-      val grown = (1 to last.length).iterator.map(k => lead + last.take(k))
-      val numbered = Iterator.from(2).map(i => lead + last.take(1) + i)
-      val code = (grown ++ numbered).find(c => !taken.contains(c)).get
-      taken += code
-      n -> code
-    }.toMap
+    val digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    def code(i: Int): String =
+      if (i < 36) digits(i).toString
+      else {
+        val j = i - 36
+        require(j < 36 * 36, s"alias space exhausted at index $i")
+        s"${digits(j / 36)}${digits(j % 36)}"
+      }
+    names.sorted.zipWithIndex.map { case (n, i) => n -> code(i) }.toMap
   }
 
   def line(results: Seq[(String, Double)], total: Double, sfDir: String,

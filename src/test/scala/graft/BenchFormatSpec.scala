@@ -81,8 +81,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val total = results.map(_._2).sum
     val line = BenchFormat.choose(results, "/tmp/sf", limit = 200)
     assert(line.length <= 200)
-    assert(line.contains(""""h":9"""))
-    assert(!line.contains("tail"))
+    val heavyAlias = BenchFormat.aliases(results.map(_._1))("q_heavy")
+    assert(line.contains(s""""$heavyAlias":9"""))
+    // every tail alias is absent (the sole surviving entry is q_heavy)
+    assert(line.substring(line.indexOf(""""queries":{"""))
+      .count(_ == ':') == 2)
     assert(line.contains(s""""value":${BenchFormat.rounded(1)(total)}"""))
   }
 }
