@@ -178,7 +178,12 @@ object ScaleBench {
     // the iterated unigram trainer: 5 rounds, each one zero-shuffle
     // segmentation projection + a vocab-bounded count agg — the curve
     // should track 5× q_unigram_counts' linear floor
-    "q_unigram_train")
+    "q_unigram_train",
+    // maximal repeated-substring lengths: suffix rows grow linearly
+    // with tokens, but the clique corpus's clones collapse in the
+    // distinct-suffix step BEFORE the per-bucket sort — the curve
+    // measures that skew guard under 10× clone pressure
+    "q_substr_spans")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

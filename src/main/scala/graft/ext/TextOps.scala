@@ -1312,6 +1312,77 @@ object TextOps {
           .as("pieces_fp_pruned"))
   }
 
+  /** MAXIMAL repeated-substring lengths — the suffix-array statistic
+    * behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": excise every span
+    * whose word sequence of ≥ minTokens recurs anywhere in the
+    * corpus). [[dupNgramSpans]] flags positions COVERED by a
+    * duplicated n-gram; this operator reports, per position, HOW LONG
+    * the longest match starting there is (capped at `maxCmp` tokens)
+    * — the length signal the excision policy actually ranks by.
+    *
+    * The suffix-array identity that makes it distributable: in sorted
+    * suffix order, the longest match of suffix i is
+    * max(LCP(i−1, i), LCP(i, i+1)) — only ADJACENT comparisons are
+    * needed. And any pair with LCP ≥ minTokens shares its first
+    * minTokens tokens verbatim, so bucketing suffixes by that exact
+    * prefix loses no qualifying pair (cross-bucket LCP < minTokens by
+    * construction): the global suffix sort decomposes into
+    * independent per-bucket sorts — no global window, the same
+    * decomposition proof pattern as the epoch-shuffle ranking.
+    *
+    * Skew posture: suffixes are COLLAPSED to distinct (bucket,
+    * truncated-suffix) strings with a count BEFORE the per-bucket
+    * sort — on clone/boilerplate corpora a hot bucket of a million
+    * identical suffixes becomes ONE row (its match length is its own
+    * length: an identical twin exists), so the window never sorts a
+    * skewed group; the sort runs over distinct variants only.
+    * Suffix strings are chr(1)-joined tokens (UTF8 byte order in
+    * both engines; prefixes of longer suffixes order consistently),
+    * LCP is a null-safe token-wise compare on the re-split arrays.
+    *
+    * Output: (idCol, pos, match_len) for 1-based token positions
+    * whose maximal match reaches minTokens; match_len saturates at
+    * maxCmp — report "at least maxCmp", the excision caller's cue to
+    * merge adjacent saturated positions into one span. */
+  def suffixMaxMatch(rawDf: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int = 10, maxCmp: Int = 20): DataFrame = {
+    require(minTokens >= 2 && maxCmp >= minTokens,
+      s"need 2 <= minTokens <= maxCmp, got $minTokens/$maxCmp")
+    val df = rebalance(rawDf)
+    val Sep = ""
+    import org.apache.spark.sql.expressions.Window
+    val sfxRows = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= minTokens)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__t")) - (minTokens - 1)),
+          p => struct(p.cast("long").as("pos"),
+            concat_ws(Sep, slice(col("__t"), p, lit(maxCmp))).as("s"),
+            concat_ws(Sep, slice(col("__t"), p, lit(minTokens)))
+              .as("bkt")))).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.s").as("s"),
+        col("g.bkt").as("bkt"))
+    def lcp(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, lit(0L)).otherwise(coalesce(
+        array_position(zip_with(a, b, (x, y) => x <=> y), false) - 1,
+        least(size(a), size(b)).cast("long")))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("s"))
+    val neigh = sfxRows
+      .groupBy(col("bkt"), col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__arr", split(col("s"), Sep))
+      .withColumn("__pa", lag(col("__arr"), 1).over(w))
+      .withColumn("__na", lead(col("__arr"), 1).over(w))
+      .withColumn("match_len", greatest(
+        lcp(col("__arr"), col("__pa")), lcp(col("__arr"), col("__na")),
+        when(col("cnt") >= 2, size(col("__arr")).cast("long"))
+          .otherwise(lit(0L))))
+      .filter(col("match_len") >= minTokens)
+      .select(col("s"), col("match_len"))
+    sfxRows.join(neigh, Seq("s"))
+      .select(col(idCol), col("pos"), col("match_len"))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -1081,6 +1081,46 @@ object ExtOracles {
         |FROM stats, (SELECT unnest([CAST(10 AS BIGINT),
         |  CAST(1000000000000 AS BIGINT)]) AS b) b""".stripMargin,
 
+    // maximal repeated-substring lengths: bucket = the first
+    // minTokens(10) tokens (any qualifying match shares it), distinct
+    // truncated suffixes collapse with a count, adjacent-LCP window
+    // per bucket, identical twins shortcut to their own length;
+    // chr(1)-joined strings sort in UTF8 byte order in both engines
+    "q_substr_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 10),
+        |sfx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    array_to_string(w[pos:pos+19], chr(1)) AS s,
+        |    array_to_string(w[pos:pos+9], chr(1)) AS bkt
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS pos
+        |    FROM toks)),
+        |d AS (SELECT bkt, s, string_split(s, chr(1)) AS arr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM sfx GROUP BY 1, 2),
+        |n AS (SELECT bkt, s, arr, cnt,
+        |    lag(arr) OVER (PARTITION BY bkt ORDER BY s) AS pa,
+        |    lead(arr) OVER (PARTITION BY bkt ORDER BY s) AS na
+        |  FROM d),
+        |m AS (SELECT s, GREATEST(
+        |    CASE WHEN pa IS NULL THEN 0 ELSE COALESCE(
+        |      list_position(list_transform(
+        |        range(1, greatest(len(arr), len(pa)) + 1),
+        |        i -> arr[i] IS NOT DISTINCT FROM pa[i]), false) - 1,
+        |      least(len(arr), len(pa))) END,
+        |    CASE WHEN na IS NULL THEN 0 ELSE COALESCE(
+        |      list_position(list_transform(
+        |        range(1, greatest(len(arr), len(na)) + 1),
+        |        i -> arr[i] IS NOT DISTINCT FROM na[i]), false) - 1,
+        |      least(len(arr), len(na))) END,
+        |    CASE WHEN cnt >= 2 THEN len(arr) ELSE 0 END) AS match_len
+        |  FROM n)
+        |SELECT f.doc_id, f.pos, CAST(m.match_len AS BIGINT) AS match_len
+        |FROM sfx f JOIN m ON m.s = f.s
+        |WHERE m.match_len >= 10""".stripMargin,
+
     // chain CC: expected labels via gaps-and-islands — component =
     // min id of each consecutive-id run inside a 50-id block (nodes
     // with no edge, i.e. singleton islands, don't enter the graph)

@@ -114,6 +114,18 @@ object ExtQueries {
       budgetPairs = 1000000000000L)
   }
 
+  /** Maximal repeated-substring lengths through the gate
+    * (TextOps.suffixMaxMatch): the near-dup corpus's clones share
+    * their whole base document, so base/clone suffix pairs produce
+    * long saturated matches (match_len = the 20-token cap) while the
+    * clone's appended marker tail decays the lengths near the end —
+    * both regimes value-checked. The oracle re-derives the bucketed
+    * suffix sort, the distinct-suffix collapse, the adjacent-LCP
+    * window, and the identical-twin shortcut in SQL. */
+  def substrSpans(spark: SparkSession, dir: String): DataFrame =
+    TextOps.suffixMaxMatch(nearCorpus(spark, dir), "doc_id", "text",
+      minTokens = 10, maxCmp = 20)
+
   /** Connected components on a CHAIN-shaped graph through the gate:
     * consecutive-id edges within 50-id blocks — diameter 49, the
     * regime where plain min-label pays a round per hop (it would blow
@@ -2092,6 +2104,7 @@ object ExtQueries {
     "q_pair_budget"       -> (pairBudget _),
     "q_exact_routed"      -> (exactRouted _),
     "q_cc_chain"          -> (ccChain _),
+    "q_substr_spans"      -> (substrSpans _),
     "q_ivf_pq_topk"       -> (ivfPq _),
     "q_ivf_hier"          -> (ivfHier _),
     "q_ivf_hier_agree"    -> (ivfHierAgree _),
