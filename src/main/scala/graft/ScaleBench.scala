@@ -183,7 +183,11 @@ object ScaleBench {
     // with tokens, but the clique corpus's clones collapse in the
     // distinct-suffix step BEFORE the per-bucket sort — the curve
     // measures that skew guard under 10× clone pressure
-    "q_substr_spans")
+    "q_substr_spans",
+    // PCA scatter: one pass, shuffle = partitions × 4096-long
+    // buffers (never the corpus); the eigen step is driver-side
+    // dimension-sized work — the curve should be the scan floor
+    "q_pca_top", "q_abtt")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

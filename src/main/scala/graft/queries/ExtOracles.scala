@@ -3329,6 +3329,8 @@ object ExtOracles {
     // Viterbi piece-usage counts (the unigram trainer's hard-EM
     // pruning statistic), derived from the same DP
     "q_unigram_train" -> unigramTrainSql,
+    "q_pca_top" -> pcaTopSql,
+    "q_abtt" -> abttSql,
 
     "q_unigram_counts" ->
       s"""WITH RECURSIVE $unigramCtes
@@ -3745,6 +3747,84 @@ object ExtOracles {
        |  FROM (SELECT doc_id, string_split(rich, ' ') AS st FROM rich))
        |  WHERE tok <> ''),
        |${unigramDpCtes("vm", "dp", "seg", "docp")}""".stripMargin
+
+  /** Shared CTE chain of the PCA family (Pca.powerIterate replayed in
+    * SQL): integer-exact quantized scatter (n, Σq, Σqqᵀ), double
+    * centering M = n·Σqqᵀ − (Σq)(Σq)ᵀ per entry (one expression over
+    * exact longs — deterministic IEEE, same as the Scala loop), 12
+    * materialized power-iteration rounds with list_sum's
+    * left-to-right fold matching the driver's while-loops, then the
+    * sign convention (largest-|v_i| component non-negative, ties
+    * smallest i). Emits `vf (v)`, `mm (M)`, `s`, `dims`. */
+  private def pcaChain(iters: Int = 12): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
+         |    list_sum(list_transform(range(1, 65), j ->
+         |      mm.M[i][j] * p.v[j]))) AS w FROM mm, $prev p),
+         |v$r AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
+         |    w.w[i] / sqrt(list_sum(list_transform(range(1, 65), i2 ->
+         |      w.w[i2] * w.w[i2])))) AS v FROM w$r w)""".stripMargin
+    }.mkString(",\n")
+    s"""eq AS (SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 8192 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM eq),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |s AS MATERIALIZED (SELECT i.i, CAST(SUM(q[i.i]) AS BIGINT) AS si
+       |  FROM eq, dims i GROUP BY i.i),
+       |s2 AS MATERIALIZED (SELECT i.i, j.i AS j,
+       |    CAST(SUM(q[i.i] * q[j.i]) AS BIGINT) AS sij
+       |  FROM eq, dims i, dims j GROUP BY i.i, j.i),
+       |m AS MATERIALIZED (SELECT s2.i, s2.j,
+       |    CAST(nn.n AS DOUBLE) * CAST(s2.sij AS DOUBLE)
+       |      - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) AS mij
+       |  FROM s2, nn, s a, s b WHERE a.i = s2.i AND b.i = s2.j),
+       |mrows AS (SELECT i, list(mij ORDER BY j) AS r FROM m GROUP BY i),
+       |mm AS MATERIALIZED (SELECT list(r ORDER BY i) AS M FROM mrows),
+       |k AS (SELECT i AS k FROM (SELECT i,
+       |    row_number() OVER (ORDER BY mij DESC, i ASC) AS rk
+       |  FROM m WHERE i = j) t WHERE rk = 1),
+       |v0 AS (SELECT list_transform(range(1, 65), x ->
+       |    CASE WHEN x = k.k THEN 1.0 ELSE 0.0 END) AS v FROM k),
+       |$rounds,
+       |ax AS (SELECT i FROM (SELECT i.i AS i, row_number() OVER (
+       |    ORDER BY abs(v.v[i.i]) DESC, i.i ASC) AS rk
+       |  FROM v$iters v, dims i) t WHERE rk = 1),
+       |vf AS MATERIALIZED (SELECT list_transform(v.v, x ->
+       |    CASE WHEN v.v[ax.i] < 0 THEN -x ELSE x END) AS v
+       |  FROM v$iters v, ax)""".stripMargin
+  }
+
+  private def pcaTopSql: String =
+    s"WITH ${pcaChain()},\n" +
+      """wf AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
+        |    list_sum(list_transform(range(1, 65), j ->
+        |      mm.M[i][j] * p.v[j]))) AS w FROM mm, vf p),
+        |lam AS (SELECT list_sum(list_transform(range(1, 65), i ->
+        |    v.v[i] * w.w[i])) AS lambda FROM vf v, wf w),
+        |tr AS (SELECT list_sum(list_transform(range(1, 65), i ->
+        |    M[i][i])) AS trace FROM mm)
+        |SELECT CAST(i.i - 1 AS BIGINT) AS dim_id, s.si AS sum_q,
+        |  vf.v[i.i] AS pc1, lam.lambda AS lambda, tr.trace AS trace
+        |FROM dims i, s, vf, lam, tr WHERE s.i = i.i""".stripMargin
+
+  private def abttSql: String =
+    s"WITH ${pcaChain()},\n" +
+      """ve AS (SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(x AS DOUBLE)) AS x FROM embeddings),
+        |p AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      x[i] * vf.v[i])) AS proj,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      x[i] * x[i])) AS norm2_before,
+        |    x, vf.v AS v
+        |  FROM ve, vf)
+        |SELECT vec_id, proj, norm2_before,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (x[i] - proj * v[i]) * (x[i] - proj * v[i])))
+        |    AS norm2_after
+        |FROM p""".stripMargin
 
   /** q_unigram_train: unrolls TextOps.unigramTrain's prune schedule —
     * a pure function of (|multi₀|, targetMulti), re-derived here with

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Dedup, GraphOps, KMeans, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
+import graft.ext.{Classifier, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -658,6 +658,30 @@ object ExtQueries {
         sum(when(col("cell_flat") === col("cell_hier"), lit(1L))
           .otherwise(lit(0L))).as("n_same_cell"))
   }
+
+  /** Top principal direction of the embedding corpus (Pca
+    * .topComponent): ONE integer-exact scatter aggregation (n, Σq,
+    * Σqqᵀ over round(x·8192) longs — order-free, so bit-stable under
+    * any partitioning) + a 12-round driver-side power iteration on
+    * the d×d centered scatter (dimension-sized, the bounded-collect
+    * class). The oracle replays the quantization, the exact integer
+    * sums, the double centering, all 12 iterations, the sign
+    * convention, and the Rayleigh quotient — an eigen-computation
+    * value-checked through SQL. */
+  def pcaTop(spark: SparkSession, dir: String): DataFrame =
+    Pca.topComponent(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      "vec_id", "embedding")
+
+  /** All-but-the-top post-processing (Pca.abtt, Mu & Viswanath 2018):
+    * remove each vector's projection onto the corpus's top principal
+    * direction — per-row zero-shuffle once the direction is known.
+    * Emits (proj, norm²) before/after so the isotropy gain is a gate
+    * value, not a claim. */
+  def abttQ(spark: SparkSession, dir: String): DataFrame =
+    Pca.abtt(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      "vec_id", "embedding")
 
   /** q_ivf_pq_recall's twin for the hierarchical path: exact L2
     * top-3 overlap of q_ivf_hier's output — the end-to-end parity
@@ -2105,6 +2129,8 @@ object ExtQueries {
     "q_exact_routed"      -> (exactRouted _),
     "q_cc_chain"          -> (ccChain _),
     "q_substr_spans"      -> (substrSpans _),
+    "q_pca_top"           -> (pcaTop _),
+    "q_abtt"              -> (abttQ _),
     "q_ivf_pq_topk"       -> (ivfPq _),
     "q_ivf_hier"          -> (ivfHier _),
     "q_ivf_hier_agree"    -> (ivfHierAgree _),
