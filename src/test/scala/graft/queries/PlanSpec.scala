@@ -179,4 +179,38 @@ class PlanSpec extends AnyFunSuite {
     val plan = formattedPlan(StarQueries.asofNearest(spark, sf))
     assert(plan.contains("PushedFilters") && plan.contains("event_type"))
   }
+
+  test("hier IVF assignment never shuffles the candidate corpus") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val cands = e.filter(col("vec_id") >= 20)
+    val cents = cands.filter(col("vec_id") % 21 === 0)
+    val plan = planOf(graft.ext.Similarity.ivfResidualsHier(
+      cands, cents, cents.filter(col("vec_id") % 63 === 0),
+      "vec_id", "embedding", w = 2))
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keys.forall(k => !k.startsWith("neighbor_id") && !k.startsWith("vec_id")),
+      s"candidates must be assigned map-side: $keys\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the two-level structure must ride a broadcast:\n$plan")
+  }
+
+  test("abtt projection removal is a pure projection — zero exchanges") {
+    val plan = planOf(graft.ext.Pca.abtt(
+      graft.sources.Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding"), "vec_id", "embedding"))
+    assert(!plan.contains("Exchange"),
+      s"abtt must not shuffle (the scatter ran eagerly):\n$plan")
+  }
+
+  test("suffix max-match shuffles only on bucket/suffix keys") {
+    val plan = planOf(ExtQueries.substrSpans(spark, sf))
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keys.nonEmpty && keys.forall(k =>
+        k.startsWith("bkt") || k.startsWith("s#") || k.startsWith("s ")),
+      s"only bucket/suffix keys may shuffle: $keys\n$plan")
+  }
 }
