@@ -187,7 +187,10 @@ object ScaleBench {
     // PCA scatter: one pass, shuffle = partitions × 4096-long
     // buffers (never the corpus); the eigen step is driver-side
     // dimension-sized work — the curve should be the scan floor
-    "q_pca_top", "q_abtt")
+    "q_pca_top", "q_abtt",
+    // compaction planning: cost tracks FILE COUNT (distributed
+    // footer reads, zero data) — rows are irrelevant by design
+    "q_compaction_plan")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

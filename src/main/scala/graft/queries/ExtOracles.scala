@@ -3170,6 +3170,35 @@ object ExtOracles {
     // parquet-footer layout inventory: DuckDB's parquet_metadata
     // reads the same footers (absolute fixture path — the F1-oracle
     // precedent; the correctness gate always runs at sf0.01)
+    // compaction plan: per-file footer rollup (bytes = sum of chunk
+    // total_compressed_size — the same field parquet-mr's
+    // BlockMetaData.getCompressedSize sums), then the deterministic
+    // start-offset grouping under the 256 KB target
+    "q_compaction_plan" ->
+      """WITH m AS (SELECT regexp_replace(file_name, '.*/', '') AS f,
+        |    row_group_id,
+        |    CAST(MIN(row_group_num_rows) AS BIGINT) AS rg_rows,
+        |    CAST(SUM(total_compressed_size) AS BIGINT) AS rg_bytes
+        |  FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+        |  GROUP BY 1, 2),
+        |c AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+        |    CAST(SUM(rg_rows) AS BIGINT) AS n_rows,
+        |    CAST(SUM(rg_bytes) AS BIGINT) AS file_bytes
+        |  FROM m GROUP BY f),
+        |w AS (SELECT f, n_row_groups, n_rows, file_bytes,
+        |    CAST(COALESCE(SUM(file_bytes) OVER (ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum0
+        |  FROM c),
+        |g AS (SELECT *, cum0 // 262144 AS group_id FROM w)
+        |SELECT CAST(group_id AS BIGINT) AS group_id, f AS file_name,
+        |  file_bytes, n_row_groups, n_rows,
+        |  CAST(SUM(file_bytes) OVER (PARTITION BY group_id) AS BIGINT)
+        |    AS group_bytes,
+        |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT)
+        |    AS n_files_in_group
+        |FROM g""".stripMargin,
+
     "q_parquet_layout" ->
       """SELECT regexp_replace(file_name, '.*/', '') AS file_name,
         |  CAST(row_group_id AS BIGINT) AS row_group_id,

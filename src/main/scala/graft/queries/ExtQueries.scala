@@ -2002,6 +2002,14 @@ object ExtQueries {
   /** Parquet-footer layout inventory over the documents table — the
     * zero-scan manifest audit (rows and column chunks per row group,
     * straight from the footers, footer reads distributed). */
+  /** Small-file compaction plan over the whole fixture directory
+    * (Layout.compactionPlan, 256 KB target): footer-metadata-only,
+    * deterministic group rule (file joins the group its virtual-
+    * concatenation start offset lands in), oracle = DuckDB's
+    * parquet_metadata over the same glob. */
+  def compactionPlanQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.compactionPlan(spark, dir, targetBytes = 262144L)
+
   def parquetLayoutQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.parquetLayout(spark, s"$dir/documents.parquet")
 
@@ -2195,6 +2203,7 @@ object ExtQueries {
     "q_md_extract"        -> (mdExtract _),
     "q_mrl_recall"        -> (mrlRecall _),
     "q_parquet_layout"    -> (parquetLayoutQ _),
+    "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),
   )
 }

@@ -94,14 +94,8 @@ object Layout {
                     path: String): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val f = new java.io.File(path)
-    val files: Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(_.getAbsolutePath).toSeq.sorted
-      else Seq(f.getAbsolutePath)
-    spark.createDataset(files)
-      .repartition(math.min(files.size,
+    spark.createDataset(listParquet(path))
+      .repartition(math.min(listParquet(path).size,
         spark.sparkContext.defaultParallelism))
       .flatMap { p =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -117,5 +111,80 @@ object Layout {
         } finally r.close()
       }
       .toDF("file_name", "row_group_id", "n_rows", "n_columns")
+  }
+
+  /** Parquet leaf files under `path`: a plain file is itself; a
+    * directory expands recursively (directory-shaped tables like
+    * `documents.parquet/part-*.parquet` flatten to their parts,
+    * non-parquet siblings like _SUCCESS are skipped). */
+  private def listParquet(path: String): Seq[String] = {
+    def expand(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().toSeq
+          .filter(x => x.isDirectory || x.getName.endsWith(".parquet"))
+          .flatMap(expand)
+      else Seq(f)
+    expand(new java.io.File(path)).map(_.getAbsolutePath).sorted
+  }
+
+  /** Per-FILE footer stats — the [[parquetLayout]] pass rolled up to
+    * one row per file, adding `file_bytes` = Σ row-group compressed
+    * bytes (the footer's own Σ column-chunk total_compressed_size —
+    * the comparable byte metric DuckDB's parquet_metadata exposes).
+    * Distributed footer reads, zero data scanned. */
+  def parquetFileStats(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(listParquet(path))
+      .repartition(math.min(listParquet(path).size,
+        spark.sparkContext.defaultParallelism))
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          (p.substring(p.lastIndexOf('/') + 1), blocks.size.toLong,
+            blocks.map(_.getRowCount).sum,
+            blocks.map(_.getCompressedSize).sum)
+        } finally r.close()
+      }
+      .toDF("file_name", "n_row_groups", "n_rows", "file_bytes")
+  }
+
+  /** Small-file COMPACTION plan — the maintenance job every long-run
+    * ingest needs at 100 TB (streaming sinks and per-partition writes
+    * strand thousands of KB-scale files; scans then pay a task and a
+    * footer round-trip per file): group files into merge jobs of
+    * ≈`targetBytes` each. Deterministic rule, exactly reproducible in
+    * SQL: files sort by name, concatenate virtually, and each file
+    * joins the group its START offset falls in —
+    * group_id = floor(cum_bytes_before / targetBytes) — so groups
+    * meet the target to within one file, no bin-packing heuristics.
+    * The plan is pure FOOTER metadata (distributed reads via
+    * [[parquetFileStats]]); the ordering window runs over the file
+    * LIST, which is metadata-sized by definition — never the data.
+    * Output: one row per file with its group assignment plus the
+    * group's rolled-up bytes/file-count, ready to drive a
+    * per-group coalesce-rewrite. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
+                     path: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes > 0, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val stats = parquetFileStats(spark, path)
+    val w = Window.orderBy("file_name")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("group_id")
+    stats
+      .withColumn("__cum0",
+        sum(col("file_bytes")).over(w) - col("file_bytes"))
+      .withColumn("group_id",
+        expr(s"CAST(__cum0 DIV $targetBytes AS BIGINT)"))
+      .withColumn("group_bytes", sum(col("file_bytes")).over(wg))
+      .withColumn("n_files_in_group", count(lit(1)).over(wg))
+      .select("group_id", "file_name", "file_bytes", "n_row_groups",
+        "n_rows", "group_bytes", "n_files_in_group")
   }
 }
