@@ -1383,6 +1383,27 @@ object TextOps {
       .select(col(idCol), col("pos"), col("match_len"))
   }
 
+  /** Distinct (index_id, bkt) gram index over the corpus — the
+    * persisted static side of
+    * [[graft.streaming.StreamingOps.streamSubstrMatches]] (and of any
+    * batch exact-substring decontamination join): `bkt` is
+    * [[suffixMaxMatch]]'s bucket key, the chr(1)-joined first
+    * `minTokens` tokens of each suffix, so an equi-join hit means the
+    * incoming position's next minTokens tokens appear VERBATIM in
+    * that index document. Build once at index time, never per
+    * micro-batch. */
+  def substrGramIndex(rawDf: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 10): DataFrame = {
+    val df = rebalance(rawDf)
+    df.select(col(idCol).as("index_id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= minTokens)
+      .select(col("index_id"), explode(
+        transform(sequence(lit(1), size(col("__t")) - (minTokens - 1)),
+          p => concat_ws("", slice(col("__t"), p, lit(minTokens)))))
+        .as("bkt"))
+      .distinct()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

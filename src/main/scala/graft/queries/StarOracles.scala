@@ -531,6 +531,29 @@ object StarOracles {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events""".stripMargin,
 
+    // streaming exact-substring contamination: the completed stream
+    // must equal the batch gram join — incoming suffix positions
+    // (chr(1)-joined first-10-token keys) against the index corpus's
+    // DISTINCT per-doc gram set
+    "q_stream_substr" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 600000 AS new_id,
+        |    text || ' graftincr end' AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |ig AS (SELECT new_id, array_to_string(w[pos:pos+9], chr(1)) AS bkt
+        |  FROM (SELECT new_id, w, unnest(range(1, len(w) - 8)) AS pos
+        |    FROM (SELECT new_id, string_split(text, ' ') AS w FROM inc)
+        |    WHERE len(w) >= 10)),
+        |idx AS (SELECT DISTINCT doc_id AS index_id,
+        |    array_to_string(w[pos:pos+9], chr(1)) AS bkt
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS pos
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents) WHERE len(w) >= 10))
+        |SELECT g.new_id, x.index_id, CAST(COUNT(*) AS BIGINT)
+        |    AS n_positions
+        |FROM ig g JOIN idx x ON x.bkt = g.bkt
+        |GROUP BY 1, 2""".stripMargin,
+
     // streaming incremental near-dup: the completed stream must equal
     // the batch band join — same md5 minhash/band derivation as the
     // ext dedup oracles, agreeing-band count per (new, index) pair

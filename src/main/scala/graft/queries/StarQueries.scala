@@ -697,6 +697,22 @@ object StarQueries {
       graft.streaming.StreamingOps.streamNearDupCandidates(src(), indexBands))
   }
 
+  // §2.11 × ext — STREAMING EXACT-SUBSTRING contamination check: the
+  // ingest batch (marker-appended clones of every 13th doc) streams
+  // against the STATIC corpus's persisted suffix-gram index
+  // (TextOps.substrGramIndex); every join hit is a position whose
+  // next 10 tokens appear verbatim in that index doc. The completed
+  // stream must equal the batch gram join DuckDB runs.
+  def streamSubstrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val idx = graft.ext.TextOps.substrGramIndex(d, "doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    runStagedStream(spark, incoming, "q_stream_substr", "complete")(src =>
+      graft.streaming.StreamingOps.streamSubstrMatches(src(), idx))
+  }
+
   // §2.11 — STREAM-STREAM JOIN through the correctness gate: two
   // file-source streams over the same staged events (views and
   // purchases), watermarked on both sides, joined on user within
@@ -1073,6 +1089,7 @@ object StarQueries {
     "q_stream_drift"       -> (streamDriftQuery _),
     "q_stream_dedup"       -> (streamDedupQuery _),
     "q_stream_neardup"     -> (streamNearDupQuery _),
+    "q_stream_substr"      -> (streamSubstrQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
     "q_stream_full_join"   -> (streamFullJoinQuery _),
     "q_quantiles"          -> (quantilesByGroup _),

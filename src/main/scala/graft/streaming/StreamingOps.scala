@@ -315,6 +315,34 @@ object StreamingOps {
     * `indexBands` must carry (index_id, band, nib, h_index) —
     * persist the banded [[graft.ext.Multimodal.phash]] output at
     * ingest time, exactly like the MinHash band index. */
+  /** Streaming exact-substring contamination check — the suffix face
+    * of [[streamNearDupCandidates]] and the ingest-time form of
+    * benchmark decontamination: each incoming document explodes into
+    * its suffix gram keys (the chr(1)-joined first `minTokens` tokens
+    * per position — a streaming-legal projection, the
+    * [[graft.ext.TextOps.suffixMaxMatch]] bucket key) and equi-joins
+    * the STATIC corpus's persisted gram index
+    * ([[graft.ext.TextOps.substrGramIndex]]); every hit is a position
+    * whose next minTokens tokens appear VERBATIM in that index
+    * document. Stateless stream-static join; the only state is the
+    * (new_id, index_id) position count — bounded by matching pairs,
+    * not the corpus. Output: (new_id, index_id, n_positions) in
+    * complete/update mode. */
+  def streamSubstrMatches(stream: DataFrame, indexGrams: DataFrame,
+                          minTokens: Int = 10,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    stream
+      .select(col(idCol).as("new_id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= minTokens)
+      .select(col("new_id"), explode(
+        transform(sequence(lit(1), size(col("__t")) - (minTokens - 1)),
+          p => concat_ws("", slice(col("__t"), p, lit(minTokens)))))
+        .as("bkt"))
+      .join(indexGrams, Seq("bkt"))
+      .groupBy("new_id", "index_id")
+      .agg(count(lit(1)).as("n_positions"))
+
   def streamPhashCandidates(stream: DataFrame, indexBands: DataFrame,
                             hdrLen: Column,
                             idCol: String = "doc_id",
