@@ -653,6 +653,15 @@ object Similarity {
     * observable, not assumed — the q_ivf_hier_agree gate query counts
     * per-candidate agreement with the flat assignment, and the ADC
     * recall audit reads through the gate like every other ANN path.
+    * Calibration note: the synthetic fixture's embeddings are near-
+    * ISOTROPIC — the worst case for hierarchical routing, since
+    * top-level groups of uniformly random vectors carry little
+    * locality, so cell agreement trends toward the covered-group
+    * fraction (~59% at the gate sizing) while END recall barely moves
+    * (15/60 vs the flat path's 17/60: a disagreeing cell is usually
+    * still probed). Real embedding corpora cluster — the regime this
+    * trade targets — and the agreement audit is exactly the number a
+    * deployment watches to size w/K1 against its own geometry.
     *
     * Deterministic contract (what the DuckDB oracle re-derives):
     *  - `tops` rows sort by id ascending; tpos = that rank;

@@ -164,8 +164,10 @@ object Layout {
     * group_id = floor(cum_bytes_before / targetBytes) — so groups
     * meet the target to within one file, no bin-packing heuristics.
     * The plan is pure FOOTER metadata (distributed reads via
-    * [[parquetFileStats]]); the ordering window runs over the file
-    * LIST, which is metadata-sized by definition — never the data.
+    * [[parquetFileStats]]); the global byte-offset cumsum decomposes
+    * by a sort-key-prefix bucket (per-bucket window + broadcast
+    * bucket offsets — the epoch-shuffle pattern), so even a
+    * million-file manifest never funnels through one window task.
     * Output: one row per file with its group assignment plus the
     * group's rolled-up bytes/file-count, ready to drive a
     * per-group coalesce-rewrite. */
@@ -174,12 +176,28 @@ object Layout {
     require(targetBytes > 0, s"targetBytes > 0, got $targetBytes")
     import org.apache.spark.sql.expressions.Window
     val stats = parquetFileStats(spark, path)
-    val w = Window.orderBy("file_name")
+    // global cumsum DECOMPOSED by a sort-key-prefix bucket (the
+    // epoch-shuffle pattern): a per-bucket window (parallel) plus
+    // broadcast cumulative bucket byte-offsets — because the bucket
+    // (leading file_name character) is a prefix of the ordering key,
+    // bucket-local cumsum + bucket offset equals the global cumsum,
+    // and no WindowExec ever funnels the whole list through one task
+    val bkt = substring(col("file_name"), 1, 1)
+    val wLocal = Window.partitionBy("__bkt").orderBy("file_name")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = stats.withColumn("__bkt", bkt)
+      .withColumn("__cumLocal",
+        sum(col("file_bytes")).over(wLocal) - col("file_bytes"))
+    val counts = local.groupBy("__bkt")
+      .agg(sum(col("file_bytes")).as("__bb"))
+    val lower = broadcast(counts
+      .select(col("__bkt").as("__lb"), col("__bb").as("__lc")))
+    val offsets = counts.join(lower, col("__lb") < col("__bkt"), "left")
+      .groupBy("__bkt")
+      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
     val wg = Window.partitionBy("group_id")
-    stats
-      .withColumn("__cum0",
-        sum(col("file_bytes")).over(w) - col("file_bytes"))
+    local.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__cum0", col("__off") + col("__cumLocal"))
       .withColumn("group_id",
         expr(s"CAST(__cum0 DIV $targetBytes AS BIGINT)"))
       .withColumn("group_bytes", sum(col("file_bytes")).over(wg))
