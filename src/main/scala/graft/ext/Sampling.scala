@@ -205,6 +205,38 @@ object Sampling {
       .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement: keep the k
+    * rows with the smallest `priority = hash div max(weight, 1)` —
+    * the integer surrogate of the Efraimidis–Spirakis u^(1/w)
+    * exponential-key scheme (hash/2^60 plays u; dividing by the
+    * weight shrinks a heavy row's key, so selection odds grow
+    * monotonically with weight and a weight-w row beats a weight-1
+    * row in a given draw w× as often). ALL-BIGINT arithmetic — no
+    * ln()/pow() float seam, so the sample is bit-reproducible across
+    * engines, runs, and partitionings, unlike rand()-keyed samplers;
+    * the trade is the surrogate's tail odds deviate from exact E-S
+    * for near-equal weights (documented, not hidden). Use: quality-
+    * weighted corpus downsampling — weight = a quality score and the
+    * budget keeps good documents preferentially but not exclusively.
+    * Scale: one scan; the global k-smallest is TakeOrdered (per-
+    * partition top-k, k-bounded merge on the driver) — no global
+    * sort, no window. */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+                             weight: Column, k: Int,
+                             salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // full 60-bit hex15 (not the 10k-bucket hashBucket): the DIV-by-
+    // weight key needs headroom or near-equal weights tie constantly
+    df.select(col(idCol), weight.cast("long").as("weight"),
+        TextOps.hex15(concat(lit(salt + "|"), col(idCol).cast("string")))
+          .as("__h"))
+      .withColumn("priority",
+        expr("__h DIV greatest(weight, 1)"))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+  }
+
   /** Deterministic output-shard planning: assign every document to a
     * fixed-token-budget shard (`shard_id = cum_before div
     * shardTokens` over the global salted-hash order) — the writer

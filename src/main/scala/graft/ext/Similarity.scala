@@ -213,8 +213,47 @@ object Similarity {
           (v, q) => abs(v - q.cast("double") * col("scale"))))))
       .select(col(idCol), col("scale"), col("q"), col("max_abs_err"))
 
-  /** One broadcast row holding every centroid (cid-ascending:
-    * array_sort on a struct array orders by the leading cid field). */
+  /** Deterministic Johnson–Lindenstrauss SIGN projection matrix as a
+    * single broadcastable row: `__mat[j][i] ∈ {+1,−1}` from the parity
+    * of the same md5-derived [[TextOps.hex15]] stream every other
+    * deterministic operator uses — reproducible across engines, runs,
+    * and cluster sizes (a `randn()` matrix is none of those). Built
+    * IN-PLAN from literals (no driver state, no collect). */
+  private[ext] def jlMatrixRow(spark: org.apache.spark.sql.SparkSession,
+                               inDim: Int, outDim: Int,
+                               salt: String): DataFrame =
+    broadcast(spark.range(1).select(
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        transform(sequence(lit(0), lit(inDim - 1)), i =>
+          when(TextOps.hex15(concat(lit(s"$salt|"), j.cast("string"),
+              lit("|"), i.cast("string"))) % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0)))).as("__mat")))
+
+  /** Johnson–Lindenstrauss sign random projection: embed `inDim`-dim
+    * vectors into `outDim` dims via y_j = (Σ_i v_i·R_ji)/√outDim with
+    * R the deterministic ±1 matrix above (Achlioptas 2003: sign
+    * projections carry the JL distance-preservation guarantee at a
+    * third of a Gaussian matrix's cost). The matrix rides a broadcast
+    * cross join and each row projects in-place — ZERO shuffle, one
+    * scan, so at 100 TB this is the cheap front-end that shrinks
+    * every downstream ANN/clustering pass by inDim/outDim; the
+    * [[Similarity.recallAudit]] shape prices what it loses. Output:
+    * (idCol, proj: array<double>) — each y_j is the same
+    * left-to-right fold both engines produce, so values are
+    * bit-tight cross-engine. Keep outDim a power of four (16, 64):
+    * 1/√outDim is then binary-exact too. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDim: Int, outDim: Int = 16,
+                salt: String = "jl"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"dims must be >= 1")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .crossJoin(jlMatrixRow(df.sparkSession, inDim, outDim, salt))
+      .select(col(idCol),
+        transform(col("__mat"), rvec =>
+          aggregate(zip_with(col("__v"), rvec, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) * inv).as("proj"))
+  }
   private def centroidRow(centroids: DataFrame, idCol: String,
                           vecCol: String): DataFrame =
     broadcast(

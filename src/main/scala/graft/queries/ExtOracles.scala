@@ -21,6 +21,26 @@ object ExtOracles {
       |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
       |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
+  /** 8-bit Morton interleave as a disjoint-bit SUM (x even bits, y
+    * odd) — Layout.zorderValue2's fold written out. def, not val:
+    * object-init order would silently interpolate an empty string. */
+  private def morton8(qx: String, qy: String): String =
+    (0 until 8).map(i =>
+      s"((($qx >> $i) & 1) << ${2 * i}) + ((($qy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** The deterministic JL ±1 matrix (16×64) from the same md5-parity
+    * stream Similarity.jlMatrixRow builds, one list-typed row per
+    * output dim. def for the same init-order reason. */
+  private def jlMatrixCte: String =
+    """m AS (SELECT j.range AS j,
+      |    list(CASE WHEN CAST('0x' || substr(md5('jl|' ||
+      |        CAST(j.range AS VARCHAR) || '|' ||
+      |        CAST(i.range AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+      |      ORDER BY i.range) AS rvec
+      |  FROM range(16) j, range(64) i GROUP BY 1)""".stripMargin
+
   /** BM25 scoring CTE block (Retrieval.bm25TopK's integer form):
     * postings with tf/dl over the doc_id >= 20 corpus, df, one-row
     * (N, T) totals, distinct first-3-token query terms from the
@@ -3166,6 +3186,135 @@ object ExtOracles {
         |  COALESCE(d.dropped_by, 'kept') AS dropped_by,
         |  CAST(COALESCE(d.keeper_id, c.doc_id) AS BIGINT) AS keeper_id
         |FROM corpus c LEFT JOIN drops d ON d.doc_id = c.doc_id""".stripMargin,
+
+    // z-order extent audit: all-integer quantization (// = Spark DIV),
+    // Morton interleave as a disjoint-bit sum, fixed-width z buckets
+    "q_zorder_cluster" ->
+      s"""WITH s AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi,
+        |    MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi FROM lineitem),
+        |q AS (SELECT l_partkey, l_suppkey,
+        |    ((l_partkey - xlo) * 255) // greatest(xhi - xlo, 1) AS qx,
+        |    ((l_suppkey - ylo) * 255) // greatest(yhi - ylo, 1) AS qy
+        |  FROM lineitem, s),
+        |z AS (SELECT l_partkey, l_suppkey, ${morton8("qx", "qy")} AS z
+        |  FROM q)
+        |SELECT CAST(z // 4096 AS BIGINT) AS bucket_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(l_partkey) AS BIGINT) AS x_min,
+        |  CAST(MAX(l_partkey) AS BIGINT) AS x_max,
+        |  CAST(MIN(l_suppkey) AS BIGINT) AS y_min,
+        |  CAST(MAX(l_suppkey) AS BIGINT) AS y_max
+        |FROM z GROUP BY 1""".stripMargin,
+
+    // z-order write + row-group prune audit: the Spark query WRITES
+    // the layout (fixed /tmp path keyed by the sf dir name), both
+    // engines then read the same footers — parquet_metadata replays
+    // the identical prune rule over the identical artifact
+    "q_zorder_prune" ->
+      """WITH s AS (SELECT regexp_replace(file_name, '.*/', '') AS f,
+        |    row_group_id,
+        |    CAST(MIN(row_group_num_rows) AS BIGINT) AS rg_rows,
+        |    CAST(MIN(CASE WHEN path_in_schema = 'l_partkey'
+        |      THEN stats_min_value END) AS BIGINT) AS mn,
+        |    CAST(MIN(CASE WHEN path_in_schema = 'l_partkey'
+        |      THEN stats_max_value END) AS BIGINT) AS mx
+        |  FROM parquet_metadata('/tmp/graft_zorder_sf0.01/*.parquet')
+        |  GROUP BY 1, 2)
+        |SELECT f AS file_name, CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+        |  CAST(SUM(CASE WHEN mx < 100 OR mn > 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pruned,
+        |  CAST(SUM(CASE WHEN mx < 100 OR mn > 200 THEN 0 ELSE rg_rows END)
+        |    AS BIGINT) AS rows_scanned,
+        |  CAST(SUM(CASE WHEN mx < 100 OR mn > 200 THEN rg_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_skipped
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // footer min/max stats cross-engine check (fixture documents)
+    "q_rg_stats" ->
+      """SELECT regexp_replace(file_name, '.*/', '') AS file_name,
+        |  CAST(row_group_id AS BIGINT) AS row_group_id,
+        |  CAST(MIN(row_group_num_rows) AS BIGINT) AS n_rows,
+        |  CAST(MIN(CASE WHEN path_in_schema = 'doc_id'
+        |    THEN stats_min_value END) AS BIGINT) AS col_min,
+        |  CAST(MIN(CASE WHEN path_in_schema = 'doc_id'
+        |    THEN stats_max_value END) AS BIGINT) AS col_max
+        |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY 1, 2""".stripMargin,
+
+    // JL sign projection: the ±1 matrix from the same md5 parity
+    // stream, the dot as the same ordered list fold, *0.25 = 1/√16
+    // binary-exact
+    "q_jl_project" ->
+      s"""WITH $jlMatrixCte,
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT e.vec_id, m.j AS out_dim,
+        |  list_sum(list_transform(range(1, 65), i -> e.v[i] * m.rvec[i]))
+        |    * CAST(0.25 AS DOUBLE) AS y
+        |FROM e, m""".stripMargin,
+
+    // JL recall audit: exact top-3 on 64 dims vs top-3 on the 16-dim
+    // projection (the mrl_recall shape with projection instead of
+    // truncation)
+    "q_jl_recall" ->
+      s"""WITH $jlMatrixCte,
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, list(y ORDER BY j) AS v FROM (
+        |    SELECT e.vec_id, m.j,
+        |      list_sum(list_transform(range(1, 65), i -> e.v[i] * m.rvec[i]))
+        |        * CAST(0.25 AS DOUBLE) AS y
+        |    FROM e, m) t GROUP BY vec_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))))
+        |      DESC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q,
+        |       (SELECT * FROM e WHERE vec_id >= 20) c) t WHERE rank <= 3),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 17), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 17), i -> c.v[i] * c.v[i]))))
+        |      DESC, c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM p WHERE vec_id < 20) q,
+        |       (SELECT * FROM p WHERE vec_id >= 20) c) t WHERE rank <= 3)
+        |SELECT x.query_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM tr WHERE tr.query_id = x.query_id)
+        |    AS BIGINT) AS n_approx,
+        |  CAST(COALESCE(SUM(CASE WHEN t2.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+        |FROM ex x LEFT JOIN tr t2
+        |  ON t2.query_id = x.query_id AND t2.neighbor_id = x.neighbor_id
+        |GROUP BY x.query_id""".stripMargin,
+
+    // weighted priority sample: hash div weight, k smallest
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, weight, h // greatest(weight, 1) AS priority
+        |FROM s ORDER BY priority ASC, doc_id ASC LIMIT 200""".stripMargin,
+
+    // join-mass preflight: self-join on l_partkey priced from the key
+    // histogram; exact total, top-5 keys, integer ppm share
+    "q_join_preflight" ->
+      """WITH ca AS (SELECT l_partkey AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS n_left FROM lineitem GROUP BY 1),
+        |p AS (SELECT key, n_left, n_left AS n_right,
+        |    n_left * n_left AS pairs FROM ca),
+        |t AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs FROM p)
+        |SELECT key, n_left, n_right, pairs, total_pairs,
+        |  (pairs * 1000000) // greatest(total_pairs, 1) AS share_ppm
+        |FROM p, t ORDER BY pairs DESC, key ASC LIMIT 5""".stripMargin,
 
     // parquet-footer layout inventory: DuckDB's parquet_metadata
     // reads the same footers (absolute fixture path — the F1-oracle

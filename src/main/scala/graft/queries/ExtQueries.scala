@@ -2013,6 +2013,88 @@ object ExtQueries {
   def parquetLayoutQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.parquetLayout(spark, s"$dir/documents.parquet")
 
+  /** Z-order clustering audit on (l_partkey, l_suppkey): per fixed-
+    * width z-range bucket, the row count and x/y extents its file
+    * would carry as min/max stats — the gate number for "does the
+    * layout produce narrow rectangles". All-integer quantization and
+    * Morton interleave, replayed bit-exactly by the oracle. */
+  def zorderClusterQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.zorderExtentAudit(
+      Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", bits = 8, buckets = 16)
+
+  /** Z-order write → row-group pruning audit, END TO END: write the
+    * lineitem keys z-ordered over (l_partkey, l_suppkey) into 8
+    * range-partitioned files, then measure — from footers alone — how
+    * many row groups (and rows) a scan filtered to l_partkey ∈
+    * [100, 200] skips. The oracle replays the prune rule over the
+    * SAME files via DuckDB's parquet_metadata, so the gate checks the
+    * real written artifact, not a simulation. The fixture tables ship
+    * as one row group each — the write is what makes pruning
+    * observable. */
+  def zorderPruneQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_zorder_" +
+      dir.split('/').filter(_.nonEmpty).last
+    graft.sources.Layout.writeZOrdered(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+      path, "l_partkey", "l_suppkey", bits = 16, numFiles = 8)
+    graft.sources.Layout.rgPruneAudit(spark, path, "l_partkey",
+      lo = 100L, hi = 200L)
+  }
+
+  /** Footer min/max stats for doc_id over the documents table — the
+    * cross-engine check that the stats the pruning audit trusts are
+    * the stats DuckDB reads from the same footers. */
+  def rgStatsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.parquetColumnStats(
+      spark, s"$dir/documents.parquet", "doc_id")
+
+  /** JL sign projection 64 → 16 dims, exploded to (vec_id, out_dim,
+    * y) scalars for the hash compare. */
+  def jlProjectQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.jlProject(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      "vec_id", "embedding", inDim = 64, outDim = 16)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("out_dim"),
+        col("col").as("y"))
+
+  /** What the 4× shrink costs: exact top-3 over the full 64 dims vs
+    * top-3 over the 16-dim JL projection, per-query overlap — the
+    * same recallAudit shape as the MRL/ANN/PQ families, so the
+    * recall-vs-cost trade is a driver-checked number here too. */
+  def jlRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val exact = Similarity.bruteTopK(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", k = 3)
+    val p = Similarity.jlProject(e, "vec_id", "embedding",
+      inDim = 64, outDim = 16)
+    val approx = Similarity.bruteTopK(
+      p.filter(col("vec_id") < 20), p.filter(col("vec_id") >= 20),
+      "vec_id", "proj", k = 3)
+    Similarity.recallAudit(exact, approx)
+  }
+
+  /** Quality-weighted deterministic downsample: keep the 200 docs
+    * with the smallest hash-div-weight priority (weight = n_chars —
+    * longer docs preferentially, shorter ones still possible). */
+  def weightedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedPrioritySample(
+      docs(spark, dir).select("doc_id", "n_chars"),
+      "doc_id", col("n_chars"), k = 200)
+
+  /** Join-blowup preflight: price the lineitem ⋈ lineitem self-join
+    * on l_partkey from the key histogram alone — exact output
+    * cardinality plus the 5 heaviest keys and their ppm share, the
+    * numbers a salt/broadcast/refuse decision reads. */
+  def joinPreflightQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey")
+    graft.operators.JoinPreflight.equiJoinMass(
+      li, "l_partkey", li, "l_partkey", topN = 5)
+  }
+
   /** The PRODUCTION dedup cascade COMPOSED end to end — cheap exact
     * stages first, the expensive banded stage only on their
     * survivors: canonical-URL keeper → exact content hash → LSH
@@ -2203,6 +2285,13 @@ object ExtQueries {
     "q_md_extract"        -> (mdExtract _),
     "q_mrl_recall"        -> (mrlRecall _),
     "q_parquet_layout"    -> (parquetLayoutQ _),
+    "q_zorder_cluster"    -> (zorderClusterQ _),
+    "q_zorder_prune"      -> (zorderPruneQ _),
+    "q_rg_stats"          -> (rgStatsQ _),
+    "q_jl_project"        -> (jlProjectQ _),
+    "q_jl_recall"         -> (jlRecallQ _),
+    "q_weighted_sample"   -> (weightedSampleQ _),
+    "q_join_preflight"    -> (joinPreflightQ _),
     "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),
   )

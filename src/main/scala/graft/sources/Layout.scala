@@ -79,6 +79,48 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order clustering AUDIT — the driver-checkable face of
+    * [[writeZOrdered]]: quantize both (integer) columns to `bits` over
+    * their observed [min, max] with ALL-INTEGER arithmetic
+    * (q = (x−lo)·scale div max(hi−lo,1) — exactly reproducible in any
+    * engine, no float rounding seam), Morton-interleave, assign each
+    * row to a fixed-width z-range bucket (bucket = z div (2^2bits /
+    * buckets)), and roll up per bucket: row count plus the x/y
+    * extents the bucket's file would carry as min/max stats. Tight
+    * per-bucket rectangles are the whole point of the layout — this
+    * query makes that tightness a gate number. The min/max pass is a
+    * 4-value agg cross-joined back in-plan (broadcast, no collect);
+    * the rollup is one map-side-combinable agg. Fixed-width z ranges
+    * (not repartitionByRange's sampled quantiles) keep the bucket
+    * rule deterministic; a production write balances FILE SIZES with
+    * range partitioning instead, at the cost of sampled boundaries. */
+  def zorderExtentAudit(df: DataFrame, xCol: String, yCol: String,
+                        bits: Int = 8, buckets: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("__xlo"),
+      max(col(xCol)).cast("long").as("__xhi"),
+      min(col(yCol)).cast("long").as("__ylo"),
+      max(col(yCol)).cast("long").as("__yhi"))
+    val scale = (1L << bits) - 1
+    // integer DIV (not Column./, which is double division): exact at
+    // any magnitude and identical to DuckDB's `//`
+    def quant(c: String, lo: String, hi: String): Column = expr(
+      s"((CAST($c AS BIGINT) - $lo) * $scale) DIV greatest($hi - $lo, 1)")
+    val width = java.lang.Math.max((1L << (2 * bits)) / buckets, 1L)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zorderValue2(
+        quant(xCol, "__xlo", "__xhi"),
+        quant(yCol, "__ylo", "__yhi"), bits))
+      .groupBy(expr(s"__z DIV $width").cast("long").as("bucket_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).cast("long").as("x_min"),
+        max(col(xCol)).cast("long").as("x_max"),
+        min(col(yCol)).cast("long").as("y_min"),
+        max(col(yCol)).cast("long").as("y_max"))
+  }
+
   /** Parquet footer inventory — the layout-observability face of the
     * module: one row per (file, row group) with its row count and
     * leaf-column-chunk count, read straight from the footers. At
@@ -125,6 +167,68 @@ object Layout {
           .flatMap(expand)
       else Seq(f)
     expand(new java.io.File(path)).map(_.getAbsolutePath).sorted
+  }
+
+  /** Per-row-group MIN/MAX footer statistics for one integer column —
+    * the exact numbers a scan's row-group pruning reads. One row per
+    * (file, row group) with the group's row count and the column
+    * chunk's min/max (null when the footer carries no stats).
+    * Distributed footer reads like [[parquetLayout]]; zero data
+    * scanned. At 100 TB this is the observability half of every
+    * layout decision: [[writeZOrdered]] exists to make these ranges
+    * narrow, and [[rgPruneAudit]] turns them into a skip ratio. */
+  def parquetColumnStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String, column: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(listParquet(path))
+      .repartition(math.min(listParquet(path).size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+            case (b, i) =>
+              val chunk = b.getColumns.asScala
+                .find(_.getPath.toDotString == column)
+              val st = chunk.map(_.getStatistics).orNull
+              def bound(v: => Any): Option[Long] =
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else Some(v.asInstanceOf[Number].longValue)
+              (p.substring(p.lastIndexOf('/') + 1), i.toLong,
+                b.getRowCount,
+                bound(st.genericGetMin), bound(st.genericGetMax))
+          }
+        } finally r.close()
+      }
+      .toDF("file_name", "row_group_id", "n_rows", "col_min", "col_max")
+  }
+
+  /** Row-group PRUNING audit for a range predicate `column ∈ [lo,hi]`:
+    * per file, how many row groups (and rows) a min/max-stats-driven
+    * scan skips without reading a byte of data — the measured answer
+    * to "did the layout work?". A row group is prunable exactly when
+    * its footer interval misses [lo, hi]; groups with absent stats
+    * count as scanned (a reader must). This is the same decide-from-
+    * data posture as the skew/dedup audits: at 100 TB the difference
+    * between a clustered and an unclustered table IS this ratio, and
+    * it comes from footers alone. */
+  def rgPruneAudit(spark: org.apache.spark.sql.SparkSession,
+                   path: String, column: String,
+                   lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"lo must be <= hi, got [$lo, $hi]")
+    val prunable = col("col_max") < lo || col("col_min") > hi
+    parquetColumnStats(spark, path, column)
+      .groupBy(col("file_name"))
+      .agg(count(lit(1)).as("n_row_groups"),
+        sum(when(prunable, 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(prunable, lit(0L)).otherwise(col("n_rows")))
+          .as("rows_scanned"),
+        sum(when(prunable, col("n_rows")).otherwise(lit(0L)))
+          .as("rows_skipped"))
   }
 
   /** Per-FILE footer stats — the [[parquetLayout]] pass rolled up to

@@ -88,4 +88,22 @@ class BenchFormatSpec extends AnyFunSuite {
       .count(_ == ':') == 2)
     assert(line.contains(s""""value":${BenchFormat.rounded(1)(total)}"""))
   }
+
+  test("drop ladder keys membership on the recorded baseline, not the run") {
+    // q_jitter is recorded cheap (0.04 s) but measures noisy-high this
+    // run (0.45 s): with recorded-keyed membership it must still DROP
+    // at every rung, so the stdout set is identical round to round.
+    // q_stable is recorded heavy (0.8 s) but measures 0.04 s this run
+    // (e.g. a newly cached scan): it must still SURVIVE.
+    val results = (1 to 200).map(i => f"q_tail_$i%03d" -> 0.12) ++
+      Seq("q_jitter" -> 0.45, "q_stable" -> 0.04)
+    val recorded = (1 to 200).map(i => f"q_tail_$i%03d" -> 0.12).toMap ++
+      Map("q_jitter" -> 0.04, "q_stable" -> 0.8)
+    val line = BenchFormat.choose(results, "/tmp/sf", limit = 220,
+      recorded = recorded)
+    assert(line.length <= 220)
+    val al = BenchFormat.aliases(results.map(_._1))
+    assert(!line.contains(s""""${al("q_jitter")}":"""), line)
+    assert(line.contains(s""""${al("q_stable")}":"""), line)
+  }
 }

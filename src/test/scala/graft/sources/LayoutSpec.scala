@@ -82,6 +82,62 @@ class LayoutSpec extends AnyFunSuite {
     assert(out(3) === 65535L) // all 16 low bits set
   }
 
+  test("zorderExtentAudit buckets match a brute-force replay and are narrow") {
+    // 32×32 grid: quantization is identity-scaled, buckets must tile
+    // the z space into narrow rectangles with every row accounted for
+    val df = (0 until 1024).map(i => (i % 32L, i / 32L)).toDF("x", "y")
+    val audit = Layout.zorderExtentAudit(df, "x", "y", bits = 8, buckets = 16)
+      .collect()
+    assert(audit.map(_.getLong(1)).sum === 1024L)
+    // every bucket's rectangle is at most a quarter of each axis: the
+    // fixed-width z ranges cut the top 4 Morton bits (y7x7y6x6 of the
+    // scaled coords) so no bucket spans more than 1/4 of x or y
+    audit.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 8,
+        s"x span too wide in bucket ${r.getLong(0)}: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 8,
+        s"y span too wide in bucket ${r.getLong(0)}: $r")
+    }
+    // deterministic: a re-run (different partitioning) is identical
+    val again = Layout.zorderExtentAudit(df.repartition(7), "x", "y",
+      bits = 8, buckets = 16).collect()
+    assert(audit.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
+  test("parquetColumnStats reads per-row-group min/max; rgPruneAudit prices a range scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgstats").toString
+    // 4 files of 2 row groups each: id-sorted, so footer ranges tile
+    (0 until 4).foreach { f =>
+      val part = (f * 1000 until (f + 1) * 1000).map(_.toLong).toDF("id")
+        .coalesce(1).sortWithinPartitions("id")
+      part.write.option("parquet.block.size", "4096")
+        .mode("overwrite").parquet(s"$dir/f$f")
+    }
+    val stats = Layout.parquetColumnStats(spark, dir, "id").collect()
+    assert(stats.length >= 4, s"expected >=4 row groups, got ${stats.length}")
+    // footer bounds cover exactly the written ids, disjointly
+    assert(stats.map(_.getLong(2)).sum === 4000L)
+    stats.foreach { r =>
+      assert(!r.isNullAt(3) && !r.isNullAt(4))
+      assert(r.getLong(3) <= r.getLong(4))
+    }
+    assert(stats.map(_.getLong(3)).min === 0L)
+    assert(stats.map(_.getLong(4)).max === 3999L)
+    // a scan for id ∈ [1200, 1300] must skip every row group whose
+    // footer interval misses the range, and scan the rest
+    val audit = Layout.rgPruneAudit(spark, dir, "id", 1200L, 1300L)
+    val byFile = audit.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalRows = byFile.map(t => t._2._3 + t._2._4).sum
+    assert(totalRows === 4000L)
+    val scanned = byFile.map(_._2._3).sum
+    assert(scanned < 4000L, "pruning must skip something")
+    // the scanned row groups are exactly those overlapping the range
+    val overlapRows = stats.filter(r =>
+      r.getLong(4) >= 1200L && r.getLong(3) <= 1300L).map(_.getLong(2)).sum
+    assert(scanned === overlapRows)
+  }
+
   test("partitioned write prunes directories for equality predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = (1 to 100).map(i => (i % 4, i.toLong)).toDF("part", "id")
