@@ -190,7 +190,17 @@ object ScaleBench {
     "q_pca_top", "q_abtt",
     // compaction planning: cost tracks FILE COUNT (distributed
     // footer reads, zero data) — rows are irrelevant by design
-    "q_compaction_plan")
+    "q_compaction_plan",
+    // round-9 continuation: JL projection (zero-shuffle broadcast-
+    // matrix projection — the linear floor) and its fixed-query
+    // recall audit (candidate-side linear); the weighted sampler's
+    // TakeOrdered heap (same class as q_quantile_sketch); footer
+    // min/max stats (file-count-bound like the layout inventory).
+    // The z-order and join-preflight gates read lineitem, which the
+    // scaled dirs don't carry — their curves run via the ScaleOnly
+    // events-table variants below.
+    "q_jl_project", "q_jl_recall", "q_weighted_sample", "q_rg_stats",
+    "q_zorder_events", "q_join_mass_events", "q_zorder_write")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -351,6 +361,33 @@ object ScaleBench {
           "left_semi")
       graft.ext.Dedup.connectedComponents(edges, "doc_a", "doc_b")
         .groupBy("component").agg(count(lit(1)).as("chain_len"))
+    }),
+    // z-order extent audit over the scaling events table: one stats
+    // agg (broadcast back) + one bucket-keyed agg — the curve should
+    // be the scan floor
+    "q_zorder_events" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.zorderExtentAudit(
+        Tables.events(s, d).select("user_id", "event_id"),
+        "user_id", "event_id", bits = 8, buckets = 16)),
+    // join-mass preflight over the events user_id self-join: two
+    // count aggs + the key-count join — the payload never shuffles,
+    // so the curve should track the single-column scan
+    "q_join_mass_events" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d).select("user_id")
+      graft.operators.JoinPreflight.equiJoinMass(
+        ev, "user_id", ev, "user_id", topN = 5)
+    }),
+    // z-order WRITE + footer prune audit on events (user_id, event_id):
+    // the write dominates (sample + range shuffle + sort-within) and
+    // should scale with rows; the audit face stays footer-bound
+    "q_zorder_write" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_zorder_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      graft.sources.Layout.writeZOrdered(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        path, "user_id", "event_id", bits = 16, numFiles = 8)
+      graft.sources.Layout.rgPruneAudit(s, path, "user_id",
+        lo = 100L, hi = 200L)
     }),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {

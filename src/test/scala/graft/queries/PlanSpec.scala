@@ -213,4 +213,36 @@ class PlanSpec extends AnyFunSuite {
         k.startsWith("bkt") || k.startsWith("s#") || k.startsWith("s ")),
       s"only bucket/suffix keys may shuffle: $keys\n$plan")
   }
+
+  test("JL projection is shuffle-free: matrix broadcast, rows project in place") {
+    val plan = planOf(ExtQueries.jlProjectQ(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"jlProject must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the ±1 matrix must ride a broadcast:\n$plan")
+  }
+
+  test("weighted sample plans TakeOrderedAndProject, no window, no global sort") {
+    val plan = planOf(ExtQueries.weightedSampleQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), s"no window allowed:\n$plan")
+  }
+
+  test("z-order extent audit: stats row broadcast, one agg shuffle on the bucket") {
+    val plan = planOf(ExtQueries.zorderClusterQ(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"min/max stats must broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the bucket-agg shuffle, got $exchanges:\n$plan")
+  }
+
+  test("join preflight shuffles only key histograms, never payload columns") {
+    val plan = planOf(ExtQueries.joinPreflightQ(spark, sf))
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keys.forall(_.startsWith("key")),
+      s"only the key-count tables may shuffle: $keys\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
