@@ -200,7 +200,16 @@ object ScaleBench {
     // scaled dirs don't carry — their curves run via the ScaleOnly
     // events-table variants below.
     "q_jl_project", "q_jl_recall", "q_weighted_sample", "q_rg_stats",
-    "q_zorder_events", "q_join_mass_events", "q_zorder_write")
+    "q_zorder_events", "q_join_mass_events", "q_zorder_write",
+    // wave 3: funnel (per-step pushed filter + user-key min-agg
+    // chain — user count grows with the corpus, steps stay 3) and
+    // the retention triangle (two user aggs + one user join + the
+    // bounded cohort×offset distinct agg); the trigram backoff LM
+    // (token/ngram-key joins — the 3-gram count table is the widest
+    // LM shuffle in the ladder); codec audit via the documents
+    // variant (footer-bound, file-count cost like the layout family)
+    "q_funnel_span", "q_cohort_triangle", "q_trigram_backoff",
+    "q_codec_docs")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -389,6 +398,10 @@ object ScaleBench {
       graft.sources.Layout.rgPruneAudit(s, path, "user_id",
         lo = 100L, hi = 200L)
     }),
+    // codec audit over the scaling documents table (the gate reads
+    // lineitem, which the scaled dirs don't carry)
+    "q_codec_docs" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.codecAudit(s, s"$d/documents.parquet")),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {
       graft.catalyst.MinHashSig.register(s)

@@ -1477,4 +1477,79 @@ object TextOps {
     rows.toSeq.toDF("round", "n_multi_before", "n_multi_after",
       "n_dropped", "corpus_pieces", "vocab_fp")
   }
+
+  /** Trigram STUPID-BACKOFF surprisal of `scored` documents under an
+    * n-gram LM fit on a separate `ref` corpus (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the backoff
+    * scheme built for corpus-scale LMs: no discount mass bookkeeping,
+    * just a fixed penalty per backoff level). Completes the repo's LM
+    * ladder (unigram [[lmSurprisal]], bigram [[bigramSurprisal]],
+    * two-LM [[dsirWeights]]) with the CROSS-corpus shape every
+    * quality/contamination filter actually runs: score held-out text
+    * under a reference LM, where unseen n-grams are the norm and the
+    * backoff chain does real work.
+    *
+    * Integer core, same as the rest of the ladder: a token's cost is
+    * the whole-bit log-ratio `bits(ctx_count) − bits(ngram_count)`
+    * at the deepest MATCHED order, plus 1 bit per level backed off
+    * (α = ½ exactly — a float α is correctly rounded in neither
+    * engine). OOV closes at `1 + bits(N + V)`. Positions 1–2 lack a
+    * trigram context and are not scored (n_scored counts what is).
+    *
+    * Scale shape: count tables ride TOKEN/ngram keys (never a
+    * vocabulary broadcast); scoring is a chain of key-equi left
+    * joins against count tables — each count row unique per key, so
+    * no join amplifies — and one map-side-combinable doc agg. The
+    * (N, V) totals collapse to one broadcast row. The per-doc lag
+    * window is doc-partitioned (no global funnel). */
+  def trigramBackoffSurprisal(refDf: DataFrame, scoredDf: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def seqOf(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy("pos")
+      df.select(col(idCol),
+          posexplode(tokens(col(textCol))).as(Seq("__p0", "tok")))
+        .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+          col("tok"))
+        .withColumn("p1", lag("tok", 1).over(w))
+        .withColumn("p2", lag("tok", 2).over(w))
+    }
+    val r = seqOf(rebalance(refDf))
+    val uni = r.groupBy("tok").agg(count(lit(1)).as("__c1"))
+    val tot = broadcast(uni.agg(sum("__c1").cast("long").as("__n"),
+      count(lit(1)).as("__v")))
+    val bi = r.filter(col("p1").isNotNull)
+      .groupBy("p1", "tok").agg(count(lit(1)).as("__c2"))
+    val tri = r.filter(col("p2").isNotNull)
+      .groupBy("p2", "p1", "tok").agg(count(lit(1)).as("__c3"))
+    val s = seqOf(rebalance(scoredDf)).filter(col("p2").isNotNull)
+    def bits(x: Column): Column = length(bin(x))
+    val scoredTok = s
+      .join(tri, Seq("p2", "p1", "tok"), "left")
+      .join(bi, Seq("p1", "tok"), "left")
+      .join(bi.select(col("p1").as("p2"), col("tok").as("p1"),
+        col("__c2").as("__cctx3")), Seq("p2", "p1"), "left")
+      .join(uni.select(col("tok").as("p1"), col("__c1").as("__cctx2")),
+        Seq("p1"), "left")
+      .join(uni, Seq("tok"), "left")
+      .crossJoin(tot)
+      .withColumn("__lvl",
+        when(col("__c3").isNotNull, lit(3))
+          .when(col("__c2").isNotNull, lit(2))
+          .when(col("__c1").isNotNull, lit(1)).otherwise(lit(0)))
+      .withColumn("__bits",
+        when(col("__lvl") === 3, bits(col("__cctx3")) - bits(col("__c3")))
+          .when(col("__lvl") === 2,
+            lit(1) + bits(col("__cctx2")) - bits(col("__c2")))
+          .when(col("__lvl") === 1,
+            lit(2) + bits(col("__n")) - bits(col("__c1")))
+          .otherwise(lit(1) + bits(col("__n") + col("__v"))))
+    scoredTok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("__bits")).cast("long").as("bits_total"),
+        sum(when(col("__lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("__lvl") === 2, 1L).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("__lvl") === 1, 1L).otherwise(0L)).as("n_uni_backoff"),
+        sum(when(col("__lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
+  }
 }

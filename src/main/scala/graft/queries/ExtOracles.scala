@@ -3316,6 +3316,79 @@ object ExtOracles {
         |  (pairs * 1000000) // greatest(total_pairs, 1) AS share_ppm
         |FROM p, t ORDER BY pairs DESC, key ASC LIMIT 5""".stripMargin,
 
+    // per-column codec audit: parquet_metadata carries the same
+    // footer fields parquet-mr's ColumnChunkMetaData exposes
+    "q_codec_audit" ->
+      """SELECT path_in_schema AS column_name, compression AS codec,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(total_compressed_size) AS BIGINT) AS bytes_comp,
+        |  CAST(SUM(total_uncompressed_size) AS BIGINT) AS bytes_raw,
+        |  CAST((SUM(total_compressed_size) * 100) //
+        |    greatest(SUM(total_uncompressed_size), 1) AS BIGINT)
+        |    AS ratio_pct
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |GROUP BY 1, 2""".stripMargin,
+
+    // trigram stupid-backoff: LM on every 3rd doc, the rest scored;
+    // chained window/count CTEs are MATERIALIZED (the re-inlining
+    // planner trap the unigram trainer hit)
+    "q_trigram_backoff" ->
+      """WITH rt AS MATERIALIZED (SELECT doc_id,
+        |    unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents WHERE doc_id % 3 = 0) t),
+        |rs AS MATERIALIZED (SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |  FROM rt),
+        |uni AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM rt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |bi AS MATERIALIZED (SELECT p1, tok, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM rs WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |tri AS MATERIALIZED (SELECT p2, p1, tok,
+        |    CAST(COUNT(*) AS BIGINT) AS c3
+        |  FROM rs WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |st AS MATERIALIZED (SELECT doc_id,
+        |    unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents WHERE doc_id % 3 <> 0) t),
+        |ss AS MATERIALIZED (SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |  FROM st),
+        |sj AS (SELECT s.doc_id,
+        |    CASE WHEN t3.c3 IS NOT NULL THEN 3
+        |         WHEN b.c2 IS NOT NULL THEN 2
+        |         WHEN u.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+        |    CASE WHEN t3.c3 IS NOT NULL
+        |           THEN length(bin(bc.c2)) - length(bin(t3.c3))
+        |         WHEN b.c2 IS NOT NULL
+        |           THEN 1 + length(bin(uc.c1)) - length(bin(b.c2))
+        |         WHEN u.c1 IS NOT NULL
+        |           THEN 2 + length(bin(tot.n)) - length(bin(u.c1))
+        |         ELSE 1 + length(bin(tot.n + tot.v)) END AS sbits
+        |  FROM ss s
+        |  LEFT JOIN tri t3 ON t3.p2 = s.p2 AND t3.p1 = s.p1
+        |    AND t3.tok = s.tok
+        |  LEFT JOIN bi b ON b.p1 = s.p1 AND b.tok = s.tok
+        |  LEFT JOIN bi bc ON bc.p1 = s.p2 AND bc.tok = s.p1
+        |  LEFT JOIN uni uc ON uc.tok = s.p1
+        |  LEFT JOIN uni u ON u.tok = s.tok, tot
+        |  WHERE s.p2 IS NOT NULL)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(sbits) AS BIGINT) AS bits_total,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tri,
+        |  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bi_backoff,
+        |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_uni_backoff,
+        |  CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov
+        |FROM sj GROUP BY 1""".stripMargin,
+
     // parquet-footer layout inventory: DuckDB's parquet_metadata
     // reads the same footers (absolute fixture path — the F1-oracle
     // precedent; the correctness gate always runs at sf0.01)

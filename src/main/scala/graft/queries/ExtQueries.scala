@@ -2050,6 +2050,21 @@ object ExtQueries {
     graft.sources.Layout.parquetColumnStats(
       spark, s"$dir/documents.parquet", "doc_id")
 
+  /** Per-column codec/compression audit over the lineitem footers —
+    * the measured answer to "is this column worth its codec". */
+  def codecAuditQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.codecAudit(spark, s"$dir/lineitem.parquet")
+
+  /** Trigram stupid-backoff surprisal: LM fit on every 3rd document,
+    * the rest scored against it — unseen trigrams exercise the real
+    * backoff chain (1 bit per level, integer-exact). */
+  def trigramBackoffQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    TextOps.trigramBackoffSurprisal(
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+  }
+
   /** JL sign projection 64 → 16 dims, exploded to (vec_id, out_dim,
     * y) scalars for the hash compare. */
   def jlProjectQ(spark: SparkSession, dir: String): DataFrame =
@@ -2292,6 +2307,8 @@ object ExtQueries {
     "q_jl_recall"         -> (jlRecallQ _),
     "q_weighted_sample"   -> (weightedSampleQ _),
     "q_join_preflight"    -> (joinPreflightQ _),
+    "q_codec_audit"       -> (codecAuditQ _),
+    "q_trigram_backoff"   -> (trigramBackoffQ _),
     "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),
   )

@@ -605,6 +605,40 @@ object StarOracles {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    // ordered funnel, first-touch anchored, 7-day span — the step
+    // chain replayed as dependent min-agg CTEs
+    "q_funnel_span" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(s1.t1) AS t1,
+        |    MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |    AND epoch_us(e.ts) <= s2.t1 + 604800000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    // weekly cohort retention over integer epoch weeks
+    "q_cohort_triangle" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(epoch_us(ts)) // 604800000000 AS cw
+        |  FROM events GROUP BY 1)
+        |SELECT f.cw AS cohort_week,
+        |  epoch_us(e.ts) // 604800000000 - f.cw AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_interval_binned" ->
       """SELECT band, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -835,6 +835,20 @@ object StarQueries {
   // single hash-partition exchange + per-user sort — scale-safe at any
   // user count. Gap compare runs in integer micros on both engines
   // (double seconds would round differently at ns-origin timestamps).
+  /** Ordered view → click → purchase funnel within 7 days of the
+    * user's first view — the conversion table (EventAnalytics.funnel:
+    * per-step pushed type filter + user-key min-agg chain). */
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnel(
+      Tables.events(spark, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxSpanSeconds = 7L * 86400L)
+
+  /** Weekly cohort retention triangle over epoch weeks (integer
+    * week arithmetic — no calendar/week-start seam between engines). */
+  def retentionQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.retentionCohorts(
+      Tables.events(spark, dir), "user_id", "ts")
+
   def batchSessions(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 6L * 3600 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1095,6 +1109,8 @@ object StarQueries {
     "q_quantiles"          -> (quantilesByGroup _),
     "q_sql_surface"        -> (sqlSurface _),
     "q_batch_sessions"     -> (batchSessions _),
+    "q_funnel_span"        -> (funnelQuery _),
+    "q_cohort_triangle"    -> (retentionQuery _),
     "q_interval_binned"    -> (intervalBinned _),
     "q_grouping_sets"      -> (groupingSetsAgg _),
     "q_ship_priority"      -> (shipPriority _),

@@ -258,6 +258,43 @@ object Layout {
       .toDF("file_name", "n_row_groups", "n_rows", "file_bytes")
   }
 
+  /** Per-column COMPRESSION audit from footers alone: codec,
+    * chunk count, compressed/uncompressed byte totals, and the
+    * integer compression ratio (pct, DIV — engine-exact). The codec
+    * decision at 100 TB (zstd vs snappy vs none per column) is a
+    * measured trade, and this query is the measurement: distributed
+    * footer reads, zero data scanned, same posture as the
+    * layout/compaction audits. */
+  def codecAudit(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(listParquet(path))
+      .repartition(math.min(listParquet(path).size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.toSeq.map { c =>
+              (c.getPath.toDotString, c.getCodec.name,
+                c.getTotalSize, c.getTotalUncompressedSize)
+            }
+          }
+        } finally r.close()
+      }
+      .toDF("column_name", "codec", "__comp", "__raw")
+      .groupBy("column_name", "codec")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("__comp").as("bytes_comp"),
+        sum("__raw").as("bytes_raw"))
+      .withColumn("ratio_pct",
+        expr("(bytes_comp * 100) DIV greatest(bytes_raw, 1)"))
+  }
+
   /** Small-file COMPACTION plan — the maintenance job every long-run
     * ingest needs at 100 TB (streaming sinks and per-partition writes
     * strand thousands of KB-scale files; scans then pay a task and a

@@ -138,6 +138,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(scanned === overlapRows)
   }
 
+  test("codecAudit rolls up per-column codec and byte totals from footers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-codec").toString
+    (1 to 5000).map(i => (i.toLong, s"text-$i-${"pad" * 20}"))
+      .toDF("id", "txt").write.mode("overwrite").parquet(dir)
+    val audit = Layout.codecAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(audit.keySet === Set("id", "txt"))
+    audit.values.foreach { case (codec, comp, raw, pct) =>
+      assert(codec.nonEmpty && comp > 0 && raw > 0)
+      assert(pct === comp * 100 / math.max(raw, 1))
+    }
+    // the highly repetitive txt column must actually compress
+    assert(audit("txt")._4 < 100, s"txt should compress: ${audit("txt")}")
+  }
+
   test("partitioned write prunes directories for equality predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = (1 to 100).map(i => (i % 4, i.toLong)).toDF("part", "id")
