@@ -53,6 +53,41 @@ object EventAnalytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Event-rate SPIKE detection: hourly counts per event type, each
+    * compared against its own trailing baseline — flagged when the
+    * bucket more than doubles the trailing mean. The comparison is
+    * the integer cross-multiplication `n·trail_n > 2·trail_sum`
+    * (exact in any engine — no float mean), and the baseline is the
+    * previous `trailing` OBSERVED buckets (row frame; empty hours
+    * don't exist as rows at 100 TB and synthesizing them would mean
+    * densifying the timeline). Buckets without a full trailing
+    * window never flag. One map-side-combinable count agg + one
+    * type-partitioned window over the (tiny) bucket table — the
+    * fact table itself is touched once. */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                  trailing: Int = 6): DataFrame = {
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(col(typeCol).as("event_type"), us(col(tsCol)).as("__us"))
+      // integer DIV, not Column./ (double division truncates wrong at
+      // exact-multiple boundaries)
+      .select(col("event_type"),
+        expr("__us DIV 3600000000").as("hour_bucket"))
+      .groupBy("event_type", "hour_bucket")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour_bucket")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_events",
+        coalesce(sum("n_events").over(w), lit(0L)))
+      .withColumn("is_spike",
+        when(col("trail_n") === trailing &&
+          col("n_events") * col("trail_n") > col("trail_events") * 2,
+          lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Cohort retention: users grouped by the EPOCH WEEK of their first
     * event (integer `epoch_us div week` — calendar-free, so both
     * engines agree without timezone/week-start semantics), then for

@@ -628,6 +628,37 @@ object StarOracles {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
         |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
 
+    // last-touch attribution: DuckDB's native ASOF join (the proven
+    // q_asof_backward pattern) against the Spark as-of operator
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // hourly rate spikes vs a trailing-6 observed-bucket baseline,
+    // integer cross-multiplied
+    "q_rate_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hour_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_bucket, n_events,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+        |  CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT)
+        |    AS trail_events,
+        |  CAST(CASE WHEN COUNT(*) OVER w = 6
+        |    AND n_events * (COUNT(*) OVER w) >
+        |        (COALESCE(SUM(n_events) OVER w, 0)) * 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
     // weekly cohort retention over integer epoch weeks
     "q_cohort_triangle" ->
       """WITH f AS (SELECT user_id,

@@ -849,6 +849,29 @@ object StarQueries {
     graft.operators.EventAnalytics.retentionCohorts(
       Tables.events(spark, dir), "user_id", "ts")
 
+  /** Last-touch attribution: every purchase joined to the user's
+    * latest preceding click — the as-of backward operator composed
+    * on the event stream (one user-key shuffle, the as-of's
+    * single-exchange shape). */
+  def attributionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOfJoin.backward(p, c, on = "ts", by = Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("ts_right")))
+          .as("gap_us"))
+  }
+
+  /** Hourly event-rate spike detection against a trailing-6-bucket
+    * baseline, integer cross-multiplied (no float mean). */
+  def rateAnomalyQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.rateAnomaly(
+      Tables.events(spark, dir), "event_type", "ts", trailing = 6)
+
   def batchSessions(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 6L * 3600 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1111,6 +1134,8 @@ object StarQueries {
     "q_batch_sessions"     -> (batchSessions _),
     "q_funnel_span"        -> (funnelQuery _),
     "q_cohort_triangle"    -> (retentionQuery _),
+    "q_attribution"        -> (attributionQuery _),
+    "q_rate_anomaly"       -> (rateAnomalyQuery _),
     "q_interval_binned"    -> (intervalBinned _),
     "q_grouping_sets"      -> (groupingSetsAgg _),
     "q_ship_priority"      -> (shipPriority _),

@@ -45,6 +45,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("rateAnomaly flags a bucket only with a full trailing window and >2x the trailing mean") {
+    // type "a": hours 0-5 at 1 event/h, hour 6 at 3 (3*6 > 6*2 -> spike),
+    // hour 7 at 2 (2*6 <= 8*2 -> quiet). Hours 0-5 lack a full window.
+    val a = (0 to 5).map(h => ("a", ts(h * 60L))) ++
+      Seq.fill(3)(("a", ts(6 * 60L))) ++ Seq.fill(2)(("a", ts(7 * 60L)))
+    // type "b": sparse hours 0,10,..,50 at 1/h then hour 60 at 3 — the
+    // baseline is the previous 6 OBSERVED buckets, so it still spikes.
+    val b = (0 to 5).map(h => ("b", ts(h * 600L))) ++
+      Seq.fill(3)(("b", ts(60 * 60L)))
+    val ev = (a ++ b).toDF("event_type", "ts")
+    val out = EventAnalytics.rateAnomaly(ev, "event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(out(("a", 6L)) === 1L)
+    assert(out(("a", 7L)) === 0L)
+    assert((0 to 5).forall(h => out(("a", h.toLong)) === 0L))
+    assert(out(("b", 60L)) === 1L)
+  }
+
   test("retention triangle counts distinct users per cohort/offset week") {
     val week = 7L * 24 * 60 // minutes
     val ev = Seq(
