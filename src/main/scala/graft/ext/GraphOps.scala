@@ -103,4 +103,67 @@ object GraphOps {
     }
     pr
   }
+
+  /** Per-node triangle counts over an undirected multigraph — the
+    * local-clustering / community-density signal a link-graph quality
+    * prior weights by (a page whose neighborhood is a near-clique is a
+    * link farm; one with zero closure is a hub). Exact, via the
+    * degree-ordered orientation (Schank & Wagner 2005; the standard
+    * distributed formulation is Suri & Vassilvitskii 2011's MapReduce
+    * node-iterator++): orient every simple edge from the (degree, id)-
+    * lexicographically SMALLER endpoint to the larger, enumerate
+    * wedges at each source, and close them against the oriented edge
+    * set. Every triangle is found exactly once (its three oriented
+    * edges form a DAG u→v→w, u→w: the wedge at u whose legs are
+    * (v, w) closes on v→w; the mirrored wedge (w, v) cannot close).
+    *
+    * ## Scale shape (the 100 TB posture)
+    *
+    * Orientation bounds every out-neighborhood by O(√m) — a node of
+    * degree d keeps only edges toward HIGHER-degree endpoints, and at
+    * most √(2m) nodes have degree ≥ √(2m) — so the wedge join emits
+    * O(m^1.5) rows worst-case (vs Σ deg² for the naive node iterator,
+    * quadratic on skewed graphs: the whole point at web scale, where
+    * hub pages have 10⁷ in-links but almost no closed wedges through
+    * them). Plan: one distinct (simple-graph normalization), one
+    * degree agg, two key-parallel degree-attach joins, one self-join
+    * on the wedge source, one equi-join on the closing (v, w) pair —
+    * every shuffle keyed, no broadcast of anything data-sized, and the
+    * exactly-once argument above means NO pair-dedup shuffle. Returns
+    * (node, tri_cnt) for every node of the simple graph (zeros kept —
+    * the zero IS the link-farm signal's other tail). */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e.join(da, "a").join(db, "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+      .localCheckpoint()
+    val wedgeLeft = o.select(col("s").as("u"), col("t").as("v"))
+    val wedgeRight = o.select(col("s").as("u"), col("t").as("w"))
+    val closing = o.select(col("s").as("v"), col("t").as("w"))
+    val tri = wedgeLeft.join(wedgeRight, Seq("u"))
+      .where(col("v") =!= col("w"))
+      .join(closing, Seq("v", "w"))
+    val cnt = tri.select(col("u").as("node"))
+      .unionByName(tri.select(col("v").as("node")))
+      .unionByName(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    deg.select("node").join(cnt, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+  }
 }

@@ -220,4 +220,52 @@ object AsOfJoin {
       .where(col(valueCol).between(col(loCol), col(hiCol)))
       .drop(bin)
   }
+
+  /** Interval OVERLAP join — both sides are `[lo, hi]` ranges (closed;
+    * a pair matches iff `loL <= hiR AND loR <= hiL`), equi on `by`.
+    * The interval–interval generalization of [[binnedIntervalJoin]]:
+    * Spark's only native plans for this predicate are a broadcast
+    * nested loop or a full cartesian — neither survives two large
+    * sides. Both sides replicate into every `binWidth`-wide bin they
+    * cover (`sequence` + `explode`) and equi-join on `(by, bin)`, so
+    * the physical plan is a plain shuffled hash/sort-merge join.
+    *
+    * A matching pair shares every bin in the overlap region — instead
+    * of a distinct over the (wide) output, each pair is counted ONLY
+    * in the overlap's FIRST bin (`bin == greatest(floor(loL/w),
+    * floor(loR/w))`, which both sides cover whenever they overlap at
+    * all): exactly-once without any dedup shuffle, the same trick the
+    * banded-signature joins use for band collisions. Inverted
+    * intervals (lo > hi — empty under the closed semantics) drop
+    * before binning, as in [[binnedIntervalJoin]]. Replication per
+    * row = ceil(width / binWidth) + 1: choose binWidth near the
+    * median interval width. Right-side name collisions get `rsuffix`. */
+  def overlapJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+                  loL: String, hiL: String, loR: String, hiR: String,
+                  binWidth: Double, rsuffix: String = "_right"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val taken = (left.columns ++ right.columns).toSet
+    val bin = Iterator.from(0)
+      .map(i => if (i == 0) "__bin" else s"__bin$i").find(!taken(_)).get
+    val leftCols = left.columns.toSet
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      if (leftCols.contains(c) && !by.contains(c))
+        df.withColumnRenamed(c, c + rsuffix) else df
+    }
+    val (loR2, hiR2) =
+      (if (leftCols.contains(loR) && !by.contains(loR)) loR + rsuffix else loR,
+        if (leftCols.contains(hiR) && !by.contains(hiR)) hiR + rsuffix else hiR)
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.where(col(lo) <= col(hi)).withColumn(bin,
+        explode(sequence(
+          floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    binned(left, loL, hiL)
+      .join(binned(r0, loR2, hiR2), by :+ bin)
+      .where(col(loL) <= col(hiR2) && col(loR2) <= col(hiL) &&
+        col(bin) === greatest(
+          floor(col(loL) / binWidth).cast("long"),
+          floor(col(loR2) / binWidth).cast("long")))
+      .drop(bin)
+  }
 }

@@ -88,6 +88,29 @@ object EventAnalytics {
           lit(1L)).otherwise(lit(0L)))
   }
 
+  /** First-order Markov transition counts: for each user's event
+    * stream ordered by (`tsCol`, `tieCol`) — the tiebreak column makes
+    * the order TOTAL when timestamps collide, so the counts are
+    * deterministic — count every consecutive (from_type → to_type)
+    * step. The behavioral transition matrix (next-action prediction,
+    * bot detection by improbable paths). One user-key window (lead)
+    * over a three-column projection of the fact table + one tiny
+    * groupBy on the |types|² pair space — map-side combinable, so the
+    * shuffle after the window carries ~|types|² rows per partition. */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Cohort retention: users grouped by the EPOCH WEEK of their first
     * event (integer `epoch_us div week` — calendar-free, so both
     * engines agree without timezone/week-start semantics), then for

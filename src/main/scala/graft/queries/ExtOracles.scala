@@ -3670,6 +3670,28 @@ object ExtOracles {
     "q_pagerank" -> ("WITH " + pageRankChain(10) +
       s"\nSELECT node, pr FROM pr10"),
 
+    // per-node triangle counts over the pagerank graph: the oracle
+    // enumerates triangles by the id-ordered a<b<c three-way self-join
+    // (each triangle once by construction) — a DIFFERENT algorithm
+    // than Spark's degree-ordered orientation, so the hash match is an
+    // independent proof of the orientation's exactly-once claim
+    "q_triangles" ->
+      """WITH raw AS (SELECT user_id % 100 AS x, event_id % 100 AS y
+        |             FROM events),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |      FROM raw WHERE x <> y),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+        |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri) t GROUP BY 1)
+        |SELECT n.node, CAST(COALESCE(cnt.tri_cnt, 0) AS BIGINT)
+        |  AS tri_cnt
+        |FROM n LEFT JOIN cnt USING (node)""".stripMargin,
+
     // cross-container media dedup: the oracle signs the RAW content
     // (no header ever attached), so Spark's sniffed-kind header strip
     // must land on exactly the planted content bytes to match

@@ -1669,6 +1669,18 @@ object ExtQueries {
         (col("event_id") % 100).as("dst")),
       "src", "dst", iters = 10)
 
+  /** Per-node triangle counts over the same derived interaction graph
+    * as [[pageRankQ]] — degree-ordered orientation in Spark; the
+    * oracle counts by a DIFFERENT algorithm (id-ordered a<b<c 3-way
+    * self-join), so the hash match proves the orientation's
+    * exactly-once argument, not just re-runs it. */
+  def trianglesQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.triangleCounts(
+      Tables.events(spark, dir).select(
+        (col("user_id") % 100).as("src"),
+        (col("event_id") % 100).as("dst")),
+      "src", "dst")
+
   /** Cross-container media dedup: pages 0..249 each appear TWICE
     * (doc_id and doc_id+250 share content = text of doc_id % 250)
     * under DIFFERENT planted containers (kind rotates mod 3, and
@@ -2280,6 +2292,7 @@ object ExtQueries {
     "q_url_dedup"         -> (urlDedup _),
     "q_domain_cap"        -> (domainCap _),
     "q_pagerank"          -> (pageRankQ _),
+    "q_triangles"         -> (trianglesQ _),
     "q_media_dedup"       -> (mediaDedup _),
     "q_embed_stats"       -> (embedStats _),
     "q_jsonl_read"        -> (jsonlRead _),

@@ -659,6 +659,52 @@ object StarOracles {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
         |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
+    // first-order Markov transitions, event_id tiebreak on tied ts
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // conversion-lag histogram: integer log2 buckets via bit length
+    // (length(bin(x)) — exact in both engines), -1 = unattributed
+    "q_conversion_lag" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |      WHERE event_type = 'click'),
+        |a AS (SELECT p.event_id, c.click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT CASE WHEN click_id IS NULL THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(length(bin(gap_us)) AS BIGINT) END AS lag_bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(COALESCE(MIN(gap_us), -1) AS BIGINT) AS min_gap_us,
+        |  CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // interval-overlap join: per-user daily click spans x view spans;
+    // the oracle uses the bare overlap predicate (no bins) — equality
+    // proves the binned plan's exactly-once first-bin trick
+    "q_overlap_join" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS c_lo,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS c_hi
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts) // 86400000000),
+        |v AS (SELECT user_id,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS v_lo,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS v_hi
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts) // 86400000000)
+        |SELECT c.user_id, c_lo, c_hi, v_lo, v_hi
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND c_lo <= v_hi AND v_lo <= c_hi""".stripMargin,
+
     // weekly cohort retention over integer epoch weeks
     "q_cohort_triangle" ->
       """WITH f AS (SELECT user_id,

@@ -872,6 +872,45 @@ object StarQueries {
     graft.operators.EventAnalytics.rateAnomaly(
       Tables.events(spark, dir), "event_type", "ts", trailing = 6)
 
+  /** First-order Markov transition matrix of the event stream —
+    * per-user ordered lead() then a |types|²-sized count agg.
+    * event_id tiebreaks colliding timestamps (total order ⇒
+    * deterministic counts). */
+  def transitionsQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.transitions(
+      Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id")
+
+  /** Conversion-lag histogram over the attribution output: purchases
+    * bucketed by the BIT LENGTH of their click→purchase gap (integer
+    * log2 — `length(bin(gap))`, exact in both engines where a float
+    * log2 would flake at power-of-two boundaries), unattributed
+    * purchases in bucket -1. */
+  def conversionLagQuery(spark: SparkSession, dir: String): DataFrame =
+    attributionQuery(spark, dir)
+      .groupBy(when(col("click_id").isNull, lit(-1L))
+        .otherwise(length(bin(col("gap_us"))).cast("long")).as("lag_bits"))
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(min("gap_us"), lit(-1L)).as("min_gap_us"),
+        coalesce(max("gap_us"), lit(-1L)).as("max_gap_us"))
+
+  /** Interval-overlap join: each user's per-day click span × view
+    * span, matched where the ranges overlap — the binned two-sided
+    * range join (6h bins; a raw overlap predicate would force a
+    * nested-loop plan). */
+  def overlapJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def spans(t: String, p: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id"), unix_micros(col("ts")).as("__us"))
+      .withColumn("__day", expr("__us DIV 86400000000"))
+      .groupBy("user_id", "__day")
+      .agg(min("__us").as(s"${p}_lo"), max("__us").as(s"${p}_hi"))
+      .drop("__day")
+    AsOfJoin.overlapJoin(spans("click", "c"), spans("view", "v"),
+      by = Seq("user_id"), loL = "c_lo", hiL = "c_hi",
+      loR = "v_lo", hiR = "v_hi", binWidth = 21600000000.0)
+  }
+
   def batchSessions(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 6L * 3600 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1136,6 +1175,9 @@ object StarQueries {
     "q_cohort_triangle"    -> (retentionQuery _),
     "q_attribution"        -> (attributionQuery _),
     "q_rate_anomaly"       -> (rateAnomalyQuery _),
+    "q_event_transitions"  -> (transitionsQuery _),
+    "q_conversion_lag"     -> (conversionLagQuery _),
+    "q_overlap_join"       -> (overlapJoinQuery _),
     "q_interval_binned"    -> (intervalBinned _),
     "q_grouping_sets"      -> (groupingSetsAgg _),
     "q_ship_priority"      -> (shipPriority _),

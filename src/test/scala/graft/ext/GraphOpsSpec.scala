@@ -46,4 +46,50 @@ class GraphOpsSpec extends AnyFunSuite {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run() == run())
   }
+
+  test("triangleCounts: K4 plus a pendant edge, hand-counted") {
+    // K4 on {1,2,3,4} = 4 triangles, each node in exactly 3; node 5
+    // hangs off node 1 (degree 1, zero triangles but still reported)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("s", "d")
+    val got = GraphOps.triangleCounts(e, "s", "d")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L))
+  }
+
+  test("triangleCounts: multigraph duplicates, reversed edges, and self-loops normalize away") {
+    // the same triangle planted as (1,2),(2,3),(3,1) with a duplicate
+    // (2,1), a reversed (1,3), and a self-loop — still ONE triangle
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L)).toDF("s", "d")
+    val got = GraphOps.triangleCounts(e, "s", "d")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts matches the brute-force 3-join on a skewed random graph") {
+    // hub node 0 touches everything (the degree-orientation's target
+    // regime); brute force = id-ordered a<b<c three-way join
+    val e = spark.range(300).select(
+      (col("id") % 50).as("s"), ((col("id") * 13 + 7) % 50).as("d"))
+      .unionByName(spark.range(49).select(
+        lit(0L).as("s"), (col("id") + 1).as("d")))
+    val simple = e.filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct()
+    val e1 = simple.select(col("a").as("u"), col("b").as("v"))
+    val e2 = simple.select(col("a").as("v"), col("b").as("w"))
+    val e3 = simple.select(col("a").as("u"), col("b").as("w"))
+    val tri = e1.join(e2, Seq("v")).join(e3, Seq("u", "w"))
+    val brute = tri.select(col("u").as("node"))
+      .unionByName(tri.select(col("v").as("node")))
+      .unionByName(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = GraphOps.triangleCounts(e, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.filter(_._2 > 0L) == brute)
+    assert(got.keySet.forall(n => brute.contains(n) || got(n) == 0L))
+  }
 }

@@ -64,6 +64,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(("b", 60L)) === 1L)
   }
 
+  test("transitions counts consecutive pairs per user with the id tiebreak") {
+    // u1: view->click->view; u2 has a ts TIE broken by event_id
+    // (3 before 4 -> click->view), and no cross-user pair leaks
+    val ev = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(5)),
+      (5L, 1L, "view", ts(9)),
+      (3L, 2L, "click", ts(7)), (4L, 2L, "view", ts(7))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.transitions(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      ("view", "click") -> 1L, ("click", "view") -> 2L))
+  }
+
   test("retention triangle counts distinct users per cohort/offset week") {
     val week = 7L * 24 * 60 // minutes
     val ev = Seq(
