@@ -209,7 +209,17 @@ object ScaleBench {
     // LM shuffle in the ladder); codec audit via the documents
     // variant (footer-bound, file-count cost like the layout family)
     "q_funnel_span", "q_cohort_triangle", "q_trigram_backoff",
-    "q_codec_docs")
+    "q_codec_docs",
+    // wave 4: the event-analytics completions (attribution = the
+    // as-of union+window on a filtered pair of event slices;
+    // transitions = one user-key lead() window; rate anomaly and
+    // conversion lag collapse to bucket-sized aggs) and the two
+    // pair-generating newcomers — the binned overlap join (pairs per
+    // user-key stay constant as keys grow → linear) and triangle
+    // counting on the GROWING chain graph (the %100 gate graph is
+    // fixture-bounded; q_triangles_grow's nodes track the corpus)
+    "q_attribution", "q_rate_anomaly", "q_event_transitions",
+    "q_conversion_lag", "q_overlap_join", "q_triangles_grow")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -242,6 +252,11 @@ object ScaleBench {
     // on disk); cross-copy chain CC (diameter = scale factor — the
     // one fixture whose diameter GROWS with the corpus)
     "q_ivf_hier", "q_exact_preflighted", "q_cc_xchain",
+    // round-9 wave 4: the wedge join is the quadratic-class shape in
+    // triangle counting — its 100× point runs on the growing chain
+    // graph (nodes ∝ corpus, degree bounded); the overlap join's
+    // per-key pair space must stay flat as the key count grows 100×
+    "q_triangles_grow", "q_overlap_join",
     // the incremental ingest check in its production (capped)
     // configuration: on this corpus every incoming clone collides
     // with a 100-member clique, so the UNCAPPED gate config's
@@ -255,6 +270,21 @@ object ScaleBench {
     * configurations whose knobs differ from the fixture-sized gate
     * defaults. */
   val ScaleOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // triangle counting on a graph whose NODE COUNT tracks the corpus
+    // (the gate query's user_id%100 graph collapses to 100 nodes at
+    // any factor): per distinct user u, a planted triangle
+    // (3u, 3u+1, 3u+2) plus a chain link 3u+2 → 3u+3 into the next
+    // user's triangle — triangles = |users|, degrees bounded by 3, so
+    // the curve isolates the orientation + wedge-join machinery's
+    // linear regime (the worst-case m^1.5 bound needs skew, which
+    // the K4/hub specs pin; this measures the common case)
+    "q_triangles_grow" -> ((s: SparkSession, d: String) => {
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+        .select((col("user_id") * 3).as("u"))
+      val edges = u.selectExpr(
+        "stack(4, u, u+1, u+1, u+2, u, u+2, u+2, u+3) AS (src, dst)")
+      graft.ext.GraphOps.triangleCounts(edges, "src", "dst")
+    }),
     "q_dedup_lsh_capped" -> ((s: SparkSession, d: String) =>
       graft.ext.Dedup.nearDupPairs(
         Tables.documents(s, d).select("doc_id", "text"),

@@ -237,6 +237,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the bucket-agg shuffle, got $exchanges:\n$plan")
   }
 
+  test("overlap join plans an equi-join on the bin key, never a nested loop") {
+    val plan = planOf(StarQueries.overlapJoinQuery(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"the bin key must carry the join:\n$plan")
+    // and no distinct over the joined output — exactly-once comes from
+    // the first-bin filter, not a dedup shuffle
+    assert(!plan.contains("Deduplicate"), plan)
+  }
+
+  test("triangle counting: every shuffle is keyed, none global") {
+    val plan = planOf(ExtQueries.trianglesQ(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"wedge/closing joins must be equi-joins:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global funnel anywhere in the triangle plan:\n$plan")
+  }
+
+  test("transitions and rate-anomaly windows are key-partitioned") {
+    for (df <- Seq(StarQueries.transitionsQuery(spark, sf),
+                   StarQueries.rateAnomalyQuery(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("Window"), s"expected a window:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"window must be partitioned:\n$plan")
+    }
+  }
+
   test("join preflight shuffles only key histograms, never payload columns") {
     val plan = planOf(ExtQueries.joinPreflightQ(spark, sf))
     val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
