@@ -219,7 +219,15 @@ object ScaleBench {
     // counting on the GROWING chain graph (the %100 gate graph is
     // fixture-bounded; q_triangles_grow's nodes track the corpus)
     "q_attribution", "q_rate_anomaly", "q_event_transitions",
-    "q_conversion_lag", "q_overlap_join", "q_triangles_grow")
+    "q_conversion_lag", "q_overlap_join", "q_triangles_grow",
+    // k-core on the growing chain-of-triangles graph: k = 3 unravels
+    // everything in a fixed number of PARALLEL peel rounds (each
+    // round drops a whole layer everywhere at once), so the curve
+    // isolates the per-round degree agg + semi-join machinery as
+    // nodes grow with the corpus; the calibration table and the
+    // streaming spike detector ride the scoring projection / the
+    // tumbling-agg shape
+    "q_kcore_grow", "q_qcls_calibration", "q_stream_rate")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -284,6 +292,18 @@ object ScaleBench {
       val edges = u.selectExpr(
         "stack(4, u, u+1, u+1, u+2, u, u+2, u+2, u+3) AS (src, dst)")
       graft.ext.GraphOps.triangleCounts(edges, "src", "dst")
+    }),
+    // k-core on the same growing chain-of-triangles graph: at k = 3
+    // the triangle corners (degree 2) peel in round 1, the chain
+    // spine (degree ≤ 3 once its triangles are gone) in the next —
+    // a fixed-depth PARALLEL cascade over a node count that tracks
+    // the corpus, isolating the per-round cost from the round count
+    "q_kcore_grow" -> ((s: SparkSession, d: String) => {
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+        .select((col("user_id") * 3).as("u"))
+      val edges = u.selectExpr(
+        "stack(4, u, u+1, u+1, u+2, u, u+2, u+2, u+3) AS (src, dst)")
+      graft.ext.GraphOps.kCore(edges, "src", "dst", k = 3, maxRounds = 6)
     }),
     "q_dedup_lsh_capped" -> ((s: SparkSession, d: String) =>
       graft.ext.Dedup.nearDupPairs(

@@ -166,4 +166,61 @@ object GraphOps {
     deg.select("node").join(cnt, Seq("node"), "left")
       .select(col("node"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
   }
+
+  /** Bounded k-core peel: repeatedly drop every node of degree < k
+    * (and its edges) until nothing drops or `maxRounds` is hit —
+    * the densest-subgraph signal (a page surviving the k-core sits in
+    * a mutually-linked community; link spam and tendrils peel away).
+    * The k-core is UNIQUE, so the fixpoint is engine-independent; the
+    * round cap makes the cost bound explicit instead of hiding a
+    * diameter-length cascade (a path graph peels from the ends inward,
+    * one layer per round — the chain regime [[Dedup.connectedComponents]]
+    * documents; peeling is inherently sequential, there is no
+    * pointer-halving analog, so production posture is the cap plus the
+    * per-round drop log; after a fixpoint every further round is an
+    * identity, so early exit ≡ the fixed unroll the oracle replays).
+    *
+    * Per round: one degree agg (map-side combinable) + two left-semi
+    * joins of the edge set against the surviving-node set — every
+    * shuffle keyed on a node id, the edge payload never widens, and
+    * the frame is localCheckpoint-ed so lineage stays round-deep, the
+    * same loop discipline as [[pageRank]]. The per-round driver-side
+    * scalar is one bounded count (the survivor tally — the logged
+    * convergence signal). Returns (node, core_deg): degrees within
+    * the final edge set. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var nodesBefore = -1L
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select("node")
+        .localCheckpoint()
+      val survivors = alive.count()
+      converged = survivors == nodesBefore
+      nodesBefore = survivors
+      if (!converged) {
+        e = e.join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
+      }
+      System.err.println(
+        s"[graft.GraphOps] kCore round $round/$maxRounds: $survivors nodes >= deg $k")
+    }
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
 }

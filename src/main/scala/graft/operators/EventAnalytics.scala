@@ -66,8 +66,6 @@ object EventAnalytics {
     * fact table itself is touched once. */
   def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
                   trailing: Int = 6): DataFrame = {
-    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
-    import org.apache.spark.sql.expressions.Window
     val counts = events
       .select(col(typeCol).as("event_type"), us(col(tsCol)).as("__us"))
       // integer DIV, not Column./ (double division truncates wrong at
@@ -76,6 +74,17 @@ object EventAnalytics {
         expr("__us DIV 3600000000").as("hour_bucket"))
       .groupBy("event_type", "hour_bucket")
       .agg(count(lit(1)).as("n_events"))
+    rateAnomalyOnCounts(counts, trailing)
+  }
+
+  /** The flag pass alone, over an already-aggregated
+    * (event_type, hour_bucket, n_events) table — bucket-sized input,
+    * so the streaming face can maintain the counts incrementally and
+    * run this comparison over the bounded aggregate each trigger. */
+  def rateAnomalyOnCounts(counts: DataFrame,
+                          trailing: Int = 6): DataFrame = {
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("hour_bucket")
       .rowsBetween(-trailing, -1)
     counts

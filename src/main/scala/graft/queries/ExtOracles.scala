@@ -3033,6 +3033,18 @@ object ExtOracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM sc2""".stripMargin),
 
+    // reliability table: probability-octile buckets over the integer
+    // sigmoid domain, each with its positive-label rate numerator —
+    // calibration as an exact-count gate artifact
+    "q_qcls_calibration" -> ("WITH " + qclsChain(12) + ",\n" +
+      qclsScoreCtes + "\n" +
+      """SELECT p // 8192 AS p_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(MIN(p) AS BIGINT) AS min_p,
+        |  CAST(MAX(p) AS BIGINT) AS max_p
+        |FROM sc2 GROUP BY 1""".stripMargin),
+
     // CSV sidecar ingest: explicit columns, RFC 4180 quoting both
     // engines (Spark pins escape='"'), empty -> NULL
     "q_csv_read" ->
@@ -3692,6 +3704,15 @@ object ExtOracles {
         |  AS tri_cnt
         |FROM n LEFT JOIN cnt USING (node)""".stripMargin,
 
+    // k-core: 6 materialized peel rounds (fixpoint at 4 — the tail
+    // rounds are identities, proving the operator's early exit);
+    // output = degrees within the final edge set
+    "q_kcore" -> ("WITH " + kCoreChain(32, 6) +
+      """
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+        |  SELECT a AS node FROM ke6 UNION ALL SELECT b AS node FROM ke6) t
+        |GROUP BY 1""".stripMargin),
+
     // cross-container media dedup: the oracle signs the RAW content
     // (no header ever attached), so Spark's sniffed-kind header strip
     // must land on exactly the planted content bytes to match
@@ -3872,6 +3893,33 @@ object ExtOracles {
     * per round — pr_{i-1} referenced exactly ONCE per round (the
     * single-reference rule the qcls chain documents), so DuckDB's
     * inlining stays linear. Emits `pr$iters (node, pr)`. */
+  /** k-core peel unrolled: per round, a degree CTE (HAVING >= k) and
+    * the edge set semi-filtered to surviving endpoints. Every round
+    * AS MATERIALIZED — each is referenced twice (both endpoint
+    * filters), and un-materialized DuckDB re-inlines the whole
+    * upstream chain per reference (the q_unigram_train lesson). After
+    * the fixpoint (round 4 on this fixture) the remaining rounds are
+    * identities, so the fixed unroll equals the operator's early
+    * exit. */
+  private def kCoreChain(k: Int, rounds: Int): String = {
+    val head =
+      """ke0 AS MATERIALIZED (
+        |  WITH raw AS (SELECT user_id % 397 AS x,
+        |      (event_id * 7 + user_id) % 397 AS y FROM events)
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = s"ke${r - 1}"
+      s"""ka$r AS MATERIALIZED (SELECT node FROM (
+         |    SELECT a AS node FROM $p UNION ALL SELECT b AS node FROM $p) t
+         |  GROUP BY node HAVING COUNT(*) >= $k),
+         |ke$r AS MATERIALIZED (SELECT $p.a, $p.b FROM $p
+         |  JOIN ka$r x ON $p.a = x.node
+         |  JOIN ka$r y ON $p.b = y.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   private def pageRankChain(iters: Int): String = {
     val head =
       """ed AS (SELECT DISTINCT user_id % 100 AS src,

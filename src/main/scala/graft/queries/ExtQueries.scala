@@ -1595,6 +1595,22 @@ object ExtQueries {
           .otherwise(0L)).as("tn"),
         count(lit(1)).as("n_docs"))
 
+  /** Calibration audit (reliability table): scored docs bucketed by
+    * predicted probability octile (`p DIV 8192` over the 0..65536
+    * integer sigmoid domain — exact, no float bins), each bucket
+    * reporting its size and positive-label count. A calibrated
+    * classifier's n_pos/n_docs should rise with the bucket — the
+    * audit a production quality gate reads before trusting `keep`
+    * as a sampling weight. One bucket-keyed agg over the zero-shuffle
+    * scoring projection. */
+  def qclsCalibration(spark: SparkSession, dir: String): DataFrame =
+    Classifier.score(labeledDocs(spark, dir), "text",
+        trainedWeights(spark, dir).toIndexedSeq)
+      .groupBy(expr("p DIV 8192").as("p_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        min("p").as("min_p"), max("p").as("max_p"))
+
   /** Planted messy-URL corpus (derived identically in the oracle):
     * page = doc_id % 100 names the underlying resource, site =
     * page % 7 its domain (tld rotates com/org/net), and mess =
@@ -1680,6 +1696,18 @@ object ExtQueries {
         (col("user_id") % 100).as("src"),
         (col("event_id") % 100).as("dst")),
       "src", "dst")
+
+  /** k-core peel on a sparser derived graph (397 nodes, degree range
+    * 10–99) where k = 32 forces a real multi-round cascade (fixpoint
+    * at round 4, core of 3511 edges — measured on the sf0.01
+    * fixture); the oracle unrolls 6 materialized rounds, the identity
+    * tail proving the early exit. */
+  def kCoreQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kCore(
+      Tables.events(spark, dir).select(
+        (col("user_id") % 397).as("src"),
+        ((col("event_id") * 7 + col("user_id")) % 397).as("dst")),
+      "src", "dst", k = 32, maxRounds = 6)
 
   /** Cross-container media dedup: pages 0..249 each appear TWICE
     * (doc_id and doc_id+250 share content = text of doc_id % 250)
@@ -2288,11 +2316,13 @@ object ExtQueries {
     "q_qcls_train"        -> (qclsTrain _),
     "q_qcls_score"        -> (qclsScore _),
     "q_qcls_audit"        -> (qclsAudit _),
+    "q_qcls_calibration"  -> (qclsCalibration _),
     "q_url_normalize"     -> (urlNormalize _),
     "q_url_dedup"         -> (urlDedup _),
     "q_domain_cap"        -> (domainCap _),
     "q_pagerank"          -> (pageRankQ _),
     "q_triangles"         -> (trianglesQ _),
+    "q_kcore"             -> (kCoreQ _),
     "q_media_dedup"       -> (mediaDedup _),
     "q_embed_stats"       -> (embedStats _),
     "q_jsonl_read"        -> (jsonlRead _),

@@ -705,6 +705,25 @@ object StarOracles {
         |FROM c JOIN v ON c.user_id = v.user_id
         |  AND c_lo <= v_hi AND v_lo <= c_hi""".stripMargin,
 
+    // streaming face of the spike detector: completed stream + the
+    // bucket-table flag pass must equal the batch oracle VERBATIM
+    "q_stream_rate" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hour_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_bucket, n_events,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+        |  CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT)
+        |    AS trail_events,
+        |  CAST(CASE WHEN COUNT(*) OVER w = 6
+        |    AND n_events * (COUNT(*) OVER w) >
+        |        (COALESCE(SUM(n_events) OVER w, 0)) * 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
     // weekly cohort retention over integer epoch weeks
     "q_cohort_triangle" ->
       """WITH f AS (SELECT user_id,

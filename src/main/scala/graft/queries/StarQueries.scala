@@ -644,6 +644,26 @@ object StarQueries {
   // aggregation to completion; the returned table must match the
   // BATCH oracle SQL — the batch-equivalence contract, enforced by
   // DuckDB rather than by a unit test.
+  // Streaming face of the rate-spike detector: the fact-table-sized
+  // work (hourly counts per type) runs as a streaming aggregation;
+  // the trailing-baseline comparison runs batch-side over the BOUNDED
+  // bucket table the sink holds (|types| × |hours| rows — the table a
+  // production job would re-flag every trigger). Completed stream
+  // must equal the batch operator's oracle verbatim.
+  def streamRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = runStagedStream(spark,
+      Tables.events(spark, dir).select("event_id", "ts", "event_type"),
+      "q_stream_rate", "complete") { src =>
+      src()
+        .select(col("event_type"), unix_micros(col("ts")).as("__us"))
+        .select(col("event_type"),
+          expr("__us DIV 3600000000").as("hour_bucket"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n_events"))
+    }
+    graft.operators.EventAnalytics.rateAnomalyOnCounts(counts, trailing = 6)
+  }
+
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     runStagedStream(spark,
       Tables.events(spark, dir)
@@ -1159,6 +1179,7 @@ object StarQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling"    -> (streamTumbling _),
+    "q_stream_rate"        -> (streamRateAnomaly _),
     "q_custom_sessions"    -> (customSessionsQuery _),
     "q_stream_join"        -> (streamJoinQuery _),
     "q_stream_static_join" -> (streamStaticJoinQuery _),

@@ -68,6 +68,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("kCore: triangle with a tendril keeps only the triangle at k=2") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = GraphOps.kCore(e, "s", "d", k = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a path peels to nothing, one layer per round") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    assert(GraphOps.kCore(e, "s", "d", k = 2).count() == 0L)
+    // bounded peel: with maxRounds = 1 only the first layer (the two
+    // degree-1 ends) has dropped — the interior survives as the
+    // documented capped state
+    val capped = GraphOps.kCore(e, "s", "d", k = 2, maxRounds = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("kCore: K4 survives k=3 intact and early-exits") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("s", "d")
+    val got = GraphOps.kCore(e, "s", "d", k = 3, maxRounds = 10)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("triangleCounts matches the brute-force 3-join on a skewed random graph") {
     // hub node 0 touches everything (the degree-orientation's target
     // regime); brute force = id-ordered a<b<c three-way join
