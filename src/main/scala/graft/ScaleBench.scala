@@ -227,7 +227,11 @@ object ScaleBench {
     // nodes grow with the corpus; the calibration table and the
     // streaming spike detector ride the scoring projection / the
     // tumbling-agg shape
-    "q_kcore_grow", "q_qcls_calibration", "q_stream_rate")
+    "q_kcore_grow", "q_qcls_calibration", "q_stream_rate",
+    // schema audit over the scaled documents tree: cost tracks FILE
+    // COUNT like the other footer ops (the gate query's staged
+    // two-file fixture is size-invariant by design)
+    "q_schema_docs")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -452,6 +456,8 @@ object ScaleBench {
     // lineitem, which the scaled dirs don't carry)
     "q_codec_docs" -> ((s: SparkSession, d: String) =>
       graft.sources.Layout.codecAudit(s, s"$d/documents.parquet")),
+    "q_schema_docs" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layout.schemaAudit(s, s"$d/documents.parquet")),
     // the audit face at the same cap: what the cap dropped, by bucket
     "q_lsh_bucket_audit" -> ((s: SparkSession, d: String) => {
       graft.catalyst.MinHashSig.register(s)

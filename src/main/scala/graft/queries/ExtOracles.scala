@@ -3341,6 +3341,24 @@ object ExtOracles {
         |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
         |GROUP BY 1, 2""".stripMargin,
 
+    // schema-drift audit over the staged two-generation tree (the
+    // query writes it before auditing — zorder-gate staging
+    // convention): leaf columns only (num_children NULL), physical
+    // type names shared verbatim between parquet-mr and DuckDB
+    "q_schema_drift" ->
+      """WITH s AS (SELECT file_name, name, type
+        |    FROM parquet_schema('/tmp/graft_schema_sf0.01/**/*.parquet')
+        |    WHERE num_children IS NULL),
+        |t AS (SELECT CAST(COUNT(DISTINCT file_name) AS BIGINT) AS total
+        |      FROM s)
+        |SELECT name AS column_name,
+        |  CAST(COUNT(DISTINCT file_name) AS BIGINT) AS n_files,
+        |  CAST(t.total - COUNT(DISTINCT file_name) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(COUNT(DISTINCT type) AS BIGINT) AS n_types,
+        |  string_agg(DISTINCT type, ',' ORDER BY type) AS types
+        |FROM s CROSS JOIN t GROUP BY name, t.total""".stripMargin,
+
     // trigram stupid-backoff: LM on every 3rd doc, the rest scored;
     // chained window/count CTEs are MATERIALIZED (the re-inlining
     // planner trap the unigram trainer hit)

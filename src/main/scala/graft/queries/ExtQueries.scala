@@ -2095,6 +2095,26 @@ object ExtQueries {
   def codecAuditQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.codecAudit(spark, s"$dir/lineitem.parquet")
 
+  /** Schema-drift audit over a staged two-generation corpus: gen A
+    * writes (doc_id INT64, text, n_chars), gen B the retyped/reshaped
+    * (doc_id INT32, text, extra_flag) — so the audit must report the
+    * id retype (n_types = 2), the dropped column and the added column
+    * (n_missing = 1 each), and the stable text column, all from
+    * footers alone. Staged at a deterministic path (the zorder-gate
+    * convention) so DuckDB's parquet_schema reads the same tree. */
+  def schemaDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_schema_" +
+      dir.split('/').filter(_.nonEmpty).last
+    val d = docs(spark, dir)
+    d.select("doc_id", "text", "n_chars").repartition(1)
+      .write.mode("overwrite").parquet(path + "/gen_a")
+    d.select(col("doc_id").cast("int").as("doc_id"), col("text"),
+        (col("n_chars") > 100).cast("int").as("extra_flag"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path + "/gen_b")
+    graft.sources.Layout.schemaAudit(spark, path)
+  }
+
   /** Trigram stupid-backoff surprisal: LM fit on every 3rd document,
     * the rest scored against it — unseen trigrams exercise the real
     * backoff chain (1 bit per level, integer-exact). */
@@ -2351,6 +2371,7 @@ object ExtQueries {
     "q_weighted_sample"   -> (weightedSampleQ _),
     "q_join_preflight"    -> (joinPreflightQ _),
     "q_codec_audit"       -> (codecAuditQ _),
+    "q_schema_drift"      -> (schemaDriftQ _),
     "q_trigram_backoff"   -> (trigramBackoffQ _),
     "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),

@@ -295,6 +295,54 @@ object Layout {
         expr("(bytes_comp * 100) DIV greatest(bytes_raw, 1)"))
   }
 
+  /** Schema-DRIFT audit over a parquet directory tree — the ingest
+    * guard a long-lived 100 TB corpus needs before every scan-wide
+    * job: upstream producers add columns, retype ids (INT32 vs
+    * INT64), or drop fields, and a reader that infers schema from one
+    * file silently nulls or crashes on the rest. Pure footer
+    * metadata, distributed like [[codecAudit]] (each task opens only
+    * its own files' footers; zero data pages read). One row per leaf
+    * column path: how many files carry it, how many MISS it, how many
+    * distinct physical types it appears as, and the sorted type list
+    * — `n_missing > 0` or `n_types > 1` is the drift flag a pipeline
+    * gates on. The file manifest is the one driver-side piece (same
+    * bounded listing every query here starts from). */
+  def schemaAudit(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val files = listParquet(path)
+    val total = files.size.toLong
+    spark.createDataset(files)
+      .repartition(math.min(files.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getFileMetaData.getSchema.getColumns.asScala.toSeq
+            .map { cd =>
+              // parquet-mr's enum says BINARY where the format spec
+              // (and every other reader) says BYTE_ARRAY — emit the
+              // spec name so reports line up across engines
+              val raw = cd.getPrimitiveType.getPrimitiveTypeName.name
+              val spec = if (raw == "BINARY") "BYTE_ARRAY" else raw
+              (p, cd.getPath.mkString("."), spec)
+            }
+        } finally r.close()
+      }
+      .toDF("__file", "column_name", "ptype")
+      .groupBy("column_name")
+      .agg(countDistinct("__file").as("n_files"),
+        countDistinct("ptype").as("n_types"),
+        array_join(array_sort(collect_set(col("ptype"))), ",").as("types"))
+      .select(col("column_name"), col("n_files"),
+        (lit(total) - col("n_files")).as("n_missing"),
+        col("n_types"), col("types"))
+  }
+
   /** Small-file COMPACTION plan — the maintenance job every long-run
     * ingest needs at 100 TB (streaming sinks and per-partition writes
     * strand thousands of KB-scale files; scans then pay a task and a

@@ -154,6 +154,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(audit("txt")._4 < 100, s"txt should compress: ${audit("txt")}")
   }
 
+  test("schemaAudit reports retypes, drops, and additions across generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Seq((1L, "a", 10L)).toDF("id", "txt", "old_col")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/g1")
+    Seq((2, "b", 1.5)).toDF("id", "txt", "new_col")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/g2")
+    val got = Layout.schemaAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got("id") === ((2L, 0L, 2L, "INT32,INT64")))
+    assert(got("txt") === ((2L, 0L, 1L, "BYTE_ARRAY")))
+    assert(got("old_col") === ((1L, 1L, 1L, "INT64")))
+    assert(got("new_col") === ((1L, 1L, 1L, "DOUBLE")))
+  }
+
   test("partitioned write prunes directories for equality predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = (1 to 100).map(i => (i % 4, i.toLong)).toDF("part", "id")
