@@ -37,8 +37,12 @@ object BenchFormat {
     * map is written next to the bench output (bench_aliases.json) and
     * into BASELINE.md's alias column, and cross-round comparison uses
     * the name-keyed bench_out.json, never the per-round codes. Past
-    * ~215 queries the next lever is a curated bench set, not another
-    * encoding squeeze. */
+    * ~200 queries even the alias rung overflows and the recorded-keyed
+    * drop ladder below becomes the CURATED headline set: membership is
+    * stable round-to-round (keyed on bench_recorded.json, not the
+    * run), heavies always survive, and the full per-query set ships in
+    * bench_out.json — so nothing is lost, only the stdout line is
+    * curated. */
   def aliases(names: Seq[String]): Map[String, String] = {
     val digits = "0123456789abcdefghijklmnopqrstuvwxyz"
     def code(i: Int): String =

@@ -3223,7 +3223,9 @@ object ExtOracles {
     // engines then read the same footers — parquet_metadata replays
     // the identical prune rule over the identical artifact
     "q_zorder_prune" ->
-      """WITH s AS (SELECT regexp_replace(file_name, '.*/', '') AS f,
+      """WITH s AS (SELECT
+        |    CAST(regexp_extract(file_name, 'part-(\d+)', 1) AS BIGINT)
+        |      AS f,
         |    row_group_id,
         |    CAST(MIN(row_group_num_rows) AS BIGINT) AS rg_rows,
         |    CAST(MIN(CASE WHEN path_in_schema = 'l_partkey'
@@ -3232,7 +3234,7 @@ object ExtOracles {
         |      THEN stats_max_value END) AS BIGINT) AS mx
         |  FROM parquet_metadata('/tmp/graft_zorder_sf0.01/*.parquet')
         |  GROUP BY 1, 2)
-        |SELECT f AS file_name, CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+        |SELECT f AS file_id, CAST(COUNT(*) AS BIGINT) AS n_row_groups,
         |  CAST(SUM(CASE WHEN mx < 100 OR mn > 200 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_pruned,
         |  CAST(SUM(CASE WHEN mx < 100 OR mn > 200 THEN 0 ELSE rg_rows END)

@@ -2079,8 +2079,17 @@ object ExtQueries {
       Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_partkey", "l_suppkey"),
       path, "l_partkey", "l_suppkey", bits = 16, numFiles = 8)
+    // key the gate rows on the part-file PARTITION INDEX, not the
+    // name: the uuid in part-NNNNN-<uuid> changes on every rewrite,
+    // so raw names would flake the fan-out-invariance check even
+    // though the file→bucket assignment is deterministic
     graft.sources.Layout.rgPruneAudit(spark, path, "l_partkey",
-      lo = 100L, hi = 200L)
+        lo = 100L, hi = 200L)
+      .select(
+        regexp_extract(col("file_name"), "part-(\\d+)", 1)
+          .cast("long").as("file_id"),
+        col("n_row_groups"), col("n_pruned"),
+        col("rows_scanned"), col("rows_skipped"))
   }
 
   /** Footer min/max stats for doc_id over the documents table — the

@@ -72,10 +72,44 @@ object Layout {
           .cast("long")))
     val z = zorderValue2(
       quant(col(xCol), xmin, xmax), quant(col(yCol), ymin, ymax), bits)
+    // File assignment is a FIXED-WIDTH z-range bucket, not
+    // repartitionByRange: range partitioning samples its boundaries,
+    // so the row→file map would shift with the upstream partition
+    // layout — the fan-out dependence DeterminismSpec forbids for
+    // anything a gate reads (rgPruneAudit reports per-file stats over
+    // this write). The trade is file-size balance: fixed widths skew
+    // when z is non-uniform; a production write that prefers balanced
+    // bytes over reproducible assignment flips back to sampled ranges
+    // (same trade zorderExtentAudit documents for its buckets).
+    val width = math.max(1L, (1L << (2 * bits)) / numFiles)
+    // repartition(n, key) places a row at pmod(murmur3(key), n), so
+    // raw buckets would COLLIDE into shared files (two disjoint
+    // z-ranges in one file = wide min/max = no pruning). The probe
+    // below inverts the hash once per bucket (data-independent,
+    // driver-side, <= numFiles rows — the bounded-collect pattern):
+    // feeding the bucket through its inverse makes partition ==
+    // bucket, so every file carries exactly one contiguous z-range.
+    val spark = df.sparkSession
+    val inv: Map[Long, Long] = spark.range(numFiles * 64L)
+      .select(col("id"),
+        pmod(hash(col("id")), lit(numFiles)).cast("long").as("b"))
+      .groupBy("b").agg(min("id").as("pid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(inv.size == numFiles,
+      s"hash-inverse probe found ${inv.size} of $numFiles partitions")
+    val pidMap = map(inv.toSeq.sortBy(_._1)
+      .flatMap { case (b, p) => Seq(lit(b), lit(p)) }: _*)
+    // the sort suffixes every payload column so equal-z rows can't
+    // permute with the input layout either (row-group stats must not
+    // depend on which partition a tie arrived from)
+    val tieBreak = df.columns.map(col).toSeq
     df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+      .withColumn("__zf", least(lit(numFiles - 1L),
+        expr(s"__z DIV $width")))
+      .withColumn("__pid", element_at(pidMap, col("__zf")))
+      .repartition(numFiles, col("__pid"))
+      .sortWithinPartitions(col("__z") +: tieBreak: _*)
+      .drop("__z", "__zf", "__pid")
       .write.mode("overwrite").parquet(path)
   }
 

