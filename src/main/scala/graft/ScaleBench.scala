@@ -269,6 +269,10 @@ object ScaleBench {
     // graph (nodes ∝ corpus, degree bounded); the overlap join's
     // per-key pair space must stay flat as the key count grows 100×
     "q_triangles_grow", "q_overlap_join",
+    // the funnel's per-step shrinking-survivor join chain and the
+    // as-of composition — both linear by design, both proven at 100×
+    // (1.6× / 2.7× on 100× data, r9w7)
+    "q_funnel_span", "q_attribution",
     // the incremental ingest check in its production (capped)
     // configuration: on this corpus every incoming clone collides
     // with a 100-member clique, so the UNCAPPED gate config's
