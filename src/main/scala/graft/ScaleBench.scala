@@ -231,7 +231,11 @@ object ScaleBench {
     // schema audit over the scaled documents tree: cost tracks FILE
     // COUNT like the other footer ops (the gate query's staged
     // two-file fixture is size-invariant by design)
-    "q_schema_docs")
+    "q_schema_docs",
+    // capped bipartite co-occurrence (pairs bounded per user — the
+    // cap is the scale contract; users grow with the corpus) and the
+    // multi-touch split (user-key join, purchase-key windows)
+    "q_cooc", "q_attribution_multi")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB
@@ -273,6 +277,10 @@ object ScaleBench {
     // as-of composition — both linear by design, both proven at 100×
     // (1.6× / 2.7× on 100× data, r9w7)
     "q_funnel_span", "q_attribution",
+    // the capped co-occurrence projection: 100× users must stay
+    // linear because every user's pair budget is C(20,2) regardless
+    // of activity — the uncapped form would be the measured blowup
+    "q_cooc",
     // the incremental ingest check in its production (capped)
     // configuration: on this corpus every incoming clone collides
     // with a 100-member clique, so the UNCAPPED gate config's

@@ -223,4 +223,58 @@ object GraphOps {
     e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Bipartite CO-OCCURRENCE projection with a per-user cap — the
+    * collaborative signal (items sharing users, documents sharing
+    * links/citations) whose naive form is the classic quadratic
+    * blowup: one power user touching 10⁶ items would alone emit
+    * 5·10¹¹ pairs. The cap bounds every user's contribution at
+    * C(maxPerUser, 2) pairs — the same audited-cap contract as the
+    * LSH bucket cap — keeping the projection linear in users. Kept
+    * items under the cap are the LOWEST item ids (deterministic, and
+    * trivially replayable in SQL; a deployment ranks by recency or
+    * weight instead — same shape, different ORDER BY). Pairs generate
+    * IN-ROW (sorted per-user array ≤ maxPerUser long, HOF pair
+    * expansion) so there is no self-join: one distinct, one user-key
+    * window, one user-key agg, one pair-key count agg. Use
+    * [[bipartiteCapAudit]] to price what the cap dropped. */
+  def bipartiteCoOccurrence(edges: DataFrame, userCol: String,
+                            itemCol: String, maxPerUser: Int): DataFrame = {
+    require(maxPerUser >= 2, s"maxPerUser must be >= 2, got $maxPerUser")
+    import org.apache.spark.sql.expressions.Window
+    val ui = edges.select(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("i")).distinct()
+    val w = Window.partitionBy("u").orderBy("i")
+    val capped = ui.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerUser)
+    capped.groupBy("u")
+      .agg(sort_array(collect_list(col("i"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, ix) ->
+          |  transform(slice(items, ix + 2, size(items)), y ->
+          |    struct(x AS item_a, y AS item_b))))""".stripMargin)).as("pr"))
+      .select(col("pr.item_a"), col("pr.item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The pricing/audit face of [[bipartiteCoOccurrence]]'s cap: user
+    * and capped-user counts, items dropped, and the pair mass with
+    * and without the cap (Σ C(n,2) vs Σ C(min(n,cap),2)) — the same
+    * decide-from-data posture as the exact-family pair preflight,
+    * one map-side-combinable agg. */
+  def bipartiteCapAudit(edges: DataFrame, userCol: String,
+                        itemCol: String, maxPerUser: Int): DataFrame = {
+    val ui = edges.select(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("i")).distinct()
+    ui.groupBy("u").agg(count(lit(1)).as("n_items"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_items") > maxPerUser, 1L).otherwise(0L))
+          .as("n_capped_users"),
+        sum(greatest(col("n_items") - maxPerUser, lit(0L)))
+          .as("items_dropped"),
+        sum(expr("n_items * (n_items - 1) DIV 2")).as("pairs_uncapped"),
+        sum(expr(s"least(n_items, $maxPerUser) * " +
+          s"(least(n_items, $maxPerUser) - 1) DIV 2")).as("pairs_capped"))
+  }
 }

@@ -97,6 +97,52 @@ object EventAnalytics {
           lit(1L)).otherwise(lit(0L)))
   }
 
+  /** MULTI-touch attribution: every purchase splits its credit across
+    * ALL of the user's clicks inside the lookback window
+    * [ts − windowSeconds, ts], in exact integer BASIS POINTS so any
+    * engine reproduces the split: each click gets 10000 div n, and
+    * the integer remainder (10000 − n·(10000 div n)) goes to the
+    * LAST click before the purchase — the near-touch bias every
+    * published position-based scheme gives the closing click, here
+    * doubling as the exactness fix (credits always sum to exactly
+    * 10000 per purchase; event_id tiebreaks tied click timestamps).
+    * Purchases with no click in the window don't appear — the
+    * unattributed population is [[rateAnomaly]]'s sibling query
+    * (last-touch attribution's NULL bucket). Plan: one user-key
+    * equi-join with the window predicate as a post-join filter
+    * (key-parallel; pairs bounded by clicks-per-user-per-window) +
+    * two purchase-keyed window functions. */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+                            typeCol: String, tsCol: String, idCol: String,
+                            purchaseType: String, clickType: String,
+                            windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val wUs = windowSeconds * 1000000L
+    val p = events.filter(col(typeCol) === purchaseType)
+      .select(col(userCol).as("user_id"), col(idCol).as("purchase_id"),
+        us(col(tsCol)).as("p_us"))
+    val c = events.filter(col(typeCol) === clickType)
+      .select(col(userCol).as("user_id"), col(idCol).as("click_id"),
+        us(col(tsCol)).as("c_us"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("c_us") >= col("p_us") - wUs && col("c_us") <= col("p_us"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val lastFirst = Window.partitionBy("purchase_id")
+      .orderBy(col("c_us").desc, col("click_id").desc)
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .withColumn("__rk", row_number().over(lastFirst))
+      .withColumn("credit_bp",
+        expr("10000 DIV n_touches") +
+          when(col("__rk") === 1,
+            lit(10000L) - col("n_touches") * expr("10000 DIV n_touches"))
+            .otherwise(lit(0L)))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("gap_us"),
+        col("n_touches"), col("credit_bp"))
+  }
+
   /** First-order Markov transition counts: for each user's event
     * stream ordered by (`tsCol`, `tieCol`) — the tiebreak column makes
     * the order TOTAL when timestamps collide, so the counts are

@@ -3724,6 +3724,39 @@ object ExtOracles {
         |  AS tri_cnt
         |FROM n LEFT JOIN cnt USING (node)""".stripMargin,
 
+    // co-occurrence: the oracle replays the per-user cap then counts
+    // pairs via the a<b SELF-JOIN — Spark generates them in-row from
+    // the capped array, so the hash match proves the HOF pair
+    // expansion emits exactly the join's set
+    "q_cooc" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    event_id % 500 AS i FROM events),
+        |r AS (SELECT u, i,
+        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
+        |  FROM ui),
+        |cap AS (SELECT u, i FROM r WHERE rk <= 20)
+        |SELECT a.i AS item_a, b.i AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the cap's pricing row: pair mass with and without the cap
+    "q_cooc_audit" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    event_id % 500 AS i FROM events),
+        |n AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM ui GROUP BY u)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN n_items > 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped_users,
+        |  CAST(SUM(GREATEST(n_items - 20, 0)) AS BIGINT)
+        |    AS items_dropped,
+        |  CAST(SUM(n_items * (n_items - 1) // 2) AS BIGINT)
+        |    AS pairs_uncapped,
+        |  CAST(SUM(LEAST(n_items, 20) * (LEAST(n_items, 20) - 1) // 2)
+        |    AS BIGINT) AS pairs_capped
+        |FROM n""".stripMargin,
+
     // k-core: 6 materialized peel rounds (fixpoint at 4 — the tail
     // rounds are identities, proving the operator's early exit);
     // output = degrees within the final edge set

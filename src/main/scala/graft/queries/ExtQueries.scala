@@ -1697,6 +1697,25 @@ object ExtQueries {
         (col("event_id") % 100).as("dst")),
       "src", "dst")
 
+  /** Item-item co-occurrence over the (user, event_id%500) bipartite
+    * graph, per-user contribution capped at 20 lowest item ids —
+    * pairs generate in-row from the capped per-user array, never via
+    * a self-join; the oracle replays the cap and counts pairs BY the
+    * a<b self-join (different formulation, same exactly-once set). */
+  def coocQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.bipartiteCoOccurrence(
+      Tables.events(spark, dir).select(
+        col("user_id"), (col("event_id") % 500).as("item")),
+      "user_id", "item", maxPerUser = 20)
+
+  /** The cap's pricing row: pair mass with and without the per-user
+    * cap (Σ C(n,2) vs Σ C(min(n,20),2)) — the preflight posture. */
+  def coocAuditQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.bipartiteCapAudit(
+      Tables.events(spark, dir).select(
+        col("user_id"), (col("event_id") % 500).as("item")),
+      "user_id", "item", maxPerUser = 20)
+
   /** k-core peel on a sparser derived graph (397 nodes, degree range
     * 10–99) where k = 32 forces a real multi-round cascade (fixpoint
     * at round 4, core of 3511 edges — measured on the sf0.01
@@ -2352,6 +2371,8 @@ object ExtQueries {
     "q_pagerank"          -> (pageRankQ _),
     "q_triangles"         -> (trianglesQ _),
     "q_kcore"             -> (kCoreQ _),
+    "q_cooc"              -> (coocQ _),
+    "q_cooc_audit"        -> (coocAuditQ _),
     "q_media_dedup"       -> (mediaDedup _),
     "q_embed_stats"       -> (embedStats _),
     "q_jsonl_read"        -> (jsonlRead _),

@@ -659,6 +659,32 @@ object StarOracles {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
         |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
+    // multi-touch attribution: 10000 bp split integer-exactly across
+    // the 24h window's clicks, remainder to the closing click
+    "q_attribution_multi" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS p_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS c_us FROM events
+        |  WHERE event_type = 'click'),
+        |pr AS (SELECT p.purchase_id, c.click_id, p.user_id,
+        |    p.p_us, c.c_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_us >= p.p_us - 86400000000 AND c.c_us <= p.p_us),
+        |x AS (SELECT purchase_id, click_id, user_id,
+        |    p_us - c_us AS gap_us,
+        |    CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |      AS n_touches,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY c_us DESC, click_id DESC) AS rk
+        |  FROM pr)
+        |SELECT purchase_id, click_id, user_id, gap_us, n_touches,
+        |  CAST(10000 // n_touches + CASE WHEN rk = 1
+        |    THEN 10000 - n_touches * (10000 // n_touches)
+        |    ELSE 0 END AS BIGINT) AS credit_bp
+        |FROM x""".stripMargin,
+
     // first-order Markov transitions, event_id tiebreak on tied ts
     "q_event_transitions" ->
       """WITH s AS (SELECT user_id, event_type AS from_type,

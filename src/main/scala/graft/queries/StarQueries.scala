@@ -892,6 +892,15 @@ object StarQueries {
     graft.operators.EventAnalytics.rateAnomaly(
       Tables.events(spark, dir), "event_type", "ts", trailing = 6)
 
+  /** Multi-touch attribution over a 24h lookback: every purchase
+    * splits exactly 10000 basis points across its window's clicks,
+    * remainder to the closing click (exact integer split — credits
+    * per purchase always sum to 10000). */
+  def multiTouchQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.multiTouchAttribution(
+      Tables.events(spark, dir), "user_id", "event_type", "ts",
+      "event_id", "purchase", "click", windowSeconds = 86400)
+
   /** First-order Markov transition matrix of the event stream —
     * per-user ordered lead() then a |types|²-sized count agg.
     * event_id tiebreaks colliding timestamps (total order ⇒
@@ -1197,6 +1206,7 @@ object StarQueries {
     "q_attribution"        -> (attributionQuery _),
     "q_rate_anomaly"       -> (rateAnomalyQuery _),
     "q_event_transitions"  -> (transitionsQuery _),
+    "q_attribution_multi"  -> (multiTouchQuery _),
     "q_conversion_lag"     -> (conversionLagQuery _),
     "q_overlap_join"       -> (overlapJoinQuery _),
     "q_interval_binned"    -> (intervalBinned _),

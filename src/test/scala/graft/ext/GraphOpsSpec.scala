@@ -95,6 +95,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("bipartiteCoOccurrence: hand pairs, duplicate edges collapse, cap drops highest ids") {
+    // u1 touches {1,2,3} (dup edge to 2 collapses) -> 3 pairs;
+    // u2 touches {2,3} -> 1 pair; u3 touches {1,2,3,4} but cap=3
+    // keeps the LOWEST ids {1,2,3}
+    val e = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (3L, 4L)).toDF("u", "i")
+    val got = GraphOps.bipartiteCoOccurrence(e, "u", "i", maxPerUser = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      (1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 3L))
+  }
+
+  test("bipartiteCoOccurrence equals the capped self-join on a random bipartite graph") {
+    val e = spark.range(600).select(
+      (col("id") % 23).as("u"), ((col("id") * 17 + 3) % 40).as("i"))
+    val cap = 6
+    import org.apache.spark.sql.expressions.Window
+    val ui = e.distinct()
+    val capped = ui.withColumn("rk", org.apache.spark.sql.functions
+        .row_number().over(Window.partitionBy("u").orderBy("i")))
+      .filter(col("rk") <= cap).select("u", "i")
+    val a = capped.select(col("u"), col("i").as("ia"))
+    val b = capped.select(col("u"), col("i").as("ib"))
+    val brute = a.join(b, Seq("u")).where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val got = GraphOps.bipartiteCoOccurrence(e, "u", "i", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === brute)
+  }
+
+  test("bipartiteCapAudit prices the pair mass with and without the cap") {
+    // n_items per user: u1=3, u2=5 with cap 3:
+    // uncapped pairs 3+10=13, capped 3+3=6, dropped items 2
+    val e = (Seq((1L, 1L), (1L, 2L), (1L, 3L)) ++
+      (1 to 5).map(i => (2L, i.toLong))).toDF("u", "i")
+    val r = GraphOps.bipartiteCapAudit(e, "u", "i", maxPerUser = 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((2L, 1L, 2L, 13L, 6L)))
+  }
+
   test("triangleCounts matches the brute-force 3-join on a skewed random graph") {
     // hub node 0 touches everything (the degree-orientation's target
     // regime); brute force = id-ordered a<b<c three-way join

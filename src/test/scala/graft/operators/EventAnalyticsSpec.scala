@@ -64,6 +64,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(("b", 60L)) === 1L)
   }
 
+  test("multi-touch credits sum to exactly 10000, remainder on the closing click") {
+    val ev = Seq(
+      // u1: 3 clicks inside the 1h window, one outside, then purchase
+      (10L, 1L, "click", ts(-90)), (11L, 1L, "click", ts(-50)),
+      (12L, 1L, "click", ts(-20)), (13L, 1L, "click", ts(-5)),
+      (14L, 1L, "purchase", ts(0)),
+      // u2 purchases with no click in window -> absent from output
+      (20L, 2L, "purchase", ts(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.multiTouchAttribution(ev, "user_id",
+        "event_type", "ts", "event_id", "purchase", "click",
+        windowSeconds = 3600)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    // 10000 div 3 = 3333; closing click (id 13) takes 3334
+    assert(out === Map(11L -> 3333L, 12L -> 3333L, 13L -> 3334L))
+    assert(out.values.sum === 10000L)
+  }
+
   test("transitions counts consecutive pairs per user with the id tiebreak") {
     // u1: view->click->view; u2 has a ts TIE broken by event_id
     // (3 before 4 -> click->view), and no cross-user pair leaks
