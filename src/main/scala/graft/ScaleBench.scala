@@ -235,7 +235,10 @@ object ScaleBench {
     // capped bipartite co-occurrence (pairs bounded per user — the
     // cap is the scale contract; users grow with the corpus) and the
     // multi-touch split (user-key join, purchase-key windows)
-    "q_cooc", "q_attribution_multi")
+    "q_cooc", "q_attribution_multi",
+    // personalized PageRank (same loop as q_pagerank, seeded
+    // teleport) and lift scoring over the capped cooc world
+    "q_ppr", "q_cooc_lift")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph authority scoring — the crawl-prioritization slot of a
@@ -52,6 +52,42 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int): DataFrame = {
     require(iters >= 1)
+    val (e, nodes) = normalized(edges, srcCol, dstCol)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one non-self-loop edge")
+    dampedLoop(e, nodes,
+      init = lit(Scale / n),
+      baseOf = lit((15L * Scale / 100L) / n),
+      iters = iters, tag = "pageRank")
+  }
+
+  /** PERSONALIZED PageRank: the teleport returns to a fixed seed set
+    * instead of every node — relevance-to-the-seeds rather than
+    * global authority (the crawl-frontier scorer when the corpus has
+    * a topic whitelist; SALSA/PPR is also the classic related-item
+    * ranker on the co-occurrence graph). Same integer domain and loop
+    * as [[pageRank]]: init mass = SCALE div |seeds| on seeds (0
+    * elsewhere), per-round teleport = (15·SCALE div 100) div |seeds|
+    * to seeds only. The seed set rides an `isin` literal (bounded —
+    * seed lists are curator-sized; a corpus-sized seed table would
+    * broadcast-join instead, same shape). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: Seq[Long],
+                           iters: Int): DataFrame = {
+    require(iters >= 1)
+    require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
+    val (e, nodes) = normalized(edges, srcCol, dstCol)
+    val s = seeds.size.toLong
+    val isSeed = col("node").isin(seeds: _*)
+    dampedLoop(e, nodes,
+      init = when(isSeed, lit(Scale / s)).otherwise(lit(0L)),
+      baseOf = when(isSeed, lit((15L * Scale / 100L) / s))
+        .otherwise(lit(0L)),
+      iters = iters, tag = "personalizedPageRank")
+  }
+
+  private def normalized(edges: DataFrame, srcCol: String,
+                         dstCol: String): (DataFrame, DataFrame) = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -62,16 +98,22 @@ object GraphOps {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
-    val n = nodes.count()
-    require(n > 0, "pageRank needs at least one non-self-loop edge")
+    (e, nodes)
+  }
+
+  /** The shared damped iteration: `init` and `baseOf` are column
+    * expressions over `node`, so the uniform and personalized
+    * teleports are the same loop. */
+  private def dampedLoop(e: DataFrame, nodes: DataFrame, init: Column,
+                         baseOf: Column, iters: Int,
+                         tag: String): DataFrame = {
     // fresh attribute ids (localCheckpoint) — outDeg shares e's
     // lineage, and the per-round share ⋈ edges step would otherwise
     // be an ambiguous self-join
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out"))
       .select(col("src").as("osrc"), col("out"))
       .localCheckpoint()
-    val base = (15L * Scale / 100L) / n
-    var pr = nodes.select(col("node"), lit(Scale / n).as("pr"))
+    var pr = nodes.select(col("node"), init.as("pr"))
       .localCheckpoint()
     var iter = 0
     var movedLast = -1L
@@ -90,7 +132,7 @@ object GraphOps {
       val next = nodes
         .join(contrib, nodes("node") === contrib("cnode"), "left")
         .select(col("node"),
-          (lit(base) + expr("85 * coalesce(contrib, 0L) div 100"))
+          (baseOf + expr("85 * coalesce(contrib, 0L) div 100"))
             .as("pr"))
         .localCheckpoint()
       movedLast = pr.select(col("node"), col("pr").as("__old"))
@@ -99,7 +141,7 @@ object GraphOps {
         .head().getLong(0)
       pr = next
       System.err.println(
-        s"[graft.GraphOps] pageRank iteration $iter/$iters: |delta| = $movedLast")
+        s"[graft.GraphOps] $tag iteration $iter/$iters: |delta| = $movedLast")
     }
     pr
   }
@@ -239,15 +281,23 @@ object GraphOps {
     * window, one user-key agg, one pair-key count agg. Use
     * [[bipartiteCapAudit]] to price what the cap dropped. */
   def bipartiteCoOccurrence(edges: DataFrame, userCol: String,
-                            itemCol: String, maxPerUser: Int): DataFrame = {
+                            itemCol: String, maxPerUser: Int): DataFrame =
+    pairCounts(capped(edges, userCol, itemCol, maxPerUser))
+
+  private def capped(edges: DataFrame, userCol: String, itemCol: String,
+                     maxPerUser: Int): DataFrame = {
     require(maxPerUser >= 2, s"maxPerUser must be >= 2, got $maxPerUser")
     import org.apache.spark.sql.expressions.Window
     val ui = edges.select(col(userCol).cast("long").as("u"),
         col(itemCol).cast("long").as("i")).distinct()
     val w = Window.partitionBy("u").orderBy("i")
-    val capped = ui.withColumn("__rk", row_number().over(w))
+    ui.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxPerUser)
-    capped.groupBy("u")
+      .select("u", "i")
+  }
+
+  private def pairCounts(cappedUi: DataFrame): DataFrame =
+    cappedUi.groupBy("u")
       .agg(sort_array(collect_list(col("i"))).as("items"))
       .select(explode(expr(
         """flatten(transform(items, (x, ix) ->
@@ -256,6 +306,31 @@ object GraphOps {
       .select(col("pr.item_a"), col("pr.item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_users"))
+
+  /** LIFT scoring over the capped co-occurrence world: for each pair,
+    * observed co-users vs the independence expectation —
+    * lift = n_ab·N / (n_a·n_b), every count from the SAME capped
+    * table so margins and pairs describe one consistent corpus. The
+    * double evaluates in one fixed left-to-right chain
+    * (CAST(n_ab) · N / n_a / n_b — the q_pmi_colloc bit-equality
+    * policy; an integer-ppm form would overflow 2^63 at corpus
+    * scale). Margins are an item-keyed agg; N rides a broadcast
+    * 1-row agg — no collect. */
+  def bipartiteLift(edges: DataFrame, userCol: String, itemCol: String,
+                    maxPerUser: Int): DataFrame = {
+    val c = capped(edges, userCol, itemCol, maxPerUser).localCheckpoint()
+    val total = c.agg(countDistinct("u").as("n_total"))
+    val mA = c.groupBy(col("i").as("item_a"))
+      .agg(count(lit(1)).as("cnt_a"))
+    val mB = c.groupBy(col("i").as("item_b"))
+      .agg(count(lit(1)).as("cnt_b"))
+    pairCounts(c)
+      .join(mA, "item_a").join(mB, "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        col("cnt_a"), col("cnt_b"),
+        (col("n_users").cast("double") * col("n_total")
+          / col("cnt_a") / col("cnt_b")).as("lift"))
   }
 
   /** The pricing/audit face of [[bipartiteCoOccurrence]]'s cap: user

@@ -3702,6 +3702,10 @@ object ExtOracles {
     "q_pagerank" -> ("WITH " + pageRankChain(10) +
       s"\nSELECT node, pr FROM pr10"),
 
+    // personalized PageRank: teleport confined to seeds {0..4}
+    "q_ppr" -> ("WITH " + pprChain(10) +
+      s"\nSELECT node, pr FROM pr10"),
+
     // per-node triangle counts over the pagerank graph: the oracle
     // enumerates triangles by the id-ordered a<b<c three-way self-join
     // (each triangle once by construction) — a DIFFERENT algorithm
@@ -3739,6 +3743,31 @@ object ExtOracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
         |GROUP BY 1, 2""".stripMargin,
+
+    // lift over the same capped world: margins, pairs, and N all from
+    // the capped table; the double is ONE left-to-right chain
+    // matching Spark's expression order exactly
+    "q_cooc_lift" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    event_id % 500 AS i FROM events),
+        |r AS (SELECT u, i,
+        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
+        |  FROM ui),
+        |cap AS (SELECT u, i FROM r WHERE rk <= 20),
+        |t AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_total
+        |      FROM cap),
+        |m AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM cap GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_users,
+        |  ma.cnt AS cnt_a, mb.cnt AS cnt_b,
+        |  CAST(p.n_users AS DOUBLE) * t.n_total / ma.cnt / mb.cnt
+        |    AS lift
+        |FROM p JOIN m ma ON ma.i = p.item_a
+        |  JOIN m mb ON mb.i = p.item_b CROSS JOIN t""".stripMargin,
 
     // the cap's pricing row: pair mass with and without the cap
     "q_cooc_audit" ->
@@ -3971,6 +4000,36 @@ object ExtOracles {
          |  JOIN ka$r y ON $p.b = y.node)""".stripMargin
     }
     (head +: steps).mkString(",\n")
+  }
+
+  /** Personalized-PageRank rounds: same integer recurrence as
+    * [[pageRankChain]] but init mass and the per-round teleport go
+    * ONLY to the fixture's seed set {0..4} (node < 5). */
+  private def pprChain(iters: Int): String = {
+    val head =
+      """ed AS (SELECT DISTINCT user_id % 100 AS src,
+        |    event_id % 100 AS dst
+        |  FROM events WHERE user_id % 100 <> event_id % 100),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM ed
+        |  UNION ALL SELECT dst FROM ed) q),
+        |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outd
+        |  FROM ed GROUP BY src),
+        |pr0 AS (SELECT node, CASE WHEN node < 5
+        |    THEN 1000000000000 // 5 ELSE 0 END AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n2.node,
+         |    CASE WHEN n2.node < 5 THEN 150000000000 // 5 ELSE 0 END
+         |      + 85 * COALESCE(s.contrib, 0) // 100 AS pr
+         |  FROM nodes n2
+         |  LEFT JOIN (SELECT e.dst,
+         |      CAST(SUM(p.pr // o.outd) AS BIGINT) AS contrib
+         |    FROM pr${i - 1} p
+         |    JOIN odeg o ON o.src = p.node
+         |    JOIN ed e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.dst = n2.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
   }
 
   private def pageRankChain(iters: Int): String = {

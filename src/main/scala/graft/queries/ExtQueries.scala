@@ -1697,6 +1697,16 @@ object ExtQueries {
         (col("event_id") % 100).as("dst")),
       "src", "dst")
 
+  /** Personalized PageRank from seeds {0..4} on the pagerank graph —
+    * relevance-to-the-seeds, 10 integer-domain rounds unrolled in
+    * SQL like the uniform variant. */
+  def pprQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.personalizedPageRank(
+      Tables.events(spark, dir).select(
+        (col("user_id") % 100).as("src"),
+        (col("event_id") % 100).as("dst")),
+      "src", "dst", seeds = Seq(0L, 1L, 2L, 3L, 4L), iters = 10)
+
   /** Item-item co-occurrence over the (user, event_id%500) bipartite
     * graph, per-user contribution capped at 20 lowest item ids —
     * pairs generate in-row from the capped per-user array, never via
@@ -1704,6 +1714,14 @@ object ExtQueries {
     * a<b self-join (different formulation, same exactly-once set). */
   def coocQ(spark: SparkSession, dir: String): DataFrame =
     GraphOps.bipartiteCoOccurrence(
+      Tables.events(spark, dir).select(
+        col("user_id"), (col("event_id") % 500).as("item")),
+      "user_id", "item", maxPerUser = 20)
+
+  /** Lift over the capped co-occurrence world — observed co-users vs
+    * the independence expectation, one fixed double chain. */
+  def coocLiftQ(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.bipartiteLift(
       Tables.events(spark, dir).select(
         col("user_id"), (col("event_id") % 500).as("item")),
       "user_id", "item", maxPerUser = 20)
@@ -2373,6 +2391,8 @@ object ExtQueries {
     "q_kcore"             -> (kCoreQ _),
     "q_cooc"              -> (coocQ _),
     "q_cooc_audit"        -> (coocAuditQ _),
+    "q_ppr"               -> (pprQ _),
+    "q_cooc_lift"         -> (coocLiftQ _),
     "q_media_dedup"       -> (mediaDedup _),
     "q_embed_stats"       -> (embedStats _),
     "q_jsonl_read"        -> (jsonlRead _),

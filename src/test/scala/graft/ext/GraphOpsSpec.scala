@@ -68,6 +68,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("personalized PageRank: one hand round, teleport only to the seed") {
+    // 1→2, 2→1, 3→1; seed {1}: pr0 = (SCALE, 0, 0); round 1:
+    // node 1 gets only its teleport (no inbound mass yet), node 2
+    // gets 85% of the seed's share, node 3 gets nothing
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "d")
+    val got = GraphOps.personalizedPageRank(e, "s", "d",
+        seeds = Seq(1L), iters = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 150000000000L),
+      (2L, 85L * 1000000000000L / 100L),
+      (3L, 0L)))
+  }
+
   test("kCore: triangle with a tendril keeps only the triangle at k=2") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("s", "d")
@@ -128,6 +142,16 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     assert(got === brute)
+  }
+
+  test("bipartiteLift: hand case evaluates to exact doubles") {
+    // u1{1,2}, u2{1,2}, u3{1}: N=3, cnt(1)=3, cnt(2)=2, co(1,2)=2
+    // lift = 2*3/3/2 = 1.0 exactly (all operands are small integers)
+    val e = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("u", "i")
+    val r = GraphOps.bipartiteLift(e, "u", "i", maxPerUser = 5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === ((1L, 2L, 2L, 3L, 2L, 1.0)))
   }
 
   test("bipartiteCapAudit prices the pair mass with and without the cap") {
