@@ -238,7 +238,10 @@ object ScaleBench {
     "q_cooc", "q_attribution_multi",
     // personalized PageRank (same loop as q_pagerank, seeded
     // teleport) and lift scoring over the capped cooc world
-    "q_ppr", "q_cooc_lift")
+    "q_ppr", "q_cooc_lift",
+    // the ingest face: stream-static join against the capped index,
+    // pairs per incoming row bounded by the cap
+    "q_stream_cooc")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -35,5 +35,6 @@ object SparkEntry {
     "q_stream_static_join", "q_openf1_stream", "q_stream_dedup",
     "q_stream_left_join", "q_stream_full_join",
     "q_stream_neardup", "q_stream_drift", "q_stream_quality",
-    "q_stream_phash", "q_stream_substr", "q_stream_rate")
+    "q_stream_phash", "q_stream_substr", "q_stream_rate",
+    "q_stream_cooc")
 }

@@ -3769,6 +3769,23 @@ object ExtOracles {
         |FROM p JOIN m ma ON ma.i = p.item_a
         |  JOIN m mb ON mb.i = p.item_b CROSS JOIN t""".stripMargin,
 
+    // streaming incremental cooc: completed stream == the batch
+    // incoming x capped-index join
+    "q_stream_cooc" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    event_id % 500 AS i FROM events),
+        |r AS (SELECT u, i,
+        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
+        |  FROM ui),
+        |cap AS (SELECT u, i FROM r WHERE rk <= 20),
+        |inc AS (SELECT user_id AS u, (event_id * 7) % 500 AS i_new
+        |  FROM events WHERE event_id % 13 = 0)
+        |SELECT least(inc.i_new, cap.i) AS item_a,
+        |  greatest(inc.i_new, cap.i) AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM inc JOIN cap ON inc.u = cap.u AND cap.i <> inc.i_new
+        |GROUP BY 1, 2""".stripMargin,
+
     // the cap's pricing row: pair mass with and without the cap
     "q_cooc_audit" ->
       """WITH ui AS (SELECT DISTINCT user_id AS u,

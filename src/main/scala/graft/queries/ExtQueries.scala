@@ -1726,6 +1726,38 @@ object ExtQueries {
         col("user_id"), (col("event_id") % 500).as("item")),
       "user_id", "item", maxPerUser = 20)
 
+  /** STREAMING incremental co-occurrence: the ingest stream's new
+    * (user, item) interactions join the static CAPPED per-user index
+    * and emit the canonical new-pairs count table — the live face of
+    * [[coocQ]], the q_stream_neardup/incr_dedup ingest pattern on the
+    * collaborative graph. Stateless stream-static join on the user
+    * key (pairs per incoming row bounded by the cap) + one complete-
+    * mode pair-count agg; the completed stream equals the batch join
+    * replayed in DuckDB. */
+  def streamCoocQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(spark, dir)
+      .select(col("user_id").as("u"), (col("event_id") % 500).as("i"))
+      .distinct()
+    val cap = ui.withColumn("__rk",
+        row_number().over(Window.partitionBy("u").orderBy("i")))
+      .filter(col("__rk") <= 20).select("u", "i")
+      .localCheckpoint()
+    val incoming = Tables.events(spark, dir)
+      .filter(col("event_id") % 13 === 0)
+      .select(col("user_id").as("u"),
+        ((col("event_id") * 7) % 500).as("i_new"))
+    StarQueries.runStagedStream(spark, incoming, "q_stream_cooc",
+      "complete") { src =>
+      src().join(cap, Seq("u"))
+        .filter(col("i") =!= col("i_new"))
+        .select(least(col("i_new"), col("i")).as("item_a"),
+          greatest(col("i_new"), col("i")).as("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+  }
+
   /** The cap's pricing row: pair mass with and without the per-user
     * cap (Σ C(n,2) vs Σ C(min(n,20),2)) — the preflight posture. */
   def coocAuditQ(spark: SparkSession, dir: String): DataFrame =
@@ -2393,6 +2425,7 @@ object ExtQueries {
     "q_cooc_audit"        -> (coocAuditQ _),
     "q_ppr"               -> (pprQ _),
     "q_cooc_lift"         -> (coocLiftQ _),
+    "q_stream_cooc"       -> (streamCoocQ _),
     "q_media_dedup"       -> (mediaDedup _),
     "q_embed_stats"       -> (embedStats _),
     "q_jsonl_read"        -> (jsonlRead _),
