@@ -287,6 +287,10 @@ object ScaleBench {
     // linear because every user's pair budget is C(20,2) regardless
     // of activity — the uncapped form would be the measured blowup
     "q_cooc",
+    // the orientation claim at true skew: hub degree ≈ 9·10⁵ at 100×
+    // (naive wedge count ~4·10¹¹); oriented, the hub's out-degree is
+    // ZERO and the run measures 2.6× over base (r9w9)
+    "q_triangles_hub",
     // the incremental ingest check in its production (capped)
     // configuration: on this corpus every incoming clone collides
     // with a 100-member clique, so the UNCAPPED gate config's
@@ -314,6 +318,21 @@ object ScaleBench {
       val edges = u.selectExpr(
         "stack(4, u, u+1, u+1, u+2, u, u+2, u+2, u+3) AS (src, dst)")
       graft.ext.GraphOps.triangleCounts(edges, "src", "dst")
+    }),
+    // triangles on the HUB-dominATED graph: one hub node touches every
+    // chain-triangle node, so hub degree = 3·|users| and the naive
+    // node-iterator would enumerate C(3·|users|, 2) wedges AT THE HUB
+    // alone (~5·10¹⁰ at 100× — the blowup class). Degree orientation
+    // makes the hub the globally LAST node, so every hub edge points
+    // INTO it: hub out-degree 0, zero wedges at the hub, and the pair
+    // volume stays linear — this fixture measures exactly that claim.
+    "q_triangles_hub" -> ((s: SparkSession, d: String) => {
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+        .select((col("user_id") * 3 + 10).as("u")) // ids 10.. keep 0 free
+      val tri = u.selectExpr(
+        "stack(4, u, u+1, u+1, u+2, u, u+2, u+2, u+3) AS (src, dst)")
+      val hub = u.selectExpr("stack(3, u, 0L, u+1, 0L, u+2, 0L) AS (src, dst)")
+      graft.ext.GraphOps.triangleCounts(tri.unionByName(hub), "src", "dst")
     }),
     // k-core on the same growing chain-of-triangles graph: at k = 3
     // the triangle corners (degree 2) peel in round 1, the chain
