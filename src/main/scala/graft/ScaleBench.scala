@@ -241,7 +241,10 @@ object ScaleBench {
     "q_ppr", "q_cooc_lift",
     // the ingest face: stream-static join against the capped index,
     // pairs per incoming row bounded by the cap
-    "q_stream_cooc")
+    "q_stream_cooc",
+    // curriculum deciles via the order-preserving bucket rank — the
+    // global-window bottleneck this op avoids is the anti-pattern
+    "q_curriculum")
 
   /** The 100× set: the pair-generating and stateful shapes whose
     * worst case is quadratic or state-bound — the ones whose 100 TB

@@ -315,6 +315,46 @@ object Sampling {
     * data — so NO unpartitioned window exists anywhere in the plan
     * (the repo's plan lint rejects them: a global window funnels its
     * whole input through one task). */
+  /** CURRICULUM phase assignment: each row's global quantile bucket
+    * under the (score, id) order — quality-ascending training
+    * curricula assign phase = decile of the quality score, and the
+    * naive plan is a GLOBAL row_number (one task at 100 TB). Here the
+    * rank decomposes exactly like [[epochShuffle]]'s, but stronger:
+    * the bucket is an ORDER-PRESERVING coarsening of the score itself
+    * (`score DIV bucketWidth`), so bucket-local rank + broadcast
+    * cumulative bucket counts IS the global rank under the DESIRED
+    * order, not a defined-order substitute. Per-bucket parallelism is
+    * bounded by score granularity (a single hot score value cannot
+    * split across buckets — shrink bucketWidth toward 1 for
+    * fine-grained scores; integer scores with heavy ties are the
+    * pathological case and land in one window task per value).
+    * Output: (id, score, global_rank 1-based, phase 0..phases-1 via
+    * (rank−1)·phases div total). */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+                       phases: Int = 10,
+                       bucketWidth: Long = 64L): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2, got $phases")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy(col("score").asc, col(idCol).asc)
+    val ranked = df
+      .select(col(idCol), col(scoreCol).cast("long").as("score"))
+      .withColumn("__bucket", expr(s"score DIV $bucketWidth"))
+      .withColumn("__rn", row_number().over(wLocal))
+    val counts = ranked.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+    val lower = broadcast(counts
+      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
+    val offsets = counts.join(lower, col("__lb") < col("__bucket"), "left")
+      .groupBy("__bucket")
+      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
+    val total = counts.agg(sum("__cnt").as("__total"))
+    ranked.join(broadcast(offsets), Seq("__bucket"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("score"),
+        (col("__off") + col("__rn")).cast("long").as("global_rank"),
+        expr(s"(__off + __rn - 1) * $phases DIV __total").as("phase"))
+  }
+
   def epochShuffle(df: DataFrame, idCol: String, batchSize: Int,
                    epoch: Int = 0, numBuckets: Int = 1024): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")

@@ -1652,6 +1652,21 @@ object ExtOracles {
         |  CAST((pos - 1) // 64 AS BIGINT) AS batch_id
         |FROM r""".stripMargin,
 
+    // curriculum phases: the oracle's GLOBAL row_number over
+    // (score, id) is the equality proof for the operator's
+    // order-preserving bucket decomposition
+    "q_curriculum" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, score,
+        |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+        |      AS grank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS total
+        |  FROM s)
+        |SELECT doc_id, score, grank AS global_rank,
+        |  CAST((grank - 1) * 10 // total AS BIGINT) AS phase
+        |FROM r""".stripMargin,
+
     // unigram-LM surprisal: add-one smoothing, per-term quantization
     // via integer bit length (length(bin(x)) = floor(log2 x)+1 — the
     // engine-portable form of -log2 p; float ln would hash-break)

@@ -896,6 +896,14 @@ object ExtQueries {
   def epochShuffle(spark: SparkSession, dir: String): DataFrame =
     Sampling.epochShuffle(docs(spark, dir), "doc_id", batchSize = 64)
 
+  /** Quality-ascending curriculum phases: n_chars as the quality
+    * proxy, global decile WITHOUT a global window — the oracle's
+    * global row_number over the same (score, id) order is the
+    * equality proof for the bucket decomposition. */
+  def curriculumQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumPhases(docs(spark, dir), "doc_id", "n_chars",
+      phases = 10, bucketWidth = 64)
+
   /** Unigram-LM surprisal quality scores (TextOps.lmSurprisal) over
     * the corpus — per-doc integer surprisal-in-bits plus the hapax
     * and commonness tails. The LM is trained on the same corpus it
@@ -2363,6 +2371,7 @@ object ExtQueries {
     "q_lang_id"           -> (langIdConfusion _),
     "q_lm_surprisal"      -> (lmSurprisal _),
     "q_epoch_shuffle"     -> (epochShuffle _),
+    "q_curriculum"        -> (curriculumQ _),
     "q_pq_codes"          -> (pqCodes _),
     "q_pq_topk"           -> (pqTopKQ _),
     "q_pq_recall"         -> (pqRecall _),

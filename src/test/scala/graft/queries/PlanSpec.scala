@@ -264,6 +264,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum global rank plans NO single-partition funnel") {
+    val plan = planOf(ExtQueries.curriculumQ(spark, sf))
+    // the row-level rank must ride the bucket-partitioned window...
+    assert(plan.contains("windowspecdefinition(__bucket"),
+      s"rank must be bucket-partitioned:\n$plan")
+    // ...and the only SinglePartition exchange allowed is the 1-ROW
+    // total-count scalar agg (partial sums of bucket counts — not
+    // data); a second one would mean the rank itself funneled
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1,
+      s"only the scalar total may single-partition ($singles found):\n$plan")
+  }
+
   test("join preflight shuffles only key histograms, never payload columns") {
     val plan = planOf(ExtQueries.joinPreflightQ(spark, sf))
     val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
