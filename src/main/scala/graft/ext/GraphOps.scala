@@ -284,8 +284,12 @@ object GraphOps {
                             itemCol: String, maxPerUser: Int): DataFrame =
     pairCounts(capped(edges, userCol, itemCol, maxPerUser))
 
-  private def capped(edges: DataFrame, userCol: String, itemCol: String,
-                     maxPerUser: Int): DataFrame = {
+  /** The capped (u, i) table itself — exposed so the streaming
+    * ingest face joins against EXACTLY the batch operator's cap
+    * definition (one place to change the kept-items rule). */
+  private[graft] def capped(edges: DataFrame, userCol: String,
+                            itemCol: String,
+                            maxPerUser: Int): DataFrame = {
     require(maxPerUser >= 2, s"maxPerUser must be >= 2, got $maxPerUser")
     import org.apache.spark.sql.expressions.Window
     val ui = edges.select(col(userCol).cast("long").as("u"),

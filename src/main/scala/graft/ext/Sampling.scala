@@ -274,19 +274,28 @@ object Sampling {
       .withColumn("__cum",
         sum("n_tokens").over(wLocal.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val counts = local.groupBy("__bucket")
-      .agg(sum("n_tokens").as("__cnt"))
-    val lower = broadcast(counts
-      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
-    val offsets = counts.join(lower, col("__lb") < col("__bucket"), "left")
-      .groupBy("__bucket")
-      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
+    val offsets = bucketOffsets(local.groupBy("__bucket")
+      .agg(sum("n_tokens").as("__cnt")))
     local.join(broadcast(offsets), Seq("__bucket"))
       .select(col(idCol), col("n_tokens"),
         (col("__off") + col("__cum") - col("n_tokens")).cast("long")
           .as("cum_before"),
         expr(s"(__off + __cum - n_tokens) div $shardTokens")
           .as("shard_id"))
+  }
+
+  /** Cumulative offset of every bucket = Σ counts of LOWER buckets —
+    * the broadcast half of the bucket-decomposed global rank/cumsum
+    * shared by [[shardPlan]], [[epochShuffle]] and
+    * [[curriculumPhases]]. Input: (__bucket, __cnt); output:
+    * (__bucket, __off). Bucket cardinality is the (bounded) bucket
+    * count, so the theta-join is broadcast-sized by construction. */
+  private def bucketOffsets(counts: DataFrame): DataFrame = {
+    val lower = broadcast(counts
+      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
+    counts.join(lower, col("__lb") < col("__bucket"), "left")
+      .groupBy("__bucket")
+      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
   }
 
   /** Deterministic epoch shuffle + fixed-size batch assignment: the
@@ -342,11 +351,7 @@ object Sampling {
       .withColumn("__bucket", expr(s"score DIV $bucketWidth"))
       .withColumn("__rn", row_number().over(wLocal))
     val counts = ranked.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
-    val lower = broadcast(counts
-      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
-    val offsets = counts.join(lower, col("__lb") < col("__bucket"), "left")
-      .groupBy("__bucket")
-      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
+    val offsets = bucketOffsets(counts)
     val total = counts.agg(sum("__cnt").as("__total"))
     ranked.join(broadcast(offsets), Seq("__bucket"))
       .crossJoin(broadcast(total))
@@ -366,12 +371,8 @@ object Sampling {
     val ranked = df.select(col(idCol), h.as("__h"),
         (h % numBuckets).as("__bucket"))
       .withColumn("__rn", row_number().over(wLocal))
-    val counts = ranked.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
-    val lower = broadcast(counts
-      .select(col("__bucket").as("__lb"), col("__cnt").as("__lc")))
-    val offsets = counts.join(lower, col("__lb") < col("__bucket"), "left")
-      .groupBy("__bucket")
-      .agg(coalesce(sum("__lc"), lit(0L)).as("__off"))
+    val offsets = bucketOffsets(
+      ranked.groupBy("__bucket").agg(count(lit(1)).as("__cnt")))
     ranked.join(broadcast(offsets), Seq("__bucket"))
       .select(col(idCol),
         (col("__off") + col("__rn")).cast("long").as("pos"),

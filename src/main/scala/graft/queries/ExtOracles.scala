@@ -3361,7 +3361,12 @@ object ExtOracles {
     // schema-drift audit over the staged two-generation tree (the
     // query writes it before auditing — zorder-gate staging
     // convention): leaf columns only (num_children NULL), physical
-    // type names shared verbatim between parquet-mr and DuckDB
+    // type names shared verbatim between parquet-mr and DuckDB.
+    // The staged generations are deliberately FLAT: the operator
+    // names nested leaves by their full dotted path (LayoutSpec pins
+    // "props.a"), but parquet_schema reports bare leaf names with
+    // the parent context in separate rows, so a nested fixture would
+    // need a path-reconstruction walk this oracle doesn't attempt
     "q_schema_drift" ->
       """WITH s AS (SELECT file_name, name, type
         |    FROM parquet_schema('/tmp/graft_schema_sf0.01/**/*.parquet')
@@ -3748,27 +3753,17 @@ object ExtOracles {
     // the capped array, so the hash match proves the HOF pair
     // expansion emits exactly the join's set
     "q_cooc" ->
-      """WITH ui AS (SELECT DISTINCT user_id AS u,
-        |    event_id % 500 AS i FROM events),
-        |r AS (SELECT u, i,
-        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
-        |  FROM ui),
-        |cap AS (SELECT u, i FROM r WHERE rk <= 20)
+      ("WITH " + coocCapCtes + """
         |SELECT a.i AS item_a, b.i AS item_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin),
 
     // lift over the same capped world: margins, pairs, and N all from
     // the capped table; the double is ONE left-to-right chain
     // matching Spark's expression order exactly
     "q_cooc_lift" ->
-      """WITH ui AS (SELECT DISTINCT user_id AS u,
-        |    event_id % 500 AS i FROM events),
-        |r AS (SELECT u, i,
-        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
-        |  FROM ui),
-        |cap AS (SELECT u, i FROM r WHERE rk <= 20),
+      ("WITH " + coocCapCtes + """,
         |t AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_total
         |      FROM cap),
         |m AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3782,29 +3777,23 @@ object ExtOracles {
         |  CAST(p.n_users AS DOUBLE) * t.n_total / ma.cnt / mb.cnt
         |    AS lift
         |FROM p JOIN m ma ON ma.i = p.item_a
-        |  JOIN m mb ON mb.i = p.item_b CROSS JOIN t""".stripMargin,
+        |  JOIN m mb ON mb.i = p.item_b CROSS JOIN t""".stripMargin),
 
     // streaming incremental cooc: completed stream == the batch
     // incoming x capped-index join
     "q_stream_cooc" ->
-      """WITH ui AS (SELECT DISTINCT user_id AS u,
-        |    event_id % 500 AS i FROM events),
-        |r AS (SELECT u, i,
-        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
-        |  FROM ui),
-        |cap AS (SELECT u, i FROM r WHERE rk <= 20),
+      ("WITH " + coocCapCtes + """,
         |inc AS (SELECT user_id AS u, (event_id * 7) % 500 AS i_new
         |  FROM events WHERE event_id % 13 = 0)
         |SELECT least(inc.i_new, cap.i) AS item_a,
         |  greatest(inc.i_new, cap.i) AS item_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM inc JOIN cap ON inc.u = cap.u AND cap.i <> inc.i_new
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin),
 
     // the cap's pricing row: pair mass with and without the cap
     "q_cooc_audit" ->
-      """WITH ui AS (SELECT DISTINCT user_id AS u,
-        |    event_id % 500 AS i FROM events),
+      ("WITH " + coocCapCtes + """,
         |n AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_items
         |      FROM ui GROUP BY u)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -3816,7 +3805,7 @@ object ExtOracles {
         |    AS pairs_uncapped,
         |  CAST(SUM(LEAST(n_items, 20) * (LEAST(n_items, 20) - 1) // 2)
         |    AS BIGINT) AS pairs_capped
-        |FROM n""".stripMargin,
+        |FROM n""".stripMargin),
 
     // k-core: 6 materialized peel rounds (fixpoint at 4 — the tail
     // rounds are identities, proving the operator's early exit);
@@ -4033,6 +4022,20 @@ object ExtOracles {
     }
     (head +: steps).mkString(",\n")
   }
+
+  /** The capped co-occurrence world's CTEs (ui → ranked → cap),
+    * shared by all four cooc oracles so the cap definition cannot
+    * drift between them — margins, pairs, N, the audit, and the
+    * streaming face must describe ONE corpus. Mirrors the Spark
+    * side's GraphOps.capped (maxPerUser = 20, item = event_id%500).
+    * A `def`, not a `val` — the init-order gotcha. */
+  private def coocCapCtes: String =
+    """ui AS (SELECT DISTINCT user_id AS u,
+      |    event_id % 500 AS i FROM events),
+      |r AS (SELECT u, i,
+      |    row_number() OVER (PARTITION BY u ORDER BY i) AS rk
+      |  FROM ui),
+      |cap AS (SELECT u, i FROM r WHERE rk <= 20)""".stripMargin
 
   /** Personalized-PageRank rounds: same integer recurrence as
     * [[pageRankChain]] but init mass and the per-round teleport go

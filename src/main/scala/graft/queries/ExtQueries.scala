@@ -1743,13 +1743,12 @@ object ExtQueries {
     * mode pair-count agg; the completed stream equals the batch join
     * replayed in DuckDB. */
   def streamCoocQ(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ui = Tables.events(spark, dir)
-      .select(col("user_id").as("u"), (col("event_id") % 500).as("i"))
-      .distinct()
-    val cap = ui.withColumn("__rk",
-        row_number().over(Window.partitionBy("u").orderBy("i")))
-      .filter(col("__rk") <= 20).select("u", "i")
+    // the static index IS the batch operator's cap — same code path,
+    // so a change to the kept-items rule cannot diverge the faces
+    val cap = GraphOps.capped(
+      Tables.events(spark, dir).select(
+        col("user_id"), (col("event_id") % 500).as("item")),
+      "user_id", "item", maxPerUser = 20)
       .localCheckpoint()
     val incoming = Tables.events(spark, dir)
       .filter(col("event_id") % 13 === 0)

@@ -641,23 +641,9 @@ object StarOracles {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     // hourly rate spikes vs a trailing-6 observed-bucket baseline,
-    // integer cross-multiplied
-    "q_rate_anomaly" ->
-      """WITH h AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hour_bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, hour_bucket, n_events,
-        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
-        |  CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT)
-        |    AS trail_events,
-        |  CAST(CASE WHEN COUNT(*) OVER w = 6
-        |    AND n_events * (COUNT(*) OVER w) >
-        |        (COALESCE(SUM(n_events) OVER w, 0)) * 2
-        |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
-        |FROM h
-        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
-        |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    // integer cross-multiplied (shared verbatim with q_stream_rate —
+    // one constant IS the batch-equivalence contract)
+    "q_rate_anomaly" -> rateAnomalySql,
 
     // multi-touch attribution: 10000 bp split integer-exactly across
     // the 24h window's clicks, remainder to the closing click
@@ -732,23 +718,9 @@ object StarOracles {
         |  AND c_lo <= v_hi AND v_lo <= c_hi""".stripMargin,
 
     // streaming face of the spike detector: completed stream + the
-    // bucket-table flag pass must equal the batch oracle VERBATIM
-    "q_stream_rate" ->
-      """WITH h AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hour_bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, hour_bucket, n_events,
-        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
-        |  CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT)
-        |    AS trail_events,
-        |  CAST(CASE WHEN COUNT(*) OVER w = 6
-        |    AND n_events * (COUNT(*) OVER w) >
-        |        (COALESCE(SUM(n_events) OVER w, 0)) * 2
-        |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
-        |FROM h
-        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
-        |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    // bucket-table flag pass equal the SAME SQL constant as the
+    // batch query — the batch-equivalence contract, by construction
+    "q_stream_rate" -> rateAnomalySql,
 
     // weekly cohort retention over integer epoch weeks
     "q_cohort_triangle" ->
@@ -811,4 +783,27 @@ object StarOracles {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
   )
+
+  /** The rate-spike SQL, bound ONCE and mapped from both
+    * q_rate_anomaly and q_stream_rate: the streaming face's contract
+    * is "equals the batch oracle verbatim", so a single constant is
+    * that contract — an edit cannot reach one and miss the other.
+    * (A `def` below the map is safe; a `val` would be null during
+    * the map's initialization — the ExtOracles init-order gotcha.) */
+  private def rateAnomalySql: String =
+    """WITH h AS (SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS hour_bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_bucket, n_events,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+      |  CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT)
+      |    AS trail_events,
+      |  CAST(CASE WHEN COUNT(*) OVER w = 6
+      |    AND n_events * (COUNT(*) OVER w) >
+      |        (COALESCE(SUM(n_events) OVER w, 0)) * 2
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+      |FROM h
+      |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+      |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin
 }

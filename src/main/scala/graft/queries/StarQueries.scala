@@ -879,7 +879,11 @@ object StarQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-    AsOfJoin.backward(p, c, on = "ts", by = Seq("user_id"))
+    // tiebreak: tied click timestamps resolve to the greatest
+    // click_id deterministically (the asofBackward contract — the
+    // operator must not depend on right-side (user, ts) uniqueness)
+    AsOfJoin.backward(p, c, on = "ts", by = Seq("user_id"),
+        tiebreak = Some("click_id"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("click_id"),
         (unix_micros(col("ts")) - unix_micros(col("ts_right")))

@@ -170,6 +170,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(got("new_col") === ((1L, 1L, 1L, "DOUBLE")))
   }
 
+  test("schemaAudit names nested leaves by their full dotted path") {
+    // two structs may share a leaf name — the dotted path is the
+    // identity. (The q_schema_drift gate fixture stays FLAT because
+    // DuckDB's parquet_schema reports bare leaf names; this spec is
+    // the nested-naming pin.)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nest").toString
+    Seq((1L, "x")).toDF("id", "v")
+      .select(col("id"),
+        struct(col("id").as("a"), col("v").as("b")).as("props"),
+        struct(col("id").as("a")).as("meta"))
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/g1")
+    val names = Layout.schemaAudit(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(names === Set("id", "props.a", "props.b", "meta.a"))
+  }
+
   test("partitioned write prunes directories for equality predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = (1 to 100).map(i => (i % 4, i.toLong)).toDF("part", "id")
