@@ -839,6 +839,123 @@ object Dedup {
       .filter(col("inter") * 100 >= lit(tauPct) * (col("na") + col("nb") - col("inter")))
   }
 
+  /** SHARDED exact Jaccard self-join — [[prefixFilterPairs]]' answer
+    * with the candidate join's one failure mode removed: instead of a
+    * single join whose pre-filter output (Σ C(pdf,2) over prefix
+    * shingles — the quantity [[pairMassPreflight]] prices, and the
+    * measured 100× ENOSPC) materializes at once, the prefix table is
+    * hash-partitioned into `shards` disjoint shingle families
+    * (`pmod(xxhash64(shingle), shards)`) and the SAME candidate join
+    * runs once per family, SEQUENTIALLY — each pass's shuffle and
+    * spill footprint is ~1/shards of the whole, each pass's survivors
+    * are checkpointed (and logged) before the next pass starts, so
+    * peak scratch disk is bounded by one pass, not the corpus.
+    *
+    * Exactly-once across shards without any global distinct: a
+    * qualifying pair is emitted ONLY from the shard of its FIRST
+    * shared shingle in the global rarity order (df asc, shingle asc —
+    * the same order that ranks prefixes). That shingle is provably in
+    * both prefixes (any rarer shared shingle would sit at a smaller
+    * rank, hence inside both prefixes too), and at that shingle the
+    * PPJoin positional bound cannot prune a qualifying pair (every
+    * other shared shingle ranks after it in BOTH documents, so
+    * 1 + min(remaining_a, remaining_b) ≥ inter ≥ α): the designated
+    * shard always re-derives the pair, and every other shard's copy
+    * is dropped by a per-row filter — the overlapJoin first-bin trick
+    * (operators/AsOfJoin.scala) applied to shingle families. The
+    * first shared shingle is computed per verified pair from the two
+    * docs' prefix sets, carried as arrays of fixed-width
+    * `zero-padded(df) ⊕ shingle` keys whose binary string order IS
+    * the rarity order.
+    *
+    * shards = 1 degenerates to the unsharded join (one pass, a
+    * vacuous emit filter). Output contract identical to
+    * [[prefixFilterPairs]]: (doc_a, doc_b, inter, na, nb), integer
+    * columns, J ≥ τ exact — no false negatives at ANY shard count.
+    * Skew note: one globally hot shingle's C(pdf,2) mass lands in a
+    * single shard — sharding bounds the SUM per pass, not one key's
+    * contribution; the preflight's estimate is what sizes `shards`
+    * (see [[exactOrCappedPairs]] onOverBudget="shard"). */
+  def prefixFilterPairsSharded(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 3, tauPct: Int = 60,
+                               shards: Int = 8): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, idCol, textCol, shingleN).localCheckpoint()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    val pos = sh.join(freq, Seq("shingle"))
+      .select(col(idCol), col("shingle"), col("__df"),
+        row_number().over(byRarity).as("__p"),
+        count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
+    // identical prefix rule to prefixFilterPairs, plus the shard key;
+    // checkpointed once — every pass re-reads it, none rebuilds it
+    val prefix = pos.filter(col("__p") <=
+        col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
+      .withColumn("__shard", pmod(xxhash64(col("shingle")), lit(shards.toLong)))
+      .localCheckpoint()
+    // per-doc full shingle sets (verification) and rarity-encoded
+    // prefix sets (first-shared-shingle dedup): 19 zero-padded df
+    // digits + 1 separator + the shingle — binary string order equals
+    // (df, shingle), and the shingle extracts by fixed offset 21
+    val docSets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__set")).localCheckpoint()
+    val docPrefs = prefix
+      .select(col(idCol), concat(lpad(col("__df").cast("string"), 19, "0"),
+        lit("\u0001"), col("shingle")).as("__key"))
+      .groupBy(col(idCol)).agg(collect_list(col("__key")).as("__pref"))
+      .localCheckpoint()
+    val passes = (0 until shards).map { s =>
+      val p = prefix.filter(col("__shard") === s)
+      val a = p.select(col(idCol).as("doc_a"), col("shingle"),
+        col("__p").as("__pa"), col("__sz").as("__sa"))
+      val b = p.select(col(idCol).as("doc_b"), col("shingle"),
+        col("__p").as("__pb"), col("__sz").as("__sb"))
+      val alpha = floor((lit(tauPct) * (col("__sa") + col("__sb"))
+        + (99 + tauPct)) / (100 + tauPct))
+      val cand = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("__sa") * 100 >= col("__sb") * tauPct &&
+          col("__sb") * 100 >= col("__sa") * tauPct &&
+          lit(1) + least(col("__sa") - col("__pa"),
+            col("__sb") - col("__pb")) >= alpha)
+        .select("doc_a", "doc_b").distinct()
+      val first = array_min(array_intersect(col("__prefa"), col("__prefb")))
+      val kept = cand
+        .join(docSets.select(col(idCol).as("doc_a"), col("__set").as("__seta")),
+          Seq("doc_a"))
+        .join(docSets.select(col(idCol).as("doc_b"), col("__set").as("__setb")),
+          Seq("doc_b"))
+        .join(docPrefs.select(col(idCol).as("doc_a"), col("__pref").as("__prefa")),
+          Seq("doc_a"))
+        .join(docPrefs.select(col(idCol).as("doc_b"), col("__pref").as("__prefb")),
+          Seq("doc_b"))
+        .filter(pmod(xxhash64(first.substr(lit(21), length(first))),
+          lit(shards.toLong)) === s)
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("__seta"), col("__setb")))
+            .cast("long").as("inter"),
+          size(col("__seta")).cast("long").as("na"),
+          size(col("__setb")).cast("long").as("nb"))
+        .filter(col("inter") * 100 >=
+          lit(tauPct) * (col("na") + col("nb") - col("inter")))
+        // eager: materializes THIS pass before the next starts —
+        // sequential passes are the whole point (bounded peak disk)
+        .localCheckpoint()
+      System.err.println(s"[graft.Dedup] sharded exact pass ${s + 1}/$shards: " +
+        s"${kept.count()} qualifying pairs")
+      // drop the pass's shuffle files before the next pass writes its
+      // own: the ContextCleaner reclaims shuffles on reference GC, and
+      // without a nudge 100×'s per-pass spill would accumulate right
+      // back into the single-join ENOSPC this operator exists to avoid
+      System.gc()
+      kept
+    }
+    passes.reduce(_ unionByName _)
+  }
+
   /** PRE-FLIGHT pair-mass estimate for the exact similarity family —
     * the linear-cost audit a production engine runs BEFORE
     * [[prefixFilterPairs]] commits to its candidate join. The exact
@@ -904,25 +1021,56 @@ object Dedup {
     * measured ENOSPC death instead of dying mid-shuffle. The
     * preflight row is ONE collected row (driver-side bounded by
     * construction, the bloom-bitmap pattern). Output is the common
-    * pair schema (doc_a, doc_b, route) with route ∈
-    * {'exact', 'lsh_capped'} so downstream clustering reads either
-    * branch unchanged. */
+    * pair schema (doc_a, doc_b, route) so downstream clustering reads
+    * any branch unchanged.
+    *
+    * `onOverBudget` names the above-budget policy — the caller's
+    * CONTRACT, not a silent downgrade:
+    *  - "shard": keep the exact no-false-negatives answer, paid for in
+    *    ⌈est/budget⌉ sequential passes of ~budget pre-filter pairs
+    *    each ([[prefixFilterPairsSharded]]; capped at `maxShards`) —
+    *    route = 'exact_sharded';
+    *  - "lsh": the bounded approximate answer under `maxBucketSize`
+    *    (route = 'lsh_capped') — recall loss is the audited bucket
+    *    drops, and the route column is the only flag, so callers who
+    *    need exactness must NOT pick this;
+    *  - "fail": refuse — for pipelines where an approximate answer is
+    *    worse than no answer. */
   def exactOrCappedPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, tauPct: Int = 60,
                          budgetPairs: Long = 10000000L,
-                         maxBucketSize: Int = 64): DataFrame = {
+                         maxBucketSize: Int = 64,
+                         onOverBudget: String = "lsh",
+                         maxShards: Int = 256): DataFrame = {
+    require(Set("lsh", "shard", "fail")(onOverBudget),
+      s"onOverBudget in {lsh, shard, fail}, got $onOverBudget")
     val flight = pairMassPreflight(df, idCol, textCol, shingleN, tauPct,
       Seq(budgetPairs)).collect().head
     val within = flight.getAs[Boolean]("within_budget")
+    val est = flight.getAs[Long]("est_candidate_pairs")
     System.err.println(s"[graft.Dedup] pairMassPreflight: est " +
-      s"${flight.getAs[Long]("est_candidate_pairs")} candidate pairs " +
-      s"vs budget $budgetPairs -> ${if (within) "exact" else "lsh_capped"}")
+      s"$est candidate pairs vs budget $budgetPairs -> " +
+      (if (within) "exact" else onOverBudget))
     if (within)
       prefixFilterPairs(df, idCol, textCol, shingleN, tauPct)
         .select(col("doc_a"), col("doc_b"), lit("exact").as("route"))
-    else
-      nearDupPairs(df, idCol, textCol, maxBucketSize = maxBucketSize)
-        .select(col("doc_a"), col("doc_b"), lit("lsh_capped").as("route"))
+    else onOverBudget match {
+      case "shard" =>
+        val shards = math.min(maxShards.toLong,
+          (est + budgetPairs - 1) / budgetPairs).toInt
+        System.err.println(s"[graft.Dedup] exact route sharded into " +
+          s"$shards sequential passes (~$budgetPairs pre-filter pairs each)")
+        prefixFilterPairsSharded(df, idCol, textCol, shingleN, tauPct, shards)
+          .select(col("doc_a"), col("doc_b"), lit("exact_sharded").as("route"))
+      case "fail" =>
+        throw new IllegalStateException(
+          s"exact similarity join refused: est $est pre-filter candidate " +
+            s"pairs exceeds budget $budgetPairs (onOverBudget=fail); raise " +
+            "the budget, pass onOverBudget=shard, or accept lsh")
+      case _ =>
+        nearDupPairs(df, idCol, textCol, maxBucketSize = maxBucketSize)
+          .select(col("doc_a"), col("doc_b"), lit("lsh_capped").as("route"))
+    }
   }
 
   /** The TWO-CORPUS exact similarity join — [[prefixFilterPairs]]'

@@ -1203,6 +1203,33 @@ object ExtOracles {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
 
+    // the sharded exact join answers the SAME question as
+    // q_prefix_join (identical corpus, threshold, columns): one
+    // brute-force truth pins both the single-pass and the
+    // shard-decomposed execution — exactly-once across shards or the
+    // hashes diverge
+    "q_exact_sharded" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM sh sa JOIN sh sb
+        |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.i AS inter, na.n AS na, nb.n AS nb
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b
+        |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
+
     // corpus data card: per-doc stats in one agg + the exact-vocab
     // token count, emitted long-form (metric, value) all BIGINT
     "q_data_card" ->

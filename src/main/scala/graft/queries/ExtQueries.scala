@@ -114,6 +114,18 @@ object ExtQueries {
       budgetPairs = 1000000000000L)
   }
 
+  /** The SHARDED exact Jaccard self-join through the gate
+    * (Dedup.prefixFilterPairsSharded at shards = 3): the same corpus
+    * and threshold as q_prefix_join, against the SAME brute-force
+    * oracle — a green row proves the shard decomposition is lossless
+    * AND duplicate-free (each qualifying pair emitted from exactly
+    * one shingle-family pass, the first-shared-shingle rule). The
+    * shard count only moves WORK between sequential passes, never the
+    * answer; 3 forces real multi-pass execution at gate scale. */
+  def exactSharded(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairsSharded(nearCorpus(spark, dir), "doc_id", "text",
+      shards = 3)
+
   /** Maximal repeated-substring lengths through the gate
     * (TextOps.suffixMaxMatch): the near-dup corpus's clones share
     * their whole base document, so base/clone suffix pairs produce
@@ -2378,6 +2390,7 @@ object ExtQueries {
     "q_prefix_join"       -> (prefixJoin _),
     "q_pair_budget"       -> (pairBudget _),
     "q_exact_routed"      -> (exactRouted _),
+    "q_exact_sharded"     -> (exactSharded _),
     "q_cc_chain"          -> (ccChain _),
     "q_substr_spans"      -> (substrSpans _),
     "q_pca_top"           -> (pcaTop _),

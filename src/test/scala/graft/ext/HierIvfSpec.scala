@@ -105,4 +105,37 @@ class HierIvfSpec extends AnyFunSuite {
     // identical docs share every band bucket -> all pairs surface
     assert(out.count() == 66L)
   }
+
+  test("exactOrCappedPairs onOverBudget=shard keeps the exact answer") {
+    // the same 12-clique: est 198 pre-filter pairs (3 prefix shingles
+    // x C(12,2)) vs budget 10 -> 20 sequential shard passes, answer
+    // identical to the single-pass exact join (all 66 pairs, once)
+    val docs = (1L to 12L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactOrCappedPairs(docs, "doc_id", "text",
+      budgetPairs = 10L, onOverBudget = "shard")
+    val rows = out.select("doc_a", "doc_b", "route")
+      .as[(Long, Long, String)].collect()
+    assert(rows.map(_._3).toSet == Set("exact_sharded"))
+    val pairs = rows.map(r => (r._1, r._2))
+    assert(pairs.length == 66 && pairs.toSet.size == 66)
+    val expected = Dedup.prefixFilterPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.toSet == expected)
+  }
+
+  test("exactOrCappedPairs onOverBudget=fail refuses above budget") {
+    val docs = (1L to 12L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.exactOrCappedPairs(docs, "doc_id", "text",
+        budgetPairs = 10L, onOverBudget = "fail")
+    }
+    assert(e.getMessage.contains("exceeds budget"))
+    // under budget, "fail" never triggers: the exact branch runs
+    val ok = Dedup.exactOrCappedPairs(docs, "doc_id", "text",
+      budgetPairs = 1000000L, onOverBudget = "fail")
+    assert(ok.select("route").distinct().as[String].collect().toSet
+      == Set("exact"))
+  }
 }

@@ -68,6 +68,29 @@ object PrefixJoinProps extends Properties("PrefixFilterJoin") {
       got == want
     }
 
+  // the shard decomposition must be invisible in the ANSWER: for any
+  // corpus, threshold, AND shard count, the sequential shingle-family
+  // passes reassemble exactly the brute-force pair set — no pair lost
+  // to a shard boundary (the first shared rarity-ordered shingle's
+  // pass always re-derives it) and none emitted twice (only that pass
+  // keeps it)
+  property("sharded join equals brute force for any corpus, threshold, and shard count") =
+    forAllNoShrink(docsGen, tauGen, Gen.choose(1, 5)) { (docs, tau, shards) =>
+      import spark.implicits._
+      val got = Dedup
+        .prefixFilterPairsSharded(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, tauPct = tau, shards = shards)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = brute(docs, tau)
+      if (got != want)
+        println(s"sharded tau=$tau shards=$shards " +
+          s"missing=${want -- got} extra=${got -- want}")
+      got == want
+    }
+
   property("AB join equals brute-force cross-corpus Jaccard for any split and threshold") =
     forAllNoShrink(docsGen, docsGen, tauGen) { (left, right, tau) =>
       import spark.implicits._
