@@ -89,6 +89,10 @@ object ScaleBench {
     // pairs scale ~10× per clique member), so this curve measures the
     // prefix+positional pruning under maximum qualifying-pair load
     "q_prefix_join",
+    // its shard-decomposed twin (3 sequential shingle-family passes):
+    // same answer, bounded per-pass footprint — the curve prices the
+    // decomposition's re-scan overhead against the single join
+    "q_exact_sharded",
     // IVFADC: assignment + residual encode are linear projections;
     // the probe join scales with probed-cell occupancy (√N sizing)
     "q_ivf_pq_topk",
@@ -236,6 +240,8 @@ object ScaleBench {
     // cap is the scale contract; users grow with the corpus) and the
     // multi-touch split (user-key join, purchase-key windows)
     "q_cooc", "q_attribution_multi",
+    // its capped production form: same fixture, cap never a blowup
+    "q_attribution_capped",
     // personalized PageRank (same loop as q_pagerank, seeded
     // teleport) and lift scoring over the capped cooc world
     "q_ppr", "q_cooc_lift",
@@ -277,6 +283,11 @@ object ScaleBench {
     // on disk); cross-copy chain CC (diameter = scale factor — the
     // one fixture whose diameter GROWS with the corpus)
     "q_ivf_hier", "q_exact_preflighted", "q_cc_xchain",
+    // round 11: the exact contract HELD at 100× — the corpus whose
+    // single-join exact path is the measured ENOSPC death (r8) and
+    // whose preflight routed to LSH in r9 now COMPLETES exactly via
+    // sequential budget-sized shard passes (onOverBudget=shard)
+    "q_exact_sharded_route",
     // round-9 wave 4: the wedge join is the quadratic-class shape in
     // triangle counting — its 100× point runs on the growing chain
     // graph (nodes ∝ corpus, degree bounded); the overlap join's
@@ -286,6 +297,12 @@ object ScaleBench {
     // as-of composition — both linear by design, both proven at 100×
     // (1.6× / 2.7× on 100× data, r9w7)
     "q_funnel_span", "q_attribution",
+    // round 11: the multi-touch cap under a PLANTED BOT — every event
+    // row becomes one bot click inside a single 24h window (+1
+    // purchase per ~997) on top of the organic stream, so the
+    // uncapped join's bot mass grows ~quadratically with the corpus
+    // while the capped operator's pairs per purchase stay ≤ 2·cap
+    "q_attribution_bot", "q_attribution_bot_audit",
     // the capped co-occurrence projection: 100× users must stay
     // linear because every user's pair budget is C(20,2) regardless
     // of activity — the uncapped form would be the measured blowup
@@ -302,6 +319,24 @@ object ScaleBench {
     // bounded (clique members are the identical-content regime
     // clustering handles)
     "q_incr_capped")
+
+  /** The planted-bot event stream: the organic events plus one bot
+    * user (−1) whose clicks all land in a single 24h attribution
+    * bucket — one click per organic event row, ts spread
+    * deterministically across day 10, every ~997th row doubling as a
+    * bot purchase. Ids offset to a disjoint space. */
+  private def botEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val bot = Tables.events(s, d).select(col("event_id"))
+      .select(lit(-1L).as("user_id"),
+        when(pmod(col("event_id"), lit(997L)) === 0, lit("purchase"))
+          .otherwise(lit("click")).as("event_type"),
+        timestamp_micros(lit(10L * 86400000000L) +
+          pmod(col("event_id"), lit(86400L)) * 1000000L).as("ts"),
+        (col("event_id") + 1000000000000L).as("event_id"))
+    ev.unionByName(bot)
+  }
 
   /** Scale-only shapes (not oracle gate queries): the production
     * configurations whose knobs differ from the fixture-sized gate
@@ -448,6 +483,41 @@ object ScaleBench {
       graft.ext.Dedup.exactOrCappedPairs(
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         budgetPairs = 50000000L, maxBucketSize = 64)),
+    // the planted-bot attribution fixture: every organic event row
+    // becomes one bot click inside a single 24h lookback bucket
+    // (user −1, ts spread deterministically across the day), every
+    // ~997th also a bot purchase — so the UNCAPPED user-key join's
+    // bot pair mass is clicks×purchases ≈ quadratic in corpus size
+    // (≈3.6·10¹² at 100× — priced by the audit twin below, never
+    // materialized), while the capped operator keeps ≤ cap clicks per
+    // (user, bucket) via the salted two-stage top-k and pairs per
+    // purchase stay ≤ 2·cap
+    "q_attribution_bot" -> ((s: SparkSession, d: String) => {
+      graft.operators.EventAnalytics.multiTouchAttributionCapped(
+        botEvents(s, d), "user_id", "event_type", "ts", "event_id",
+        "purchase", "click", windowSeconds = 86400,
+        maxClicksPerWindow = 3)
+    }),
+    // the audit face on the same fixture: prices the uncapped join's
+    // pair mass (the number that says DON'T run it) in key-count
+    // arithmetic only
+    "q_attribution_bot_audit" -> ((s: SparkSession, d: String) => {
+      graft.operators.EventAnalytics.multiTouchCapAudit(
+        botEvents(s, d), "user_id", "event_type", "ts",
+        "purchase", "click", windowSeconds = 86400,
+        maxClicksPerWindow = 3)
+    }),
+    // the preflight-routed exact family KEEPING the exact contract
+    // above budget: on the 100× clique corpus (est ~3.5B pre-filter
+    // pairs vs the 50M budget — the r8 single-join ENOSPC) the route
+    // runs ⌈est/budget⌉ sequential shard passes, each ~budget-sized,
+    // and returns the full no-false-negatives pair set; per-pass
+    // survivor counts are the operator's stderr log
+    "q_exact_sharded_route" -> ((s: SparkSession, d: String) =>
+      graft.ext.Dedup.exactOrCappedPairs(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        budgetPairs = 50000000L, maxBucketSize = 64,
+        onOverBudget = "shard")),
     // cross-copy chain CC: edges (doc_id, doc_id + 10⁶) link copy k
     // to copy k+1 at the same base id, so component length — and
     // DIAMETER — equals the scale factor (the one fixture where

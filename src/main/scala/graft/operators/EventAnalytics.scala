@@ -127,6 +127,16 @@ object EventAnalytics {
         us(col(tsCol)).as("c_us"))
     val pairs = p.join(c, Seq("user_id"))
       .filter(col("c_us") >= col("p_us") - wUs && col("c_us") <= col("p_us"))
+    creditSplit(pairs)
+  }
+
+  /** The shared credit arithmetic of the multi-touch family: given
+    * (purchase_id, click_id, user_id, p_us, c_us) pair rows, the
+    * integer basis-point split with the remainder on the closing
+    * click. Two purchase-keyed windows; partitions are bounded by
+    * touches-per-purchase. */
+  private def creditSplit(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPurchase = Window.partitionBy("purchase_id")
     val lastFirst = Window.partitionBy("purchase_id")
       .orderBy(col("c_us").desc, col("click_id").desc)
@@ -141,6 +151,122 @@ object EventAnalytics {
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (col("p_us") - col("c_us")).as("gap_us"),
         col("n_touches"), col("credit_bp"))
+  }
+
+  /** [[multiTouchAttribution]] with the user-key join's skew bounded —
+    * the production form. The uncapped join pairs every purchase with
+    * every click OF THE SAME USER before the window filter prunes:
+    * one bot user with 10⁶ clicks and 10³ purchases emits 10⁹ pair
+    * rows the filter then throws away — the canonical power-law
+    * blowup every other pair generator in this engine caps
+    * (LSH bucket cap, bipartite per-user cap, winnow df cap).
+    *
+    * Two bounds, one semantic change:
+    *  - TIME bounds the join: clicks key by their lookback-width
+    *    bucket (`c_us div windowSeconds`), each purchase explodes to
+    *    the exactly-two buckets its window spans, and the join runs on
+    *    (user, bucket) — a pair whose click is outside the purchase's
+    *    window can no longer even MEET, so pre-filter pairs per
+    *    purchase ≤ that user's clicks in two buckets, not all history;
+    *  - the CAP bounds the bucket: at most `maxClicksPerWindow` clicks
+    *    survive per (user, bucket) — the LATEST by (c_us, click_id),
+    *    the same order the credit split favors — so pairs per purchase
+    *    ≤ 2·cap regardless of bot volume. The cap's top-k is computed
+    *    in two stages (salted per-(user, bucket, salt) row_number,
+    *    then row_number over the ≤ 64·cap survivors) so one hot
+    *    bucket never serializes into a single-task sort of the bot's
+    *    whole click history.
+    *
+    * Below the cap the answer is BIT-IDENTICAL to
+    * [[multiTouchAttribution]] (every click kept ⇒ same pairs ⇒ same
+    * split — the degeneration the spec pins). Above it, dropped
+    * clicks shift their credit onto the kept (latest) ones; the drop
+    * volume is [[multiTouchCapAudit]]'s one-row report — the
+    * decide-from-data audit to run BEFORE choosing the cap. */
+  def multiTouchAttributionCapped(events: DataFrame, userCol: String,
+                                  typeCol: String, tsCol: String,
+                                  idCol: String, purchaseType: String,
+                                  clickType: String, windowSeconds: Long,
+                                  maxClicksPerWindow: Int): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0")
+    require(maxClicksPerWindow > 0, s"maxClicksPerWindow must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val wUs = windowSeconds * 1000000L
+    val p = events.filter(col(typeCol) === purchaseType)
+      .select(col(userCol).as("user_id"), col(idCol).as("purchase_id"),
+        us(col(tsCol)).as("p_us"))
+    val c = events.filter(col(typeCol) === clickType)
+      .select(col(userCol).as("user_id"), col(idCol).as("click_id"),
+        us(col(tsCol)).as("c_us"))
+      .withColumn("__b", expr(s"c_us DIV $wUs"))
+    val latestFirst = Seq(col("c_us").desc, col("click_id").desc)
+    val preprune = Window
+      .partitionBy(col("user_id"), col("__b"),
+        pmod(xxhash64(col("click_id")), lit(64L)))
+      .orderBy(latestFirst: _*)
+    val perBucket = Window.partitionBy("user_id", "__b")
+      .orderBy(latestFirst: _*)
+    val kept = c
+      .withColumn("__r1", row_number().over(preprune))
+      .filter(col("__r1") <= maxClicksPerWindow)
+      .withColumn("__ck", row_number().over(perBucket))
+      .filter(col("__ck") <= maxClicksPerWindow)
+      .drop("__r1", "__ck")
+    // [p_us − wUs, p_us] spans exactly the buckets b(p_us) − 1 and
+    // b(p_us): every in-window click's bucket is one of the two, and
+    // each (purchase, click) pair meets at the click's OWN bucket
+    // only — exactly once, no distinct needed
+    val px = p.select(col("user_id"), col("purchase_id"), col("p_us"),
+      explode(array(expr(s"p_us DIV $wUs"), expr(s"p_us DIV $wUs - 1")))
+        .as("__b"))
+    val pairs = px.join(kept, Seq("user_id", "__b"))
+      .filter(col("c_us") >= col("p_us") - wUs && col("c_us") <= col("p_us"))
+      .drop("__b")
+    creditSplit(pairs)
+  }
+
+  /** The pricing/audit face of [[multiTouchAttributionCapped]]'s cap —
+    * the bipartiteCapAudit pattern on the attribution join. One row:
+    * the per-user join mass the UNCAPPED operator would generate
+    * (Σ purchases(u) · clicks(u) — its pre-filter pair count), the
+    * capped form's (user, bucket)-keyed mass
+    * (Σ purchases(u, b±) · min(clicks(u, b), cap)), and the cap's
+    * bite (windows over cap, clicks dropped). All map-side-combinable
+    * aggs over key-count tables; no pair is ever materialized. */
+  def multiTouchCapAudit(events: DataFrame, userCol: String,
+                         typeCol: String, tsCol: String,
+                         purchaseType: String, clickType: String,
+                         windowSeconds: Long,
+                         maxClicksPerWindow: Int): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0")
+    require(maxClicksPerWindow > 0, s"maxClicksPerWindow must be > 0")
+    val wUs = windowSeconds * 1000000L
+    val cap = maxClicksPerWindow.toLong
+    val p = events.filter(col(typeCol) === purchaseType)
+      .select(col(userCol).as("user_id"), us(col(tsCol)).as("p_us"))
+    val c = events.filter(col(typeCol) === clickType)
+      .select(col(userCol).as("user_id"), us(col(tsCol)).as("c_us"))
+      .select(col("user_id"), expr(s"c_us DIV $wUs").as("__b"))
+    val pU = p.groupBy("user_id").agg(count(lit(1)).as("n_p"))
+    val cB = c.groupBy("user_id", "__b").agg(count(lit(1)).as("n_cb"))
+    val cU = cB.groupBy("user_id").agg(sum(col("n_cb")).as("n_c"))
+    val uncapped = pU.join(cU, Seq("user_id"))
+      .agg(coalesce(sum(col("n_p") * col("n_c")), lit(0L))
+        .as("pairs_uncapped"))
+    val pB = p.select(col("user_id"),
+        explode(array(expr(s"p_us DIV $wUs"), expr(s"p_us DIV $wUs - 1")))
+          .as("__b"))
+      .groupBy("user_id", "__b").agg(count(lit(1)).as("n_pb"))
+    val bite = cB.agg(
+      count(lit(1)).as("n_user_windows"),
+      coalesce(sum(when(col("n_cb") > cap, 1L).otherwise(0L)), lit(0L))
+        .as("n_capped_windows"),
+      coalesce(sum(greatest(col("n_cb") - cap, lit(0L))), lit(0L))
+        .as("clicks_dropped"))
+    val cappedMass = pB.join(cB, Seq("user_id", "__b"))
+      .agg(coalesce(sum(col("n_pb") * least(col("n_cb"), lit(cap))), lit(0L))
+        .as("pairs_capped"))
+    bite.crossJoin(broadcast(uncapped)).crossJoin(broadcast(cappedMass))
   }
 
   /** First-order Markov transition counts: for each user's event

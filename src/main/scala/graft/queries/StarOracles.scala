@@ -671,6 +671,70 @@ object StarOracles {
         |    ELSE 0 END AS BIGINT) AS credit_bp
         |FROM x""".stripMargin,
 
+    // the capped variant: keep the LATEST 3 clicks per (user, 24h
+    // bucket), then the identical split — the oracle ignores the
+    // engine's bucketed join shape (an execution detail) and applies
+    // the cap directly: result = split over kept in-window clicks
+    "q_attribution_capped" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS p_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS c_us,
+        |    epoch_us(ts) // 86400000000 AS b FROM events
+        |  WHERE event_type = 'click'),
+        |k AS (SELECT user_id, click_id, c_us FROM (
+        |  SELECT c.*, row_number() OVER (PARTITION BY user_id, b
+        |    ORDER BY c_us DESC, click_id DESC) AS ck FROM c) t
+        |  WHERE ck <= 3),
+        |pr AS (SELECT p.purchase_id, k.click_id, p.user_id,
+        |    p.p_us, k.c_us
+        |  FROM p JOIN k ON p.user_id = k.user_id
+        |    AND k.c_us >= p.p_us - 86400000000 AND k.c_us <= p.p_us),
+        |x AS (SELECT purchase_id, click_id, user_id,
+        |    p_us - c_us AS gap_us,
+        |    CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |      AS n_touches,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY c_us DESC, click_id DESC) AS rk
+        |  FROM pr)
+        |SELECT purchase_id, click_id, user_id, gap_us, n_touches,
+        |  CAST(10000 // n_touches + CASE WHEN rk = 1
+        |    THEN 10000 - n_touches * (10000 // n_touches)
+        |    ELSE 0 END AS BIGINT) AS credit_bp
+        |FROM x""".stripMargin,
+
+    // the cap's pricing row: uncapped per-user join mass vs the
+    // bucketed capped mass, plus the cap's bite — pure key-count
+    // arithmetic, no pair ever materialized
+    "q_attribution_cap_audit" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b
+        |  FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_p
+        |  FROM p GROUP BY 1),
+        |cb AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n_cb
+        |  FROM c GROUP BY 1, 2),
+        |cu AS (SELECT user_id, CAST(SUM(n_cb) AS BIGINT) AS n_c
+        |  FROM cb GROUP BY 1),
+        |um AS (SELECT CAST(COALESCE(SUM(n_p * n_c), 0) AS BIGINT)
+        |  AS pairs_uncapped FROM pu JOIN cu USING (user_id)),
+        |px AS (SELECT user_id,
+        |    unnest([p_us // 86400000000, p_us // 86400000000 - 1]) AS b
+        |  FROM p),
+        |pb AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n_pb
+        |  FROM px GROUP BY 1, 2),
+        |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_user_windows,
+        |  CAST(COALESCE(SUM(CASE WHEN n_cb > 3 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_capped_windows,
+        |  CAST(COALESCE(SUM(GREATEST(n_cb - 3, 0)), 0) AS BIGINT)
+        |    AS clicks_dropped FROM cb),
+        |cm AS (SELECT CAST(COALESCE(SUM(n_pb * LEAST(n_cb, 3)), 0)
+        |    AS BIGINT) AS pairs_capped
+        |  FROM pb JOIN cb USING (user_id, b))
+        |SELECT * FROM bs, um, cm""".stripMargin,
+
     // first-order Markov transitions, event_id tiebreak on tied ts
     "q_event_transitions" ->
       """WITH s AS (SELECT user_id, event_type AS from_type,

@@ -905,6 +905,26 @@ object StarQueries {
       Tables.events(spark, dir), "user_id", "event_type", "ts",
       "event_id", "purchase", "click", windowSeconds = 86400)
 
+  /** Multi-touch attribution under the production skew cap: at most 3
+    * clicks per (user, 24h lookback bucket) — latest-first, so the
+    * closing click always survives — feed each purchase's split. The
+    * fixture's busy users exceed 3 clicks/day, so the cap BITES at
+    * gate scale and the oracle pins the exact keep-then-split
+    * arithmetic, not a vacuous passthrough. */
+  def multiTouchCappedQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.multiTouchAttributionCapped(
+      Tables.events(spark, dir), "user_id", "event_type", "ts",
+      "event_id", "purchase", "click", windowSeconds = 86400,
+      maxClicksPerWindow = 3)
+
+  /** The cap's one-row pricing report: uncapped vs capped join mass
+    * and the dropped-click volume — run BEFORE picking the cap. */
+  def multiTouchCapAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.multiTouchCapAudit(
+      Tables.events(spark, dir), "user_id", "event_type", "ts",
+      "purchase", "click", windowSeconds = 86400,
+      maxClicksPerWindow = 3)
+
   /** First-order Markov transition matrix of the event stream —
     * per-user ordered lead() then a |types|²-sized count agg.
     * event_id tiebreaks colliding timestamps (total order ⇒
@@ -1211,6 +1231,8 @@ object StarQueries {
     "q_rate_anomaly"       -> (rateAnomalyQuery _),
     "q_event_transitions"  -> (transitionsQuery _),
     "q_attribution_multi"  -> (multiTouchQuery _),
+    "q_attribution_capped" -> (multiTouchCappedQuery _),
+    "q_attribution_cap_audit" -> (multiTouchCapAuditQuery _),
     "q_conversion_lag"     -> (conversionLagQuery _),
     "q_overlap_join"       -> (overlapJoinQuery _),
     "q_interval_binned"    -> (intervalBinned _),

@@ -82,6 +82,68 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.values.sum === 10000L)
   }
 
+  test("capped multi-touch degenerates bit-for-bit to uncapped below the cap") {
+    // a mixed fixture: in/out-of-window clicks, multiple users,
+    // clicks straddling the bucket boundary (ids 10 vs 11-13), ties
+    val ev = Seq(
+      (10L, 1L, "click", ts(-90)), (11L, 1L, "click", ts(-50)),
+      (12L, 1L, "click", ts(-20)), (13L, 1L, "click", ts(-5)),
+      (14L, 1L, "purchase", ts(0)),
+      (15L, 1L, "purchase", ts(-40)), // window catches clicks 10, 11
+      (20L, 2L, "purchase", ts(0)),
+      (21L, 3L, "click", ts(-10)), (22L, 3L, "purchase", ts(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val uncapped = EventAnalytics.multiTouchAttribution(ev, "user_id",
+      "event_type", "ts", "event_id", "purchase", "click",
+      windowSeconds = 3600)
+    // no (user, 1h bucket) holds more than 3 clicks -> cap never bites
+    val capped = EventAnalytics.multiTouchAttributionCapped(ev, "user_id",
+      "event_type", "ts", "event_id", "purchase", "click",
+      windowSeconds = 3600, maxClicksPerWindow = 3)
+    assert(rows(capped) === rows(uncapped))
+    assert(rows(capped).nonEmpty)
+  }
+
+  test("capped multi-touch keeps the latest clicks per window and bounds the bot") {
+    // bot user 9: 10 clicks in one bucket before the purchase; cap 2
+    // keeps the LATEST two (ids 108, 109) and splits 5000/5000
+    val bot = (100L to 109L).map(i =>
+      (i, 9L, "click", ts(-30 + (i - 100)))) :+
+      ((200L, 9L, "purchase", ts(0)))
+    val ev = bot.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.multiTouchAttributionCapped(ev, "user_id",
+        "event_type", "ts", "event_id", "purchase", "click",
+        windowSeconds = 3600, maxClicksPerWindow = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(out === Map(108L -> 5000L, 109L -> 5000L))
+  }
+
+  test("multiTouchCapAudit prices uncapped vs capped join mass") {
+    // user 9: 10 clicks in one bucket + 2 purchases; user 1: 2 clicks,
+    // 1 purchase. cap=2: uncapped mass = 10*2 + 2*1 = 22; user 9's
+    // bucket caps to 2 -> capped mass = purchases-covering-bucket ×
+    // min(clicks,2); dropped = 8; one window over cap of 2 observed
+    val ev = ((100L to 109L).map(i => (i, 9L, "click", ts(-30))) ++ Seq(
+      (200L, 9L, "purchase", ts(0)), (201L, 9L, "purchase", ts(-1)),
+      (300L, 1L, "click", ts(-10)), (301L, 1L, "click", ts(-5)),
+      (302L, 1L, "purchase", ts(0))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventAnalytics.multiTouchCapAudit(ev, "user_id", "event_type",
+        "ts", "purchase", "click", windowSeconds = 3600,
+        maxClicksPerWindow = 2)
+      .collect().head
+    assert(r.getAs[Long]("pairs_uncapped") === 22L)
+    assert(r.getAs[Long]("n_capped_windows") === 1L)
+    assert(r.getAs[Long]("clicks_dropped") === 8L)
+    // both purchases of user 9 cover the clicks' bucket once each in
+    // the exploded join (bucket 0 or -1 depending on trunc), and both
+    // of user 1's clicks survive: capped mass = 2*2 + 1*2 = 6
+    assert(r.getAs[Long]("pairs_capped") === 6L)
+  }
+
   test("transitions counts consecutive pairs per user with the id tiebreak") {
     // u1: view->click->view; u2 has a ts TIE broken by event_id
     // (3 before 4 -> click->view), and no cross-user pair leaks
