@@ -129,17 +129,22 @@ object GraphOps {
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum("share").as("contrib"))
-      val next = nodes
-        .join(contrib, nodes("node") === contrib("cnode"), "left")
-        .select(col("node"),
+      // the rank frame carries exactly `nodes`' node set every round
+      // (left join preserves it), so stepping FROM pr — with the old
+      // rank riding the same row — replaces the nodes ⋈ contrib join
+      // AND folds the |Δ| log into this round's own frame: the delta
+      // agg below is a scan of the materialized checkpoint, not a
+      // second node-keyed shuffle per round
+      val stepped = pr.select(col("node"), col("pr").as("__old"))
+        .join(contrib, col("node") === col("cnode"), "left")
+        .select(col("node"), col("__old"),
           (baseOf + expr("85 * coalesce(contrib, 0L) div 100"))
             .as("pr"))
         .localCheckpoint()
-      movedLast = pr.select(col("node"), col("pr").as("__old"))
-        .join(next, "node")
+      movedLast = stepped
         .agg(sum(abs(col("pr") - col("__old"))).as("d"))
         .head().getLong(0)
-      pr = next
+      pr = stepped.select("node", "pr")
       System.err.println(
         s"[graft.GraphOps] $tag iteration $iter/$iters: |delta| = $movedLast")
     }
