@@ -455,33 +455,36 @@ object ExtOracles {
       |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
       |  WHERE vec_id % stride.m = 0)""".stripMargin
 
-  /** Two-level coarse assignment (Similarity.ivfResidualsHier, w=2):
+  /** Two-level coarse assignment (Similarity.ivfResidualsHier):
     * K1 ≈ √K tops = every (stride·tstride)-th candidate (⊆ cent, so
     * every top owns at least itself), tpos = rank by id; candidates
-    * probe their 2 nearest tops by (d2, tpos) and the winning leaf
+    * probe their `w` nearest tops by (d2, tpos) and the winning leaf
     * minimizes (d2, probe rank, cid) — the operator's struct-min
-    * contract. Emits `$name (neighbor_id, cell, rv)`. */
-  private def hierAsgCtes(name: String): String =
-    s"""tstride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+    * contract. Emits `$name (neighbor_id, cell, rv)`; `p` prefixes
+    * the internal CTEs so several w instances coexist in one oracle
+    * (the q_ivf_hier_curve sweep). */
+  private def hierAsgCtes(name: String, w: Int = 2,
+                          p: String = ""): String =
+    s"""${p}tstride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
        |    AS m FROM cent),
-       |tops AS (SELECT cid AS tid, cv AS tv,
+       |${p}tops AS (SELECT cid AS tid, cv AS tv,
        |    row_number() OVER (ORDER BY cid) - 1 AS tpos
-       |  FROM cent, stride, tstride
-       |  WHERE cid % (stride.m * tstride.m) = 0),
-       |l2t AS (SELECT cid, cv, tpos FROM (
+       |  FROM cent, stride, ${p}tstride
+       |  WHERE cid % (stride.m * ${p}tstride.m) = 0),
+       |${p}l2t AS (SELECT cid, cv, tpos FROM (
        |  SELECT c.cid, c.cv, t.tpos,
        |    row_number() OVER (PARTITION BY c.cid ORDER BY
        |      list_sum(list_transform(range(1, 65), i ->
        |        (c.cv[i] - t.tv[i]) * (c.cv[i] - t.tv[i]))) ASC,
        |      t.tpos ASC) AS rk
-       |  FROM cent c, tops t) WHERE rk = 1),
-       |cprobe AS (SELECT vec_id, tpos, prank FROM (
+       |  FROM cent c, ${p}tops t) WHERE rk = 1),
+       |${p}cprobe AS (SELECT vec_id, tpos, prank FROM (
        |  SELECT c.vec_id, t.tpos,
        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
        |      list_sum(list_transform(range(1, 65), i ->
        |        (c.v[i] - t.tv[i]) * (c.v[i] - t.tv[i]))) ASC,
        |      t.tpos ASC) AS prank
-       |  FROM cand c, tops t) WHERE prank <= 2),
+       |  FROM cand c, ${p}tops t) WHERE prank <= $w),
        |$name AS (SELECT neighbor_id, cell, rv FROM (
        |  SELECT c.vec_id AS neighbor_id, l.cid AS cell,
        |    list_transform(range(1, 65), i -> c.v[i] - l.cv[i]) AS rv,
@@ -489,8 +492,8 @@ object ExtOracles {
        |      list_sum(list_transform(range(1, 65), i ->
        |        (c.v[i] - l.cv[i]) * (c.v[i] - l.cv[i]))) ASC,
        |      p.prank ASC, l.cid ASC) AS rk
-       |  FROM cand c JOIN cprobe p ON p.vec_id = c.vec_id
-       |  JOIN l2t l ON l.tpos = p.tpos) WHERE rk = 1)""".stripMargin
+       |  FROM cand c JOIN ${p}cprobe p ON p.vec_id = c.vec_id
+       |  JOIN ${p}l2t l ON l.tpos = p.tpos) WHERE rk = 1)""".stripMargin
 
   /** q_ivf_hier preamble: the hier assignment feeds the residual
     * k-means fit (kmsrc = hier residuals) — the CTE is NAMED `asg`
@@ -530,6 +533,34 @@ object ExtOracles {
         |    AS BIGINT) AS n_same_cell
         |FROM fasg f JOIN hasg h ON h.neighbor_id = f.neighbor_id"""
         .stripMargin
+
+  /** The w-SWEEP of the two-level router (q_ivf_hier_curve): one
+    * hierAsgCtes instance per w ∈ {1..4} over the same tops/leaves,
+    * each joined to the flat (exact) argmin — (w, n_vectors,
+    * n_same_cell) rows, the curve a deployment reads to size w
+    * against its own geometry instead of trusting the w = 2
+    * default. */
+  private def ivfHierCurveSql: String = {
+    val ws = Seq(1, 2, 3, 4)
+    val arms = ws.map(w => hierAsgCtes(s"h$w", w, s"w${w}_"))
+      .mkString(",\n")
+    val selects = ws.map(w =>
+      s"""SELECT CAST($w AS BIGINT) AS w,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CASE WHEN f.cell = h.cell THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same_cell
+         |FROM fasg f JOIN h$w h ON h.neighbor_id = f.neighbor_id"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    eCandCtes + ",\n" + strideCentCtes + ",\n" + arms + ",\n" +
+      """fasg AS (SELECT neighbor_id, cell FROM (
+        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
+        |      ct.cid ASC) AS rk
+        |  FROM cand c, cent ct) WHERE rk = 1)
+        |""".stripMargin + selects
+  }
 
   /** The coarse-IVF recall curve: one ivfCosineCtes instance per
     * nprobe ∈ {1, 3, 5} against the same √N cells + one brute exact
@@ -1633,6 +1664,7 @@ object ExtOracles {
     "q_ivf_pq_topk" -> ivfPqTopkSql,
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
+    "q_ivf_hier_curve" -> ivfHierCurveSql,
     "q_ivf_hier_recall" -> ivfHierRecallSql,
     "q_ivf_probe_curve" -> ivfProbeCurveSql,
 

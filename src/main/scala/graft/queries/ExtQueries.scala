@@ -671,6 +671,35 @@ object ExtQueries {
           .otherwise(lit(0L))).as("n_same_cell"))
   }
 
+  /** The w-SWEEP behind ivfResidualsHier's router width (the
+    * round-9 verdict's unmeasured `w = 2` constant): per
+    * w ∈ {1, 2, 3, 4}, cell agreement between the hierarchical
+    * assignment and the flat exact argmin over all K leaves —
+    * (w, n_vectors, n_same_cell) rows. The flat side is computed
+    * once and reused across arms; each arm is the same zero-shuffle
+    * broadcast-structure projection as q_ivf_hier_agree, so the
+    * sweep costs 4 candidate passes, not 4 corpus shuffles. The
+    * production default stays w = 2 unless the curve shows a knee —
+    * recorded beside the agreement figure in BASELINE.md. */
+  def ivfHierCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents, tops) = hierParts(spark, dir)
+    val cands = e.filter(col("vec_id") >= 20)
+    val flat = Similarity.ivfResiduals(cands, cents, "vec_id", "embedding")
+      .select(col("neighbor_id"), col("__cell").as("cell_flat"))
+      .localCheckpoint()
+    Seq(1, 2, 3, 4).map { w =>
+      val hier = Similarity.ivfResidualsHier(cands, cents, tops,
+        "vec_id", "embedding", w = w)
+        .select(col("neighbor_id"), col("__cell").as("cell_hier"))
+      flat.join(hier, Seq("neighbor_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("cell_flat") === col("cell_hier"), lit(1L))
+            .otherwise(lit(0L))).as("n_same_cell"))
+        .select(lit(w.toLong).as("w"), col("n_vectors"),
+          col("n_same_cell"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Top principal direction of the embedding corpus (Pca
     * .topComponent): ONE integer-exact scatter aggregation (n, Σq,
     * Σqqᵀ over round(x·8192) longs — order-free, so bit-stable under
@@ -2399,6 +2428,7 @@ object ExtQueries {
     "q_ivf_hier"          -> (ivfHier _),
     "q_ivf_hier_agree"    -> (ivfHierAgree _),
     "q_ivf_hier_recall"   -> (ivfHierRecall _),
+    "q_ivf_hier_curve"    -> (ivfHierCurve _),
     "q_ivf_probe_curve"   -> (ivfProbeCurve _),
     "q_dsir_select"       -> (dsirSelect _),
     "q_exact_prep"        -> (exactPrep _),

@@ -64,6 +64,19 @@ class HierIvfSpec extends AnyFunSuite {
     assert(rv == Seq(-1.0, 1.0, 0.0, 0.0))
   }
 
+  test("w-sweep curve: one row per w, fixed corpus, agreement grows") {
+    val out = graft.queries.ExtQueries
+      .ivfHierCurve(spark, "/root/testdata/sf0.001")
+      .orderBy("w")
+      .select("w", "n_vectors", "n_same_cell")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_._2).distinct.length == 1) // same corpus each arm
+    // on this fixture (no exact-d2 ties) probing more groups only
+    // moves the pick toward the flat argmin
+    assert(out.last._3 >= out.head._3)
+  }
+
   test("pairMassPreflight matches the hand-computed pair mass") {
     // three identical 7-token docs: 5 distinct 3-shingles each,
     // prefix L = 5 - ceil(0.6*5) + 1 = 3, each prefix shingle has
