@@ -153,6 +153,56 @@ object Pca {
       .toDF("dim_id", "sum_q", "pc1", "lambda", "trace")
   }
 
+  /** OPQ-lite rotation (the "R before the subspace split" of
+    * Optimized Product Quantization, Ge et al. CVPR'13, reduced to
+    * its first-order term): a single Householder reflection
+    * H = I − 2wwᵀ/‖w‖² that maps the corpus's top principal
+    * direction onto coordinate axis 0, so the dominant shared
+    * variance direction (the Mu & Viswanath common direction the
+    * ABTT family measures) lands entirely inside PQ subspace 0
+    * instead of smearing across all `numSub` codebooks. H is
+    * exactly orthogonal for any w, so L2 distances — and therefore
+    * the exact-NN ground truth — are preserved up to IEEE noise;
+    * only the subspace DECOMPOSITION changes, which is the entire
+    * OPQ objective. Full OPQ alternates R against the codebook fit;
+    * this one-reflection form is the deterministic, oracle-checkable
+    * first iterate (the rotation is a pure function of the
+    * [[topComponent]] power iteration already pinned by q_pca_top).
+    *
+    * Determinism: w = v − β·e₀ with β = −sign(v₀) (‖w‖² = 2 + 2|v₀|,
+    * never degenerate), ‖w‖² and the per-row dot both left-to-right
+    * folds — the exact op sequence the DuckDB oracle replays — so
+    * the rotated doubles are bit-identical in both engines.
+    *
+    * Scale shape: the training pass is [[ScatterAggregator]]'s one
+    * map-side-combined aggregation over `train` (shuffles
+    * numPartitions × (d²+d+1) longs, never the corpus); application
+    * is a zero-shuffle per-row projection against `w` as a literal.
+    * Returns (idCol, vecCol) with vecCol rotated to array<double> —
+    * drop-in for every (id, vector) seam in the PQ family. */
+  def opqRotate(df: DataFrame, idCol: String, vecCol: String,
+                train: DataFrame, dim: Int = 64, scale: Long = 8192L,
+                iters: Int = 12): DataFrame = {
+    val (n, s, s2) = scatter(train, vecCol, dim, scale)
+    require(n > 0, "empty training corpus")
+    val (v, _, _) = powerIterate(n, s, s2, dim, iters)
+    val beta = if (v(0) >= 0) -1.0 else 1.0
+    val w = v.clone(); w(0) = v(0) - beta
+    var nw2 = 0.0
+    var i = 0
+    while (i < dim) { nw2 += w(i) * w(i); i += 1 }
+    val wl = typedLit(w.toSeq)
+    val x = transform(col(vecCol), c => c.cast("double"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), _ + _)
+    df.select(col(idCol), x.as("__x"))
+      .withColumn("__wx", dot(col("__x"), wl))
+      .select(col(idCol),
+        zip_with(col("__x"), wl,
+          (xi, wi) => xi - lit(2.0) * col("__wx") / lit(nw2) * wi)
+          .as(vecCol))
+  }
+
   /** ABTT projection removal: x′ = x − (x·v)v per row against the
     * broadcast direction — zero shuffle. Emits the projection and the
     * before/after squared norms (left-to-right folds, engine-equal);

@@ -257,7 +257,7 @@ object ExtOracles {
   /** PQ encode of `cand` against kmsub — in-row argmin per (vector,
     * subspace); d2 runs in FLOAT space (v minus the dyadic-exact
     * codebook slice), the same left-to-right fold as pqEncode. */
-  private def pqEncodeCte(sd: Int): String =
+  private def pqEncodeCte(sd: Int, src: String = "cand"): String =
     s"""codes AS (SELECT vec_id, m,
        |    list_indexof(ds, list_min(ds)) - 1 AS code,
        |    list_min(ds) AS d2 FROM (
@@ -265,7 +265,7 @@ object ExtOracles {
        |    list_sum(list_transform(range(1, ${sd + 1}), i ->
        |      (c.v[k.m * $sd + i] - sc[i])
        |      * (c.v[k.m * $sd + i] - sc[i])))) AS ds
-       |  FROM cand c, kmsub k) t)""".stripMargin
+       |  FROM $src c, kmsub k) t)""".stripMargin
 
   private def pqLutCte(ns: Int, sd: Int): String =
     s"""lut AS (SELECT q.query_id, m.m, s.j,
@@ -326,6 +326,64 @@ object ExtOracles {
       pqAdcRankedCtes + ",\n" +
       "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
       exactL2Cte + "\n" + recallTailSql
+
+  /** Householder application: rotate `srcSel`'s (id, x) rows by the
+    * reflection in `rotn (w, nw2)` — x′[i] = x[i] − 2·(w·x)/‖w‖²·w[i],
+    * every fold left-to-right (the exact op order Pca.opqRotate
+    * emits). `srcSel` must yield (id-aliased column, v DOUBLE[]). */
+  private def rotApplyCte(name: String, idAs: String,
+                          srcSel: String): String =
+    s"""$name AS MATERIALIZED (SELECT $idAs,
+       |    list_transform(range(1, 65), i ->
+       |      x[i] - 2 * wx / nw2 * w[i]) AS v FROM (
+       |  SELECT t0.$idAs, t0.v AS x, r.w, r.nw2,
+       |    list_sum(list_transform(range(1, 65), j ->
+       |      t0.v[j] * r.w[j])) AS wx
+       |  FROM ($srcSel) t0, rotn r) t)""".stripMargin
+
+  /** OPQ-lite preamble: pcaChain over the CANDIDATE corpus (the
+    * rotation trains on what it rotates, mirroring
+    * ExtQueries.rotCands), the Householder vector w = v − β·e₁ with
+    * β = −sign(v₁), rcand = rotated candidates, then the Lloyd fit
+    * whose kmsrc is the ROTATED vectors. */
+  private def pqRotPreamble: String =
+    eCandCtes + ",\n" + pcaChain(12, "cand", "v") + ",\n" +
+      """rotw AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
+        |    CASE WHEN i = 1 THEN v[1] -
+        |        (CASE WHEN v[1] >= 0 THEN -1.0 ELSE 1.0 END)
+        |      ELSE v[i] END) AS w FROM vf),
+        |rotn AS (SELECT w, list_sum(list_transform(range(1, 65), i ->
+        |    w[i] * w[i])) AS nw2 FROM rotw)""".stripMargin + ",\n" +
+      rotApplyCte("rcand", "vec_id", "SELECT vec_id, v FROM cand") +
+      ",\nkmsrc AS (SELECT vec_id AS rid, v FROM rcand),\n" +
+      kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
+        ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
+
+  private def pqRotCodesSql: String =
+    pqRotPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim, "rcand") + "\n" +
+      """SELECT vec_id, CAST(m AS BIGINT) AS sub_id,
+        |  CAST(code AS BIGINT) AS code, d2 AS dist2
+        |FROM codes""".stripMargin
+
+  /** Rotated-space ADC vs UNROTATED exact L2 (valid: the reflection
+    * is orthogonal, so the true neighbor set is unchanged). */
+  private def pqRotRecallSql: String =
+    pqRotPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim, "rcand") + ",\n" +
+      rotApplyCte("q", "query_id",
+        "SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20") + ",\n" +
+      pqLutCte(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
+      pqAdcRankedCtes + ",\n" +
+      "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
+      """exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) ASC,
+        |      c.vec_id ASC) AS rank
+        |  FROM (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20) q,
+        |    cand c) t WHERE rank <= 3)""".stripMargin + "\n" +
+      recallTailSql
 
   /** IVF cells + residuals (identical to the r7 chain) + a km fit
     * whose kmsrc is the RESIDUAL vectors — the codebook the ADC
@@ -1033,6 +1091,8 @@ object ExtOracles {
     // overlap counts (>= 0.7 on the gate fixture with the fit in
     // place — the round-7 stand-in measured ~0.10)
     "q_pq_recall" -> pqRecallSql,
+    "q_pq_rot_codes" -> pqRotCodesSql,
+    "q_pq_rot_recall" -> pqRotRecallSql,
 
     // quality routing: the lang-id argmax chain + the surprisal LM
     // chain + the gopher pass boolean, joined per doc and reduced to
@@ -4283,7 +4343,8 @@ object ExtOracles {
     * left-to-right fold matching the driver's while-loops, then the
     * sign convention (largest-|v_i| component non-negative, ties
     * smallest i). Emits `vf (v)`, `mm (M)`, `s`, `dims`. */
-  private def pcaChain(iters: Int = 12): String = {
+  private def pcaChain(iters: Int = 12, src: String = "embeddings",
+                       vcol: String = "embedding"): String = {
     val rounds = (1 to iters).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""w$r AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
@@ -4293,9 +4354,9 @@ object ExtOracles {
          |    w.w[i] / sqrt(list_sum(list_transform(range(1, 65), i2 ->
          |      w.w[i2] * w.w[i2])))) AS v FROM w$r w)""".stripMargin
     }.mkString(",\n")
-    s"""eq AS (SELECT vec_id, list_transform(embedding, x ->
+    s"""eq AS (SELECT vec_id, list_transform($vcol, x ->
        |    CAST(floor(CAST(x AS DOUBLE) * 8192 + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |  FROM $src),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM eq),
        |dims AS (SELECT unnest(range(1, 65)) AS i),
        |s AS MATERIALIZED (SELECT i.i, CAST(SUM(q[i.i]) AS BIGINT) AS si

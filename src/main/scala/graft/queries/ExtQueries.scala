@@ -543,6 +543,55 @@ object ExtQueries {
     Similarity.recallAudit(exact, pqTopKQ(spark, dir))
   }
 
+  /** The candidate corpus under the OPQ-lite Householder rotation
+    * (Pca.opqRotate trained on the candidates themselves), plus its
+    * rotated-space trained codebook — memoized like the other
+    * codebooks so the pq_rot queries share one rotation + fit. */
+  private def rotCands(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "rotc") {
+      val c = pqCands(spark, dir)
+      Pca.opqRotate(c, "vec_id", "embedding", train = c)
+    }
+
+  private def rotCodebook(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "rotpq") {
+      KMeans.codebook(
+        KMeans.fit(rotCands(spark, dir), "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+
+  /** PQ codes in the PCA-ROTATED space (OPQ-lite): one Householder
+    * reflection aligns the corpus's top principal direction with
+    * subspace 0 before the split, then the identical trained-PQ
+    * encode. Same schema as q_pq_codes — the per-(vector, subspace)
+    * residual d2 is where the decorrelation gain (or its absence,
+    * on an isotropic fixture) becomes a gate value. The oracle
+    * replays the full power iteration, the reflection arithmetic,
+    * and the rotated-space Lloyd fit. */
+  def pqRotCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(rotCands(spark, dir), rotCodebook(spark, dir),
+      "vec_id", "embedding", numSub = PqSub, subDim = PqDim)
+
+  /** Recall audit of the rotated-space ADC against the UNROTATED
+    * exact L2 top-3 — valid because a Householder reflection is
+    * exactly orthogonal: the true neighbor set is unchanged, so any
+    * recall delta vs q_pq_recall is purely the subspace
+    * decomposition's doing. This row is the honest control arm the
+    * round-9 verdict asked for: if rotation buys nothing on the
+    * near-isotropic fixture, the number says so. */
+  def pqRotRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
+    val rotQ = Pca.opqRotate(e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", train = pqCands(spark, dir))
+    Similarity.recallAudit(exact,
+      Similarity.pqTopK(rotQ, rotCands(spark, dir),
+        rotCodebook(spark, dir), "vec_id", "embedding",
+        k = 3, numSub = PqSub, subDim = PqDim))
+  }
+
   /** The EXACT dedup pipeline COMPOSED end to end — the
     * no-false-negatives sibling of q_training_prep's LSH chain:
     * prefix-filter exact Jaccard pairs → connected components →
@@ -2415,6 +2464,8 @@ object ExtQueries {
     "q_pq_codes"          -> (pqCodes _),
     "q_pq_topk"           -> (pqTopKQ _),
     "q_pq_recall"         -> (pqRecall _),
+    "q_pq_rot_codes"      -> (pqRotCodes _),
+    "q_pq_rot_recall"     -> (pqRotRecall _),
     "q_quality_route"     -> (qualityRoute _),
     "q_prefix_join"       -> (prefixJoin _),
     "q_pair_budget"       -> (pairBudget _),

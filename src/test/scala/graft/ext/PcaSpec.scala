@@ -35,6 +35,37 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(out.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("opqRotate is orthogonal and concentrates pc1 into dim 0") {
+    val df = planted(140)
+    val rot = Pca.opqRotate(df, "vec_id", "embedding", train = df)
+    val before = df.orderBy("vec_id").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val after = rot.orderBy("vec_id").as[(Long, Array[Double])].collect()
+      .toMap
+    // norms preserved (Householder reflections are orthogonal)
+    before.foreach { case (id, x) =>
+      val n0 = x.map(a => a * a).sum
+      val n1 = after(id).map(a => a * a).sum
+      assert(math.abs(n0 - n1) < 1e-9 * (1.0 + n0), s"norm drift at $id")
+    }
+    // a pairwise distance too (the property ADC actually relies on)
+    val (a0, b0) = (before(3L), before(77L))
+    val (a1, b1) = (after(3L), after(77L))
+    val d0 = a0.zip(b0).map { case (p, q) => (p - q) * (p - q) }.sum
+    val d1 = a1.zip(b1).map { case (p, q) => (p - q) * (p - q) }.sum
+    assert(math.abs(d0 - d1) < 1e-9 * (1.0 + d0))
+    // the planted dominant direction now lives in coordinate 0:
+    // variance of dim 0 dominates every other single dimension
+    val n = after.size.toDouble
+    val varByDim = (0 until 64).map { d =>
+      val xs = after.values.map(_(d))
+      val mu = xs.sum / n
+      xs.map(x => (x - mu) * (x - mu)).sum / n
+    }
+    assert(varByDim(0) > varByDim.drop(1).max * 10,
+      s"dim-0 variance ${varByDim(0)} does not dominate")
+  }
+
   test("integer scatter makes the result partition-invariant") {
     val df = planted(90)
     def run(parts: Int) =
