@@ -3234,6 +3234,8 @@ object ExtOracles {
     // content hash → LSH near-dup + recursive-CTE components, each
     // stage only over the previous stage's survivors; per-doc
     // decision rows (first dropping stage + keeper)
+    "q_corpus_release" -> corpusReleaseSql,
+
     "q_dedup_cascade" ->
       """WITH RECURSIVE u0 AS (SELECT doc_id, text,
         |    CASE (doc_id // 100) % 5
@@ -4334,6 +4336,234 @@ object ExtOracles {
        |  FROM (SELECT doc_id, string_split(rich, ' ') AS st FROM rich))
        |  WHERE tok <> ''),
        |${unigramDpCtes("vm", "dp", "seg", "docp")}""".stripMargin
+
+  /** The COMPOSED corpus release (q_corpus_release): the dedup
+    * cascade verbatim (the q_dedup_cascade chain), then 5-gram
+    * benchmark decontamination over the cascade's keepers, then the
+    * q_quality_route chain re-derived over the POST-decon corpus
+    * (profiles and the unigram LM train on what they score — the
+    * composition contract), then packing/sharding/card over the
+    * released set — reduced to the per-stage manifest. Inline
+    * duplication of the member chains is deliberate (the
+    * q_cluster_stats policy): each member oracle stays independently
+    * green, and this one proves the COMPOSITION with src swapped to
+    * each stage's survivor set. */
+  private def corpusReleaseSql: String =
+    """WITH RECURSIVE u0 AS (SELECT doc_id, text,
+      |    CASE (doc_id // 100) % 5
+      |      WHEN 0 THEN 'HTTPS://WWW.' || upper(dom) || ':443' || base
+      |        || '/?utm_source=feed&x=1#top'
+      |      WHEN 1 THEN 'http://' || dom || ':80' || base
+      |      WHEN 2 THEN 'https://www.' || dom || base || '/?x=1'
+      |      WHEN 3 THEN 'https://' || dom || base
+      |        || '?b=2&a=1&utm_campaign=x&ref=rss'
+      |      ELSE 'https://cdn.' || dom || base || '?a=1&b=2' END AS url
+      |  FROM (SELECT doc_id, text,
+      |      'site' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.' ||
+      |        CASE (doc_id % 100 % 7) % 3 WHEN 0 THEN 'com'
+      |          WHEN 1 THEN 'org' ELSE 'net' END AS dom,
+      |      '/p/' || CAST(doc_id % 100 AS VARCHAR) AS base
+      |    FROM documents) s),
+      |corpus AS MATERIALIZED (SELECT doc_id, text, url FROM u0
+      |  UNION ALL SELECT doc_id + 300000, text,
+      |    'https://mirror.example/m/' || CAST(doc_id AS VARCHAR)
+      |  FROM u0 WHERE doc_id % 13 = 0
+      |  UNION ALL SELECT doc_id + 200000, text || ' graftmarker end',
+      |    'https://alt.example/a/' || CAST(doc_id AS VARCHAR)
+      |  FROM u0 WHERE doc_id % 11 = 0),
+      |nu AS MATERIALIZED (SELECT doc_id, text,
+      |    scheme || '://' || host || path ||
+      |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url
+      |  FROM (SELECT doc_id, text,
+      |      lower(regexp_extract(url,
+      |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |      regexp_replace(
+      |        CASE lower(regexp_extract(url,
+      |            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |          WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
+      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+      |          WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
+      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+      |          ELSE lower(regexp_extract(url,
+      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END,
+      |        '^www\.', '') AS host,
+      |      regexp_replace(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+      |        '/+$', '') AS path,
+      |      COALESCE(array_to_string(list_sort(list_filter(
+      |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |        p -> p <> '' AND NOT regexp_matches(p,
+      |          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&'), '') AS q
+      |    FROM corpus) c),
+      |uk AS MATERIALIZED (SELECT doc_id, text,
+      |    min(doc_id) OVER (PARTITION BY norm_url) AS k FROM nu),
+      |udrop AS MATERIALIZED (SELECT doc_id, 'url' AS dropped_by FROM uk
+      |  WHERE doc_id <> k),
+      |ek AS MATERIALIZED (SELECT doc_id, text,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS k
+      |  FROM uk WHERE doc_id = k),
+      |edrop AS MATERIALIZED (SELECT doc_id, 'exact' AS dropped_by FROM ek
+      |  WHERE doc_id <> k),
+      |se AS MATERIALIZED (SELECT doc_id, text FROM ek WHERE doc_id = k),
+      |toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM se),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM toks WHERE len(w) >= 3) t),
+      |mh AS MATERIALIZED (SELECT doc_id, sd.seed,
+      |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+      |  GROUP BY doc_id, sd.seed),
+      |bands AS MATERIALIZED (SELECT doc_id, seed // 2 AS band,
+      |    min(CASE WHEN seed % 2 = 0 THEN h END)
+      |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+      |  FROM mh GROUP BY doc_id, seed // 2),
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS MATERIALIZED (SELECT i.doc_a, i.doc_b FROM inter i
+      |  JOIN sizes na ON na.doc_id = i.doc_a
+      |  JOIN sizes nb ON nb.doc_id = i.doc_b
+      |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+      |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+      |comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |ndrop AS MATERIALIZED (SELECT id AS doc_id, 'near' AS dropped_by
+      |  FROM comp WHERE id <> component),
+      |drops AS MATERIALIZED (SELECT * FROM udrop UNION ALL SELECT * FROM edrop
+      |  UNION ALL SELECT * FROM ndrop),
+      |keptm AS MATERIALIZED (SELECT k.doc_id, k.text, d0.lang, d0.source
+      |  FROM (SELECT s2.doc_id, s2.text FROM se s2
+      |    LEFT JOIN ndrop n ON n.doc_id = s2.doc_id
+      |    WHERE n.doc_id IS NULL) k
+      |  JOIN documents d0 ON d0.doc_id =
+      |    CASE WHEN k.doc_id >= 300000 THEN k.doc_id - 300000
+      |         WHEN k.doc_id >= 200000 THEN k.doc_id - 200000
+      |         ELSE k.doc_id END),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+      |bt AS (SELECT string_split(text, ' ') AS w FROM bench),
+      |bs AS MATERIALIZED (SELECT DISTINCT shingle FROM (
+      |  SELECT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |      || ' ' || w[i+4])) AS shingle
+      |  FROM bt WHERE len(w) >= 5) t),
+      |dt AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM keptm),
+      |ds AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |      || ' ' || w[i+4])) AS shingle
+      |  FROM dt WHERE len(w) >= 5) t),
+      |contam AS MATERIALIZED (SELECT ds.doc_id FROM ds JOIN bs
+      |    ON ds.shingle = bs.shingle
+      |  GROUP BY ds.doc_id HAVING COUNT(*) >= 3),
+      |clean AS MATERIALIZED (SELECT k.* FROM keptm k LEFT JOIN contam c
+      |  ON c.doc_id = k.doc_id WHERE c.doc_id IS NULL),
+      |g AS MATERIALIZED (SELECT doc_id, lang, substr(text, i, 3) AS gram
+      |  FROM clean, unnest(range(1, len(text) - 1)) AS t(i)),
+      |prof AS MATERIALIZED (SELECT lang, gram FROM (
+      |  SELECT lang, gram, row_number() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, gram ASC) AS rk
+      |  FROM g GROUP BY lang, gram) WHERE rk <= 50),
+      |langs AS (SELECT DISTINCT lang AS cand2 FROM prof),
+      |dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM g),
+      |hits AS MATERIALIZED (SELECT dg.doc_id, prof.lang AS cand2,
+      |    CAST(COUNT(*) AS BIGINT) AS ovl
+      |  FROM dg JOIN prof ON prof.gram = dg.gram GROUP BY 1, 2),
+      |pred AS MATERIALIZED (SELECT doc_id, pred_lang FROM (
+      |  SELECT d.doc_id, l.cand2 AS pred_lang, row_number() OVER (
+      |      PARTITION BY d.doc_id
+      |      ORDER BY COALESCE(h.ovl, 0) DESC, l.cand2 ASC) AS rk
+      |  FROM clean d CROSS JOIN langs l
+      |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand2 = l.cand2)
+      |  WHERE rk = 1),
+      |qrtoks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' '))
+      |    AS tok FROM clean),
+      |u AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM qrtoks GROUP BY tok),
+      |tot AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM u),
+      |surp AS MATERIALIZED (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(length(bin(tot.n + tot.v))
+      |      - length(bin(u.c + 1))) AS BIGINT) AS surprisal_bits
+      |  FROM qrtoks t JOIN u ON u.tok = t.tok, tot GROUP BY t.doc_id),
+      |gq AS MATERIALIZED (SELECT doc_id,
+      |    (len(w) BETWEEN 30 AND 100000)
+      |    AND (CAST(ch - (len(w) - 1) AS DOUBLE) / len(w)
+      |      BETWEEN 3.0 AND 10.0)
+      |    AND (CAST(len(list_filter(w, t2 ->
+      |      regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / len(w) >= 0.8)
+      |    AND (len(list_filter(w, t2 -> t2 IN
+      |      ('the','a','of','and','to','in','is','data'))) >= 2)
+      |      AS gopher_pass
+      |  FROM (SELECT doc_id, length(text) AS ch,
+      |    string_split(text, ' ') AS w FROM clean)),
+      |qroute AS MATERIALIZED (SELECT d.doc_id,
+      |    CASE WHEN NOT gq.gopher_pass THEN 'drop'
+      |      WHEN NOT (p.pred_lang = d.lang)
+      |        OR s.surprisal_bits * 5 > s.n_tokens * 26 THEN 'review'
+      |      ELSE 'keep' END AS route
+      |  FROM clean d
+      |  JOIN pred p ON p.doc_id = d.doc_id
+      |  JOIN surp s ON s.doc_id = d.doc_id
+      |  JOIN gq ON gq.doc_id = d.doc_id),
+      |fin AS MATERIALIZED (SELECT c.doc_id, c.text, c.lang, c.source
+      |  FROM clean c JOIN qroute r ON r.doc_id = c.doc_id
+      |  WHERE r.route = 'keep'),
+      |pk AS MATERIALIZED (SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) // 512 AS pack_id
+      |  FROM (SELECT doc_id, source,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |    FROM fin) t),
+      |sp AS MATERIALIZED (SELECT doc_id,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h % 1024, h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) // 2000 AS shard_id
+      |  FROM (SELECT doc_id,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+      |        1, 15) AS BIGINT) AS h
+      |    FROM fin) t)
+      |SELECT '0_input' AS stage, 'n_docs' AS metric,
+      |  CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS value
+      |UNION ALL SELECT '1_url', 'n_dropped', CAST((SELECT COUNT(*)
+      |  FROM drops WHERE dropped_by = 'url') AS BIGINT)
+      |UNION ALL SELECT '2_exact', 'n_dropped', CAST((SELECT COUNT(*)
+      |  FROM drops WHERE dropped_by = 'exact') AS BIGINT)
+      |UNION ALL SELECT '3_near', 'n_dropped', CAST((SELECT COUNT(*)
+      |  FROM drops WHERE dropped_by = 'near') AS BIGINT)
+      |UNION ALL SELECT '4_decon', 'n_dropped',
+      |  CAST((SELECT COUNT(*) FROM contam) AS BIGINT)
+      |UNION ALL SELECT '5_quality', 'n_drop', CAST((SELECT COUNT(*)
+      |  FROM qroute WHERE route = 'drop') AS BIGINT)
+      |UNION ALL SELECT '5_quality', 'n_review', CAST((SELECT COUNT(*)
+      |  FROM qroute WHERE route = 'review') AS BIGINT)
+      |UNION ALL SELECT '5_quality', 'n_keep',
+      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT)
+      |UNION ALL SELECT '6_pack', 'n_packs', CAST((SELECT COUNT(*) FROM
+      |  (SELECT DISTINCT source, pack_id FROM pk) t) AS BIGINT)
+      |UNION ALL SELECT '6_pack', 'n_tokens',
+      |  CAST(COALESCE((SELECT SUM(n_tokens) FROM pk), 0) AS BIGINT)
+      |UNION ALL SELECT '7_shard', 'n_shards', CAST((SELECT
+      |  COUNT(DISTINCT shard_id) FROM sp) AS BIGINT)
+      |UNION ALL SELECT '8_card', 'n_docs',
+      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT)
+      |UNION ALL SELECT '8_card', 'n_tokens', CAST(COALESCE((SELECT
+      |  SUM(len(string_split(text, ' '))) FROM fin), 0) AS BIGINT)
+      |UNION ALL SELECT '8_card', 'n_vocab', CAST((SELECT
+      |  COUNT(DISTINCT tok) FROM (SELECT unnest(string_split(text, ' '))
+      |  AS tok FROM fin) t) AS BIGINT)""".stripMargin
 
   /** Shared CTE chain of the PCA family (Pca.powerIterate replayed in
     * SQL): integer-exact quantized scatter (n, Σq, Σqqᵀ), double

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
+import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -2399,6 +2399,33 @@ object ExtQueries {
         coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
   }
 
+  /** The COMPOSED corpus release through the gate
+    * (ext.CorpusRelease): the dedup-cascade corpus (docs + planted
+    * url/exact/near dups, carrying lang/source) through dedup →
+    * decontamination (benchmark = every 37th doc) → quality route →
+    * pack → shard → card, reduced to the per-stage manifest. The
+    * oracle re-derives the ENTIRE chain with each stage running on
+    * the previous stage's survivor set — the composition proof the
+    * round-9 verdict asked for (the LLM-side F1Dashboard). */
+  def corpusReleaseQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
+    val base = d.join(urlCorpus(spark, dir).select("doc_id", "url"), "doc_id")
+    val exactC = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"),
+        col("lang"), col("source"),
+        concat(lit("https://mirror.example/m/"),
+          col("doc_id").cast("string")).as("url"))
+    val nearC = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker end")).as("text"),
+        col("lang"), col("source"),
+        concat(lit("https://alt.example/a/"),
+          col("doc_id").cast("string")).as("url"))
+    val corpus = base.unionByName(exactC).unionByName(nearC)
+    val bench = d.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
+    CorpusRelease.run(corpus, bench).manifest
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -2560,5 +2587,6 @@ object ExtQueries {
     "q_trigram_backoff"   -> (trigramBackoffQ _),
     "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),
+    "q_corpus_release"    -> (corpusReleaseQ _),
   )
 }
