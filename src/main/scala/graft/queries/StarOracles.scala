@@ -745,6 +745,17 @@ object StarOracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_transitions
         |FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
+    // the bucket-decomposed variant must equal the total-order
+    // counts exactly — the oracle IS the global-sort formulation
+    "q_transitions_bucketed" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
     // conversion-lag histogram: integer log2 buckets via bit length
     // (length(bin(x)) — exact in both engines), -1 = unattributed
     "q_conversion_lag" ->

@@ -933,6 +933,16 @@ object StarQueries {
     graft.operators.EventAnalytics.transitions(
       Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id")
 
+  /** The skew-safe transition matrix (transitionsBucketed, 1-hour
+    * buckets so the fixture's timeline actually crosses boundaries):
+    * same oracle as q_event_transitions — the bucket decomposition
+    * must reproduce the total-order counts exactly while replacing
+    * the one-task-per-user sort with parallel per-bucket sorts. */
+  def transitionsBucketedQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.transitionsBucketed(
+      Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id",
+      bucketUs = 3600000000L)
+
   /** Conversion-lag histogram over the attribution output: purchases
     * bucketed by the BIT LENGTH of their click→purchase gap (integer
     * log2 — `length(bin(gap))`, exact in both engines where a float
@@ -1230,6 +1240,7 @@ object StarQueries {
     "q_attribution"        -> (attributionQuery _),
     "q_rate_anomaly"       -> (rateAnomalyQuery _),
     "q_event_transitions"  -> (transitionsQuery _),
+    "q_transitions_bucketed" -> (transitionsBucketedQuery _),
     "q_attribution_multi"  -> (multiTouchQuery _),
     "q_attribution_capped" -> (multiTouchCappedQuery _),
     "q_attribution_cap_audit" -> (multiTouchCapAuditQuery _),

@@ -160,6 +160,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("view", "click") -> 1L, ("click", "view") -> 2L))
   }
 
+  test("bucketed transitions equal the total-order counts, bot included") {
+    // a planted bot (user 7, 500 events across many 1-minute buckets,
+    // deterministic pseudo-random types incl. timestamp ties) plus
+    // sparse users with empty buckets between events — the bucket
+    // decomposition must stitch boundaries across the gaps exactly
+    val rows = (0 until 500).map { i =>
+      (100L + i, 7L, Seq("a", "b", "c")((i * 7 + i / 3) % 3),
+        ts(i / 4))  // 4 events per minute -> in-bucket ties
+    } ++ Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(300)), // 5h gap
+      (3L, 2L, "c", ts(59)), (4L, 2L, "a", ts(60)), // adjacent buckets
+      (5L, 3L, "b", ts(12)))                        // singleton user
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = m(EventAnalytics.transitions(ev, "user_id",
+      "event_type", "ts", "event_id"))
+    // 1-minute buckets: the bot crosses ~125 boundaries
+    val bucketed = m(EventAnalytics.transitionsBucketed(ev, "user_id",
+      "event_type", "ts", "event_id", bucketUs = 60000000L))
+    assert(bucketed === total)
+    assert(total.values.sum === 499L + 1L + 1L) // 503 events, 3 users w/ pairs
+    // degenerate bucket (1 us) = every pair is a boundary pair
+    val tiny = m(EventAnalytics.transitionsBucketed(ev, "user_id",
+      "event_type", "ts", "event_id", bucketUs = 1L))
+    assert(tiny === total)
+  }
+
   test("retention triangle counts distinct users per cohort/offset week") {
     val week = 7L * 24 * 60 // minutes
     val ev = Seq(
