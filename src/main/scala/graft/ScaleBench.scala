@@ -616,9 +616,17 @@ object ScaleBench {
     write(all.map(_._3).reduce(_ unionByName _), "events")
   }
 
+  /** Multi-pass sequential operators measure single-run: their 71
+    * sequential shard passes ARE a warm steady state after pass 1
+    * (the checkpointed prefix/doc-set frames build once), and a
+    * second full execution would double a ~2 h measurement to shave
+    * noise the pass-count already averages out. */
+  private val SingleRun: Set[String] = Set("q_exact_sharded_route")
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val fn = SparkEntry.queries.getOrElse(name, ScaleOnly(name))
-    fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+    if (!SingleRun(name))
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
     val t0 = System.nanoTime()
     fn(spark, dir).write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
