@@ -907,51 +907,57 @@ object Dedup {
         lit("\u0001"), col("shingle")).as("__key"))
       .groupBy(col(idCol)).agg(collect_list(col("__key")).as("__pref"))
       .localCheckpoint()
+    val sc = df.sparkSession.sparkContext
     val passes = (0 until shards).map { s =>
-      val p = prefix.filter(col("__shard") === s)
-      val a = p.select(col(idCol).as("doc_a"), col("shingle"),
-        col("__p").as("__pa"), col("__sz").as("__sa"))
-      val b = p.select(col(idCol).as("doc_b"), col("shingle"),
-        col("__p").as("__pb"), col("__sz").as("__sb"))
-      val alpha = floor((lit(tauPct) * (col("__sa") + col("__sb"))
-        + (99 + tauPct)) / (100 + tauPct))
-      val cand = a.join(b, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b") &&
-          col("__sa") * 100 >= col("__sb") * tauPct &&
-          col("__sb") * 100 >= col("__sa") * tauPct &&
-          lit(1) + least(col("__sa") - col("__pa"),
-            col("__sb") - col("__pb")) >= alpha)
-        .select("doc_a", "doc_b").distinct()
-      val first = array_min(array_intersect(col("__prefa"), col("__prefb")))
-      val kept = cand
-        .join(docSets.select(col(idCol).as("doc_a"), col("__set").as("__seta")),
-          Seq("doc_a"))
-        .join(docSets.select(col(idCol).as("doc_b"), col("__set").as("__setb")),
-          Seq("doc_b"))
-        .join(docPrefs.select(col(idCol).as("doc_a"), col("__pref").as("__prefa")),
-          Seq("doc_a"))
-        .join(docPrefs.select(col(idCol).as("doc_b"), col("__pref").as("__prefb")),
-          Seq("doc_b"))
-        .filter(pmod(xxhash64(first.substr(lit(21), length(first))),
-          lit(shards.toLong)) === s)
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("__seta"), col("__setb")))
-            .cast("long").as("inter"),
-          size(col("__seta")).cast("long").as("na"),
-          size(col("__setb")).cast("long").as("nb"))
-        .filter(col("inter") * 100 >=
-          lit(tauPct) * (col("na") + col("nb") - col("inter")))
-        // eager: materializes THIS pass before the next starts —
-        // sequential passes are the whole point (bounded peak disk)
-        .localCheckpoint()
-      System.err.println(s"[graft.Dedup] sharded exact pass ${s + 1}/$shards: " +
-        s"${kept.count()} qualifying pairs")
-      // drop the pass's shuffle files before the next pass writes its
-      // own: the ContextCleaner reclaims shuffles on reference GC, and
-      // without a nudge 100×'s per-pass spill would accumulate right
-      // back into the single-join ENOSPC this operator exists to avoid
-      System.gc()
-      kept
+      // scrub the pass's shuffle files before the next pass writes its
+      // own: without eager cleanup 100×'s per-pass spill accumulates
+      // right back into the single-join ENOSPC this operator exists to
+      // avoid. ShuffleScrub runs the ContextCleaner's own shuffle
+      // removal on exactly the ids this pass registered — the targeted
+      // replacement for the System.gc() nudge (a full GC on the 48 g
+      // harness heap was a measured multi-second pause per pass); the
+      // pass's checkpointed survivors never re-read those shuffles.
+      org.apache.spark.graft.ShuffleScrub.scoped(sc) {
+        val p = prefix.filter(col("__shard") === s)
+        val a = p.select(col(idCol).as("doc_a"), col("shingle"),
+          col("__p").as("__pa"), col("__sz").as("__sa"))
+        val b = p.select(col(idCol).as("doc_b"), col("shingle"),
+          col("__p").as("__pb"), col("__sz").as("__sb"))
+        val alpha = floor((lit(tauPct) * (col("__sa") + col("__sb"))
+          + (99 + tauPct)) / (100 + tauPct))
+        val cand = a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b") &&
+            col("__sa") * 100 >= col("__sb") * tauPct &&
+            col("__sb") * 100 >= col("__sa") * tauPct &&
+            lit(1) + least(col("__sa") - col("__pa"),
+              col("__sb") - col("__pb")) >= alpha)
+          .select("doc_a", "doc_b").distinct()
+        val first = array_min(array_intersect(col("__prefa"), col("__prefb")))
+        val kept = cand
+          .join(docSets.select(col(idCol).as("doc_a"), col("__set").as("__seta")),
+            Seq("doc_a"))
+          .join(docSets.select(col(idCol).as("doc_b"), col("__set").as("__setb")),
+            Seq("doc_b"))
+          .join(docPrefs.select(col(idCol).as("doc_a"), col("__pref").as("__prefa")),
+            Seq("doc_a"))
+          .join(docPrefs.select(col(idCol).as("doc_b"), col("__pref").as("__prefb")),
+            Seq("doc_b"))
+          .filter(pmod(xxhash64(first.substr(lit(21), length(first))),
+            lit(shards.toLong)) === s)
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("__seta"), col("__setb")))
+              .cast("long").as("inter"),
+            size(col("__seta")).cast("long").as("na"),
+            size(col("__setb")).cast("long").as("nb"))
+          .filter(col("inter") * 100 >=
+            lit(tauPct) * (col("na") + col("nb") - col("inter")))
+          // eager: materializes THIS pass before the next starts —
+          // sequential passes are the whole point (bounded peak disk)
+          .localCheckpoint()
+        System.err.println(s"[graft.Dedup] sharded exact pass ${s + 1}/$shards: " +
+          s"${kept.count()} qualifying pairs")
+        kept
+      }
     }
     passes.reduce(_ unionByName _)
   }
@@ -1149,6 +1155,219 @@ object Dedup {
         size(col("__setb")).cast("long").as("n_new"))
       .filter(col("inter") * 100 >=
         lit(tauPct) * (col("n_index") + col("n_new") - col("inter")))
+  }
+
+  /** PRE-FLIGHT pair-mass estimate for the TWO-CORPUS exact join —
+    * [[pairMassPreflight]]'s R×S form: per shingle appearing in BOTH
+    * sides' prefixes (under the shared union rarity order the AB join
+    * uses), the candidate equi-join emits exactly pdfI·pdfN pair rows
+    * before any prune, so `est_candidate_pairs` = Σ pdfI·pdfN is an
+    * EXACT count of [[prefixFilterJoinAB]]'s pre-filter output — the
+    * disk-filling quantity — priced with two window passes and one
+    * shingle-key join of two COUNT tables (never a pair join). One
+    * row per entry in `budgets`, all-integer. */
+  def pairMassPreflightAB(index: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, tauPct: Int = 60,
+                          budgets: Seq[Long] = Seq(10000000L)): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    require(budgets.nonEmpty, "at least one budget row")
+    import org.apache.spark.sql.expressions.Window
+    val shI = shingleRows(index, idCol, textCol, shingleN).localCheckpoint()
+    val shN = shingleRows(incoming, idCol, textCol, shingleN).localCheckpoint()
+    // the UNION frequency — the single total order both sides' prefix
+    // rules rank by (identical to prefixFilterJoinAB, so the estimate
+    // prices THE join that would run)
+    val freq = shI.unionByName(shN)
+      .groupBy("shingle").agg(count(lit(1)).as("__df"))
+    def prefixOf(sh: DataFrame): DataFrame = {
+      val byRarity = Window.partitionBy(col(idCol))
+        .orderBy(col("__df").asc, col("shingle").asc)
+      sh.join(freq, Seq("shingle"))
+        .select(col(idCol), col("shingle"),
+          row_number().over(byRarity).as("__p"),
+          count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
+        .filter(col("__p") <=
+          col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
+    }
+    val pdfI = prefixOf(shI).groupBy("shingle").agg(count(lit(1)).as("__pi"))
+    val pdfN = prefixOf(shN).groupBy("shingle").agg(count(lit(1)).as("__pn"))
+    val mass = pdfI.join(pdfN, Seq("shingle"))
+      .agg(coalesce(sum(col("__pi") * col("__pn")), lit(0L))
+        .as("est_candidate_pairs"))
+    val stats = shI.agg(countDistinct(col(idCol)).as("n_index"))
+      .crossJoin(shN.agg(countDistinct(col(idCol)).as("n_incoming")))
+      .crossJoin(mass)
+    stats
+      .select(explode(typedLit(budgets)).as("budget_pairs"),
+        col("n_index"), col("n_incoming"), col("est_candidate_pairs"))
+      .withColumn("within_budget",
+        col("est_candidate_pairs") <= col("budget_pairs"))
+  }
+
+  /** SHARDED two-corpus exact join — [[prefixFilterJoinAB]]'s answer
+    * with the candidate join decomposed into `shards` sequential
+    * shingle-family passes, exactly the treatment
+    * [[prefixFilterPairsSharded]] gives the self-join: each pass's
+    * shuffle/spill footprint is ~1/shards of the single join's, each
+    * pass's survivors are checkpointed (and logged) before the next
+    * starts, and the pass's shuffle files are scrubbed eagerly, so
+    * peak scratch disk is bounded by one pass.
+    *
+    * Exactly-once across shards re-uses the first-shared-shingle rule
+    * unchanged, because both sides rank prefixes under the SAME union
+    * rarity order (df asc, shingle asc over shI ∪ shN): a qualifying
+    * cross pair's rarest shared shingle sits inside BOTH prefixes
+    * (any rarer shared shingle would rank earlier in both documents),
+    * and at that shingle the positional bound cannot prune the pair —
+    * so the shard owning that shingle always re-derives it, and every
+    * other shard's copy is dropped by the per-row emit filter.
+    * PrefixJoinProps pins AB-sharded ≡ brute force for any corpora,
+    * threshold, and shard count. Output contract identical to
+    * [[prefixFilterJoinAB]]: (index_id, new_id, inter, n_index,
+    * n_new); shards = 1 degenerates to the single-pass join. */
+  def prefixFilterJoinABSharded(index: DataFrame, incoming: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int = 3, tauPct: Int = 60,
+                                shards: Int = 8): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val shI = shingleRows(index, idCol, textCol, shingleN).localCheckpoint()
+    val shN = shingleRows(incoming, idCol, textCol, shingleN).localCheckpoint()
+    val freq = shI.unionByName(shN)
+      .groupBy("shingle").agg(count(lit(1)).as("__df"))
+    def prefixOf(sh: DataFrame): DataFrame = {
+      val byRarity = Window.partitionBy(col(idCol))
+        .orderBy(col("__df").asc, col("shingle").asc)
+      sh.join(freq, Seq("shingle"))
+        .select(col(idCol), col("shingle"), col("__df"),
+          row_number().over(byRarity).as("__p"),
+          count(lit(1)).over(Window.partitionBy(col(idCol))).as("__sz"))
+        .filter(col("__p") <=
+          col("__sz") - floor((col("__sz") * tauPct + 99) / 100) + 1)
+        .withColumn("__shard",
+          pmod(xxhash64(col("shingle")), lit(shards.toLong)))
+        .localCheckpoint() // every pass re-reads it, none rebuilds it
+    }
+    val prefI = prefixOf(shI)
+    val prefN = prefixOf(shN)
+    // rarity-encoded prefix keys (19 zero-padded df digits + U+0001 +
+    // shingle — binary string order equals (df, shingle)) and full
+    // shingle sets, per side, shared across passes
+    def prefKeysOf(pref: DataFrame, outId: String): DataFrame = pref
+      .select(col(idCol), concat(lpad(col("__df").cast("string"), 19, "0"),
+        lit("\u0001"), col("shingle")).as("__key"))
+      .groupBy(col(idCol)).agg(collect_list(col("__key")).as("__pref"))
+      .select(col(idCol).as(outId), col("__pref"))
+      .localCheckpoint()
+    val prefKeysI = prefKeysOf(prefI, "index_id")
+    val prefKeysN = prefKeysOf(prefN, "new_id")
+    val setsI = shI.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__set"))
+      .select(col(idCol).as("index_id"), col("__set").as("__seta"))
+      .localCheckpoint()
+    val setsN = shN.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__set"))
+      .select(col(idCol).as("new_id"), col("__set").as("__setb"))
+      .localCheckpoint()
+    val sc = index.sparkSession.sparkContext
+    val passes = (0 until shards).map { s =>
+      org.apache.spark.graft.ShuffleScrub.scoped(sc) {
+        val a = prefI.filter(col("__shard") === s)
+          .select(col(idCol).as("index_id"), col("shingle"),
+            col("__p").as("__pa"), col("__sz").as("__sa"))
+        val b = prefN.filter(col("__shard") === s)
+          .select(col(idCol).as("new_id"), col("shingle"),
+            col("__p").as("__pb"), col("__sz").as("__sb"))
+        val alpha = floor((lit(tauPct) * (col("__sa") + col("__sb"))
+          + (99 + tauPct)) / (100 + tauPct))
+        val cand = a.join(b, Seq("shingle"))
+          .filter(col("__sa") * 100 >= col("__sb") * tauPct &&
+            col("__sb") * 100 >= col("__sa") * tauPct &&
+            lit(1) + least(col("__sa") - col("__pa"),
+              col("__sb") - col("__pb")) >= alpha)
+          .select("index_id", "new_id").distinct()
+        val first = array_min(array_intersect(col("__prefa"), col("__prefb")))
+        val kept = cand
+          .join(setsI, Seq("index_id"))
+          .join(setsN, Seq("new_id"))
+          .join(prefKeysI.select(col("index_id"), col("__pref").as("__prefa")),
+            Seq("index_id"))
+          .join(prefKeysN.select(col("new_id"), col("__pref").as("__prefb")),
+            Seq("new_id"))
+          .filter(pmod(xxhash64(first.substr(lit(21), length(first))),
+            lit(shards.toLong)) === s)
+          .select(col("index_id"), col("new_id"),
+            size(array_intersect(col("__seta"), col("__setb")))
+              .cast("long").as("inter"),
+            size(col("__seta")).cast("long").as("n_index"),
+            size(col("__setb")).cast("long").as("n_new"))
+          .filter(col("inter") * 100 >=
+            lit(tauPct) * (col("n_index") + col("n_new") - col("inter")))
+          .localCheckpoint()
+        System.err.println(s"[graft.Dedup] sharded AB pass ${s + 1}/$shards: " +
+          s"${kept.count()} qualifying pairs")
+        kept
+      }
+    }
+    passes.reduce(_ unionByName _)
+  }
+
+  /** Budget-routed TWO-CORPUS dispatch — [[exactOrCappedPairs]]'
+    * ingest-shaped sibling: [[pairMassPreflightAB]] prices the exact
+    * cross join first; within budget runs [[prefixFilterJoinAB]], and
+    * `onOverBudget` names the above-budget CONTRACT:
+    *  - "shard": the exact no-false-negatives answer in ⌈est/budget⌉
+    *    sequential passes ([[prefixFilterJoinABSharded]], capped at
+    *    `maxShards`) — route = 'exact_sharded';
+    *  - "lsh": the bounded approximate answer
+    *    ([[incrementalNearDups]] under `maxBucketSize`) —
+    *    route = 'lsh_capped', recall loss = the audited bucket drops;
+    *  - "fail": refuse.
+    * Output is the common (index_id, new_id, route) schema so the
+    * ingest policy downstream reads any branch unchanged. */
+  def exactOrCappedPairsAB(index: DataFrame, incoming: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, tauPct: Int = 60,
+                           budgetPairs: Long = 10000000L,
+                           maxBucketSize: Int = 64,
+                           onOverBudget: String = "lsh",
+                           maxShards: Int = 256): DataFrame = {
+    require(Set("lsh", "shard", "fail")(onOverBudget),
+      s"onOverBudget in {lsh, shard, fail}, got $onOverBudget")
+    val flight = pairMassPreflightAB(index, incoming, idCol, textCol,
+      shingleN, tauPct, Seq(budgetPairs)).collect().head
+    val within = flight.getAs[Boolean]("within_budget")
+    val est = flight.getAs[Long]("est_candidate_pairs")
+    System.err.println(s"[graft.Dedup] pairMassPreflightAB: est " +
+      s"$est candidate pairs vs budget $budgetPairs -> " +
+      (if (within) "exact" else onOverBudget))
+    if (within)
+      prefixFilterJoinAB(index, incoming, idCol, textCol, shingleN, tauPct)
+        .select(col("index_id"), col("new_id"), lit("exact").as("route"))
+    else onOverBudget match {
+      case "shard" =>
+        val shards = math.min(maxShards.toLong,
+          (est + budgetPairs - 1) / budgetPairs).toInt
+        System.err.println(s"[graft.Dedup] exact AB route sharded into " +
+          s"$shards sequential passes (~$budgetPairs pre-filter pairs each)")
+        prefixFilterJoinABSharded(index, incoming, idCol, textCol,
+            shingleN, tauPct, shards)
+          .select(col("index_id"), col("new_id"),
+            lit("exact_sharded").as("route"))
+      case "fail" =>
+        throw new IllegalStateException(
+          s"exact AB similarity join refused: est $est pre-filter " +
+            s"candidate pairs exceeds budget $budgetPairs " +
+            "(onOverBudget=fail); raise the budget, pass " +
+            "onOverBudget=shard, or accept lsh")
+      case _ =>
+        incrementalNearDups(index, incoming, idCol, textCol,
+            shingleN, maxBucketSize = maxBucketSize)
+          .select(col("index_id"), col("new_id"),
+            lit("lsh_capped").as("route"))
+    }
   }
 
   /** Asymmetric CONTAINMENT pairs (Broder's containment c(A,B) =

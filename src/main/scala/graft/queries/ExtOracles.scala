@@ -297,6 +297,45 @@ object ExtOracles {
       |  ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
       |GROUP BY e2.query_id""".stripMargin
 
+  /** Brute-force incoming × index exact-Jaccard truth over the
+    * q_incr_exact fixture (clones of every 13th doc + token-reversed
+    * copies of every 19th): the shared preamble of the three AB-join
+    * gate rows — single-pass, sharded, and routed all answer the same
+    * question, so one truth pins all three. `tail` picks the output
+    * columns (the routed row carries a literal route instead of the
+    * integer counts). */
+  private def incrExactBruteSql(tail: String): String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |inc AS (SELECT doc_id + 600000 AS doc_id,
+      |    text || ' graftincr end' AS text
+      |  FROM d WHERE doc_id % 13 = 0
+      |  UNION ALL SELECT doc_id + 700000,
+      |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |  FROM d WHERE doc_id % 19 = 0),
+      |shi AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)
+      |  WHERE len(w) >= 3) t),
+      |shn AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inc)
+      |  WHERE len(w) >= 3) t),
+      |szi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM shi GROUP BY doc_id),
+      |szn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM shn GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS index_id, b.doc_id AS new_id,
+      |    CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM shi a JOIN shn b ON a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |""".stripMargin + tail + "\n" +
+      """FROM inter i
+        |JOIN szi na ON na.doc_id = i.index_id
+        |JOIN szn nb ON nb.doc_id = i.new_id
+        |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin
+
   private val exactL2Cte: String =
     """exact AS (SELECT query_id, neighbor_id FROM (
       |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
@@ -1609,38 +1648,23 @@ object ExtOracles {
 
     // exact incremental check: brute-force incoming x index truth —
     // every cross pair sharing >= 1 shingle, integer threshold
-    "q_incr_exact" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |inc AS (SELECT doc_id + 600000 AS doc_id,
-        |    text || ' graftincr end' AS text
-        |  FROM d WHERE doc_id % 13 = 0
-        |  UNION ALL SELECT doc_id + 700000,
-        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
-        |  FROM d WHERE doc_id % 19 = 0),
-        |shi AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)
-        |  WHERE len(w) >= 3) t),
-        |shn AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inc)
-        |  WHERE len(w) >= 3) t),
-        |szi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM shi GROUP BY doc_id),
-        |szn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM shn GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS index_id, b.doc_id AS new_id,
-        |    CAST(COUNT(*) AS BIGINT) AS i
-        |  FROM shi a JOIN shn b ON a.shingle = b.shingle
-        |  GROUP BY 1, 2)
-        |SELECT i.index_id, i.new_id, i.i AS inter,
-        |  na.n AS n_index, nb.n AS n_new
-        |FROM inter i
-        |JOIN szi na ON na.doc_id = i.index_id
-        |JOIN szn nb ON nb.doc_id = i.new_id
-        |WHERE i.i * 100 >= 60 * (na.n + nb.n - i.i)""".stripMargin,
+    "q_incr_exact" -> incrExactBruteSql(
+      """SELECT i.index_id, i.new_id, i.i AS inter,
+        |  na.n AS n_index, nb.n AS n_new""".stripMargin),
+
+    // the sharded AB join answers the SAME question (identical
+    // fixture, threshold, columns): one brute-force truth pins both
+    // the single-pass and the shard-decomposed execution — AB
+    // exactly-once across shards or the hashes diverge
+    "q_incr_sharded" -> incrExactBruteSql(
+      """SELECT i.index_id, i.new_id, i.i AS inter,
+        |  na.n AS n_index, nb.n AS n_new""".stripMargin),
+
+    // the routed AB dispatch's shard branch: pair set = the brute
+    // cross truth, route pins WHICH branch ran (budget 1 forces the
+    // over-budget path; 'shard' keeps the exact contract)
+    "q_incr_exact_routed" -> incrExactBruteSql(
+      "SELECT i.index_id, i.new_id, 'exact_sharded' AS route"),
 
     // the exact pipeline composed: brute-force exact-Jaccard pairs
     // (the q_prefix_join truth) -> recursive-CTE component closure ->

@@ -600,9 +600,24 @@ object ExtQueries {
     * oracle-pinned (q_prefix_join, q_dedup_clusters, q_cluster_reps);
     * this row pins that they COMPOSE, with the DuckDB side running
     * brute-force pairs + a recursive-CTE closure + a windowed argmax. */
-  def exactPrep(spark: SparkSession, dir: String): DataFrame = {
+  def exactPrep(spark: SparkSession, dir: String): DataFrame =
+    exactPrepRouted(spark, dir, budgetPairs = 1000000000000L)
+
+  /** The composition with the ladder threaded through: the pair stage
+    * goes via [[Dedup.exactOrCappedPairs]] (onOverBudget = "shard"),
+    * so a corpus whose preflighted pair mass exceeds `budgetPairs`
+    * runs the SAME exact answer in sequential budget-sized shard
+    * passes instead of one disk-unbounded join — the clustering and
+    * representative stages are route-blind (both branches of the
+    * shard contract emit the identical pair set; ExtSpec pins a tiny
+    * budget's output equal to the unrouted default's). */
+  def exactPrepRouted(spark: SparkSession, dir: String,
+                      budgetPairs: Long,
+                      maxShards: Int = 256): DataFrame = {
     val corpus = nearCorpus(spark, dir)
-    val pairs = Dedup.prefixFilterPairs(corpus, "doc_id", "text")
+    val pairs = Dedup.exactOrCappedPairs(corpus, "doc_id", "text",
+      budgetPairs = budgetPairs, onOverBudget = "shard",
+      maxShards = maxShards)
     val labels = Dedup.connectedComponents(
       pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
     val quality = corpus.select(col("doc_id"),
@@ -1431,6 +1446,14 @@ object ExtQueries {
     * shared-rarity-order prefix pruning is candidate-complete across
     * two corpora, not just within one. */
   def incrExact(spark: SparkSession, dir: String): DataFrame = {
+    val (d, incoming) = incrFixture(spark, dir)
+    Dedup.prefixFilterJoinAB(d, incoming, "doc_id", "text")
+  }
+
+  /** The q_incr_exact fixture (index = documents; incoming = marker
+    * clones of every 13th + token-reversed copies of every 19th). */
+  private def incrFixture(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val d = docs(spark, dir).select("doc_id", "text")
     val incoming = d.filter(col("doc_id") % 13 === 0)
       .select((col("doc_id") + 600000).as("doc_id"),
@@ -1438,7 +1461,34 @@ object ExtQueries {
       .unionByName(d.filter(col("doc_id") % 19 === 0)
         .select((col("doc_id") + 700000).as("doc_id"),
           array_join(reverse(TextOps.tokens(col("text"))), " ").as("text")))
-    Dedup.prefixFilterJoinAB(d, incoming, "doc_id", "text")
+    (d, incoming)
+  }
+
+  /** The SHARDED two-corpus exact join through the gate
+    * (Dedup.prefixFilterJoinABSharded at shards = 3): the identical
+    * fixture and brute-force oracle as q_incr_exact — a green row
+    * proves the AB shard decomposition is lossless AND duplicate-free
+    * under the shared union rarity order (first-shared-shingle
+    * exactly-once, the self-join's rule applied cross-corpus). */
+  def incrSharded(spark: SparkSession, dir: String): DataFrame = {
+    val (d, incoming) = incrFixture(spark, dir)
+    Dedup.prefixFilterJoinABSharded(d, incoming, "doc_id", "text",
+      shards = 3)
+  }
+
+  /** The routed AB dispatch with the SHARD branch forced
+    * (Dedup.exactOrCappedPairsAB, budget = 1 pair, onOverBudget =
+    * "shard"): the preflight prices the gate fixture over budget, the
+    * route runs min(⌈est/1⌉, 4) = 4 sequential passes, and the
+    * emitted (index_id, new_id, route='exact_sharded') set must equal
+    * the brute-force cross truth — the contract knob KEEPING
+    * exactness above budget, value-checked by DuckDB. (The exact and
+    * lsh branches are pinned by q_incr_exact / ExtSpec; one SQL
+    * statement cannot take multiple driver-side routes.) */
+  def incrExactRouted(spark: SparkSession, dir: String): DataFrame = {
+    val (d, incoming) = incrFixture(spark, dir)
+    Dedup.exactOrCappedPairsAB(d, incoming, "doc_id", "text",
+      budgetPairs = 1L, onOverBudget = "shard", maxShards = 4)
   }
 
   /** Leakage-proof split (Sampling.clusterAwareSplit): near-dup
@@ -2512,6 +2562,8 @@ object ExtQueries {
     "q_exact_prep"        -> (exactPrep _),
     "q_ivf_pq_recall"     -> (ivfPqRecall _),
     "q_incr_exact"        -> (incrExact _),
+    "q_incr_sharded"      -> (incrSharded _),
+    "q_incr_exact_routed" -> (incrExactRouted _),
     "q_binary_embed"      -> (binaryEmbed _),
     "q_hamming_topk"      -> (hammingTopKQ _),
     "q_hamming_recall"    -> (hammingRecall _),

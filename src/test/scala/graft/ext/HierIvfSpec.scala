@@ -151,4 +151,60 @@ class HierIvfSpec extends AnyFunSuite {
     assert(ok.select("route").distinct().as[String].collect().toSet
       == Set("exact"))
   }
+
+  test("pairMassPreflightAB matches the hand-computed cross mass") {
+    // index: three identical 7-token docs (prefix L = 3, pdfI = 3 per
+    // prefix shingle); incoming: two more copies (pdfN = 2) ->
+    // est = 3 shared prefix shingles x 3 x 2 = 18
+    val idx = Seq(1L, 2L, 3L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val inc = Seq(101L, 102L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val row = Dedup.pairMassPreflightAB(idx, inc, "doc_id", "text",
+      budgets = Seq(100L)).collect().head
+    assert(row.getAs[Long]("n_index") == 3L)
+    assert(row.getAs[Long]("n_incoming") == 2L)
+    assert(row.getAs[Long]("est_candidate_pairs") == 18L)
+    assert(row.getAs[Boolean]("within_budget"))
+  }
+
+  test("exactOrCappedPairsAB routes exact under budget, shard above") {
+    val idx = (1L to 8L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val inc = (101L to 104L).map(i => (i, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exactOrCappedPairsAB(idx, inc, "doc_id", "text",
+      budgetPairs = 1000000L)
+    assert(exact.select("route").distinct().as[String].collect().toSet
+      == Set("exact"))
+    // 8 x 4 identical cross pairs, each exactly once
+    assert(exact.count() == 32L)
+    val sharded = Dedup.exactOrCappedPairsAB(idx, inc, "doc_id", "text",
+      budgetPairs = 10L, onOverBudget = "shard", maxShards = 5)
+    val rows = sharded.select("index_id", "new_id", "route")
+      .as[(Long, Long, String)].collect()
+    assert(rows.map(_._3).toSet == Set("exact_sharded"))
+    assert(rows.length == 32 &&
+      rows.map(r => (r._1, r._2)).toSet.size == 32)
+    assert(rows.map(r => (r._1, r._2)).toSet
+      == exact.select("index_id", "new_id")
+        .as[(Long, Long)].collect().toSet)
+    intercept[IllegalStateException] {
+      Dedup.exactOrCappedPairsAB(idx, inc, "doc_id", "text",
+        budgetPairs = 10L, onOverBudget = "fail").collect()
+    }
+  }
+
+  test("exactPrepRouted: a forced shard route leaves the composition's answer unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.queries.ExtQueries.exactPrep(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // budget 1 forces the over-budget shard route through the whole
+    // composed pipeline (pairs -> CC -> representatives); the ladder
+    // must be invisible in the output
+    val routed = graft.queries.ExtQueries
+      .exactPrepRouted(spark, dir, budgetPairs = 1L, maxShards = 3)
+      .collect().map(_.toSeq).toSet
+    assert(routed == base)
+  }
 }

@@ -115,4 +115,36 @@ object PrefixJoinProps extends Properties("PrefixFilterJoin") {
         println(s"AB tau=$tau missing=${want -- got} extra=${got -- want}")
       got == want
     }
+
+  // the AB shard decomposition must be invisible too: for any two
+  // corpora, threshold, and shard count, the sequential shingle-family
+  // passes reassemble exactly the brute-force CROSS pair set — the
+  // first-shared-shingle rule stays valid under the UNION rarity order
+  // (the rarest shared shingle of a qualifying cross pair sits in both
+  // prefixes, and only its shard emits the pair)
+  property("AB sharded equals brute force for any corpora, threshold, and shard count") =
+    forAllNoShrink(docsGen, docsGen, tauGen, Gen.choose(1, 5)) {
+      (left, right, tau, shards) =>
+        import spark.implicits._
+        val inc = right.map { case (id, t) => (id + 100000L, t) }
+        val got = Dedup
+          .prefixFilterJoinABSharded(left.toDF("doc_id", "text"),
+            inc.toDF("doc_id", "text"), "doc_id", "text",
+            shingleN = 3, tauPct = tau, shards = shards)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+          .toSet
+        val shI = left.map { case (id, t) => id -> shingleSet(t) }
+        val shN = inc.map { case (id, t) => id -> shingleSet(t) }
+        val want = (for {
+          (ia, sa) <- shI; (ib, sb) <- shN
+          i = (sa & sb).size.toLong
+          if i > 0 && i * 100 >= tau.toLong * (sa.size + sb.size - i)
+        } yield (ia, ib, i, sa.size.toLong, sb.size.toLong)).toSet
+        if (got != want)
+          println(s"AB sharded tau=$tau shards=$shards " +
+            s"missing=${want -- got} extra=${got -- want}")
+        got == want
+    }
 }
