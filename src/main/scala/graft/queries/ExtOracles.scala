@@ -246,10 +246,29 @@ object ExtOracles {
        |  FROM embeddings),
        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20)""".stripMargin
 
+  /** e/cand over the ANISOTROPIC fixture (ExtQueries.anisoEmb): the
+    * rank-1 all-ones component planted per vector — float → double,
+    * one multiply-add, one round-to-nearest cast back to REAL, so the
+    * doubles downstream are bit-identical to the Spark side's. */
+  private def anisoECandCtes: String =
+    s"""WITH aniso AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) +
+       |      (CAST(vec_id % 17 AS DOUBLE) - 8) * 0.1 AS REAL))
+       |      AS embedding
+       |  FROM embeddings),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM aniso),
+       |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20)""".stripMargin
+
   /** e/cand + kmsrc over the raw candidate vectors + the fitted
-    * codebook CTEs — the preamble of every trained-PQ oracle. */
-  private def pqPreamble: String =
-    eCandCtes + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
+    * codebook CTEs — the preamble of every trained-PQ oracle.
+    * `head` picks the e/cand source (raw embeddings vs the
+    * anisotropic fixture). */
+  private def pqPreamble: String = pqPreambleFrom(eCandCtes)
+
+  private def pqPreambleFrom(head: String): String =
+    head + ",\nkmsrc AS (SELECT vec_id AS rid, v FROM cand),\n" +
       kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
         ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
       kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
@@ -359,9 +378,11 @@ object ExtOracles {
         |  adc_dist2
         |FROM ranked WHERE rank <= 3""".stripMargin
 
-  private def pqRecallSql: String =
-    pqPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim) + ",\n" + qCte +
-      ",\n" + pqLutCte(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
+  private def pqRecallSql: String = pqRecallSqlFrom(eCandCtes)
+
+  private def pqRecallSqlFrom(head: String): String =
+    pqPreambleFrom(head) + ",\n" + pqEncodeCte(ExtQueries.PqDim) + ",\n" +
+      qCte + ",\n" + pqLutCte(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
       pqAdcRankedCtes + ",\n" +
       "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
       exactL2Cte + "\n" + recallTailSql
@@ -385,8 +406,10 @@ object ExtOracles {
     * ExtQueries.rotCands), the Householder vector w = v − β·e₁ with
     * β = −sign(v₁), rcand = rotated candidates, then the Lloyd fit
     * whose kmsrc is the ROTATED vectors. */
-  private def pqRotPreamble: String =
-    eCandCtes + ",\n" + pcaChain(12, "cand", "v") + ",\n" +
+  private def pqRotPreamble: String = pqRotPreambleFrom(eCandCtes)
+
+  private def pqRotPreambleFrom(head: String): String =
+    head + ",\n" + pcaChain(12, "cand", "v") + ",\n" +
       """rotw AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
         |    CASE WHEN i = 1 THEN v[1] -
         |        (CASE WHEN v[1] >= 0 THEN -1.0 ELSE 1.0 END)
@@ -407,8 +430,11 @@ object ExtOracles {
 
   /** Rotated-space ADC vs UNROTATED exact L2 (valid: the reflection
     * is orthogonal, so the true neighbor set is unchanged). */
-  private def pqRotRecallSql: String =
-    pqRotPreamble + ",\n" + pqEncodeCte(ExtQueries.PqDim, "rcand") + ",\n" +
+  private def pqRotRecallSql: String = pqRotRecallSqlFrom(eCandCtes)
+
+  private def pqRotRecallSqlFrom(head: String): String =
+    pqRotPreambleFrom(head) + ",\n" +
+      pqEncodeCte(ExtQueries.PqDim, "rcand") + ",\n" +
       rotApplyCte("q", "query_id",
         "SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20") + ",\n" +
       pqLutCte(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
@@ -637,7 +663,9 @@ object ExtOracles {
     * n_same_cell) rows, the curve a deployment reads to size w
     * against its own geometry instead of trusting the w = 2
     * default. */
-  private def ivfHierCurveSql: String = {
+  private def ivfHierCurveSql: String = ivfHierCurveSqlFrom(eCandCtes)
+
+  private def ivfHierCurveSqlFrom(head: String): String = {
     val ws = Seq(1, 2, 3, 4)
     val arms = ws.map(w => hierAsgCtes(s"h$w", w, s"w${w}_"))
       .mkString(",\n")
@@ -648,7 +676,7 @@ object ExtOracles {
          |    AS BIGINT) AS n_same_cell
          |FROM fasg f JOIN h$w h ON h.neighbor_id = f.neighbor_id"""
         .stripMargin).mkString("\nUNION ALL\n")
-    eCandCtes + ",\n" + strideCentCtes + ",\n" + arms + ",\n" +
+    head + ",\n" + strideCentCtes + ",\n" + arms + ",\n" +
       """fasg AS (SELECT neighbor_id, cell FROM (
         |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
         |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
@@ -1132,6 +1160,11 @@ object ExtOracles {
     "q_pq_recall" -> pqRecallSql,
     "q_pq_rot_codes" -> pqRotCodesSql,
     "q_pq_rot_recall" -> pqRotRecallSql,
+    // the anisotropic-fixture pair: identical chains over the
+    // planted-slab corpus — the arm where the rotation should WIN,
+    // next to the isotropic control above
+    "q_pq_recall_aniso" -> pqRecallSqlFrom(anisoECandCtes),
+    "q_pq_rot_aniso" -> pqRotRecallSqlFrom(anisoECandCtes),
 
     // quality routing: the lang-id argmax chain + the surprisal LM
     // chain + the gopher pass boolean, joined per doc and reduced to
@@ -1749,6 +1782,7 @@ object ExtOracles {
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
     "q_ivf_hier_curve" -> ivfHierCurveSql,
+    "q_ivf_hier_curve_aniso" -> ivfHierCurveSqlFrom(anisoECandCtes),
     "q_ivf_hier_recall" -> ivfHierRecallSql,
     "q_ivf_probe_curve" -> ivfProbeCurveSql,
 

@@ -592,6 +592,85 @@ object ExtQueries {
         k = 3, numSub = PqSub, subDim = PqDim))
   }
 
+  /** The ANISOTROPIC embeddings fixture — the corpus where OPQ-lite
+    * has something to rotate: a rank-1 common component planted along
+    * the ALL-ONES direction (every dimension shifted by the same
+    * per-vector amount c = (vec_id mod 17 − 8)·0.1, i.e. 17 slabs at
+    * ~4× the native per-dim residual scale of 0.125). The all-ones
+    * direction spans ALL 16 PQ subspaces equally — the exact
+    * cross-subspace structure Pca.topComponent detects and the
+    * Householder reflection concentrates into subspace 0 — so the
+    * rotated chain should beat the unrotated one HERE, where the
+    * isotropic control arm (q_pq_recall / q_pq_rot_recall) showed no
+    * lift. Deterministic in both engines: float → double, one
+    * multiply-add in exact dyadic/decimal doubles, one IEEE
+    * round-to-nearest cast back to float. */
+  private def anisoEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x =>
+        (x.cast("double") +
+          ((col("vec_id") % 17).cast("double") - lit(8.0)) * lit(0.1))
+          .cast("float")).as("embedding"))
+
+  private def anisoCands(spark: SparkSession, dir: String): DataFrame =
+    anisoEmb(spark, dir).filter(col("vec_id") >= 20)
+      .select("vec_id", "embedding")
+
+  private def anisoCodebook(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "pq_an") {
+      KMeans.codebook(
+        KMeans.fit(anisoCands(spark, dir), "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+
+  private def anisoRotCands(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "rotc_an") {
+      val c = anisoCands(spark, dir)
+      Pca.opqRotate(c, "vec_id", "embedding", train = c)
+    }
+
+  private def anisoRotCodebook(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "rotpq_an") {
+      KMeans.codebook(
+        KMeans.fit(anisoRotCands(spark, dir), "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+
+  /** UNROTATED trained-PQ recall on the anisotropic fixture — the
+    * control arm: the planted all-ones component smears across every
+    * subspace, so each of the 16 codebooks spends its entries
+    * quantizing the shared direction instead of the residual. */
+  def pqRecallAniso(spark: SparkSession, dir: String): DataFrame = {
+    val e = anisoEmb(spark, dir)
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      anisoCands(spark, dir), "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact,
+      Similarity.pqTopK(e.filter(col("vec_id") < 20),
+        anisoCands(spark, dir), anisoCodebook(spark, dir),
+        "vec_id", "embedding", k = 3, numSub = PqSub, subDim = PqDim))
+  }
+
+  /** ROTATED trained-PQ recall on the anisotropic fixture — the row
+    * that justifies opqRotate's existence: the Householder reflection
+    * maps the planted direction onto coordinate 0, so subspace 0
+    * absorbs it and the other 15 codebooks quantize clean residuals.
+    * Exact truth stays the unrotated L2 top-3 (the reflection is
+    * orthogonal — same neighbor set); any recall delta vs
+    * q_pq_recall_aniso is purely the subspace decomposition's. */
+  def pqRotAniso(spark: SparkSession, dir: String): DataFrame = {
+    val e = anisoEmb(spark, dir)
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      anisoCands(spark, dir), "vec_id", "embedding", k = 3)
+    val rotQ = Pca.opqRotate(e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", train = anisoCands(spark, dir))
+    Similarity.recallAudit(exact,
+      Similarity.pqTopK(rotQ, anisoRotCands(spark, dir),
+        anisoRotCodebook(spark, dir), "vec_id", "embedding",
+        k = 3, numSub = PqSub, subDim = PqDim))
+  }
+
   /** The EXACT dedup pipeline COMPOSED end to end — the
     * no-false-negatives sibling of q_training_prep's LSH chain:
     * prefix-filter exact Jaccard pairs → connected components →
@@ -675,8 +754,12 @@ object ExtQueries {
     * strides are scalar actions over tiny frames; the oracle derives
     * the same two numbers as scalar subqueries. */
   private def hierParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    hierPartsOf(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  private def hierPartsOf(e: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cands = e.filter(col("vec_id") >= 20)
     val stride = math.max(1L,
       math.floor(math.sqrt(cands.count().toDouble)).toLong)
@@ -745,8 +828,21 @@ object ExtQueries {
     * sweep costs 4 candidate passes, not 4 corpus shuffles. The
     * production default stays w = 2 unless the curve shows a knee —
     * recorded beside the agreement figure in BASELINE.md. */
-  def ivfHierCurve(spark: SparkSession, dir: String): DataFrame = {
-    val (e, cents, tops) = hierParts(spark, dir)
+  def ivfHierCurve(spark: SparkSession, dir: String): DataFrame =
+    ivfHierCurveOf(hierParts(spark, dir))
+
+  /** The same w-sweep on the ANISOTROPIC (17-slab) fixture — the
+    * round-11 sweep's linear no-knee result was the isotropic floor
+    * its scaladoc predicts; this arm re-runs it where the corpus HAS
+    * coarse structure (the planted slabs), the regime where top-level
+    * routing should recover most of the flat assignment early. The
+    * production default reads off BOTH curves. */
+  def ivfHierCurveAniso(spark: SparkSession, dir: String): DataFrame =
+    ivfHierCurveOf(hierPartsOf(anisoEmb(spark, dir)))
+
+  private def ivfHierCurveOf(parts: (DataFrame, DataFrame, DataFrame))
+      : DataFrame = {
+    val (e, cents, tops) = parts
     val cands = e.filter(col("vec_id") >= 20)
     val flat = Similarity.ivfResiduals(cands, cents, "vec_id", "embedding")
       .select(col("neighbor_id"), col("__cell").as("cell_flat"))
@@ -2543,6 +2639,8 @@ object ExtQueries {
     "q_pq_recall"         -> (pqRecall _),
     "q_pq_rot_codes"      -> (pqRotCodes _),
     "q_pq_rot_recall"     -> (pqRotRecall _),
+    "q_pq_recall_aniso"   -> (pqRecallAniso _),
+    "q_pq_rot_aniso"      -> (pqRotAniso _),
     "q_quality_route"     -> (qualityRoute _),
     "q_prefix_join"       -> (prefixJoin _),
     "q_pair_budget"       -> (pairBudget _),
@@ -2557,6 +2655,7 @@ object ExtQueries {
     "q_ivf_hier_agree"    -> (ivfHierAgree _),
     "q_ivf_hier_recall"   -> (ivfHierRecall _),
     "q_ivf_hier_curve"    -> (ivfHierCurve _),
+    "q_ivf_hier_curve_aniso" -> (ivfHierCurveAniso _),
     "q_ivf_probe_curve"   -> (ivfProbeCurve _),
     "q_dsir_select"       -> (dsirSelect _),
     "q_exact_prep"        -> (exactPrep _),

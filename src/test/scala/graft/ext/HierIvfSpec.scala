@@ -77,6 +77,21 @@ class HierIvfSpec extends AnyFunSuite {
     assert(out.last._3 >= out.head._3)
   }
 
+  test("w-sweep on the anisotropic fixture saturates early (the knee)") {
+    // the isotropic sweep is near-linear in w (211/284/357/419 of 480
+    // at sf0.01 — the floor its scaladoc predicts); on the planted
+    // 17-slab corpus the top-level router recovers almost the whole
+    // flat assignment at w = 1 — the knee a deployment sizes w from
+    val out = graft.queries.ExtQueries
+      .ivfHierCurveAniso(spark, "/root/testdata/sf0.01")
+      .orderBy("w")
+      .select("w", "n_vectors", "n_same_cell")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val (n, w1) = (out.head._2, out.head._3)
+    assert(w1 * 10 >= n * 9, s"w=1 agreement $w1/$n below 90%")
+  }
+
   test("pairMassPreflight matches the hand-computed pair mass") {
     // three identical 7-token docs: 5 distinct 3-shingles each,
     // prefix L = 5 - ceil(0.6*5) + 1 = 3, each prefix shingle has

@@ -76,6 +76,22 @@ class PcaSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("opqRotate wins recall on the anisotropic fixture and only there") {
+    // the gate fixture pair at sf0.01: on the planted rank-1 corpus
+    // the rotated chain must beat the unrotated one (this is the
+    // fixture that justifies the operator); the isotropic control arm
+    // (q_pq_recall / q_pq_rot_recall) is pinned separately by its
+    // oracle rows showing no lift
+    val dir = "/root/testdata/sf0.01"
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("n_hit"))
+        .as[Long].head()
+    val unrot = hits(graft.queries.ExtQueries.pqRecallAniso(spark, dir))
+    val rot = hits(graft.queries.ExtQueries.pqRotAniso(spark, dir))
+    assert(rot > unrot,
+      s"rotated recall $rot does not beat unrotated $unrot")
+  }
+
   test("abtt obeys the per-row Pythagorean identity") {
     val rows = Pca.abtt(planted(80), "vec_id", "embedding")
       .select("proj", "norm2_before", "norm2_after")
