@@ -40,12 +40,23 @@ object CorpusRelease {
 
   /** Runs the full release chain.
     *
-    * @param corpus    (doc_id, text, url, lang, source)
-    * @param benchmark (doc_id, text) — the held-out eval set whose
-    *                  5-gram overlaps disqualify training docs
+    * @param corpus        (doc_id, text, url, lang, source)
+    * @param benchmark     (doc_id, text) — the held-out eval set whose
+    *                      5-gram overlaps disqualify training docs
+    * @param maxBucketSize LSH bucket cap for the near-dup stage (the
+    *                      production skew guard — see
+    *                      [[Dedup.lshCandidates]]). The manifest
+    *                      RECORDS the posture either way: its 3_near
+    *                      rows carry contract = 'lsh_capped' /
+    *                      'lsh_uncapped' plus the bucket-drop audit
+    *                      (buckets capped, pre-filter pairs not
+    *                      generated), so a release ledger states its
+    *                      own recall contract instead of implying
+    *                      completeness it didn't buy.
     */
   def run(corpus: DataFrame, benchmark: DataFrame,
-          packTokens: Int = 512, shardTokens: Long = 2000L): Bundle = {
+          packTokens: Int = 512, shardTokens: Long = 2000L,
+          maxBucketSize: Int = Int.MaxValue): Bundle = {
     // --- stage 1-3: the dedup cascade (cheapest key first; each
     // stage only sees the previous stage's keepers) ---------------
     val uk = corpus.withColumn("__uk",
@@ -60,7 +71,8 @@ object CorpusRelease {
     val se = ek.filter(col("doc_id") === col("__ek"))
       .select("doc_id", "text", "lang", "source")
     val nearIds = Dedup.connectedComponents(
-        Dedup.nearDupPairs(se, "doc_id", "text").select("doc_a", "doc_b"),
+        Dedup.nearDupPairs(se, "doc_id", "text",
+          maxBucketSize = maxBucketSize).select("doc_a", "doc_b"),
         "doc_a", "doc_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
@@ -110,16 +122,35 @@ object CorpusRelease {
     val ledger = uDropped.unionByName(eDropped).unionByName(nDropped)
       .unionByName(cDropped).unionByName(routed)
 
+    // the near-dup stage's recall-audit face: the LSH buckets the cap
+    // dropped from pairwise generation (same band projection the
+    // stage keyed on — a zero-shuffle rebuild plus one bounded agg),
+    // and the pre-filter pairs those buckets would have emitted
+    val nearContract =
+      if (maxBucketSize == Int.MaxValue) "lsh_uncapped" else "lsh_capped"
+    val overs = Dedup.oversizeBuckets(
+      Dedup.nativeBands(se, "doc_id", "text"), maxBucketSize)
+      .localCheckpoint()
+
     // coalesce: a fully-filtered corpus yields NULL sums, and the
-    // manifest must still close (0), not crash the release
-    def m1(stage: String, metric: String, v: DataFrame): DataFrame =
+    // manifest must still close (0), not crash the release. Every row
+    // carries the CONTRACT its stage ran under — 'exact' for the
+    // complete deterministic stages, the LSH posture for 3_near.
+    def m1(stage: String, metric: String, v: DataFrame,
+           contract: String = "exact"): DataFrame =
       v.select(lit(stage).as("stage"), lit(metric).as("metric"),
-        coalesce(col(v.columns.head).cast("long"), lit(0L)).as("value"))
+        coalesce(col(v.columns.head).cast("long"), lit(0L)).as("value"),
+        lit(contract).as("contract"))
     val manifest = Seq(
       m1("0_input", "n_docs", corpus.agg(count(lit(1)))),
       m1("1_url", "n_dropped", uDropped.agg(count(lit(1)))),
       m1("2_exact", "n_dropped", eDropped.agg(count(lit(1)))),
-      m1("3_near", "n_dropped", nDropped.agg(count(lit(1)))),
+      m1("3_near", "n_dropped", nDropped.agg(count(lit(1))), nearContract),
+      m1("3_near", "n_buckets_capped", overs.agg(count(lit(1))),
+        nearContract),
+      m1("3_near", "n_pairs_dropped", overs.agg(
+        sum(shiftright(col("bucket_size") * (col("bucket_size") - 1), 1))),
+        nearContract),
       m1("4_decon", "n_dropped", cDropped.agg(count(lit(1)))),
       m1("5_quality", "n_drop", routed
         .filter(col("disposition") === "quality_drop").agg(count(lit(1)))),

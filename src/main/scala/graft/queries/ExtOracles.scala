@@ -4476,9 +4476,12 @@ object ExtOracles {
       |    min(CASE WHEN seed % 2 = 0 THEN h END)
       |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
       |  FROM mh GROUP BY doc_id, seed // 2),
+      |bsz AS MATERIALIZED (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM bands GROUP BY band, bkey),
       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  JOIN bsz z ON z.band = a.band AND z.bkey = a.bkey AND z.n <= 64),
       |inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
       |  FROM cand c
       |  JOIN sh sa ON sa.doc_id = c.doc_a
@@ -4594,34 +4597,42 @@ object ExtOracles {
       |        1, 15) AS BIGINT) AS h
       |    FROM fin) t)
       |SELECT '0_input' AS stage, 'n_docs' AS metric,
-      |  CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS value
+      |  CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS value,
+      |  'exact' AS contract
       |UNION ALL SELECT '1_url', 'n_dropped', CAST((SELECT COUNT(*)
-      |  FROM drops WHERE dropped_by = 'url') AS BIGINT)
+      |  FROM drops WHERE dropped_by = 'url') AS BIGINT), 'exact'
       |UNION ALL SELECT '2_exact', 'n_dropped', CAST((SELECT COUNT(*)
-      |  FROM drops WHERE dropped_by = 'exact') AS BIGINT)
+      |  FROM drops WHERE dropped_by = 'exact') AS BIGINT), 'exact'
       |UNION ALL SELECT '3_near', 'n_dropped', CAST((SELECT COUNT(*)
-      |  FROM drops WHERE dropped_by = 'near') AS BIGINT)
+      |  FROM drops WHERE dropped_by = 'near') AS BIGINT), 'lsh_capped'
+      |UNION ALL SELECT '3_near', 'n_buckets_capped', CAST((SELECT
+      |  COUNT(*) FROM bsz WHERE n > 64) AS BIGINT), 'lsh_capped'
+      |UNION ALL SELECT '3_near', 'n_pairs_dropped',
+      |  CAST(COALESCE((SELECT SUM(n * (n - 1) // 2) FROM bsz
+      |  WHERE n > 64), 0) AS BIGINT), 'lsh_capped'
       |UNION ALL SELECT '4_decon', 'n_dropped',
-      |  CAST((SELECT COUNT(*) FROM contam) AS BIGINT)
+      |  CAST((SELECT COUNT(*) FROM contam) AS BIGINT), 'exact'
       |UNION ALL SELECT '5_quality', 'n_drop', CAST((SELECT COUNT(*)
-      |  FROM qroute WHERE route = 'drop') AS BIGINT)
+      |  FROM qroute WHERE route = 'drop') AS BIGINT), 'exact'
       |UNION ALL SELECT '5_quality', 'n_review', CAST((SELECT COUNT(*)
-      |  FROM qroute WHERE route = 'review') AS BIGINT)
+      |  FROM qroute WHERE route = 'review') AS BIGINT), 'exact'
       |UNION ALL SELECT '5_quality', 'n_keep',
-      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT)
+      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT), 'exact'
       |UNION ALL SELECT '6_pack', 'n_packs', CAST((SELECT COUNT(*) FROM
-      |  (SELECT DISTINCT source, pack_id FROM pk) t) AS BIGINT)
+      |  (SELECT DISTINCT source, pack_id FROM pk) t) AS BIGINT), 'exact'
       |UNION ALL SELECT '6_pack', 'n_tokens',
-      |  CAST(COALESCE((SELECT SUM(n_tokens) FROM pk), 0) AS BIGINT)
+      |  CAST(COALESCE((SELECT SUM(n_tokens) FROM pk), 0) AS BIGINT),
+      |  'exact'
       |UNION ALL SELECT '7_shard', 'n_shards', CAST((SELECT
-      |  COUNT(DISTINCT shard_id) FROM sp) AS BIGINT)
+      |  COUNT(DISTINCT shard_id) FROM sp) AS BIGINT), 'exact'
       |UNION ALL SELECT '8_card', 'n_docs',
-      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT)
+      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT), 'exact'
       |UNION ALL SELECT '8_card', 'n_tokens', CAST(COALESCE((SELECT
-      |  SUM(len(string_split(text, ' '))) FROM fin), 0) AS BIGINT)
+      |  SUM(len(string_split(text, ' '))) FROM fin), 0) AS BIGINT),
+      |  'exact'
       |UNION ALL SELECT '8_card', 'n_vocab', CAST((SELECT
       |  COUNT(DISTINCT tok) FROM (SELECT unnest(string_split(text, ' '))
-      |  AS tok FROM fin) t) AS BIGINT)""".stripMargin
+      |  AS tok FROM fin) t) AS BIGINT), 'exact'""".stripMargin
 
   /** Shared CTE chain of the PCA family (Pca.powerIterate replayed in
     * SQL): integer-exact quantized scatter (n, Σq, Σqqᵀ), double

@@ -2569,7 +2569,12 @@ object ExtQueries {
           col("doc_id").cast("string")).as("url"))
     val corpus = base.unionByName(exactC).unionByName(nearC)
     val bench = d.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
-    CorpusRelease.run(corpus, bench).manifest
+    // production cap posture: the manifest's 3_near rows record the
+    // lsh_capped contract and the (zero, at this fixture's bucket
+    // occupancy) bucket-drop audit — the release states its own
+    // recall posture; CorpusReleaseSpec plants the hot bucket that
+    // makes the audit rows non-zero
+    CorpusRelease.run(corpus, bench, maxBucketSize = 64).manifest
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -64,7 +64,8 @@ class CorpusReleaseSpec extends AnyFunSuite {
 
   test("manifest arithmetic closes and matches the ledger") {
     val b = CorpusRelease.run(corpus(), bench())
-    val m = b.manifest.as[(String, String, Long)].collect()
+    val m = b.manifest.select("stage", "metric", "value")
+      .as[(String, String, Long)].collect()
       .map { case (s, k, v) => (s, k) -> v }.toMap
     val dropped = m("1_url" -> "n_dropped") + m("2_exact" -> "n_dropped") +
       m("3_near" -> "n_dropped") + m("4_decon" -> "n_dropped") +
@@ -87,17 +88,59 @@ class CorpusReleaseSpec extends AnyFunSuite {
     parts.foreach(p => assert(
       new java.io.File(s"$out/$p").isDirectory, s"missing $out/$p"))
     val m0 = b.manifest.orderBy("stage", "metric")
-      .as[(String, String, Long)].collect().toSeq
+      .as[(String, String, Long, String)].collect().toSeq
     val m1 = spark.read.parquet(s"$out/manifest").orderBy("stage", "metric")
-      .as[(String, String, Long)].collect().toSeq
+      .as[(String, String, Long, String)].collect().toSeq
     assert(m0 == m1)
     assert(spark.read.parquet(s"$out/ledger").count() == 9L)
+  }
+
+  test("manifest records the near-dup contract and the hot-bucket audit") {
+    // uncapped run: contract says so, audit rows are zero
+    val un = CorpusRelease.run(corpus(), bench())
+      .manifest.select("stage", "metric", "value", "contract")
+      .as[(String, String, Long, String)].collect()
+    assert(un.filter(_._1 == "3_near").map(_._4).toSet
+      == Set("lsh_uncapped"))
+    assert(un.filter(r => r._1 != "3_near").map(_._4).toSet
+      == Set("exact"))
+    assert(un.find(r => r._2 == "n_buckets_capped").get._3 == 0L)
+
+    // planted HOT BUCKET: 24 near-identical docs (one trailing token
+    // differs — the exact stage can't collapse them) share most LSH
+    // band buckets, so a cap of 6 drops real buckets from pairwise
+    // generation and the manifest must SAY so — buckets counted,
+    // pre-filter pairs priced, contract = lsh_capped
+    val hot = (0 until 24).map(i => (500L + i,
+      longText(42) + s" variant$i",
+      s"https://hot.example/h/$i", "en", "s0"))
+      .toDF("doc_id", "text", "url", "lang", "source")
+    val b = CorpusRelease.run(corpus().unionByName(hot), bench(),
+      maxBucketSize = 6)
+    val m = b.manifest.select("stage", "metric", "value", "contract")
+      .as[(String, String, Long, String)].collect()
+    val mm = m.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m.filter(_._1 == "3_near").map(_._4).toSet
+      == Set("lsh_capped"))
+    assert(mm("3_near" -> "n_buckets_capped") > 0L,
+      s"no capped buckets: ${m.toSeq}")
+    assert(mm("3_near" -> "n_pairs_dropped") >=
+      mm("3_near" -> "n_buckets_capped") * (7L * 6 / 2))
+    // the ledger still covers every doc exactly once (the cap changes
+    // recall, never the input=kept+dropped arithmetic)
+    val dropped = mm("1_url" -> "n_dropped") +
+      mm("2_exact" -> "n_dropped") + mm("3_near" -> "n_dropped") +
+      mm("4_decon" -> "n_dropped") + mm("5_quality" -> "n_drop") +
+      mm("5_quality" -> "n_review")
+    assert(mm("0_input" -> "n_docs") == 33L)
+    assert(mm("0_input" -> "n_docs")
+      == dropped + mm("5_quality" -> "n_keep"))
   }
 
   test("the release is deterministic run-to-run") {
     def manifest() = CorpusRelease.run(corpus(), bench())
       .manifest.orderBy("stage", "metric")
-      .as[(String, String, Long)].collect().toSeq
+      .as[(String, String, Long, String)].collect().toSeq
     assert(manifest() == manifest())
   }
 }
