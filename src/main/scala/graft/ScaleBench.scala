@@ -199,6 +199,10 @@ object ScaleBench {
     // compaction planning: cost tracks FILE COUNT (distributed
     // footer reads, zero data) — rows are irrelevant by design
     "q_compaction_plan",
+    // compaction EXECUTION: stage (z-order write) + one routed scan +
+    // the re-inventory — the data pass dominates, so the curve should
+    // track rows like the other write shapes
+    "q_compaction_exec",
     // round-9 continuation: JL projection (zero-shuffle broadcast-
     // matrix projection — the linear floor) and its fixed-query
     // recall audit (candidate-side linear); the weighted sampler's

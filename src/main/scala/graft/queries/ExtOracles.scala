@@ -3652,6 +3652,44 @@ object ExtOracles {
         |    AS n_files_in_group
         |FROM g""".stripMargin,
 
+    // compaction EXECUTED: the plan's grouping rule re-derived over
+    // the staged source footers (left side) joined against the row
+    // re-inventory of the written group files (right side) — both
+    // from parquet_metadata over the artifacts the Spark query staged
+    // and wrote (fixed /tmp paths, zorder-gate convention)
+    "q_compaction_exec" ->
+      """WITH m AS (SELECT regexp_replace(file_name, '.*/', '') AS f,
+        |    row_group_id,
+        |    CAST(MIN(row_group_num_rows) AS BIGINT) AS rg_rows,
+        |    CAST(SUM(total_compressed_size) AS BIGINT) AS rg_bytes
+        |  FROM parquet_metadata('/tmp/graft_compact_src_sf0.01/*.parquet')
+        |  GROUP BY 1, 2),
+        |c AS (SELECT f, CAST(SUM(rg_rows) AS BIGINT) AS n_rows,
+        |    CAST(SUM(rg_bytes) AS BIGINT) AS file_bytes
+        |  FROM m GROUP BY f),
+        |w AS (SELECT f, n_rows,
+        |    CAST(COALESCE(SUM(file_bytes) OVER (ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum0
+        |  FROM c),
+        |p AS (SELECT CAST(cum0 // 16384 AS BIGINT) AS group_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_files_in,
+        |    CAST(SUM(n_rows) AS BIGINT) AS plan_rows
+        |  FROM w GROUP BY 1),
+        |orows AS (SELECT file_name, row_group_id,
+        |    CAST(MIN(row_group_num_rows) AS BIGINT) AS rg_rows
+        |  FROM parquet_metadata(
+        |    '/tmp/graft_compact_out_sf0.01/*/*.parquet')
+        |  GROUP BY 1, 2),
+        |o AS (SELECT CAST(regexp_extract(file_name, 'group_id=(\d+)', 1)
+        |      AS BIGINT) AS group_id,
+        |    CAST(COUNT(DISTINCT file_name) AS BIGINT) AS out_files,
+        |    CAST(SUM(rg_rows) AS BIGINT) AS out_rows
+        |  FROM orows GROUP BY 1)
+        |SELECT p.group_id, p.n_files_in, p.plan_rows, o.out_files,
+        |  o.out_rows, p.plan_rows = o.out_rows AS rows_match
+        |FROM p JOIN o ON o.group_id = p.group_id""".stripMargin,
+
     "q_parquet_layout" ->
       """SELECT regexp_replace(file_name, '.*/', '') AS file_name,
         |  CAST(row_group_id AS BIGINT) AS row_group_id,

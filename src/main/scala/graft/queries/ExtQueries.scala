@@ -2362,6 +2362,27 @@ object ExtQueries {
   def compactionPlanQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.compactionPlan(spark, dir, targetBytes = 262144L)
 
+  /** Compaction EXECUTED through the gate (Layout.compactGroups):
+    * stage the documents table as a 24-small-file tree (the
+    * writeZOrdered deterministic layout — zorder-gate staging
+    * convention), run the 16 KB-target plan's groups into one file
+    * per group, and emit the retirement-gate frame: per group, the
+    * plan's footer arithmetic vs the re-inventoried output footers.
+    * The oracle re-derives BOTH sides from parquet_metadata over the
+    * same two trees — the plan's grouping rule on the staged sources
+    * and the row re-inventory on the written groups — so the gate
+    * checks the real executed artifact, not a simulation. */
+  def compactionExecQ(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val src = s"/tmp/graft_compact_src_$tail"
+    val out = s"/tmp/graft_compact_out_$tail"
+    graft.sources.Layout.writeZOrdered(
+      docs(spark, dir).select("doc_id", "text", "n_chars"),
+      src, "doc_id", "n_chars", bits = 16, numFiles = 24)
+    graft.sources.Layout.compactGroups(spark, src, out,
+      targetBytes = 16384L)
+  }
+
   def parquetLayoutQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.parquetLayout(spark, s"$dir/documents.parquet")
 
@@ -2744,5 +2765,6 @@ object ExtQueries {
     "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),
     "q_corpus_release"    -> (corpusReleaseQ _),
+    "q_compaction_exec"   -> (compactionExecQ _),
   )
 }

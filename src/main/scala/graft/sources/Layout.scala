@@ -428,4 +428,100 @@ object Layout {
       .select("group_id", "file_name", "file_bytes", "n_row_groups",
         "n_rows", "group_bytes", "n_files_in_group")
   }
+
+  /** Small-file compaction EXECUTOR — runs [[compactionPlan]]'s groups:
+    * every source file's rows are read once, routed to their group's
+    * task, and each group writes exactly ONE file under
+    * `outPath/group_id=N/`. Source files are left in place for the
+    * caller to retire after verification (the two-phase commit every
+    * production compactor uses — never delete before the re-inventory
+    * agrees).
+    *
+    * Execution is ONE distributed job, not a driver loop of
+    * per-group reads: the scan carries `input_file_name()`, a
+    * broadcast file→group map routes rows, and the hash-inverse probe
+    * (the [[writeZOrdered]] trick) makes partition == group so
+    * `partitionBy` emits one file per group directory. The file
+    * manifest and plan ride the driver (bounded — the same
+    * control-plane listing every footer op here starts from); the
+    * DATA never funnels through it.
+    *
+    * Returns the verification frame the caller gates retirement on —
+    * one row per group, plan arithmetic vs re-inventoried output
+    * footers: (group_id, n_files_in, plan_rows, out_files, out_rows,
+    * rows_match). `rows_match` false anywhere = keep the sources and
+    * investigate. Idempotence: re-planning the compacted output at
+    * the same target yields only >= targetBytes singleton groups —
+    * nothing left to merge (CompactionPlanSpec pins it). */
+  def compactGroups(spark: org.apache.spark.sql.SparkSession,
+                    srcPath: String, outPath: String,
+                    targetBytes: Long): DataFrame = {
+    val plan = compactionPlan(spark, srcPath, targetBytes).localCheckpoint()
+    val byBase = listParquet(srcPath)
+      .map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
+    val assign = plan.select("file_name", "group_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(assign.map(_._1).toSet == byBase.keySet,
+      "plan manifest and source listing diverged")
+    val groups = assign.map(_._2).distinct.sorted
+    val nG = groups.length
+    // bucket index per group (contiguous 0..nG-1 even when group ids
+    // skip — a file larger than targetBytes advances the id by >1)
+    val gIdx = groups.zipWithIndex.toMap
+    // partition == bucket via the hash-inverse probe (writeZOrdered)
+    val inv: Map[Long, Long] = spark.range(nG * 64L)
+      .select(col("id"), pmod(hash(col("id")), lit(nG)).cast("long").as("b"))
+      .groupBy("b").agg(min("id").as("pid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(inv.size == nG,
+      s"hash-inverse probe found ${inv.size} of $nG partitions")
+    val fileToPid = assign.map { case (f, g) => f -> inv(gIdx(g).toLong) }
+    val pidMap = map(fileToPid.toSeq
+      .flatMap { case (f, p) => Seq(lit(f), lit(p)) }: _*)
+    val fileToGroup = map(assign.toSeq
+      .flatMap { case (f, g) => Seq(lit(f), lit(g)) }: _*)
+    val src = spark.read.parquet(assign.map(f => byBase(f._1)): _*)
+    require(!src.columns.contains("group_id"),
+      "source already carries a group_id column")
+    val base = regexp_extract(input_file_name(), "[^/]+$", 0)
+    src
+      .withColumn("group_id", element_at(fileToGroup, base))
+      .withColumn("__pid", element_at(pidMap, base))
+      .repartition(nG, col("__pid"))
+      .drop("__pid")
+      .write.mode("overwrite").partitionBy("group_id").parquet(outPath)
+    // re-inventory the written footers (distributed, zero data read)
+    // against the plan's own arithmetic — per group, rows must agree
+    // exactly; out_files must be 1 by construction
+    import spark.implicits._
+    val outFiles = listParquet(outPath).map { p =>
+      val g = "group_id=(\\d+)".r.findFirstMatchIn(p)
+      (g.map(_.group(1).toLong).getOrElse(-1L), p)
+    }
+    val outStats = spark.createDataset(outFiles)
+      .repartition(math.min(math.max(outFiles.size, 1),
+        spark.sparkContext.defaultParallelism))
+      .map { case (g, p) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          (g, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        } finally r.close()
+      }
+      .toDF("group_id", "__rows")
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("out_files"), sum("__rows").as("out_rows"))
+    plan.groupBy("group_id")
+      .agg(count(lit(1)).as("n_files_in"), sum("n_rows").as("plan_rows"))
+      .join(outStats, Seq("group_id"), "full")
+      .select(col("group_id"),
+        coalesce(col("n_files_in"), lit(0L)).as("n_files_in"),
+        coalesce(col("plan_rows"), lit(0L)).as("plan_rows"),
+        coalesce(col("out_files"), lit(0L)).as("out_files"),
+        coalesce(col("out_rows"), lit(0L)).as("out_rows"))
+      .withColumn("rows_match", col("plan_rows") === col("out_rows"))
+  }
 }

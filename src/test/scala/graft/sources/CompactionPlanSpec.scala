@@ -47,4 +47,42 @@ class CompactionPlanSpec extends AnyFunSuite {
       targetBytes = Long.MaxValue)
     assert(plan.select("group_id").distinct().count() == 1L)
   }
+
+  test("compactGroups executes the plan row-exactly, one file per group") {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-compact-src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-compact-out").toString
+    spark.range(20000).selectExpr("id", "md5(CAST(id AS STRING)) AS v")
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val target = 150000L
+    val v = Layout.compactGroups(spark, src, out, target)
+      .select("group_id", "n_files_in", "plan_rows", "out_files",
+        "out_rows", "rows_match")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(v.nonEmpty && v.exists(_._2 > 1),
+      s"fixture produced no multi-file group: $v")
+    assert(v.forall(_._6), s"row mismatch: $v")
+    assert(v.forall(_._4 == 1L), s"more than one file per group: $v")
+    assert(v.map(_._3).sum == 20000L)
+    // total rows also survive a full read of the compacted tree, and
+    // the sources are untouched (retirement is the caller's call)
+    assert(spark.read.parquet(out).count() == 20000L)
+    assert(spark.read.parquet(src).count() == 20000L)
+
+    // IDEMPOTENCE (the fixed point): a file that already meets the
+    // target is never re-merged — re-planning the compacted tree at
+    // any target <= its smallest file yields only singleton groups,
+    // so a second compaction pass rewrites nothing. (Exact same-target
+    // re-planning can still merge: compacting k files drops k-1
+    // footers and re-compresses, so outputs may land just under the
+    // byte target — the plan is a byte rule, not a row rule.)
+    val minOut = Layout.parquetFileStats(spark, out)
+      .agg(org.apache.spark.sql.functions.min("file_bytes"))
+      .as[Long].head()
+    val replan = Layout.compactionPlan(spark, out, minOut)
+    assert(replan.select("n_files_in_group").distinct()
+      .as[Long].collect().toSeq == Seq(1L),
+      "a compacted file was re-merged at its own fixed point")
+  }
 }
