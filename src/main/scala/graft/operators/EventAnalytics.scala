@@ -312,16 +312,38 @@ object EventAnalytics {
     * consecutive pairs of the total order; spec-pinned, including
     * on a planted bot user), because (tsCol, tieCol) is a total
     * order per user: the boundary struct-min/max picks the same
-    * first/last events the global sort would. */
+    * first/last events the global sort would.
+    *
+    * CALL-SITE CONTRACT — (tsCol, tieCol) must be STRICTLY unique per
+    * user. Under duplicate keys [[transitions]] itself is already
+    * nondeterministic (the window sort breaks the tie arbitrarily),
+    * and this decomposition can break it DIFFERENTLY at bucket
+    * boundaries (the struct min/max adds the type as a third
+    * comparator), silently diverging from the one-window form. Use an
+    * event id as `tieCol` (every gate caller does) and the contract
+    * holds by construction; pass `assertTotalOrder = true` in tests /
+    * one-off audits to make violations loud — it adds one
+    * count-vs-distinct action over the three key columns, so leave it
+    * off in production plans. */
   def transitionsBucketed(events: DataFrame, userCol: String,
                           typeCol: String, tsCol: String, tieCol: String,
-                          bucketUs: Long = 86400000000L): DataFrame = {
+                          bucketUs: Long = 86400000000L,
+                          assertTotalOrder: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
     val e = events.select(col(userCol).as("__u"),
       col(typeCol).as("__t"), us(col(tsCol)).as("__ts"),
       col(tieCol).as("__tie"))
       .withColumn("__b", expr(s"__ts div $bucketUs"))
+    if (assertTotalOrder) {
+      val nDup = e.groupBy("__u", "__ts", "__tie")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(nDup == 0,
+        s"transitionsBucketed: (tsCol, tieCol) is not a total order " +
+          s"per user — $nDup duplicated (user, ts, tie) key groups; " +
+          "equality with transitions() needs a strict total order " +
+          "(use a unique event id as tieCol)")
+    }
     val wb = Window.partitionBy("__u", "__b")
       .orderBy(col("__ts"), col("__tie"))
     val intra = e.withColumn("__next", lead(col("__t"), 1).over(wb))

@@ -270,6 +270,37 @@ object StreamingOps {
       }
       .start()
 
+  /** The replay-safe APPEND writer behind [[runIdempotentAppend]],
+    * exposed as its own seam so a spec can invoke it twice with the
+    * SAME batch id and observe the no-op — the exact situation a
+    * mid-commit kill produces: foreachBatch is at-least-once (a batch
+    * that reached the sink but not the checkpoint re-runs on
+    * restart), so the writer keys the filesystem by batch id and
+    * overwrites, making the replay idempotent byte-for-byte instead
+    * of appending duplicates. */
+  def idempotentAppendBatch(batch: DataFrame, batchId: Long,
+                            path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** foreachBatch APPEND into a parquet target with EXACTLY-ONCE
+    * on-disk effect under restarts — the production file-sink
+    * posture: Spark's own parquet sink gets exactly-once from its
+    * _spark_metadata commit log, which only its own readers honor;
+    * this shape gets it from idempotence instead (one directory per
+    * batch id, overwritten on replay), so ANY parquet reader sees
+    * each record exactly once after any kill/restart sequence. The
+    * batch_id directory key doubles as partition pruning for
+    * incremental consumers (read only batch ids you haven't seen). */
+  def runIdempotentAppend(stream: DataFrame, path: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentAppendBatch(batch.toDF(), batchId, path)
+      }
+      .start()
+
   /** Streaming incremental near-dup CANDIDATES: the stream side's
     * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure
     * projection + explode, streaming-legal) joined against a STATIC

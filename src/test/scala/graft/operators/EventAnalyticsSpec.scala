@@ -189,6 +189,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(tiny === total)
   }
 
+  test("transitionsBucketed total-order assertion is loud on duplicate keys, silent on unique ones") {
+    // duplicate (user, ts, tie): the decomposition's equality with
+    // transitions() is undefined — the opt-in assertion must name it
+    val dup = Seq(
+      (1L, ts(0), "a", 100L), (1L, ts(0), "b", 100L),
+      (1L, ts(1), "c", 101L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.transitionsBucketed(dup, "user_id", "event_type",
+        "ts", "event_id", assertTotalOrder = true)
+    }
+    assert(e.getMessage.contains("total order"))
+    // unique keys: the assertion passes through and the counts match
+    // the one-window operator
+    val ok = Seq(
+      (1L, ts(0), "a", 100L), (1L, ts(0), "b", 101L),
+      (1L, ts(1), "c", 102L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(EventAnalytics.transitionsBucketed(ok, "user_id",
+        "event_type", "ts", "event_id", assertTotalOrder = true))
+      === m(EventAnalytics.transitions(ok, "user_id", "event_type",
+        "ts", "event_id")))
+  }
+
   test("retention triangle counts distinct users per cohort/offset week") {
     val week = 7L * 24 * 60 // minutes
     val ev = Seq(

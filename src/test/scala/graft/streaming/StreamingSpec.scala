@@ -275,6 +275,43 @@ class StreamingSpec extends AnyFunSuite {
       3L -> (("view", 3.0)))) // inserted by batch 2
   }
 
+  test("idempotent file sink: batch replay is a no-op, restart loses and duplicates nothing") {
+    // foreachBatch is at-least-once: a batch that reached the sink
+    // but not the checkpoint re-runs after a kill. The writer keys
+    // the target by batch id and overwrites, so (1) replaying an
+    // already-written batch changes nothing on disk, and (2) a new
+    // query on the same checkpoint continues without loss — any
+    // parquet reader sees each record exactly once.
+    val base = java.nio.file.Files.createTempDirectory("graft-idem")
+    val path = s"$base/target"
+    val ckpt = s"$base/ckpt"
+    val batchA = Seq(Ev(1, ts(10), 1, "view", 1.0),
+      Ev(2, ts(20), 2, "click", 2.0))
+    val batchB = Seq(Ev(3, ts(30), 1, "view", 3.0))
+    val s1 = MemoryStream[Ev]
+    val q1 = StreamingOps.runIdempotentAppend(s1.toDF(), path, ckpt)
+    try { s1.addData(batchA); q1.processAllAvailable() } finally q1.stop()
+    val afterA = spark.read.parquet(path)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(afterA == Seq(1L, 2L))
+    // the mid-commit-kill replay: the SAME batch id re-delivered
+    // (this is what a restarted query does for an un-checkpointed
+    // batch) — on-disk content must not change
+    StreamingOps.idempotentAppendBatch(batchA.toDF(), 0L, path)
+    val replayed = spark.read.parquet(path)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(replayed == afterA, "batch replay duplicated rows")
+    // restart: a NEW query object on the same checkpoint picks up at
+    // the next batch id — batch B appends exactly once, A survives
+    val s2 = MemoryStream[Ev]
+    s2.addData(batchA) // the recovered source replays its history
+    val q2 = StreamingOps.runIdempotentAppend(s2.toDF(), path, ckpt)
+    try { s2.addData(batchB); q2.processAllAvailable() } finally q2.stop()
+    val fin = spark.read.parquet(path)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(fin == Seq(1L, 2L, 3L), s"after restart: $fin")
+  }
+
   test("upsert version ties resolve to the later batch, deterministically") {
     val base = java.nio.file.Files.createTempDirectory("graft-upsert-tie")
     val path = s"$base/target"
