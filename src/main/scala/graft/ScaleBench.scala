@@ -659,12 +659,25 @@ object ScaleBench {
     Set("q_exact_sharded_route", "q_incr_sharded_route")
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val fn = SparkEntry.queries.getOrElse(name, ScaleOnly(name))
     if (!SingleRun(name))
       fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
     val t0 = System.nanoTime()
     fn(spark, dir).write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    // Release THIS row's scratch blocks (localCheckpoints of candidate
+    // pairs, survivor frames, …) before the next row's clock starts:
+    // rows must be independent measurements, and r12 caught a prior
+    // row's checkpoint blocks distorting q_incr_sharded_route 5× in
+    // the shared one-JVM heap. Memo fixtures (CachePins) survive —
+    // unpersisting a localCheckpoint is fatal to its later readers.
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before(id) && !CachePins.ids.contains(Integer.valueOf(id)))
+        rdd.unpersist(blocking = true)
+    }
+    sec
   }
 
   def main(args: Array[String]): Unit = {

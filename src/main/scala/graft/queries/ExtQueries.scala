@@ -482,7 +482,11 @@ object ExtQueries {
     (SparkSession, String, String), DataFrame]
   private def memoized(spark: SparkSession, dir: String, kind: String)(
       mk: => DataFrame): DataFrame =
-    cbMemo.computeIfAbsent((spark, dir, kind), _ => mk.localCheckpoint())
+    cbMemo.computeIfAbsent((spark, dir, kind), _ =>
+      // pinned: the memo frame must survive ScaleBench's between-row
+      // scratch scrub (unpersisting a localCheckpoint is fatal to
+      // every later query that shares the memo)
+      graft.CachePins.pinning(spark.sparkContext)(mk.localCheckpoint()))
 
   private def pqCands(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
