@@ -107,7 +107,7 @@ object ScaleBench {
     // its shard-decomposed twin (3 sequential passes over the union
     // rarity order): same answer, bounded per-pass footprint — the
     // AB analogue of q_exact_sharded's curve
-    "q_incr_sharded",
+    "q_incr_sharded", "q_incr_stored_ingest",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
@@ -445,6 +445,28 @@ object ScaleBench {
         .select((col("doc_id") + 600000000L).as("doc_id"),
           concat(col("text"), lit(" graftincr end")).as("text"))
       graft.ext.Dedup.incrementalNearDups(docs, incoming, "doc_id", "text",
+        maxBucketSize = 64)
+    }),
+    // q_incr_capped's DAILY-RUN face through the persisted signature
+    // store: the same batch and cap, but the index side is the stored
+    // band/set artifact (built once — the warm pass pays it via the
+    // exists-check; the timed pass is ingest alone). The row measures
+    // what the store exists to prove: ingest cost tracks the batch's
+    // collisions, not the corpus — the direct route's per-run index
+    // signature/set aggregations (the two corpus shuffles q_incr_capped
+    // pays before its first candidate) drop to two store SCANS with
+    // the batch broadcast at both probes.
+    "q_incr_stored_ingest" -> ((s: SparkSession, d: String) => {
+      val store = "/tmp/graft_sigstore_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$store/params.parquet")))
+        graft.ext.SignatureStore.build(docs, "doc_id", "text", store)
+      val incoming = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000000L).as("doc_id"),
+          concat(col("text"), lit(" graftincr end")).as("text"))
+      graft.ext.SignatureStore.ingest(s, store, incoming, "doc_id", "text",
         maxBucketSize = 64)
     }),
     // SemDeDup at the production cell sizing: k tracks N / targetCell

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash signature store — the artifact that makes the
+  * daily incremental near-dup check O(batch), not O(corpus).
+  *
+  * [[Dedup.incrementalNearDups]] recomputes the INDEX side's band
+  * table on every ingest run: at production scale the index is the
+  * whole corpus, so the daily check re-shingles and re-hashes 100 TB
+  * to answer a question about a few GB of new documents — pure waste,
+  * since MinHash signatures are content-deterministic. The store
+  * persists what the index contributes to the check, once:
+  *
+  *   <path>/bands.parquet   (doc_id, band, bkey)     - LSH probe table
+  *   <path>/sets.parquet    (doc_id, shingles)       - verification sets
+  *   <path>/params.parquet  (shingle_n, num_hashes)  - the signature
+  *                          config, so every later reader/appender
+  *                          derives THE SAME bands (a mismatched
+  *                          probe joins nothing and silently loses
+  *                          recall -- ingest/append therefore read the
+  *                          config from the store, never from args)
+  *
+  * Ingest-time scale shape (the reason this exists): the batch's band
+  * keys are BROADCAST to the store scan, so the store-side band table
+  * is scanned once and never shuffled; bucket-cap sizing counts only
+  * PROBED buckets (identical to the direct route's per-bucket counts
+  * on those buckets — unprobed buckets cannot produce candidates);
+  * the verification sets are semi-joined to the candidate index ids
+  * (broadcast again) so sets.parquet is scanned, never shuffled. Every
+  * shuffle in the plan is proportional to the batch's collisions, not
+  * the corpus. With the direct route, the same ingest pays two full
+  * index shuffles (signature agg + set agg) before the first
+  * candidate appears.
+  *
+  * Same output contract as [[Dedup.incrementalNearDups]]:
+  * (new_id, index_id, jaccard), jaccard >= minJaccard, exact shingle
+  * verification. IncrStoredSpec pins store-route == direct-route on
+  * the same inputs, including under a bucket cap and across an
+  * append. Caller contract (unchanged from the direct route): id
+  * spaces are disjoint; [[append]] is how a verified batch becomes
+  * part of tomorrow's index.
+  *
+  * Reference behavior context: the reference re-reads its full corpus
+  * per run (eager pandas, no persisted derived state) — this store is
+  * the piece a 100 TB deployment adds, not a translation. */
+object SignatureStore {
+
+  private def bandsOf(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numHashes: Int): DataFrame =
+    Dedup.nativeBands(df, idCol, textCol, shingleN, numHashes)
+      .select(col(idCol).cast("long").as("doc_id"), col("band"), col("bkey"))
+
+  private def setsOf(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int): DataFrame =
+    Dedup.shingleRows(df, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("shingles"))
+      .select(col(idCol).cast("long").as("doc_id"), col("shingles"))
+
+  /** Build (or rebuild — overwrite) the store from the current index.
+    * One signature pass and one shingle-set pass over the corpus; both
+    * are the same aggregations the direct route pays PER RUN. */
+  def build(index: DataFrame, idCol: String, textCol: String, path: String,
+            shingleN: Int = 3, numHashes: Int = 8): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    bandsOf(index, idCol, textCol, shingleN, numHashes)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
+    setsOf(index, idCol, textCol, shingleN)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    Seq((shingleN, numHashes)).toDF("shingle_n", "num_hashes")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
+  }
+
+  /** The store's signature config — 1 row, driver-side (the
+    * bounded-collect class: two ints). */
+  def params(spark: SparkSession, path: String): (Int, Int) = {
+    val row = spark.read.parquet(s"$path/params.parquet").head()
+    (row.getAs[Int]("shingle_n"), row.getAs[Int]("num_hashes"))
+  }
+
+  /** Fold a verified batch into the store (append-only; the batch's
+    * bands/sets are derived under the STORE's config, so an appended
+    * doc is probe-able tomorrow exactly as a built doc is). Caller
+    * guarantees the batch's ids are new — the store has no dedup of
+    * its own (same contract as the direct route's id-disjointness). */
+  def append(incoming: DataFrame, idCol: String, textCol: String,
+             path: String): Unit = {
+    val spark = incoming.sparkSession
+    val (shingleN, numHashes) = params(spark, path)
+    bandsOf(incoming, idCol, textCol, shingleN, numHashes)
+      .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet")
+    setsOf(incoming, idCol, textCol, shingleN)
+      .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet")
+  }
+
+  /** The daily check: near-dups of `incoming` against the STORE
+    * (never the raw index). Output (new_id, index_id, jaccard) —
+    * bit-identical to [[Dedup.incrementalNearDups]] over the same
+    * logical index, spec-pinned.
+    *
+    * `broadcastBatch` is on by default — an ingest batch is small by
+    * definition; a deployment whose batch outgrows the driver flips
+    * it off and pays a shuffle join instead (the store still scans
+    * once either way). */
+  def ingest(spark: SparkSession, path: String, incoming: DataFrame,
+             idCol: String, textCol: String,
+             minJaccard: Double = 0.5,
+             maxBucketSize: Int = Int.MaxValue,
+             broadcastBatch: Boolean = true): DataFrame = {
+    val (shingleN, numHashes) = params(spark, path)
+    val mark = if (broadcastBatch) (df: DataFrame) => broadcast(df)
+               else identity[DataFrame] _
+    val bN = bandsOf(incoming, idCol, textCol, shingleN, numHashes)
+      .withColumnRenamed("doc_id", "new_id")
+    val bI = spark.read.parquet(s"$path/bands.parquet")
+    // store rows inside probed buckets only: the broadcast join keeps
+    // every index row of every bucket the batch touches, so counting
+    // THESE rows per (band, bkey) reproduces the direct route's index
+    // bucket sizes exactly where it matters (unprobed buckets cannot
+    // produce candidates, so their sizes are unobservable either way).
+    // mark() applies AT the use sites -- a broadcast hint does not
+    // survive the distinct() aggregation boundary
+    val probed = bI.join(mark(bN.select("band", "bkey").distinct()),
+      Seq("band", "bkey")).localCheckpoint()
+    val inCap =
+      if (maxBucketSize == Int.MaxValue) probed
+      else {
+        val small = probed.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band", "bkey")
+        probed.join(small, Seq("band", "bkey"), "left_semi")
+      }
+    // candidates feed the verification join and the set semi-join --
+    // checkpoint so the band join runs once (same policy as the
+    // direct route)
+    val cand = inCap.join(mark(bN), Seq("band", "bkey"))
+      .select(col("new_id"), col("doc_id").as("index_id")).distinct()
+      .localCheckpoint()
+    val setsN = setsOf(incoming, idCol, textCol, shingleN)
+      .select(col("doc_id").as("new_id"), col("shingles").as("__seta"))
+    val candIdx = mark(cand.select(col("index_id").as("doc_id")).distinct())
+    val setsI = spark.read.parquet(s"$path/sets.parquet")
+      .join(candIdx, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("index_id"), col("shingles").as("__setb"))
+    val inter = size(array_intersect(col("__seta"), col("__setb")))
+    val union = size(col("__seta")) + size(col("__setb")) - inter
+    cand.join(setsN, Seq("new_id")).join(setsI, Seq("index_id"))
+      .select(col("new_id"), col("index_id"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -2710,6 +2710,58 @@ object ExtOracles {
     // but no 3-shingles — must produce NO pairs); candidates are
     // incoming×index band collisions only, mirroring the operator's
     // never-self-pair-the-corpus shape
+    // the persisted-store route must equal the DIRECT MinHash chain
+    // over index = documents UNION the appended batch A; the store
+    // (parquet round-trip, broadcast probes) never appears here
+    "q_incr_stored" ->
+      """WITH incA AS (
+        |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |idx AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM incA),
+        |inc AS (
+        |  SELECT doc_id + 800000 AS doc_id, text || ' graftincr fresh' AS text
+        |  FROM documents WHERE doc_id % 26 = 0),
+        |ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM idx),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
+        |shi AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM ti WHERE len(w) >= 3) t),
+        |shn AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM tn WHERE len(w) >= 3) t),
+        |mhi AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM shi CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |mhn AS (SELECT doc_id, sd.seed,
+        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+        |  FROM shn CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed),
+        |bi AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mhi GROUP BY doc_id, seed // 2),
+        |bn AS (SELECT doc_id, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN h END)
+        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+        |  FROM mhn GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+        |  FROM bn n JOIN bi i ON i.band = n.band AND i.bkey = n.bkey),
+        |inter AS (SELECT c.new_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM cand c JOIN shn sn ON sn.doc_id = c.new_id
+        |  JOIN shi si ON si.doc_id = c.index_id AND si.shingle = sn.shingle
+        |  GROUP BY c.new_id, c.index_id),
+        |szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+        |szi AS (SELECT doc_id, COUNT(*) AS n FROM shi GROUP BY doc_id)
+        |SELECT i.new_id, i.index_id,
+        |  CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) AS jaccard
+        |FROM inter i JOIN szn sn ON sn.doc_id = i.new_id
+        |JOIN szi si ON si.doc_id = i.index_id
+        |WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5""".stripMargin,
+
     "q_incr_dedup" ->
       """WITH inc AS (
         |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text

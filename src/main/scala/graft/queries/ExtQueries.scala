@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
+import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, SignatureStore, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -1536,6 +1536,34 @@ object ExtQueries {
     Dedup.incrementalNearDups(d, incoming, "doc_id", "text")
   }
 
+  /** The PERSISTED-index incremental check, full lifecycle through
+    * the gate (SignatureStore.build → append → ingest): build the
+    * signature store from the documents table, APPEND batch A (clones
+    * of every 13th doc, ids +600000), then ingest batch B (clones of
+    * every 26th doc, a different marker, ids +800000) against the
+    * store. B's matches must include BOTH the original base docs and
+    * A's appended clones — the row that proves an appended batch is
+    * probe-able tomorrow exactly as a built doc is. The DuckDB oracle
+    * replays the full MinHash chain over index = documents ∪ A with
+    * no store at all: the parquet round-trip, broadcast probes, and
+    * probed-bucket counting must be invisible in the answer. */
+  def incrStored(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_$tail"
+    val d = docs(spark, dir).select("doc_id", "text")
+    val batchA = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    val batchB = d.filter(col("doc_id") % 26 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(col("text"), lit(" graftincr fresh")).as("text"))
+    // build (overwrite) + exactly-one append per call: the gate must
+    // be idempotent under Bench's warm+timed double execution
+    SignatureStore.build(d, "doc_id", "text", store)
+    SignatureStore.append(batchA, "doc_id", "text", store)
+    SignatureStore.ingest(spark, store, batchB, "doc_id", "text")
+  }
+
   /** The EXACT incremental ingest check (Dedup.prefixFilterJoinAB):
     * the same batch-vs-index shape as q_incr_dedup — clones of every
     * 13th doc must match their base, token-reversed copies of every
@@ -2656,6 +2684,7 @@ object ExtQueries {
     "q_doc_chunks"        -> (docChunks _),
     "q_minhash_acc"       -> (minhashAcc _),
     "q_incr_dedup"        -> (incrDedup _),
+    "q_incr_stored"       -> (incrStored _),
     "q_leakage_split"     -> (leakageSplit _),
     "q_chunk_pack"        -> (chunkPack _),
     "q_ann_recall"        -> (annRecall _),
