@@ -375,7 +375,7 @@ object Similarity {
   /** Squared L2 between two equal-length double arrays, summed
     * strictly left-to-right — subtraction/multiply/add are exact
     * IEEE ops, so both engines produce the identical double. */
-  private def dist2(a: Column, b: Column): Column =
+  private[ext] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -814,11 +814,20 @@ object Similarity {
                       queries: DataFrame, centroids: DataFrame,
                       seeds: DataFrame, idCol: String, vecCol: String,
                       k: Int, nprobe: Int, numSub: Int,
-                      subDim: Int): DataFrame = {
+                      subDim: Int): DataFrame =
+    adcFromCodes(encodeCodes(assigned, seeds, idCol, vecCol, numSub, subDim),
+      queries, centroids, seeds, idCol, vecCol, k, nprobe, numSub, subDim)
+
+  /** The IVFADC encode stage alone: per assigned residual, the
+    * sub_id-sorted PQ code list — (neighbor_id, __cell, __codes).
+    * Split out of [[adcTopK]] so the codes can be PERSISTED
+    * ([[VectorIndexStore]]) instead of recomputed per query batch. */
+  private[ext] def encodeCodes(assigned: DataFrame, seeds: DataFrame,
+                               idCol: String, vecCol: String,
+                               numSub: Int, subDim: Int): DataFrame = {
     require(numSub >= 1 && subDim >= 1)
-    val cents = centroidRow(centroids, idCol, vecCol)
     val cb = pqCodebook(seeds, idCol, vecCol)
-    val codes = assigned
+    assigned
       .crossJoin(cb)
       .select(col("neighbor_id"), col("__cell"),
         explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
@@ -828,6 +837,21 @@ object Similarity {
       .groupBy(col("neighbor_id"), col("__cell"))
       .agg(sort_array(collect_list(struct(col("sub_id").cast("long").as("sub_id"),
         col("__best").getField("j").cast("long").as("code")))).as("__codes"))
+  }
+
+  /** The IVFADC probe/LUT/scan stage over an already-encoded codes
+    * frame — [[adcTopK]]'s second half, callable against persisted
+    * codes. `codes` may be pre-filtered to any SUPERSET of the cells
+    * the queries probe (partition pruning): the per-query probe join
+    * below re-selects exactly its own nprobe cells. */
+  private[ext] def adcFromCodes(codes: DataFrame,
+                      queries: DataFrame, centroids: DataFrame,
+                      seeds: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nprobe: Int, numSub: Int,
+                      subDim: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1)
+    val cents = centroidRow(centroids, idCol, vecCol)
+    val cb = pqCodebook(seeds, idCol, vecCol)
     // nprobe nearest cells per query, each with the query's residual
     // against that cell's centroid
     val qScored = queries

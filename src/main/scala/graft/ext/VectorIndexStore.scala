@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVFADC index — the ANN sibling of [[SignatureStore]]:
+  * the trained structure AND the corpus's codes live on disk, so a
+  * query batch pays probes, never training or encoding.
+  *
+  * [[Similarity.ivfPqTopK]] re-assigns and re-encodes the whole
+  * candidate corpus on every call — the right shape for a one-shot
+  * audit, pure waste for a serving index: assignment is O(N·K)
+  * multiply-adds over data that didn't change. The store persists:
+  *
+  *   <path>/centroids.parquet  (cid, vector)  - coarse quantizer
+  *   <path>/codebook.parquet   (cid, vector)  - residual PQ codebook
+  *   <path>/codes.parquet      (neighbor_id, cell, codes) partitioned
+  *                             by cell_bucket = cell % cell_buckets
+  *   <path>/params.parquet     (num_sub, sub_dim, cell_buckets)
+  *
+  * The layout IS the probe structure: codes are partitioned by
+  * cell-bucket, and [[query]] plans the batch's probed cells first
+  * (one tiny job over the broadcast centroid row — q·K scores), then
+  * reads codes.parquet filtered to those buckets/cells. Spark's file
+  * index prunes unprobed directories at planning time, so a batch
+  * that probes w of K cells SCANS ~w/K of the corpus codes — the
+  * inverted-file promise kept at the file level, visible in the
+  * plan's PartitionFilters and pinned by the spec on `inputFiles`.
+  * `cell_buckets` bounds the directory fan-out (a √N-cell index at
+  * corpus scale would otherwise mint millions of partitions); pruning
+  * granularity degrades gracefully to the bucket, and the row-level
+  * `cell` filter still pushes down into each scanned file.
+  *
+  * Vectors are stored as double (the exact widening every reader
+  * applies anyway), so the store round-trip is bit-invisible:
+  * [[query]] equals `Similarity.ivfPqTopK` over the same logical
+  * corpus, spec-pinned, including across an [[append]].
+  *
+  * [[append]] encodes new vectors under the STORE's centroids and
+  * codebook — an index snapshot's geometry is frozen until a rebuild,
+  * the same snapshot semantics the signature store documents; the
+  * recall audits (q_ann_recall family) are the drift monitor that
+  * says when to rebuild. */
+object VectorIndexStore {
+
+  private def normalized(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(idCol).cast("long").as("cid"),
+      Similarity.toDouble(col(vecCol)).as("vector"))
+
+  private def encode(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, codebook: DataFrame,
+                     numSub: Int, subDim: Int, cellBuckets: Int): DataFrame = {
+    val assigned = Similarity.ivfResiduals(corpus, centroids, idCol, vecCol)
+    Similarity.encodeCodes(assigned, codebook, idCol, vecCol, numSub, subDim)
+      .select(col("neighbor_id").cast("long").as("neighbor_id"),
+        col("__cell").cast("long").as("cell"), col("__codes").as("codes"))
+      .withColumn("cell_bucket", pmod(col("cell"), lit(cellBuckets.toLong)))
+  }
+
+  /** Build (or rebuild — overwrite) the index from the corpus and a
+    * trained structure. One assignment + one encode pass — the same
+    * two passes every direct ivfPqTopK call pays per query batch. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            centroids: DataFrame, codebook: DataFrame,
+            numSub: Int, subDim: Int, cellBuckets: Int = 1024): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    normalized(centroids, idCol, vecCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
+    normalized(codebook, idCol, vecCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebook.parquet")
+    Seq((numSub, subDim, cellBuckets))
+      .toDF("num_sub", "sub_dim", "cell_buckets").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
+    encode(corpus, idCol, vecCol,
+      normalized(centroids, idCol, vecCol).select(
+        col("cid").as(idCol), col("vector").as(vecCol)),
+      normalized(codebook, idCol, vecCol).select(
+        col("cid").as(idCol), col("vector").as(vecCol)),
+      numSub, subDim, cellBuckets)
+      .write.partitionBy("cell_bucket").mode(SaveMode.Overwrite)
+      .parquet(s"$path/codes.parquet")
+  }
+
+  /** The index config — 1 row, driver-side (bounded-collect class). */
+  def params(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val row = spark.read.parquet(s"$path/params.parquet").head()
+    (row.getAs[Int]("num_sub"), row.getAs[Int]("sub_dim"),
+      row.getAs[Int]("cell_buckets"))
+  }
+
+  private def stored(spark: SparkSession, path: String, part: String,
+                     idCol: String, vecCol: String): DataFrame =
+    spark.read.parquet(s"$path/$part.parquet")
+      .select(col("cid").as(idCol), col("vector").as(vecCol))
+
+  /** Fold new vectors into the index under the STORE's frozen
+    * geometry (snapshot semantics — see the class doc). Caller
+    * guarantees new ids; the store has no dedup of its own. */
+  def append(newVectors: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val (numSub, subDim, cellBuckets) = params(spark, path)
+    encode(newVectors, idCol, vecCol,
+      stored(spark, path, "centroids", idCol, vecCol),
+      stored(spark, path, "codebook", idCol, vecCol),
+      numSub, subDim, cellBuckets)
+      .write.partitionBy("cell_bucket").mode(SaveMode.Append)
+      .parquet(s"$path/codes.parquet")
+  }
+
+  /** ADC top-k against the stored index: plan the batch's probed
+    * cells (q·nprobe longs to the driver — bounded-collect class),
+    * scan ONLY their partitions, score. Output identical to
+    * `Similarity.ivfPqTopK` on the same logical corpus:
+    * (query_id, neighbor_id, rank, adc_dist2). */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val (numSub, subDim, cellBuckets) = params(spark, path)
+    val centroids = stored(spark, path, "centroids", idCol, vecCol)
+    val codebook = stored(spark, path, "codebook", idCol, vecCol)
+    // probed-cell plan: rank all K cells per query (queries are few;
+    // this is the same O(q·K) pick adcFromCodes repeats exactly), keep
+    // the distinct union — a SUPERSET per query, which adcFromCodes'
+    // own per-query probe join then narrows to exactly nprobe
+    val cents = broadcast(centroids.select(col(idCol).as("__cell"),
+      col(vecCol).as("__ccv")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__qd").asc, col("__cell").asc)
+    val probedCells = queries
+      .select(col(idCol).as("query_id"), Similarity.toDouble(col(vecCol)).as("__qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("__cell"),
+        Similarity.dist2(col("__qv"), col("__ccv")).as("__qd"))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select("__cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val buckets = probedCells.map(_ % cellBuckets).distinct
+    val codes = spark.read.parquet(s"$path/codes.parquet")
+      .filter(col("cell_bucket").isin(buckets: _*) &&
+        col("cell").isin(probedCells: _*))
+      .select(col("neighbor_id"), col("cell").as("__cell"),
+        col("codes").as("__codes"))
+    Similarity.adcFromCodes(codes, queries, centroids, codebook,
+      idCol, vecCol, k, nprobe, numSub, subDim)
+  }
+}

@@ -1779,6 +1779,9 @@ object ExtOracles {
     // -> km fit on the residuals -> residual PQ codes ->
     // per-(query, cell) residual LUTs -> sub_id-ordered ADC chain
     "q_ivf_pq_topk" -> ivfPqTopkSql,
+    // the persisted-index route answers from the on-disk artifact;
+    // the oracle is the DIRECT chain's — the store must be invisible
+    "q_ann_stored" -> ivfPqTopkSql,
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
     "q_ivf_hier_curve" -> ivfHierCurveSql,

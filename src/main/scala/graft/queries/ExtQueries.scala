@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, SignatureStore, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps}
+import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, Sampling, SignatureStore, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -731,7 +731,11 @@ object ExtQueries {
     * k-means fit, residual codes, per-(query, cell) LUTs, and the
     * sub_id-ordered ADC chain in SQL, so the whole composition is
     * value-checked, not just its parts. */
-  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+  /** The q_ivf_pq_topk fixture pieces, shared with the stored-index
+    * route: (queries, candidates, √N-stride centroids, the memoized
+    * residual-trained codebook). */
+  private def ivfPqParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cands = e.filter(col("vec_id") >= 20)
     val stride = math.max(1L,
@@ -745,10 +749,32 @@ object ExtQueries {
           k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
         .select(col("cid").as("vec_id"), col("vector").as("embedding"))
     }
+    (e.filter(col("vec_id") < 20), cands, cents, residualCb)
+  }
+
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, cands, cents, residualCb) = ivfPqParts(spark, dir)
     Similarity.ivfPqTopK(
-      e.filter(col("vec_id") < 20), cands, cents, residualCb,
+      queries, cands, cents, residualCb,
       "vec_id", "embedding", k = 3, nprobe = 3,
       numSub = PqSub, subDim = PqDim)
+  }
+
+  /** The PERSISTED IVFADC index through the gate: build the store
+    * from q_ivf_pq_topk's exact fixture (same centroids, same
+    * residual-trained codebook), then answer the same query batch
+    * from the on-disk artifact — probed-cell partition pruning, ADC
+    * over stored codes. The oracle IS q_ivf_pq_topk's oracle: the
+    * store (parquet round-trip, cell-bucket layout, driver-planned
+    * probe set) must be invisible in the answer. */
+  def annStored(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_$tail"
+    val (queries, cands, cents, residualCb) = ivfPqParts(spark, dir)
+    VectorIndexStore.build(cands, "vec_id", "embedding", path,
+      cents, residualCb, numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3)
   }
 
   /** The shared two-level coarse structure of the q_ivf_hier family:
@@ -2710,6 +2736,7 @@ object ExtQueries {
     "q_pca_top"           -> (pcaTop _),
     "q_abtt"              -> (abttQ _),
     "q_ivf_pq_topk"       -> (ivfPq _),
+    "q_ann_stored"        -> (annStored _),
     "q_ivf_hier"          -> (ivfHier _),
     "q_ivf_hier_agree"    -> (ivfHierAgree _),
     "q_ivf_hier_recall"   -> (ivfHierRecall _),

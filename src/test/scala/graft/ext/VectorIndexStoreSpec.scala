@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The persisted IVFADC index must be invisible in the answer (query
+  * == Similarity.ivfPqTopK over the same logical corpus, including
+  * across an append under the frozen geometry) AND visible in the
+  * scan (probing w of K cells reads strictly fewer code files than
+  * the store holds — the partition-pruning claim, checked on
+  * inputFiles, not asserted from the plan text). */
+class VectorIndexStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val (numSub, subDim) = (4, 2)
+
+  private def emb: DataFrame =
+    graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+  private def queries: DataFrame = emb.filter(col("vec_id") < 5)
+  private def cands: DataFrame = emb.filter(col("vec_id") >= 20)
+  private def cents: DataFrame = cands.filter(col("vec_id") % 37 === 0)
+  private def codebook: DataFrame = {
+    val res = Similarity.ivfResiduals(cands, cents, "vec_id", "embedding")
+      .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
+    KMeans.codebook(
+      KMeans.fit(res, "vec_id", "embedding",
+        k = 4, numSub = numSub, subDim = subDim, iters = 2))
+      .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3))).toSet
+
+  test("stored query equals the direct IVFADC chain bit-for-bit") {
+    val path = "/tmp/graft_vindex_spec1"
+    val cb = codebook.localCheckpoint()
+    VectorIndexStore.build(cands, "vec_id", "embedding", path, cents, cb,
+      numSub, subDim)
+    val stored = rows(VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val direct = rows(Similarity.ivfPqTopK(queries, cands, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 2,
+      numSub = numSub, subDim = subDim))
+    assert(stored == direct)
+    assert(stored.nonEmpty)
+  }
+
+  test("appended vectors are served under the frozen geometry") {
+    val path = "/tmp/graft_vindex_spec2"
+    val cb = codebook.localCheckpoint()
+    val half1 = cands.filter(col("vec_id") % 2 === 0)
+    val half2 = cands.filter(col("vec_id") % 2 === 1)
+    VectorIndexStore.build(half1, "vec_id", "embedding", path, cents, cb,
+      numSub, subDim)
+    VectorIndexStore.append(half2, "vec_id", "embedding", path)
+    val stored = rows(VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val direct = rows(Similarity.ivfPqTopK(queries, cands, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 2,
+      numSub = numSub, subDim = subDim))
+    assert(stored == direct)
+  }
+
+  test("a probe scans strictly fewer code files than the store holds") {
+    val path = "/tmp/graft_vindex_spec3"
+    val cb = codebook.localCheckpoint()
+    // cell_buckets big enough that every cell is its own directory,
+    // so pruning granularity is exact at this scale
+    VectorIndexStore.build(cands, "vec_id", "embedding", path, cents, cb,
+      numSub, subDim, cellBuckets = 1024)
+    val all = spark.read.parquet(s"$path/codes.parquet").inputFiles.length
+    val probe = VectorIndexStore.query(spark, path, queries.limit(1),
+      "vec_id", "embedding", k = 3, nprobe = 1)
+    probe.collect() // the metric below is an EXECUTION count
+    // inputFiles reports the unpruned relation; the evidence is the
+    // executed scan's numFiles metric on the codes relation. AQE wraps
+    // stages, so flatten adaptively before matching.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case s: QueryStageExec => flat(s.plan)
+      case o => o +: o.children.flatMap(flat)
+    }
+    val scanned = flat(probe.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_vindex_spec3/codes.parquet")) =>
+        s.metrics("numFiles").value
+    }
+    assert(scanned.nonEmpty, "no codes scan found in the executed plan")
+    assert(scanned.head < all, s"probe scanned ${scanned.head}/$all files")
+    assert(scanned.head > 0)
+  }
+
+  test("query derives the index config from the store, not the caller") {
+    val path = "/tmp/graft_vindex_spec4"
+    VectorIndexStore.build(cands, "vec_id", "embedding", path, cents,
+      codebook, numSub, subDim, cellBuckets = 7)
+    assert(VectorIndexStore.params(spark, path) == ((numSub, subDim, 7)))
+  }
+}
