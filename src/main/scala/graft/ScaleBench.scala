@@ -107,7 +107,7 @@ object ScaleBench {
     // its shard-decomposed twin (3 sequential passes over the union
     // rarity order): same answer, bounded per-pass footprint — the
     // AB analogue of q_exact_sharded's curve
-    "q_incr_sharded", "q_incr_stored_ingest",
+    "q_incr_sharded", "q_incr_stored_ingest", "q_ann_stored_query",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
@@ -468,6 +468,36 @@ object ScaleBench {
           concat(col("text"), lit(" graftincr end")).as("text"))
       graft.ext.SignatureStore.ingest(s, store, incoming, "doc_id", "text",
         maxBucketSize = 64)
+    }),
+    // the persisted IVFADC index's QUERY face (build amortized via the
+    // exists-check, same policy as the signature store's row): a fixed
+    // 20-query batch at nprobe 3 against the √N-cell stored index —
+    // the probed-partition scan should grow with cell size (~√N), not
+    // corpus size, while the direct q_ivf_pq_topk row re-encodes the
+    // world per batch
+    "q_ann_stored_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_vindex_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cands = e.filter(col("vec_id") >= 20)
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/params.parquet"))) {
+        val stride = math.max(1L,
+          math.floor(math.sqrt(cands.count().toDouble)).toLong)
+        val cents = cands.filter(col("vec_id") % stride === 0)
+        val res = graft.ext.Similarity
+          .ivfResiduals(cands, cents, "vec_id", "embedding")
+          .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
+        val cb = graft.ext.KMeans.codebook(
+          graft.ext.KMeans.fit(res, "vec_id", "embedding",
+            k = 256, numSub = 16, subDim = 4, iters = 4))
+          .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+        graft.ext.VectorIndexStore.build(cands, "vec_id", "embedding",
+          path, cents, cb, numSub = 16, subDim = 4)
+      }
+      graft.ext.VectorIndexStore.query(s, path,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nprobe = 3)
     }),
     // SemDeDup at the production cell sizing: k tracks N / targetCell
     // (≈270, the gate query's base-corpus cell occupancy) instead of
