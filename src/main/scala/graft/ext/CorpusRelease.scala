@@ -201,6 +201,27 @@ object CorpusRelease {
         "AS (metric, value)")
   }
 
+  /** Ship the release's INGEST INDEX beside its shards: a
+    * [[SignatureStore]] built from the released (kept) documents, so
+    * tomorrow's batch checks against the release artifact itself
+    * (`SignatureStore.ingest`) instead of re-deriving the index side
+    * from the shards — the release closing the loop with the
+    * incremental operators. The kept set is re-derived from the
+    * ledger (disposition == 'kept'), never recomputed: the join
+    * reads the already-checkpointed routing frame. Gate
+    * `q_release_ingest` runs release → ship → ingest end to end
+    * against an oracle that replays the release chain to its kept
+    * set and then the direct MinHash chain — the store and the
+    * bundle plumbing must both be invisible in the answer. */
+  def shipIngestStore(corpus: DataFrame, ledger: DataFrame,
+                      path: String): Unit = {
+    val kept = corpus.join(
+      ledger.filter(col("disposition") === "kept").select("doc_id"),
+      Seq("doc_id"))
+      .select("doc_id", "text")
+    SignatureStore.build(kept, "doc_id", "text", path)
+  }
+
   /** Writes the bundle as one release tree:
     * `outDir/{ledger,packs,shards,data_card,manifest}/` parquet —
     * the artifact set a dataset release ships beside its shards. */

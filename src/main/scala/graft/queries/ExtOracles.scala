@@ -3348,6 +3348,56 @@ object ExtOracles {
     // stage only over the previous stage's survivors; per-doc
     // decision rows (first dropping stage + keeper)
     "q_corpus_release" -> corpusReleaseSql,
+    // the release SHIPS its ingest index: the store is built from the
+    // released (kept) set and tomorrow's probe batch checks against
+    // it — the oracle replays the release chain to `fin`, then the
+    // direct MinHash chain between fin and the probe, with no store
+    "q_release_ingest" -> (releaseChainCtes + """,
+      |relinc AS MATERIALIZED (SELECT doc_id + 900000 AS doc_id,
+      |    text || ' graftincr probe' AS text
+      |  FROM documents WHERE doc_id % 21 = 0),
+      |ing_ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM fin),
+      |ing_tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM relinc),
+      |ing_shi AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM ing_ti WHERE len(w) >= 3) t),
+      |ing_shn AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM ing_tn WHERE len(w) >= 3) t),
+      |ing_mhi AS (SELECT doc_id, sd.seed,
+      |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+      |  FROM ing_shi CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+      |  GROUP BY doc_id, sd.seed),
+      |ing_mhn AS (SELECT doc_id, sd.seed,
+      |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+      |  FROM ing_shn CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+      |  GROUP BY doc_id, sd.seed),
+      |ing_bi AS (SELECT doc_id, seed // 2 AS band,
+      |    min(CASE WHEN seed % 2 = 0 THEN h END)
+      |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+      |  FROM ing_mhi GROUP BY doc_id, seed // 2),
+      |ing_bn AS (SELECT doc_id, seed // 2 AS band,
+      |    min(CASE WHEN seed % 2 = 0 THEN h END)
+      |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+      |  FROM ing_mhn GROUP BY doc_id, seed // 2),
+      |ing_cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+      |  FROM ing_bn n JOIN ing_bi i
+      |    ON i.band = n.band AND i.bkey = n.bkey),
+      |ing_inter AS (SELECT c.new_id, c.index_id,
+      |    CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM ing_cand c JOIN ing_shn sn ON sn.doc_id = c.new_id
+      |  JOIN ing_shi si ON si.doc_id = c.index_id
+      |    AND si.shingle = sn.shingle
+      |  GROUP BY c.new_id, c.index_id),
+      |ing_szn AS (SELECT doc_id, COUNT(*) AS n FROM ing_shn GROUP BY doc_id),
+      |ing_szi AS (SELECT doc_id, COUNT(*) AS n FROM ing_shi GROUP BY doc_id)
+      |SELECT i.new_id, i.index_id,
+      |  CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) AS jaccard
+      |FROM ing_inter i JOIN ing_szn sn ON sn.doc_id = i.new_id
+      |JOIN ing_szi si ON si.doc_id = i.index_id
+      |WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5""".stripMargin),
 
     "q_dedup_cascade" ->
       """WITH RECURSIVE u0 AS (SELECT doc_id, text,
@@ -4499,7 +4549,10 @@ object ExtOracles {
     * q_cluster_stats policy): each member oracle stays independently
     * green, and this one proves the COMPOSITION with src swapped to
     * each stage's survivor set. */
-  private def corpusReleaseSql: String =
+  /** The release chain's CTE prefix (u0 ... fin/pk/sp), shared by
+    * the manifest oracle and the release-ingest oracle: `fin` is the
+    * released (kept) document set both queries read. */
+  private def releaseChainCtes: String =
     """WITH RECURSIVE u0 AS (SELECT doc_id, text,
       |    CASE (doc_id // 100) % 5
       |      WHEN 0 THEN 'HTTPS://WWW.' || upper(dom) || ':443' || base
@@ -4688,8 +4741,10 @@ object ExtOracles {
       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |      CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
       |        1, 15) AS BIGINT) AS h
-      |    FROM fin) t)
-      |SELECT '0_input' AS stage, 'n_docs' AS metric,
+      |    FROM fin) t)""".stripMargin
+
+  private def corpusReleaseSql: String = releaseChainCtes + "\n" +
+    """SELECT '0_input' AS stage, 'n_docs' AS metric,
       |  CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS value,
       |  'exact' AS contract
       |UNION ALL SELECT '1_url', 'n_dropped', CAST((SELECT COUNT(*)

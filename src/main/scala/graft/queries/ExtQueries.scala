@@ -2632,7 +2632,11 @@ object ExtQueries {
     * oracle re-derives the ENTIRE chain with each stage running on
     * the previous stage's survivor set — the composition proof the
     * round-9 verdict asked for (the LLM-side F1Dashboard). */
-  def corpusReleaseQ(spark: SparkSession, dir: String): DataFrame = {
+  /** The q_corpus_release fixture: synthetic urls + mirror/marker
+    * clone waves + the benchmark sample, shared with the
+    * release-ingest composition. */
+  private def releaseFixture(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
     val base = d.join(urlCorpus(spark, dir).select("doc_id", "url"), "doc_id")
     val exactC = base.filter(col("doc_id") % 13 === 0)
@@ -2648,12 +2652,36 @@ object ExtQueries {
           col("doc_id").cast("string")).as("url"))
     val corpus = base.unionByName(exactC).unionByName(nearC)
     val bench = d.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
+    (corpus, bench)
+  }
+
+  def corpusReleaseQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = releaseFixture(spark, dir)
     // production cap posture: the manifest's 3_near rows record the
     // lsh_capped contract and the (zero, at this fixture's bucket
     // occupancy) bucket-drop audit — the release states its own
     // recall posture; CorpusReleaseSpec plants the hot bucket that
     // makes the audit rows non-zero
     CorpusRelease.run(corpus, bench, maxBucketSize = 64).manifest
+  }
+
+  /** The release SHIPPING its ingest index, end to end through the
+    * gate: run the release, build the SignatureStore from the kept
+    * set (CorpusRelease.shipIngestStore), then check tomorrow's
+    * probe batch (clones of every 21st doc) against the shipped
+    * artifact. The oracle replays the release chain to its kept set
+    * and then the DIRECT MinHash chain — both the store and the
+    * bundle plumbing must be invisible in the answer. */
+  def releaseIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_relstore_$tail"
+    val (corpus, bench) = releaseFixture(spark, dir)
+    val b = CorpusRelease.run(corpus, bench, maxBucketSize = 64)
+    CorpusRelease.shipIngestStore(corpus, b.ledger, store)
+    val probe = docs(spark, dir).filter(col("doc_id") % 21 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" graftincr probe")).as("text"))
+    SignatureStore.ingest(spark, store, probe, "doc_id", "text")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2825,6 +2853,7 @@ object ExtQueries {
     "q_compaction_plan"   -> (compactionPlanQ _),
     "q_dedup_cascade"     -> (dedupCascade _),
     "q_corpus_release"    -> (corpusReleaseQ _),
+    "q_release_ingest"    -> (releaseIngest _),
     "q_compaction_exec"   -> (compactionExecQ _),
   )
 }

@@ -143,4 +143,31 @@ class CorpusReleaseSpec extends AnyFunSuite {
       .as[(String, String, Long, String)].collect().toSeq
     assert(manifest() == manifest())
   }
+
+  test("the shipped ingest store answers like the direct check on the kept set") {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_relstore_spec"
+    val b = CorpusRelease.run(corpus(), bench())
+    CorpusRelease.shipIngestStore(corpus(), b.ledger, path)
+    val kept = corpus().join(
+      b.ledger.filter(col("disposition") === "kept").select("doc_id"),
+      Seq("doc_id")).select("doc_id", "text")
+    // probe = a clone of each kept doc (marker appended) + one novel doc
+    val probe = kept.limit(3)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" probed")).as("text"))
+      .unionByName(Seq((9999L, "entirely novel text " + longText(77)))
+        .toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaStore = rows(SignatureStore.ingest(spark, path, probe,
+      "doc_id", "text"))
+    val direct = rows(Dedup.incrementalNearDups(kept, probe,
+      "doc_id", "text"))
+    assert(viaStore == direct)
+    assert(viaStore.nonEmpty)
+    // the novel doc matched nothing
+    assert(!viaStore.exists(_._1 == 9999L))
+  }
 }
