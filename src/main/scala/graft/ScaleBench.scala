@@ -108,6 +108,7 @@ object ScaleBench {
     // rarity order): same answer, bounded per-pass footprint — the
     // AB analogue of q_exact_sharded's curve
     "q_incr_sharded", "q_incr_stored_ingest", "q_ann_stored_query",
+    "q_bm25_stored_query", "q_merge_narrow",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
@@ -498,6 +499,50 @@ object ScaleBench {
       graft.ext.VectorIndexStore.query(s, path,
         e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, nprobe = 3)
+    }),
+    // the persisted BM25 index's QUERY face (build amortized via the
+    // exists-check, same policy as the other two stores): the fixed
+    // 20-probe batch against the stored postings — the probed-bucket
+    // scan + Σ df(t) score join should track the query vocabulary's
+    // document frequencies, not corpus size, while the direct
+    // q_bm25_topk row re-tokenizes the world per batch
+    "q_bm25_stored_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_ristore_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/params.parquet")))
+        graft.ext.RetrievalIndexStore.build(
+          docs.filter(col("doc_id") >= 20), "doc_id", "text", path)
+      val probes = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          slice(graft.ext.TextOps.tokens(col("text")), 1, 3).as("terms"))
+      graft.ext.RetrievalIndexStore.query(s, path, probes,
+        "query_id", "terms", k = 5)
+    }),
+    // copy-on-write MERGE with a NARROW batch: the table grows with
+    // the corpus (staged once per scale via the exists-check, file
+    // count ∝ N so per-file size stays constant), but the batch stays
+    // a fixed 40-key band — the touched-file set is O(1), so merge
+    // cost should be FLAT as the table scales 10×/100× (the
+    // file-granularity claim; a row-granularity merge would re-write
+    // the world). Timed work = footer plan over N/500 files + one
+    // bounded rewrite + manifest re-inventory.
+    "q_merge_narrow" -> ((s: SparkSession, d: String) => {
+      val tail = d.split('/').filter(_.nonEmpty).last
+      val src = s"/tmp/graft_merge_scale_src_$tail"
+      val out = s"/tmp/graft_merge_scale_out_$tail"
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+        val nFiles = math.max(8, (docs.count() / 500L).toInt)
+        docs.repartitionByRange(nFiles, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(src)
+      }
+      val upd = docs.filter(col("doc_id") < 40)
+        .withColumn("text", concat(col("text"), lit(" graftmerge upd")))
+        .withColumn("_deleted", lit(false))
+      graft.sources.Merge.mergeInto(s, src, out, upd, "doc_id")
     }),
     // SemDeDup at the production cell sizing: k tracks N / targetCell
     // (≈270, the gate query's base-corpus cell occupancy) instead of

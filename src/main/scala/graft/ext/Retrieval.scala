@@ -71,13 +71,27 @@ object Retrieval {
                k: Int): DataFrame = {
     val post = postings(corpus, idCol, textCol)
     val dfreq = post.groupBy("tok").agg(count(lit(1)).as("__df"))
-    val tot = broadcast(
-      post.groupBy(col(idCol)).agg(max("dl").as("__dl"))
-        .agg(count(lit(1)).as("__n"), sum("__dl").as("__t")))
+    val tot = post.groupBy(col(idCol)).agg(max("dl").as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum("__dl").as("__t"))
     val qterms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(col(termsCol)).as("tok"))
       .distinct()
+    bm25FromPostings(qterms, post, dfreq, tot, idCol, k)
+  }
+
+  /** The scoring stage of [[bm25TopK]], factored out so the persisted
+    * inverted index ([[RetrievalIndexStore]]) can run the IDENTICAL
+    * integer-exact chain over a pruned postings scan (the stored
+    * route's df/totals are exact for every query token, so the two
+    * routes are bit-equal — spec-pinned).
+    *
+    * `qterms`: (query_id, tok), duplicates already collapsed;
+    * `post`: (tok, idCol, tf, dl); `dfreq`: (tok, __df);
+    * `tot`: ONE row (__n, __t) — broadcast here. */
+  def bm25FromPostings(qterms: DataFrame, post: DataFrame,
+                       dfreq: DataFrame, tot: DataFrame,
+                       idCol: String, k: Int): DataFrame = {
     val idf = greatest(lit(0L),
       bits((lit(2L) * (col("__n") - col("__df"))) + 1L)
         - bits(lit(2L) * col("__df") + 1L))
@@ -86,7 +100,7 @@ object Retrieval {
     val scored = qterms
       .join(post, "tok")
       .join(dfreq, "tok")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(idf * tfPart).cast("long").as("score_q"))
     val w = Window.partitionBy("query_id")

@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index — the lexical sibling of
+  * [[SignatureStore]] (near-dup) and [[VectorIndexStore]] (ANN),
+  * completing the persisted-derived-state family: a retrieval batch
+  * pays for ITS OWN vocabulary's postings, never a corpus rebuild.
+  *
+  * [[Retrieval.bm25TopK]] re-tokenizes the corpus, re-counts df, and
+  * re-derives the (N, T) totals on every call — the right shape for a
+  * one-shot audit, pure waste for the decontamination / corpus-probe
+  * lookups a pipeline runs daily against an index that didn't change.
+  * The store persists:
+  *
+  *   <path>/postings.parquet  (doc_id, tok, tf, dl) PARTITIONED BY
+  *                            tok_bucket = pmod(xxhash64(tok), B)
+  *   <path>/stats.parquet     (n_docs, total_dl) — one DELTA row per
+  *                            build/append; readers SUM (doc sets are
+  *                            disjoint across writes, so N and T are
+  *                            exactly additive)
+  *   <path>/params.parquet    (tok_buckets) — the bucket fn config,
+  *                            read by append/query so every write and
+  *                            probe agrees on the layout
+  *
+  * The layout IS the probe structure: every posting of a token lives
+  * in that token's bucket directory, so [[query]] plans the batch's
+  * probed buckets first (one tiny job over the query terms — the
+  * bounded-collect class) and Spark's file index prunes every other
+  * directory at planning time. A batch whose vocabulary hits b of B
+  * buckets scans ~b/B of the corpus postings — the inverted-file
+  * promise kept at the file level, pinned by the spec on the executed
+  * scan's numFiles metric. Within scanned buckets, the query terms
+  * broadcast to the scan, so non-query tokens sharing a bucket drop
+  * in the first (shuffle-free) join; df and the score join then run
+  * over candidate postings only — bounded by Σ_t df(t), the classic
+  * inverted-index cost, never corpus×queries.
+  *
+  * Exactness: df(t) counts postings of token t, which ALL live in t's
+  * bucket — a pruned scan is complete for every query token; (N, T)
+  * come from the summed delta rows. Every input to the scoring stage
+  * is therefore identical to the direct route's over the same logical
+  * corpus, and the scores are integer, so [[query]] ==
+  * `Retrieval.bm25TopK` bit-for-bit, including across an [[append]]
+  * (spec-pinned; the q_bm25_stored gate reuses q_bm25_topk's DuckDB
+  * oracle verbatim — the store must be invisible in the answer).
+  *
+  * Caller contract (same as the sibling stores): appended doc ids are
+  * new — the store has no dedup of its own.
+  *
+  * Reference behavior context: the reference re-reads its full corpus
+  * per run (eager pandas, no persisted derived state); this store is
+  * the artifact a 100 TB deployment adds, not a translation. */
+object RetrievalIndexStore {
+
+  private def postingsOf(df: DataFrame, idCol: String, textCol: String,
+                         tokBuckets: Int): DataFrame =
+    Retrieval.postings(df, idCol, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("tok"),
+        col("tf"), col("dl"))
+      .withColumn("tok_bucket",
+        pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)))
+
+  /** The batch's (N, T) contribution, from its postings frame —
+    * max(dl) per doc (dl is functionally dependent on the doc), then
+    * one bounded row. */
+  private def statsOf(post: DataFrame): DataFrame =
+    post.groupBy("doc_id").agg(max("dl").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("__dl").as("total_dl"))
+
+  /** Build (or rebuild — overwrite) the index from the corpus. One
+    * tokenize+count pass (checkpointed so the postings write and the
+    * stats row share it) — the same aggregation the direct route pays
+    * PER QUERY BATCH. */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+            path: String, tokBuckets: Int = 256): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val post = postingsOf(corpus, idCol, textCol, tokBuckets)
+      .localCheckpoint()
+    post.write.partitionBy("tok_bucket")
+      .mode(SaveMode.Overwrite).parquet(s"$path/postings.parquet")
+    statsOf(post).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet")
+    Seq(tokBuckets).toDF("tok_buckets").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
+  }
+
+  /** The store's layout config — 1 row, driver-side (bounded-collect
+    * class: one int). */
+  def params(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/params.parquet").head()
+      .getAs[Int]("tok_buckets")
+
+  /** Fold a new document batch into the index (append-only; the
+    * batch's postings land under the STORE's bucket fn, its (N, T)
+    * contribution appends as one delta row). Postings are per-doc
+    * facts, so batch-local derivation is exact — no cross-doc state
+    * to reconcile. */
+  def append(incoming: DataFrame, idCol: String, textCol: String,
+             path: String): Unit = {
+    val spark = incoming.sparkSession
+    val tokBuckets = params(spark, path)
+    val post = postingsOf(incoming, idCol, textCol, tokBuckets)
+      .localCheckpoint()
+    post.write.partitionBy("tok_bucket")
+      .mode(SaveMode.Append).parquet(s"$path/postings.parquet")
+    statsOf(post).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet")
+  }
+
+  /** BM25 top-k against the stored index: plan the batch's probed
+    * buckets (the query vocabulary's hash buckets — one tiny job),
+    * scan ONLY those partitions, drop non-query tokens via a
+    * broadcast join at the scan, then run [[Retrieval
+    * .bm25FromPostings]] — the scoring stage the direct route uses,
+    * over inputs exact for every query token. Output identical to
+    * `Retrieval.bm25TopK` on the same logical corpus:
+    * (query_id, doc_id, rank, score_q). */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            queryIdCol: String, termsCol: String, k: Int): DataFrame = {
+    val tokBuckets = params(spark, path)
+    // the query batch's distinct terms: small by definition (same
+    // bounded class as an ingest batch); checkpointed because it
+    // feeds the bucket plan, the scan join, and the score join
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("tok"))
+      .distinct().localCheckpoint()
+    val buckets = qterms
+      .select(pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val qtoks = qterms.select("tok").distinct()
+    // candidate postings = probed buckets ∩ query tokens; checkpoint
+    // so dfreq and the score join share one scan
+    val post = spark.read.parquet(s"$path/postings.parquet")
+      .filter(col("tok_bucket").isin(buckets: _*))
+      .join(broadcast(qtoks), Seq("tok"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint()
+    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val tot = spark.read.parquet(s"$path/stats.parquet")
+      .agg(sum("n_docs").as("__n"), sum("total_dl").as("__t"))
+    Retrieval.bm25FromPostings(qterms, post, dfreq, tot, "doc_id", k)
+  }
+}

@@ -75,6 +75,16 @@ object ExtOracles {
       |  JOIN dfreq d ON d.tok = bq.tok, btot
       |  GROUP BY bq.query_id, p.doc_id)""".stripMargin
 
+  /** q_bm25_topk's full statement — shared verbatim by q_bm25_stored
+    * (the persisted index must be invisible in the answer). */
+  private def bm25TopkSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, doc_id, rank, score_q FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_q DESC, doc_id ASC) AS rank
+       |  FROM bm25scored) r
+       |WHERE rank <= 5""".stripMargin
+
   /** Winnowing CTE block (TextOps.winnowFingerprints k=3, w=4) over a
     * `corpus(doc_id, text)` CTE: zipped positional unnest of the
     * 3-gram hex15 hashes, per-doc shingle count, and the 4-window
@@ -2910,13 +2920,11 @@ object ExtOracles {
         |  CAST(SUM(nd) AS BIGINT) AS n_exact
         |FROM mx""".stripMargin,
 
-    "q_bm25_topk" ->
-      s"""WITH $bm25Ctes
-         |SELECT query_id, doc_id, rank, score_q FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score_q DESC, doc_id ASC) AS rank
-         |  FROM bm25scored) r
-         |WHERE rank <= 5""".stripMargin,
+    "q_bm25_topk" -> bm25TopkSql,
+    // the persisted-index gate replays the SAME oracle: build ∪
+    // append is exactly q_bm25_topk's corpus, and the store must be
+    // invisible in the answer (same policy as q_ann_stored)
+    "q_bm25_stored" -> bm25TopkSql,
 
     // hybrid RRF: dense exact-cosine top-20 (vec_id<20 queries, same
     // 64-dim sequential list_sum reduction as q_cosine_topk) fused
@@ -3794,6 +3802,31 @@ object ExtOracles {
         |SELECT p.group_id, p.n_files_in, p.plan_rows, o.out_files,
         |  o.out_rows, p.plan_rows = o.out_rows AS rows_match
         |FROM p JOIN o ON o.group_id = p.group_id""".stripMargin,
+
+    // MERGE executed: textbook MERGE semantics in SQL over the staged
+    // source tree (the batch re-derived identically — upsert 13ths
+    // that aren't 19ths, delete 19ths, insert +900000 clones of
+    // 31sts); the Spark side answers from the POST-MERGE artifact
+    // (manifest-carried sources + written units), so equality proves
+    // the executed copy-on-write reconstructs the exact merged table
+    "q_merge_exec" ->
+      """WITH src AS (SELECT doc_id, text, n_chars
+        |    FROM read_parquet('/tmp/graft_merge_src_sf0.01/*.parquet')),
+        |upd AS (
+        |  SELECT doc_id, text || ' graftmerge upd' AS text, n_chars,
+        |      FALSE AS del
+        |  FROM src WHERE doc_id % 13 = 0 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text, n_chars, TRUE FROM src
+        |  WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text || ' graftmerge new', n_chars,
+        |      FALSE
+        |  FROM src WHERE doc_id % 31 = 0)
+        |SELECT doc_id, text, n_chars FROM src
+        |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |UNION ALL
+        |SELECT doc_id, text, n_chars FROM upd WHERE NOT del""".stripMargin,
 
     "q_parquet_layout" ->
       """SELECT regexp_replace(file_name, '.*/', '') AS file_name,

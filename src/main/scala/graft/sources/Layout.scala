@@ -193,7 +193,7 @@ object Layout {
     * directory expands recursively (directory-shaped tables like
     * `documents.parquet/part-*.parquet` flatten to their parts,
     * non-parquet siblings like _SUCCESS are skipped). */
-  private def listParquet(path: String): Seq[String] = {
+  private[sources] def listParquet(path: String): Seq[String] = {
     def expand(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         f.listFiles().toSeq
