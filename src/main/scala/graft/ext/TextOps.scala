@@ -631,18 +631,41 @@ object TextOps {
     * broadcast row. Everything else is projection. */
   def lmSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    val (uni, tot) = lmModel(df, textCol)
+    lmSurprisalWith(df, idCol, textCol, uni, tot)
+  }
+
+  /** The trained unigram LM of [[lmSurprisal]] as a frame pair:
+    * (tok, __c) token counts + the one-row (__n, __v) totals — the
+    * persistable model state, so a FROZEN release model can score
+    * tomorrow's batch ([[lmSurprisalWith]]) without retraining. */
+  def lmModel(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val tot = uni.agg(sum("__c").as("__n"), count(lit(1)).as("__v"))
+    (uni, tot)
+  }
+
+  /** [[lmSurprisal]]'s scoring stage under an EXPLICIT model — the
+    * add-one-smoothed unigram chain with the unseen-token path made
+    * explicit: a token outside the model's vocabulary smooths to
+    * count 0+1 under the model's own (N + V) mass (the same left-join
+    * convention as [[dsirWeights]]' target LM). With the model
+    * trained on `df` itself this is bit-identical to the inner-join
+    * form (no token is unseen), so [[lmSurprisal]] routes through
+    * here — spec- and oracle-pinned unchanged. */
+  def lmSurprisalWith(df: DataFrame, idCol: String, textCol: String,
+                      uni: DataFrame, tot: DataFrame): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
-    val tot = broadcast(uni.agg(sum("__c").as("__n"),
-      count(lit(1)).as("__v")))
     def bits(x: Column): Column = length(bin(x))
-    toks.join(uni, "tok").crossJoin(tot)
+    val c = coalesce(col("__c"), lit(0L))
+    toks.join(uni, Seq("tok"), "left").crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(bits(col("__n") + col("__v")) - bits(col("__c") + 1))
+        sum(bits(col("__n") + col("__v")) - bits(c + 1))
           .cast("long").as("surprisal_bits"),
-        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_singletons"),
-        sum(col("__c")).cast("long").as("sum_count"))
+        sum(when(c === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(c).cast("long").as("sum_count"))
   }
 
   /** DSIR-style importance weighting (Xie et al., "Data Selection
@@ -719,12 +742,20 @@ object TextOps {
     * doc×lang row inflation. */
   def langId(rawDf: DataFrame, idCol: String, textCol: String,
              langCol: String, topR: Int = 50): DataFrame = {
+    val df = rebalance(rawDf)
+    langIdWith(df, idCol, textCol, langCol,
+      langProfiles(df, textCol, langCol, topR))
+  }
+
+  /** The trained per-language trigram profiles of [[langId]] as a
+    * frame: (__lang, __prof sorted array<string>) — the persistable
+    * model state (≤ langs·topR entries), so a FROZEN release model
+    * can classify tomorrow's batch ([[langIdWith]]) without
+    * retraining. Native one-pass trigrams (graft.catalyst
+    * .CharTrigrams), value-identical to charShingles(_, 3). */
+  def langProfiles(rawDf: DataFrame, textCol: String, langCol: String,
+                   topR: Int = 50): DataFrame = {
     require(topR >= 1, s"profile size must be >= 1, got $topR")
-    // native one-pass trigrams (graft.catalyst.CharTrigrams) on both
-    // passes — value-identical to charShingles(_, 3) (same
-    // UTF8String.substringSQL slices), spec- and oracle-pinned — and
-    // the guarded [[rebalance]] so both trigram passes parallelize on
-    // unsplittable inputs (4-5× measured on the gate fixture)
     val df = rebalance(rawDf)
     graft.catalyst.CharTrigrams.register(df.sparkSession)
     val grams = df.select(col(langCol).as("__lang"),
@@ -732,12 +763,22 @@ object TextOps {
         .as("__gram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__lang").orderBy(col("__n").desc, col("__gram").asc)
-    val profiles = grams.groupBy("__lang", "__gram")
+    grams.groupBy("__lang", "__gram")
       .agg(count(lit(1)).as("__n"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topR)
       .groupBy("__lang")
       .agg(sort_array(collect_list(col("__gram"))).as("__prof"))
+  }
+
+  /** [[langId]]'s classification stage under EXPLICIT profiles —
+    * zero-shuffle scoring with the profile map broadcast; with
+    * profiles trained on `rawDf` itself this is [[langId]] exactly
+    * (it routes through here, spec- and oracle-pinned unchanged). */
+  def langIdWith(rawDf: DataFrame, idCol: String, textCol: String,
+                 langCol: String, profiles: DataFrame): DataFrame = {
+    val df = rebalance(rawDf)
+    graft.catalyst.CharTrigrams.register(df.sparkSession)
     val profMap = broadcast(profiles.groupBy().agg(
       map_from_entries(sort_array(
         collect_list(struct(col("__lang"), col("__prof"))))).as("__pm")))

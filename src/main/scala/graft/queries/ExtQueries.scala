@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, Retrieval, RetrievalIndexStore, Sampling, SignatureStore, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
+import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, ReleaseStore, Retrieval, RetrievalIndexStore, Sampling, SignatureStore, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -2743,6 +2743,56 @@ object ExtQueries {
     SignatureStore.ingest(spark, store, probe, "doc_id", "text")
   }
 
+  /** The INCREMENTAL release through the gate — the daily loop end to
+    * end (CorpusRelease.run → ReleaseStore.build → ReleaseStore
+    * .incrementalRelease): run release N on the q_corpus_release
+    * fixture, ship the full store (sig index over the kept set,
+    * seen-url/seen-hash filters over the input, frozen quality
+    * models), then release a batch planted to exercise every
+    * disposition — re-crawls of seen urls (+400000, %21), exact
+    * content clones behind fresh urls (+410000, %23), near clones
+    * (+420000, %17), 12-token benchmark excerpts (+430000, %37 —
+    * share ≥3 5-grams but too few 3-shingles to near-match),
+    * and token-reversed fresh docs (+440000, %29). Returns the batch
+    * LEDGER; the oracle replays the full release chain to its kept
+    * set and frozen models, then the batch chain DIRECTLY with no
+    * store — the artifact plumbing must be invisible in every
+    * disposition. Store rebuilt per call (Bench-idempotent). */
+  def incrRelease(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_relstore2_$tail"
+    val (corpus, bench) = releaseFixture(spark, dir)
+    val b = CorpusRelease.run(corpus, bench, maxBucketSize = 64)
+    ReleaseStore.build(corpus, b.ledger, store)
+    val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
+    val base = d.join(urlCorpus(spark, dir).select("doc_id", "url"),
+      "doc_id")
+    def freshUrl(p: String) =
+      concat(lit(s"https://batch.example/$p/"), col("doc_id").cast("string"))
+    val batch = base.filter(col("doc_id") % 21 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" graftrecrawl")).as("text"),
+        col("lang"), col("source"), col("url"))
+      .unionByName(base.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 410000).as("doc_id"), col("text"),
+          col("lang"), col("source"), freshUrl("b").as("url")))
+      .unionByName(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 420000).as("doc_id"),
+          concat(col("text"), lit(" graftbatch end")).as("text"),
+          col("lang"), col("source"), freshUrl("n").as("url")))
+      .unionByName(base.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 430000).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 12), " ")
+            .as("text"),
+          col("lang"), col("source"), freshUrl("c").as("url")))
+      .unionByName(base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 440000).as("doc_id"),
+          array_join(reverse(TextOps.tokens(col("text"))), " ").as("text"),
+          col("lang"), col("source"), freshUrl("f").as("url")))
+    ReleaseStore.incrementalRelease(spark, store, batch, bench,
+      maxBucketSize = 64).ledger
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"       -> (dedupExact _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -2914,6 +2964,7 @@ object ExtQueries {
     "q_dedup_cascade"     -> (dedupCascade _),
     "q_corpus_release"    -> (corpusReleaseQ _),
     "q_release_ingest"    -> (releaseIngest _),
+    "q_incr_release"      -> (incrRelease _),
     "q_compaction_exec"   -> (compactionExecQ _),
     "q_merge_exec"        -> (mergeExecQ _),
   )
