@@ -107,8 +107,8 @@ object ScaleBench {
     // its shard-decomposed twin (3 sequential passes over the union
     // rarity order): same answer, bounded per-pass footprint — the
     // AB analogue of q_exact_sharded's curve
-    "q_incr_sharded", "q_incr_stored_ingest", "q_ann_stored_query",
-    "q_bm25_stored_query", "q_merge_narrow",
+    "q_incr_sharded", "q_incr_stored_ingest", "q_incr_fixed_ingest",
+    "q_ann_stored_query", "q_bm25_stored_query", "q_merge_narrow",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
@@ -466,6 +466,26 @@ object ScaleBench {
         graft.ext.SignatureStore.build(docs, "doc_id", "text", store)
       val incoming = docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 600000000L).as("doc_id"),
+          concat(col("text"), lit(" graftincr end")).as("text"))
+      graft.ext.SignatureStore.ingest(s, store, incoming, "doc_id", "text",
+        maxBucketSize = 64)
+    }),
+    // the same stored ingest with a FIXED 40-clone batch (base ids
+    // < 520, present at every scale): the production daily-batch
+    // shape — the index grows 10×/100× under it, the batch doesn't,
+    // so a flat curve here IS the O(batch) claim, while
+    // q_incr_stored_ingest's batch-∝-corpus row above measures the
+    // collision-bound ceiling on the clique fixture
+    "q_incr_fixed_ingest" -> ((s: SparkSession, d: String) => {
+      val store = "/tmp/graft_sigstore_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$store/params.parquet")))
+        graft.ext.SignatureStore.build(docs, "doc_id", "text", store)
+      val incoming = docs
+        .filter(col("doc_id") % 13 === 0 && col("doc_id") < 520)
+        .select((col("doc_id") + 700000000L).as("doc_id"),
           concat(col("text"), lit(" graftincr end")).as("text"))
       graft.ext.SignatureStore.ingest(s, store, incoming, "doc_id", "text",
         maxBucketSize = 64)
