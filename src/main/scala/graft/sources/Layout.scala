@@ -193,7 +193,7 @@ object Layout {
     * directory expands recursively (directory-shaped tables like
     * `documents.parquet/part-*.parquet` flatten to their parts,
     * non-parquet siblings like _SUCCESS are skipped). */
-  private[sources] def listParquet(path: String): Seq[String] = {
+  private[graft] def listParquet(path: String): Seq[String] = {
     def expand(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         f.listFiles().toSeq
@@ -212,11 +212,18 @@ object Layout {
     * layout decision: [[writeZOrdered]] exists to make these ranges
     * narrow, and [[rgPruneAudit]] turns them into a skip ratio. */
   def parquetColumnStats(spark: org.apache.spark.sql.SparkSession,
-                         path: String, column: String): DataFrame = {
+                         path: String, column: String): DataFrame =
+    parquetColumnStatsFiles(spark, listParquet(path), column)
+
+  /** [[parquetColumnStats]] over an explicit file list (the
+    * manifest-table form [[Merge.mergeFiles]] plans from). */
+  def parquetColumnStatsFiles(spark: org.apache.spark.sql.SparkSession,
+                              files: Seq[String], column: String)
+      : DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    spark.createDataset(listParquet(path))
-      .repartition(math.min(listParquet(path).size,
+    spark.createDataset(files)
+      .repartition(math.min(math.max(files.size, 1),
         spark.sparkContext.defaultParallelism))
       .flatMap { p =>
         val conf = new org.apache.hadoop.conf.Configuration()

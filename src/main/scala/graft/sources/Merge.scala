@@ -56,9 +56,19 @@ object Merge {
     * the batch's file_name). */
   def mergeInto(spark: SparkSession, tablePath: String, outPath: String,
                 updates: DataFrame, keyCol: String,
-                deleteCol: String = "_deleted"): DataFrame = {
+                deleteCol: String = "_deleted"): DataFrame =
+    mergeFiles(spark, Layout.listParquet(tablePath), outPath, updates,
+      keyCol, deleteCol)
+
+  /** [[mergeInto]] over an EXPLICIT file set — the manifest-table
+    * form: a table that is a list of files (not a directory) merges
+    * without ever listing or touching a directory tree, which is how
+    * the streaming sink chains generations (each batch's table = the
+    * previous manifest's paths). Same semantics, same manifest. */
+  def mergeFiles(spark: SparkSession, files: Seq[String], outPath: String,
+                 updates: DataFrame, keyCol: String,
+                 deleteCol: String = "_deleted"): DataFrame = {
     import spark.implicits._
-    val files = Layout.listParquet(tablePath)
     val byBase = files.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
     require(byBase.size == files.size, "duplicate source base names")
     val tableCols = spark.read.parquet(files: _*).columns.toSet
@@ -67,7 +77,7 @@ object Merge {
         updates.columns.mkString(", "))
     // footer plan: per file, the key range + row count; absent stats
     // on any row group force the touch (a reader must open it)
-    val fstats = Layout.parquetColumnStats(spark, tablePath, keyCol)
+    val fstats = Layout.parquetColumnStatsFiles(spark, files, keyCol)
       .groupBy("file_name")
       .agg(min("col_min").as("__kmin"), max("col_max").as("__kmax"),
         sum("n_rows").as("rows_before"),
@@ -146,6 +156,19 @@ object Merge {
         coalesce(col("rows_before"), lit(0L)).as("rows_before"),
         when(col("action") === "carry", coalesce(col("rows_before"), lit(0L)))
           .otherwise(coalesce(col("rows_after"), lit(0L))).as("rows_after"))
+  }
+
+  /** The post-merge table as a FILE LIST — the manifest's carry
+    * paths plus everything the merge wrote. What a manifest-table
+    * ([[graft.streaming.StreamingOps.runMergeSink]]) publishes as its
+    * next generation; sources never move, retirement is a later
+    * vacuum of paths no manifest references. */
+  def mergedFiles(files: Seq[String], outPath: String,
+                  manifest: DataFrame): Seq[String] = {
+    val byBase = files.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
+    val carry = manifest.filter(col("action") === "carry")
+      .select("file_name").collect().map(r => byBase(r.getString(0)))
+    (carry.toSeq ++ Layout.listParquet(outPath)).sorted
   }
 
   /** The post-merge table: untouched sources (the manifest's `carry`

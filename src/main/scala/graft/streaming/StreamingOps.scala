@@ -301,6 +301,91 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming keyed UPSERT into a MANIFEST TABLE — the streaming
+    * face of the copy-on-write merge and the mutable-table sibling of
+    * [[runIdempotentAppend]]. The table is not a directory but a
+    * chain of GENERATIONS: `root/_manifests/gen=<batchId>` is a text
+    * file listing the parquet paths that constitute the table after
+    * that batch (the delta-table idea reduced to its deterministic
+    * core). Each micro-batch (full table schema + the boolean
+    * `_deleted` flag, ONE row per key — dedup upstream when the
+    * source can repeat keys intra-batch):
+    *
+    *   1. resolves its BASE = the largest generation STRICTLY BELOW
+    *      its own batch id (seeded by `seedFiles` when none) — so a
+    *      REPLAYED batch re-merges against the same base it saw the
+    *      first time, never against its own output;
+    *   2. runs [[graft.sources.Merge.mergeFiles]] against those
+    *      paths into `root/data/batch_id=<id>` (overwrite — replay
+    *      rewrites the same scratch);
+    *   3. publishes generation <id> = carry paths + written units,
+    *      via temp-file + atomic move.
+    *
+    * Exactly-once table states from idempotence, not a commit log: a
+    * mid-commit kill replays the batch, steps 2-3 overwrite what the
+    * dead attempt left, and ANY reader of [[currentFiles]] sees each
+    * key's final value exactly once (MergeSinkSpec kills, restarts,
+    * and pins the fixed point). No file is ever moved or deleted —
+    * retirement is a later vacuum of paths no live manifest
+    * references, the same two-phase posture as the batch executor.
+    *
+    * Scale/state posture: the sink holds NO streaming state; each
+    * batch pays the merge's measured shape (footer plan over the
+    * current file list + touched-file rewrite — q_merge_narrow's
+    * flat-rewrite curve), so sink cost tracks the batch's key
+    * locality, not table size. */
+  def runMergeSink(updates: DataFrame, root: String,
+                   seedFiles: Seq[String], keyCol: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = manifestFiles(root, below = batchId)
+          .getOrElse(seedFiles)
+        val out = s"$root/data/batch_id=$batchId"
+        val m = graft.sources.Merge.mergeFiles(spark, base, out,
+          batch.toDF(), keyCol)
+        publishManifest(root, batchId,
+          graft.sources.Merge.mergedFiles(base, out, m))
+      }
+      .start()
+
+  /** The manifest table's CURRENT file list (largest generation), or
+    * None before the first publish. */
+  def currentFiles(root: String): Option[Seq[String]] =
+    manifestFiles(root, below = Long.MaxValue)
+
+  private def manifestFiles(root: String, below: Long)
+      : Option[Seq[String]] = {
+    val dir = new java.io.File(s"$root/_manifests")
+    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "gen=(\\d+)$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong -> f))
+      .filter(_._1 < below)
+    if (gens.isEmpty) None
+    else {
+      import scala.jdk.CollectionConverters._
+      Some(java.nio.file.Files
+        .readAllLines(gens.maxBy(_._1)._2.toPath).asScala.toSeq
+        .filter(_.nonEmpty))
+    }
+  }
+
+  private def publishManifest(root: String, gen: Long,
+                              files: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/_manifests")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".gen=$gen.tmp")
+    java.nio.file.Files.write(tmp,
+      files.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(s"gen=$gen"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+
   /** Streaming incremental near-dup CANDIDATES: the stream side's
     * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure
     * projection + explode, streaming-legal) joined against a STATIC

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The streaming merge sink's manifest table must (a) apply MERGE
+  * semantics per micro-batch against the PREVIOUS generation,
+  * (b) carry untouched seed files by reference across generations
+  * (never copied, never rewritten), and (c) converge to the same
+  * table when a batch replays after a mid-commit kill — exactly-once
+  * table states from idempotence, with one manifest per batch id. */
+class MergeSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  case class Up(doc_id: Long, text: String, n_chars: Long,
+                _deleted: Boolean)
+
+  private def seed(base: String): Seq[String] = {
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "n_chars")
+      .repartitionByRange(6, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$base/seed")
+    graft.sources.Layout.listParquet(s"$base/seed")
+  }
+
+  private def table(root: String): Map[Long, String] = {
+    val files = StreamingOps.currentFiles(root).get
+    spark.read.parquet(files: _*).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("per-batch MERGE against the previous generation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink1")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val before = spark.read.parquet(sf: _*)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      s.addData(Up(1L, "one updated", 11L, _deleted = false),
+        Up(999001L, "brand new", 9L, _deleted = false))
+      q.processAllAvailable()
+      s.addData(Up(2L, "", 0L, _deleted = true),      // delete key 2
+        Up(999001L, "new again", 9L, _deleted = false)) // update batch-1 insert
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = table(root)
+    assert(got(1L) == "one updated")
+    assert(got(999001L) == "new again")
+    assert(!got.contains(2L))
+    assert(got.size == before.size) // +1 insert, -1 delete
+    val untouched = (before.keySet -- Set(1L, 2L, 999001L)).take(5)
+    untouched.foreach(k => assert(got(k) == before(k)))
+  }
+
+  test("untouched seed files ride every generation by reference") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink2")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val mtimes = sf.map(p => p -> new java.io.File(p).lastModified()).toMap
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      // two batches confined to the lowest keys: the high-range seed
+      // files must appear VERBATIM in the final manifest
+      s.addData(Up(0L, "low a", 5L, _deleted = false))
+      q.processAllAvailable()
+      s.addData(Up(1L, "low b", 5L, _deleted = false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = StreamingOps.currentFiles(root).get
+    val carried = sf.filter(cur.contains)
+    assert(carried.size >= 4,
+      s"low-key batches should carry most of 6 seed files: $cur")
+    sf.foreach(p => assert(new java.io.File(p).lastModified() == mtimes(p),
+      s"seed $p was modified"))
+  }
+
+  test("a replayed batch converges: same table, one manifest per batch id") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink3")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val ckpt = s"$base/ckpt"
+    val batchA = Seq(Up(1L, "a1", 2L, _deleted = false))
+    val batchB = Seq(Up(999003L, "b1", 2L, _deleted = false),
+      Up(1L, "a2", 2L, _deleted = false))
+    val s1 = MemoryStream[Up]
+    val q1 = StreamingOps.runMergeSink(s1.toDF(), root, sf, "doc_id", ckpt)
+    try { s1.addData(batchA: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val afterA = table(root)
+    assert(afterA(1L) == "a1")
+    // restart on the same checkpoint: the recovered source replays
+    // its history (the at-least-once path a mid-commit kill produces),
+    // then batch B applies exactly once on top
+    val s2 = MemoryStream[Up]
+    s2.addData(batchA: _*)
+    val q2 = StreamingOps.runMergeSink(s2.toDF(), root, sf, "doc_id", ckpt)
+    try { s2.addData(batchB: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = table(root)
+    assert(got(1L) == "a2")
+    assert(got(999003L) == "b1")
+    assert(got.size == afterA.size + 1)
+    // one manifest per batch id, none duplicated by the replay
+    val gens = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens == Seq("gen=0", "gen=1"), s"manifests: $gens")
+  }
+}
