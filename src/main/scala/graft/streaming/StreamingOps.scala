@@ -373,6 +373,47 @@ object StreamingOps {
     }
   }
 
+  /** The manifest table's VACUUM — the retirement step the merge
+    * family defers: delete data files under `root/data` that no
+    * surviving manifest references, and manifests older than the
+    * newest `keepGens`. Never touches files outside `root/data`
+    * (seed files are caller-owned and ride manifests by absolute
+    * path), never runs with zero manifests, and keeps at least one —
+    * so the CURRENT table is always intact and readers pinned to any
+    * kept generation still resolve. Returns (files deleted,
+    * manifests deleted). Single-writer posture, same as the sink:
+    * run it from the maintenance cadence, not concurrently with a
+    * reader older than the kept window. */
+  def vacuumManifests(root: String, keepGens: Int): (Int, Int) = {
+    require(keepGens >= 1, s"must keep at least one generation")
+    val dir = new java.io.File(s"$root/_manifests")
+    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong -> f))
+      .sortBy(_._1)
+    if (gens.isEmpty) return (0, 0)
+    val (drop, keep) = gens.splitAt(math.max(0, gens.length - keepGens))
+    val referenced = keep.flatMap { case (_, f) =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+    }.toSet
+    val dataRoot = java.nio.file.Paths.get(s"$root/data")
+    var removed = 0
+    if (java.nio.file.Files.exists(dataRoot)) {
+      val it = java.nio.file.Files.walk(dataRoot)
+      try it.iterator().forEachRemaining { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet") &&
+            !referenced.contains(p.toString)) {
+          java.nio.file.Files.delete(p)
+          removed += 1
+        }
+      } finally it.close()
+    }
+    drop.foreach { case (_, f) => java.nio.file.Files.delete(f.toPath) }
+    (removed, drop.length)
+  }
+
   private def publishManifest(root: String, gen: Long,
                               files: Seq[String]): Unit = {
     val dir = java.nio.file.Paths.get(s"$root/_manifests")

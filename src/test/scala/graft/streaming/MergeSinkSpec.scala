@@ -118,4 +118,35 @@ class MergeSinkSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
     assert(gens == Seq("gen=0", "gen=1"), s"manifests: $gens")
   }
+
+  test("vacuum retires unreferenced generations; the current table is intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink4")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      // three batches re-touching key 1: each rewrites the same seed
+      // file, so generations 0 and 1 hold data files generation 2
+      // no longer references
+      Seq("v0", "v1", "v2").foreach { v =>
+        s.addData(Up(1L, v, 2L, _deleted = false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = table(root)
+    assert(before(1L) == "v2")
+    val dataFiles = graft.sources.Layout.listParquet(s"$root/data")
+    val (files, manifests) = StreamingOps.vacuumManifests(root, keepGens = 1)
+    assert(manifests == 2)
+    assert(files > 0 && files < dataFiles.size,
+      s"vacuum removed $files of ${dataFiles.size}")
+    // the current table reads identically after the vacuum, and the
+    // caller-owned seed files were never candidates
+    assert(table(root) == before)
+    sf.foreach(p => assert(new java.io.File(p).exists(), s"seed $p deleted"))
+    // idempotent: a second vacuum finds nothing
+    assert(StreamingOps.vacuumManifests(root, keepGens = 1) == ((0, 0)))
+  }
 }
