@@ -278,11 +278,17 @@ object Layout {
     * the comparable byte metric DuckDB's parquet_metadata exposes).
     * Distributed footer reads, zero data scanned. */
   def parquetFileStats(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame = {
+                       path: String): DataFrame =
+    parquetFileStatsFiles(spark, listParquet(path))
+
+  /** [[parquetFileStats]] over an explicit file list (the
+    * manifest-table form). */
+  def parquetFileStatsFiles(spark: org.apache.spark.sql.SparkSession,
+                            files: Seq[String]): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    spark.createDataset(listParquet(path))
-      .repartition(math.min(listParquet(path).size,
+    spark.createDataset(files)
+      .repartition(math.min(math.max(files.size, 1),
         spark.sparkContext.defaultParallelism))
       .map { p =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -402,10 +408,17 @@ object Layout {
     * group's rolled-up bytes/file-count, ready to drive a
     * per-group coalesce-rewrite. */
   def compactionPlan(spark: org.apache.spark.sql.SparkSession,
-                     path: String, targetBytes: Long): DataFrame = {
+                     path: String, targetBytes: Long): DataFrame =
+    compactionPlanFiles(spark, listParquet(path), targetBytes)
+
+  /** [[compactionPlan]] over an explicit file list (the
+    * manifest-table form). */
+  def compactionPlanFiles(spark: org.apache.spark.sql.SparkSession,
+                          files: Seq[String], targetBytes: Long)
+      : DataFrame = {
     require(targetBytes > 0, s"targetBytes > 0, got $targetBytes")
     import org.apache.spark.sql.expressions.Window
-    val stats = parquetFileStats(spark, path)
+    val stats = parquetFileStatsFiles(spark, files)
     // global cumsum DECOMPOSED by a sort-key-prefix bucket (the
     // epoch-shuffle pattern): a per-bucket window (parallel) plus
     // broadcast cumulative bucket byte-offsets — because the bucket
@@ -462,9 +475,18 @@ object Layout {
     * nothing left to merge (CompactionPlanSpec pins it). */
   def compactGroups(spark: org.apache.spark.sql.SparkSession,
                     srcPath: String, outPath: String,
-                    targetBytes: Long): DataFrame = {
-    val plan = compactionPlan(spark, srcPath, targetBytes).localCheckpoint()
-    val byBase = listParquet(srcPath)
+                    targetBytes: Long): DataFrame =
+    compactGroupsFiles(spark, listParquet(srcPath), outPath, targetBytes)
+
+  /** [[compactGroups]] over an explicit file list (the manifest-table
+    * form — [[graft.streaming.StreamingOps.compactManifest]] feeds it
+    * the current generation's paths). */
+  def compactGroupsFiles(spark: org.apache.spark.sql.SparkSession,
+                         srcFiles: Seq[String], outPath: String,
+                         targetBytes: Long): DataFrame = {
+    val plan = compactionPlanFiles(spark, srcFiles, targetBytes)
+      .localCheckpoint()
+    val byBase = srcFiles
       .map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
     val assign = plan.select("file_name", "group_id").collect()
       .map(r => r.getString(0) -> r.getLong(1))

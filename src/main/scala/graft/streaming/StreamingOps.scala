@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -371,6 +371,41 @@ object StreamingOps {
         .readAllLines(gens.maxBy(_._1)._2.toPath).asScala.toSeq
         .filter(_.nonEmpty))
     }
+  }
+
+  /** The manifest table's COMPACTION — small unit files accumulated
+    * across micro-batches merge into target-sized files
+    * ([[graft.sources.Layout.compactGroupsFiles]] over the current
+    * generation's paths), and the NEWEST manifest is re-published in
+    * place with the compacted list (atomic replace; the generation
+    * number does not move, so the next stream batch — which resolves
+    * its base strictly below its own id — sees the compacted table,
+    * and a vacuum retires the pre-compaction files). Run it quiesced
+    * (stream stopped, checkpoint committed), the same single-writer
+    * cadence as [[vacuumManifests]]: a replay of the newest batch
+    * would republish that generation from its pre-compaction base —
+    * content-correct (the old files persist until vacuum) but the
+    * compaction is redone work. Refuses to publish unless every
+    * group's footer re-inventory matches the plan (the executor's
+    * own retirement gate); returns the verification frame. */
+  def compactManifest(spark: SparkSession, root: String,
+                      targetBytes: Long): DataFrame = {
+    val dir = new java.io.File(s"$root/_manifests")
+    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong))
+    require(gens.nonEmpty, s"no manifest generations under $root")
+    val gen = gens.max
+    val files = currentFiles(root).get
+    val out = s"$root/data/compact_gen=$gen"
+    val verify = graft.sources.Layout.compactGroupsFiles(spark, files,
+      out, targetBytes).localCheckpoint()
+    val bad = verify.filter(!col("rows_match") || col("out_files") =!= 1L)
+      .count()
+    require(bad == 0, s"$bad group(s) failed footer verification; " +
+      "manifest NOT republished — sources remain the live table")
+    publishManifest(root, gen, graft.sources.Layout.listParquet(out))
+    verify
   }
 
   /** The manifest table's VACUUM — the retirement step the merge

@@ -149,4 +149,34 @@ class MergeSinkSpec extends AnyFunSuite {
     // idempotent: a second vacuum finds nothing
     assert(StreamingOps.vacuumManifests(root, keepGens = 1) == ((0, 0)))
   }
+
+  test("compaction collapses unit files in place; vacuum then retires them") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink5")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      // three single-key batches, each minting a tiny unit file
+      (0 to 2).foreach { i =>
+        s.addData(Up(999100L + i, s"ins $i", 5L, _deleted = false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = table(root)
+    val nBefore = StreamingOps.currentFiles(root).get.size
+    val verify = StreamingOps.compactManifest(spark, root,
+      targetBytes = 1L << 30) // one group: everything merges
+    assert(verify.filter(!col("rows_match")).count() == 0)
+    val cur = StreamingOps.currentFiles(root).get
+    assert(cur.size < nBefore, s"${cur.size} vs $nBefore files")
+    assert(table(root) == before)
+    // the pre-compaction units are now unreferenced; vacuum retires
+    // them and the compacted table still reads identically
+    val (removed, _) = StreamingOps.vacuumManifests(root, keepGens = 1)
+    assert(removed > 0)
+    assert(table(root) == before)
+    sf.foreach(p => assert(new java.io.File(p).exists(), s"seed $p deleted"))
+  }
 }
