@@ -553,7 +553,12 @@ object ScaleBench {
       val src = s"/tmp/graft_merge_scale_src_$tail"
       val out = s"/tmp/graft_merge_scale_out_$tail"
       val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+      // key the amortized staging on the write's completion marker
+      // (_SUCCESS lands last), not bare directory existence — an
+      // interrupted staging must restage, same policy as the sibling
+      // stores' params.parquet check
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$src/_SUCCESS"))) {
         val nFiles = math.max(8, (docs.count() / 500L).toInt)
         docs.repartitionByRange(nFiles, col("doc_id"))
           .sortWithinPartitions("doc_id")

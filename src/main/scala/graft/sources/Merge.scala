@@ -71,7 +71,11 @@ object Merge {
     import spark.implicits._
     val byBase = files.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
     require(byBase.size == files.size, "duplicate source base names")
-    val tableCols = spark.read.parquet(files: _*).columns.toSet
+    // an EMPTY table (a manifest generation whose last batch deleted
+    // every key) is legal: everything in the batch is an insert
+    val tableCols =
+      if (files.isEmpty) updates.columns.toSet - deleteCol
+      else spark.read.parquet(files: _*).columns.toSet
     require(updates.columns.toSet == tableCols + deleteCol,
       s"updates must carry the table schema plus $deleteCol; got " +
         updates.columns.mkString(", "))
@@ -132,20 +136,11 @@ object Merge {
     val outStats =
       if (outFiles.isEmpty)
         Seq.empty[(Long, Long)].toDF("__unit", "rows_after")
-      else spark.createDataset(outFiles)
-        .repartition(math.min(outFiles.size,
-          spark.sparkContext.defaultParallelism))
-        .map { case (u, p) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            import scala.jdk.CollectionConverters._
-            (u, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-          } finally r.close()
-        }.toDF("__unit", "__rows")
-        .groupBy("__unit").agg(sum("__rows").as("rows_after"))
+      else Layout.parquetFileStatsFiles(spark, outFiles.map(_._2))
+        .join(outFiles.map { case (u, p) =>
+            (p.substring(p.lastIndexOf('/') + 1), u)
+          }.toDF("file_name", "__unit"), Seq("file_name"))
+        .groupBy("__unit").agg(sum("n_rows").as("rows_after"))
     val unitRows = units.zipWithIndex.map { case (u, i) =>
       (u, i.toLong, if (i == 0) "insert" else "rewrite")
     } ++ carrySet.map(f => (f, -1L, "carry"))
@@ -177,12 +172,11 @@ object Merge {
     * retired. */
   def mergedView(spark: SparkSession, tablePath: String, outPath: String,
                  manifest: DataFrame): DataFrame = {
-    val byBase = Layout.listParquet(tablePath)
-      .map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
-    val carry = manifest.filter(col("action") === "carry")
-      .select("file_name").collect().map(r => byBase(r.getString(0)))
-    val out = spark.read.parquet(outPath).drop("unit")
-    if (carry.isEmpty) out
-    else spark.read.parquet(carry.toIndexedSeq: _*).unionByName(out)
+    val all = mergedFiles(Layout.listParquet(tablePath), outPath, manifest)
+    // leaf-file reads never infer the unit partition column, so this
+    // is the table schema exactly; a merge that emptied the table
+    // (all keys deleted, no survivors) has no files and no schema
+    if (all.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(all: _*)
   }
 }

@@ -397,7 +397,17 @@ object StreamingOps {
     require(gens.nonEmpty, s"no manifest generations under $root")
     val gen = gens.max
     val files = currentFiles(root).get
-    val out = s"$root/data/compact_gen=$gen"
+    require(files.nonEmpty, s"generation $gen is empty; nothing to compact")
+    // a FRESH output directory per attempt: a re-compaction of the
+    // same generation (idle-table cadence, or a retry) must never
+    // overwrite the directory its own input files live in — that
+    // deletes the live table before the job reads it
+    val out = Iterator.from(0)
+      .map(i => if (i == 0) s"$root/data/compact_gen=$gen"
+                else s"$root/data/compact_gen=${gen}_$i")
+      .find(dir => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir)) && !files.exists(_.startsWith(dir + "/")))
+      .get
     val verify = graft.sources.Layout.compactGroupsFiles(spark, files,
       out, targetBytes).localCheckpoint()
     val bad = verify.filter(!col("rows_match") || col("out_files") =!= 1L)

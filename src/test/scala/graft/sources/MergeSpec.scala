@@ -113,6 +113,24 @@ class MergeSpec extends AnyFunSuite {
     assert(manifest.map(_._4).sum == expected(batch).size)
   }
 
+  test("no touched files and no survivors: the merge is a complete no-op") {
+    val src = "/tmp/graft_merge_spec5_src"
+    val out = "/tmp/graft_merge_spec5_out"
+    stage(src)
+    // one delete of a key outside every footer range: nothing to
+    // touch, nothing to insert — the written tree holds no parquet
+    val upd = docs.limit(1)
+      .select(lit(999999L).as("doc_id"), col("text"), col("n_chars"))
+      .withColumn("_deleted", lit(true))
+    val manifest = Merge.mergeInto(spark, src, out, upd, "doc_id")
+    val acts = manifest.collect()
+      .map(r => r.getString(1) -> r.getLong(3)).groupBy(_._1)
+    assert(!acts.contains("rewrite"))
+    assert(acts("insert").map(_._2).sum == 0L)
+    assert(rows(Merge.mergedView(spark, src, out, manifest))
+      == rows(docs))
+  }
+
   test("deletes of absent keys are no-ops; empty-survivor batch still merges") {
     val src = "/tmp/graft_merge_spec4_src"
     val out = "/tmp/graft_merge_spec4_out"

@@ -178,5 +178,30 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(removed > 0)
     assert(table(root) == before)
     sf.foreach(p => assert(new java.io.File(p).exists(), s"seed $p deleted"))
+    // a re-compaction without an intervening batch must land in a
+    // FRESH directory (never overwrite the one its inputs live in)
+    // and leave the table identical
+    StreamingOps.compactManifest(spark, root, targetBytes = 1L << 30)
+    assert(table(root) == before)
+  }
+
+  test("deleting every key empties the table; the next batch re-seeds it") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink6")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val allKeys = spark.read.parquet(sf: _*)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      s.addData(allKeys.map(k => Up(k, "", 0L, _deleted = true)): _*)
+      q.processAllAvailable()
+      assert(StreamingOps.currentFiles(root).get.isEmpty,
+        "gen 0 should reference no files")
+      s.addData(Up(7770L, "reborn", 6L, _deleted = false))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(table(root) == Map(7770L -> "reborn"))
   }
 }
