@@ -108,7 +108,8 @@ object ScaleBench {
     // rarity order): same answer, bounded per-pass footprint — the
     // AB analogue of q_exact_sharded's curve
     "q_incr_sharded", "q_incr_stored_ingest", "q_incr_fixed_ingest",
-    "q_ann_stored_query", "q_bm25_stored_query", "q_merge_narrow",
+    "q_ann_stored_query", "q_bm25_stored_query", "q_bm25_capped_query",
+    "q_merge_narrow",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
@@ -534,6 +535,27 @@ object ScaleBench {
           java.nio.file.Paths.get(s"$path/params.parquet")))
         graft.ext.RetrievalIndexStore.build(
           docs.filter(col("doc_id") >= 20), "doc_id", "text", path)
+      val probes = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          slice(graft.ext.TextOps.tokens(col("text")), 1, 3).as("terms"))
+      graft.ext.RetrievalIndexStore.query(s, path, probes,
+        "query_id", "terms", k = 5)
+    }),
+    // the statically-PRUNED BM25 index's query face: the store keeps
+    // each token's 64 highest-impact postings (df/idf exact from the
+    // separate df table), so the candidate join and topk are bounded
+    // per query token at ANY corpus size — the flat rung of the
+    // lexical ladder, under q_bm25_stored_query's unpruned store
+    // (which grows with Σ df) and q_bm25_topk's rebuild-the-world
+    "q_bm25_capped_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_ristore_cap_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/params.parquet")))
+        graft.ext.RetrievalIndexStore.build(
+          docs.filter(col("doc_id") >= 20), "doc_id", "text", path,
+          maxPostingsPerToken = 64)
       val probes = docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("query_id"),
           slice(graft.ext.TextOps.tokens(col("text")), 1, 3).as("terms"))

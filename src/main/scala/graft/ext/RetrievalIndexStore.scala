@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   * The store persists:
   *
   *   <path>/postings.parquet  (doc_id, tok, tf, dl) PARTITIONED BY
-  *                            tok_bucket = pmod(xxhash64(tok), B)
+  *                            tok_bucket = pmod(xxhash64(tok), B) —
+  *                            optionally statically PRUNED to each
+  *                            token's top-N impact postings (see
+  *                            [[build]])
+  *   <path>/df.parquet        (tok, df, tok_bucket) — per-token DELTA
+  *                            rows; readers SUM. Persisted separately
+  *                            from the postings so pruning never
+  *                            touches idf
   *   <path>/stats.parquet     (n_docs, total_dl) — one DELTA row per
   *                            build/append; readers SUM (doc sets are
   *                            disjoint across writes, so N and T are
@@ -69,18 +76,51 @@ object RetrievalIndexStore {
     post.groupBy("doc_id").agg(max("dl").as("__dl"))
       .agg(count(lit(1)).as("n_docs"), sum("__dl").as("total_dl"))
 
+  /** Per-token document frequencies from a postings frame — the df
+    * SOURCE OF TRUTH the store persists separately so static pruning
+    * can drop postings without touching idf: (tok, df, tok_bucket),
+    * bucket-partitioned like the postings so a probe prunes both
+    * scans the same way. Delta rows per build/append; readers SUM
+    * (doc sets are disjoint across writes). */
+  private def dfOf(post: DataFrame): DataFrame =
+    post.groupBy("tok", "tok_bucket").agg(count(lit(1)).as("df"))
+
   /** Build (or rebuild — overwrite) the index from the corpus. One
-    * tokenize+count pass (checkpointed so the postings write and the
-    * stats row share it) — the same aggregation the direct route pays
-    * PER QUERY BATCH. */
+    * tokenize+count pass (checkpointed so the four artifact writes
+    * share it) — the same aggregation the direct route pays PER QUERY
+    * BATCH.
+    *
+    * `maxPostingsPerToken` is STATIC INDEX PRUNING (the Carmel et al.
+    * technique every production engine ships): keep only each
+    * token's `cap` highest-impact postings — rank by (tf desc,
+    * dl asc, doc_id asc), the deterministic form of "high term
+    * frequency in a short document scores highest" — while df (and
+    * therefore idf) stays EXACT from the separately-persisted df
+    * table, and (N, T) stay exact from the full corpus. The trade is
+    * recall on documents that would have accumulated their score
+    * from many weak term hits; the win is a per-token bound on what
+    * any future query scans — the flat-at-any-scale serving index.
+    * Default MaxValue = no pruning = bit-equal to the direct chain. */
   def build(corpus: DataFrame, idCol: String, textCol: String,
-            path: String, tokBuckets: Int = 256): Unit = {
+            path: String, tokBuckets: Int = 256,
+            maxPostingsPerToken: Int = Int.MaxValue): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val post = postingsOf(corpus, idCol, textCol, tokBuckets)
       .localCheckpoint()
-    post.write.partitionBy("tok_bucket")
+    val kept =
+      if (maxPostingsPerToken == Int.MaxValue) post
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("tok")
+          .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc)
+        post.withColumn("__pr", row_number().over(w))
+          .filter(col("__pr") <= maxPostingsPerToken).drop("__pr")
+      }
+    kept.write.partitionBy("tok_bucket")
       .mode(SaveMode.Overwrite).parquet(s"$path/postings.parquet")
+    dfOf(post).write.partitionBy("tok_bucket")
+      .mode(SaveMode.Overwrite).parquet(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet")
     Seq(tokBuckets).toDF("tok_buckets").coalesce(1)
@@ -94,10 +134,15 @@ object RetrievalIndexStore {
       .getAs[Int]("tok_buckets")
 
   /** Fold a new document batch into the index (append-only; the
-    * batch's postings land under the STORE's bucket fn, its (N, T)
-    * contribution appends as one delta row). Postings are per-doc
-    * facts, so batch-local derivation is exact — no cross-doc state
-    * to reconcile. */
+    * batch's postings land under the STORE's bucket fn, its df
+    * contribution appends as per-token delta rows, its (N, T)
+    * contribution as one stats row). Postings are per-doc facts, so
+    * batch-local derivation is exact — no cross-doc state to
+    * reconcile. On a PRUNED store, appended postings are NOT
+    * re-truncated against the resident top-N (that would mean
+    * rewriting resident buckets per batch); the cap re-applies at the
+    * next rebuild — the same snapshot-until-rebuild posture as the
+    * vector index's frozen geometry. df stays exact either way. */
   def append(incoming: DataFrame, idCol: String, textCol: String,
              path: String): Unit = {
     val spark = incoming.sparkSession
@@ -106,6 +151,8 @@ object RetrievalIndexStore {
       .localCheckpoint()
     post.write.partitionBy("tok_bucket")
       .mode(SaveMode.Append).parquet(s"$path/postings.parquet")
+    dfOf(post).write.partitionBy("tok_bucket")
+      .mode(SaveMode.Append).parquet(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet")
   }
@@ -139,7 +186,13 @@ object RetrievalIndexStore {
       .join(broadcast(qtoks), Seq("tok"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
       .localCheckpoint()
-    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("__df"))
+    // df from the persisted table (summed deltas), NOT from counting
+    // the scan: on a pruned store the scan undercounts by design;
+    // on an unpruned store the two are identical (spec-pinned)
+    val dfreq = spark.read.parquet(s"$path/df.parquet")
+      .filter(col("tok_bucket").isin(buckets: _*))
+      .join(broadcast(qtoks), Seq("tok"))
+      .groupBy("tok").agg(sum("df").as("__df"))
     val tot = spark.read.parquet(s"$path/stats.parquet")
       .agg(sum("n_docs").as("__n"), sum("total_dl").as("__t"))
     Retrieval.bm25FromPostings(qterms, post, dfreq, tot, "doc_id", k)

@@ -2926,6 +2926,31 @@ object ExtOracles {
     // invisible in the answer (same policy as q_ann_stored)
     "q_bm25_stored" -> bm25TopkSql,
 
+    // the statically-PRUNED index: the pruning window (top-3 impact
+    // postings per token — tf desc, dl asc, doc_id asc) replayed over
+    // the full posting table, scored with TRUE df (idf untouched by
+    // pruning) — the same integer chain otherwise
+    "q_bm25_capped" ->
+      s"""WITH $bm25Ctes,
+         |pruned AS (SELECT tok, doc_id, tf, dl FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY tok
+         |    ORDER BY tf DESC, dl ASC, doc_id ASC) AS pr FROM post) t
+         |  WHERE pr <= 3),
+         |capscored AS (SELECT bq.query_id, p.doc_id,
+         |    CAST(SUM(GREATEST(0, length(bin(2 * (btot.n - d.df) + 1))
+         |                       - length(bin(2 * d.df + 1)))
+         |      * ((20480 * btot.t * p.tf)
+         |         // (8 * btot.t * p.tf + 3 * btot.t + 9 * p.dl * btot.n))
+         |    ) AS BIGINT) AS score_q
+         |  FROM bq JOIN pruned p ON p.tok = bq.tok
+         |  JOIN dfreq d ON d.tok = bq.tok, btot
+         |  GROUP BY bq.query_id, p.doc_id)
+         |SELECT query_id, doc_id, rank, score_q FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_q DESC, doc_id ASC) AS rank
+         |  FROM capscored) r
+         |WHERE rank <= 5""".stripMargin,
+
     // hybrid RRF: dense exact-cosine top-20 (vec_id<20 queries, same
     // 64-dim sequential list_sum reduction as q_cosine_topk) fused
     // with the BM25 top-20 via 1000000 // (60 + rank) contributions —

@@ -1729,6 +1729,25 @@ object ExtQueries {
       "query_id", "terms", k = 5)
   }
 
+  /** The statically-PRUNED BM25 index through the gate: build with
+    * maxPostingsPerToken = 3 (each token keeps its 3 highest-impact
+    * postings — tf desc, dl asc, doc_id asc), df/idf exact from the
+    * separately-persisted df table, same probes. The oracle replays
+    * the pruning window over the full posting table and scores the
+    * survivors with TRUE df — a green row proves the pruned layout,
+    * the df delta fold, and the impact order are all exactly what
+    * the contract says they are (the recall trade is the caller's,
+    * stated; the scan bound is the win). */
+  def bm25Capped(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_ristore_cap_$tail"
+    val d = docs(spark, dir)
+    RetrievalIndexStore.build(d.filter(col("doc_id") >= 20),
+      "doc_id", "text", path, maxPostingsPerToken = 3)
+    RetrievalIndexStore.query(spark, path, bm25Queries(d),
+      "query_id", "terms", k = 5)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the dense exact-
     * cosine top-20 (over embeddings, vec_id aligned with doc_id) and
     * the lexical BM25 top-20 — the production hybrid-search shape,
@@ -2915,6 +2934,7 @@ object ExtQueries {
     "q_bpe_learn"         -> (bpeLearnQ _),
     "q_bm25_topk"         -> (bm25TopKQ _),
     "q_bm25_stored"       -> (bm25Stored _),
+    "q_bm25_capped"       -> (bm25Capped _),
     "q_rrf_fusion"        -> (rrfFusion _),
     "q_winnow_fp"         -> (winnowFp _),
     "q_winnow_overlap"    -> (winnowOverlapQ _),

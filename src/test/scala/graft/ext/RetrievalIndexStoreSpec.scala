@@ -94,6 +94,32 @@ class RetrievalIndexStoreSpec extends AnyFunSuite {
     assert(rows(probe).nonEmpty)
   }
 
+  test("static pruning bounds physical postings while df stays exact") {
+    val path = "/tmp/graft_ristore_spec5"
+    RetrievalIndexStore.build(corpus, "doc_id", "text", path,
+      maxPostingsPerToken = 3)
+    val kept = spark.read.parquet(s"$path/postings.parquet")
+      .groupBy("tok").count().agg(max("count")).head().getLong(0)
+    assert(kept <= 3L, s"a token kept $kept postings under cap 3")
+    // df is persisted from the UNpruned counts: every token's stored
+    // df equals the direct posting count
+    val storedDf = spark.read.parquet(s"$path/df.parquet")
+      .groupBy("tok").agg(sum("df").as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directDf = Retrieval.postings(corpus, "doc_id", "text")
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(storedDf == directDf)
+    // and a non-binding cap (>= every df) scores bit-identically
+    val cap = directDf.values.max.toInt
+    val path2 = "/tmp/graft_ristore_spec5b"
+    RetrievalIndexStore.build(corpus, "doc_id", "text", path2,
+      maxPostingsPerToken = cap)
+    val capped = rows(RetrievalIndexStore.query(spark, path2, queries,
+      "query_id", "terms", k = 5))
+    assert(capped == direct(5))
+  }
+
   test("append and query derive the bucket fn from the store, not the caller") {
     val path = "/tmp/graft_ristore_spec4"
     RetrievalIndexStore.build(corpus, "doc_id", "text", path,
