@@ -357,6 +357,18 @@ object StreamingOps {
   def currentFiles(root: String): Option[Seq[String]] =
     manifestFiles(root, below = Long.MaxValue)
 
+  /** The table AS OF a generation — the file list of the largest
+    * published generation <= `gen`, or None if none that old
+    * survives. This is the manifest chain's time travel: a reader
+    * pinned to a generation keeps resolving the exact table state it
+    * started from, for as long as [[vacuumManifests]]' keepGens
+    * window retains it (vacuum deletes both the older manifests and
+    * the data files only they reference — a pin outside the window
+    * is gone, by contract). */
+  def filesAt(root: String, gen: Long): Option[Seq[String]] =
+    manifestFiles(root,
+      below = if (gen == Long.MaxValue) gen else gen + 1)
+
   private def manifestFiles(root: String, below: Long)
       : Option[Seq[String]] = {
     val dir = new java.io.File(s"$root/_manifests")

@@ -185,6 +185,34 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(table(root) == before)
   }
 
+  test("generation-pinned reads resolve each historical table state") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink7")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      Seq("v0", "v1", "v2").foreach { v =>
+        s.addData(Up(1L, v, 2L, _deleted = false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def textAt(gen: Long): String = {
+      val files = StreamingOps.filesAt(root, gen).get
+      spark.read.parquet(files: _*).filter(col("doc_id") === 1L)
+        .select("text").head().getString(0)
+    }
+    assert(textAt(0L) == "v0")
+    assert(textAt(1L) == "v1")
+    assert(textAt(2L) == "v2")
+    assert(textAt(Long.MaxValue) == "v2") // = current
+    // a pin outside the vacuum window is gone, by contract
+    StreamingOps.vacuumManifests(root, keepGens = 2)
+    assert(StreamingOps.filesAt(root, 0L).isEmpty)
+    assert(textAt(1L) == "v1") // inside the window: still exact
+  }
+
   test("deleting every key empties the table; the next batch re-seeds it") {
     val base = java.nio.file.Files.createTempDirectory("graft-msink6")
     val root = s"$base/table"
