@@ -50,5 +50,22 @@ with open("bench_recorded.json", "w") as f:
     f.write("{" + ",".join(f'"{k}":{v}' for k, v in sorted(queries.items()))
             + "}\n")
 
+# bench-history ratchet: per-query list of every recorded figure, in
+# recording order with its round label — so cross-round adjudication of
+# noisy rows (is 2.1s an outlier or the new normal?) is a lookup, not
+# an alias-map reconstruction from old commits
+try:
+    hist = json.loads(open("bench_history.json").read())
+except FileNotFoundError:
+    hist = {"labels": [], "queries": {}}
+hist["labels"].append(label)
+idx = len(hist["labels"]) - 1
+for name, sec in queries.items():
+    hist["queries"].setdefault(name, {})[str(idx)] = round(sec, 2)
+with open("bench_history.json", "w") as f:
+    json.dump(hist, f, sort_keys=True)
+    f.write("\n")
+
 print(f"BASELINE.md updated: {len(queries)} queries, total {total:.1f}s, "
-      f"{len(aliases)} aliases, bench_recorded.json rewritten")
+      f"{len(aliases)} aliases, bench_recorded.json rewritten, "
+      f"bench_history.json @ {len(hist['labels'])} recordings")

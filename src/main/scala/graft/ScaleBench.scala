@@ -110,6 +110,12 @@ object ScaleBench {
     "q_incr_sharded", "q_incr_stored_ingest", "q_incr_fixed_ingest",
     "q_ann_stored_query", "q_bm25_stored_query", "q_bm25_capped_query",
     "q_merge_narrow",
+    // round 13: the store-lifecycle ladder (fragmented vs compacted
+    // query face vs the fresh-build reference above), the stored
+    // positional face, and the composed daily release loop at a
+    // fixed batch
+    "q_bm25_frag_query", "q_bm25_defrag_query", "q_phrase_stored_query",
+    "q_incr_release_ingest",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
@@ -335,7 +341,11 @@ object ScaleBench {
     // runs sequential budget-sized shard passes (the self-join's r11
     // treatment applied to the two-corpus join), completing the full
     // no-false-negatives (incoming x index) answer with bounded disk
-    "q_incr_sharded_route")
+    "q_incr_sharded_route",
+    // round 13: the composed daily release loop (100× store × fixed
+    // batch — the end-to-end O(batch) claim) and the stored phrase
+    // face's query cost at 100×
+    "q_incr_release_ingest", "q_phrase_stored_query")
 
   /** The planted-bot event stream: the organic events plus one bot
     * user (−1) whose clicks all land in a single 24h attribution
@@ -562,6 +572,90 @@ object ScaleBench {
       graft.ext.RetrievalIndexStore.query(s, path, probes,
         "query_id", "terms", k = 5)
     }),
+    // the store-lifecycle ladder, round 13: the SAME fixed 20-probe
+    // query batch against (a) a store fragmented by 16 append waves
+    // and (b) that store after StoreMaintenance compaction — the pair
+    // of rows that prices the small-files decay the maintenance path
+    // exists to reverse (q_bm25_stored_query above is the fresh-build
+    // reference figure the defrag row must return to)
+    "q_bm25_frag_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_ristore_frag_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      bm25FragQuery(s, d, path, compact = false)
+    }),
+    "q_bm25_defrag_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_ristore_defrag_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      bm25FragQuery(s, d, path, compact = true)
+    }),
+    // the stored POSITIONAL face's query cost: a fixed 20-phrase batch
+    // against the persisted positional index (build amortized via the
+    // exists-check) — the probed-bucket scan + adjacency join should
+    // track the query terms' occurrence counts, not corpus size,
+    // while the direct q_phrase_topk row re-indexes the world
+    "q_phrase_stored_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_ripos_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/params.parquet")))
+        graft.ext.RetrievalIndexStore.build(
+          docs.filter(col("doc_id") >= 20), "doc_id", "text", path,
+          positional = true)
+      val q = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          element_at(graft.ext.TextOps.tokens(col("text")), 1).as("t1"),
+          element_at(graft.ext.TextOps.tokens(col("text")), 2).as("t2"))
+        .filter(col("t2").isNotNull)
+      graft.ext.RetrievalIndexStore.phraseQuery(s, path, q,
+        "query_id", "t1", "t2", k = 3)
+    }),
+    // the COMPOSED daily release loop at a fixed batch: release N's
+    // full store (sig index + seen-url/seen-hash + frozen LM/lang
+    // models) staged once over the WHOLE corpus (all-kept ledger —
+    // the store's scale is what's being probed, not release N's
+    // dispositions), then ReleaseStore.incrementalRelease over a
+    // fixed ~90-doc batch spanning every disposition class.
+    // foldBatch = false: the measurement face — a repeated run must
+    // probe the same store (the fold's cost is q_incr_fixed_ingest's
+    // separately-measured flat curve plus two batch-sized appends).
+    // A flat curve here IS the "release N→N+1 costs O(batch)" claim,
+    // measured end to end rather than inferred from its parts.
+    "q_incr_release_ingest" -> ((s: SparkSession, d: String) => {
+      val store = "/tmp/graft_relstore_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          concat(lit("https://ex.example/d/"),
+            col("doc_id").cast("string")).as("url"))
+      // profiles.parquet is ReleaseStore.build's WRITE-LAST artifact
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$store/profiles.parquet"))) {
+        val ledger = corpus.select(col("doc_id"),
+          lit("kept").as("disposition"))
+        graft.ext.ReleaseStore.build(corpus, ledger, store)
+      }
+      val fixed = corpus.filter(col("doc_id") % 13 === 0 &&
+        col("doc_id") < 520)
+      def freshUrl(p: String) = concat(lit(s"https://batch.example/$p/"),
+        col("doc_id").cast("string"))
+      val batch = fixed // re-crawls: same url, marker text
+        .select((col("doc_id") + 600000000L).as("doc_id"),
+          concat(col("text"), lit(" graftrecrawl")).as("text"),
+          col("lang"), col("source"), col("url"))
+        .unionByName(fixed // exact clones behind fresh urls
+          .select((col("doc_id") + 610000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), freshUrl("b").as("url")))
+        .unionByName(fixed // near clones
+          .select((col("doc_id") + 620000000L).as("doc_id"),
+            concat(col("text"), lit(" graftbatch end")).as("text"),
+            col("lang"), col("source"), freshUrl("n").as("url")))
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") < 1000)
+        .select("doc_id", "text")
+      graft.ext.ReleaseStore.incrementalRelease(s, store, batch, bench,
+        maxBucketSize = 64, foldBatch = false).ledger
+    }),
     // copy-on-write MERGE with a NARROW batch: the table grows with
     // the corpus (staged once per scale via the exists-check, file
     // count ∝ N so per-file size stays constant), but the batch stays
@@ -756,6 +850,37 @@ object ScaleBench {
             .as("bkey"))
       graft.ext.Dedup.oversizeBuckets(bands, 64)
     }))
+
+  /** The fragmented-vs-compacted BM25 store pair: stage = build on
+    * 1/16 of the corpus + 15 append waves (the year-of-daily-appends
+    * shape), optionally compacted; timed = the fixed 20-probe query.
+    * Staging keys on a _STAGED marker written LAST, so an interrupted
+    * staging restages (same policy as the sibling stores). */
+  private def bm25FragQuery(s: SparkSession, d: String, path: String,
+                            compact: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_STAGED"))) {
+      graft.ext.RetrievalIndexStore.build(
+        corpus.filter(pmod(col("doc_id"), lit(16)) === 0),
+        "doc_id", "text", path)
+      (1 to 15).foreach { k =>
+        graft.ext.RetrievalIndexStore.append(
+          corpus.filter(pmod(col("doc_id"), lit(16)) === k),
+          "doc_id", "text", path)
+      }
+      if (compact)
+        graft.ext.StoreMaintenance.compactRetrievalIndexStore(s, path)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$path/_STAGED"))
+    }
+    val probes = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.ext.TextOps.tokens(col("text")), 1, 3).as("terms"))
+    graft.ext.RetrievalIndexStore.query(s, path, probes,
+      "query_id", "terms", k = 5)
+  }
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
                   factor: Int): Unit = {

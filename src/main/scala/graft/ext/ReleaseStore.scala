@@ -98,10 +98,19 @@ object ReleaseStore {
     * into the store. `maxBucketSize` caps BOTH near-dup pair
     * generators (the store probe and the within-batch join) — the
     * same audited posture as the full release. */
+  /** `foldBatch = false` skips step i6's store-fold writes (sig
+    * append + url/hash appends) and returns the bundle alone — the
+    * MEASUREMENT face: a benchmark timing the daily loop repeatedly
+    * against a fixed store must see the same store (and therefore the
+    * same work) on every run, and the fold's cost is separately
+    * measured flat (q_incr_fixed_ingest's curve + two batch-sized
+    * appends). Production runs keep the default true — the loop
+    * closes by folding today's batch into tomorrow's probes. */
   def incrementalRelease(spark: SparkSession, path: String,
                          batch: DataFrame, benchmark: DataFrame,
                          packTokens: Int = 512, shardTokens: Long = 2000L,
-                         maxBucketSize: Int = Int.MaxValue)
+                         maxBucketSize: Int = Int.MaxValue,
+                         foldBatch: Boolean = true)
       : CorpusRelease.Bundle = {
     // --- i1: seen-URL probe + within-batch url keeper -------------
     val nb = batch.withColumn("__nu", UrlOps.normalize(col("url")))
@@ -113,9 +122,15 @@ object ReleaseStore {
     val uk = nb.join(seenUrls, Seq("__nu"), "left_anti")
       .withColumn("__uk", min("doc_id").over(Window.partitionBy("__nu")))
       .filter(col("doc_id") === col("__uk"))
+    // drop frames are checkpointed BEFORE the i6 store-fold writes:
+    // they (transitively) read the store's urls/hashes/sig files, and
+    // a lazy frame re-evaluated after the fold appends would observe
+    // post-append store state (exactly-once only by the grace of
+    // Spark's pinned file listing, which REFRESH breaks)
     val uDropped = nb.select("doc_id")
       .join(uk.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("url").as("disposition"))
+      .localCheckpoint()
 
     // --- i2: seen-hash probe + within-batch exact keeper ----------
     val hk = uk.withColumn("__h", md5(col("text"))).localCheckpoint()
@@ -128,6 +143,7 @@ object ReleaseStore {
     val eDropped = hk.select("doc_id")
       .join(ek.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact").as("disposition"))
+      .localCheckpoint()
     val se = ek.select("doc_id", "text", "url", "lang", "source")
       .localCheckpoint()
 
@@ -155,6 +171,7 @@ object ReleaseStore {
       .distinct()
     val nDropped = nearIds
       .select(col("id").as("doc_id"), lit("near").as("disposition"))
+      .localCheckpoint()
     val afterNear = se.join(nearIds.select(col("id").as("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
 
@@ -231,12 +248,14 @@ object ReleaseStore {
     // --- fold the batch into the store: survivors join the released
     // index, every batch url/hash joins the seen filters — the NEXT
     // batch probes today's ----------------------------------------
-    SignatureStore.append(fin.select("doc_id", "text"),
-      "doc_id", "text", s"$path/sig")
-    nb.select(col("__nu").as("norm_url")).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$path/urls.parquet")
-    nb.select(md5(col("text")).as("h")).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$path/hashes.parquet")
+    if (foldBatch) {
+      SignatureStore.append(fin.select("doc_id", "text"),
+        "doc_id", "text", s"$path/sig")
+      nb.select(col("__nu").as("norm_url")).distinct()
+        .write.mode(SaveMode.Append).parquet(s"$path/urls.parquet")
+      nb.select(md5(col("text")).as("h")).distinct()
+        .write.mode(SaveMode.Append).parquet(s"$path/hashes.parquet")
+    }
 
     CorpusRelease.Bundle(ledger, packs, shards, card, manifest)
   }

@@ -132,8 +132,20 @@ object Retrieval {
     * Counts are integers; no floats anywhere. */
   def phraseTopK(queries: DataFrame, queryIdCol: String, t1Col: String,
                  t2Col: String, corpus: DataFrame, idCol: String,
-                 textCol: String, k: Int): DataFrame = {
-    val post = positionalPostings(corpus, idCol, textCol)
+                 textCol: String, k: Int): DataFrame =
+    phraseFromPostings(queries, queryIdCol, t1Col, t2Col,
+      positionalPostings(corpus, idCol, textCol), idCol, k)
+
+  /** The adjacency-join + ranking stage of [[phraseTopK]], factored
+    * out so the persisted positional index
+    * ([[RetrievalIndexStore.phraseQuery]]) can run the IDENTICAL
+    * chain over a bucket-pruned positional-postings scan. `post` may
+    * be pre-pruned to any superset of the queries' term rows — both
+    * posting references filter on the query terms, so pruning is
+    * invisible in the answer (spec-pinned). */
+  def phraseFromPostings(queries: DataFrame, queryIdCol: String,
+                         t1Col: String, t2Col: String, post: DataFrame,
+                         idCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(t1Col).as("__t1"), col(t2Col).as("__t2")))
     val p1 = q.join(post, post("tok") === col("__t1"))

@@ -103,7 +103,8 @@ object RetrievalIndexStore {
     * Default MaxValue = no pruning = bit-equal to the direct chain. */
   def build(corpus: DataFrame, idCol: String, textCol: String,
             path: String, tokBuckets: Int = 256,
-            maxPostingsPerToken: Int = Int.MaxValue): Unit = {
+            maxPostingsPerToken: Int = Int.MaxValue,
+            positional: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val post = postingsOf(corpus, idCol, textCol, tokBuckets)
@@ -123,9 +124,29 @@ object RetrievalIndexStore {
       .mode(SaveMode.Overwrite).parquet(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet")
+    if (positional)
+      positionsOf(corpus, idCol, textCol, tokBuckets)
+        .write.partitionBy("tok_bucket")
+        .mode(SaveMode.Overwrite).parquet(s"$path/positions.parquet")
     Seq(tokBuckets).toDF("tok_buckets").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
   }
+
+  /** Positional postings under the store's bucket layout: (doc_id,
+    * pos, tok, tok_bucket) — the artifact that upgrades the stored
+    * index from term retrieval to phrase retrieval. NEVER pruned
+    * (phrase matching needs every occurrence position; the static
+    * pruning trade applies to the scored postings only). */
+  private def positionsOf(df: DataFrame, idCol: String, textCol: String,
+                          tokBuckets: Int): DataFrame =
+    Retrieval.positionalPostings(df, idCol, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("pos"), col("tok"))
+      .withColumn("tok_bucket",
+        pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)))
+
+  private def hasPositions(path: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/positions.parquet"))
 
   /** The store's layout config — 1 row, driver-side (bounded-collect
     * class: one int). */
@@ -155,6 +176,48 @@ object RetrievalIndexStore {
       .mode(SaveMode.Append).parquet(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet")
+    // a positional store stays positional: the batch's positions land
+    // under the same bucket fn, so tomorrow's phrase probe sees the
+    // appended docs exactly as built ones (per-doc facts — no
+    // cross-doc state to reconcile, same as the scored postings)
+    if (hasPositions(path))
+      positionsOf(incoming, idCol, textCol, tokBuckets)
+        .write.partitionBy("tok_bucket")
+        .mode(SaveMode.Append).parquet(s"$path/positions.parquet")
+  }
+
+  /** Exact-phrase top-k against the STORED positional index (build
+    * with `positional = true`): plan the two-term batch's probed
+    * buckets (one tiny job over the query phrases — bounded-collect
+    * class), scan ONLY those partitions of positions.parquet, drop
+    * non-query tokens via a broadcast join at the scan, then run
+    * [[Retrieval.phraseFromPostings]] — the adjacency join + ranking
+    * stage the direct route uses, over a pruned scan complete for
+    * every query term (every occurrence of a token lives in its
+    * bucket). Output identical to `Retrieval.phraseTopK` on the same
+    * logical corpus: (query_id, doc_id, rank, phrase_tf) —
+    * spec-pinned, including across an [[append]]. Without this face a
+    * stored-index user issuing a quoted query would pay the full
+    * corpus re-index the store exists to avoid. */
+  def phraseQuery(spark: SparkSession, path: String, queries: DataFrame,
+                  queryIdCol: String, t1Col: String, t2Col: String,
+                  k: Int): DataFrame = {
+    require(hasPositions(path),
+      s"$path has no positional face; build(positional = true)")
+    val tokBuckets = params(spark, path)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(t1Col).as("__t1"), col(t2Col).as("__t2")).localCheckpoint()
+    val qtoks = q.select(explode(array(col("__t1"), col("__t2"))).as("tok"))
+      .distinct().localCheckpoint()
+    val buckets = qtoks
+      .select(pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val post = spark.read.parquet(s"$path/positions.parquet")
+      .filter(col("tok_bucket").isin(buckets: _*))
+      .join(broadcast(qtoks), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("tok"))
+    Retrieval.phraseFromPostings(q, "query_id", "__t1", "__t2",
+      post, "doc_id", k)
   }
 
   /** BM25 top-k against the stored index: plan the batch's probed

@@ -85,6 +85,85 @@ object ExtOracles {
        |  FROM bm25scored) r
        |WHERE rank <= 5""".stripMargin
 
+  /** q_incr_stored's full statement — the DIRECT MinHash chain over
+    * index = documents ∪ appended batch A, probed by batch B. Shared
+    * verbatim by q_sig_compact: compaction is physical only, so the
+    * persisted store's probe answers must be bit-identical through
+    * it. */
+  private val incrStoredSql: String =
+    """WITH incA AS (
+      |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |idx AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM incA),
+      |inc AS (
+      |  SELECT doc_id + 800000 AS doc_id, text || ' graftincr fresh' AS text
+      |  FROM documents WHERE doc_id % 26 = 0),
+      |ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM idx),
+      |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
+      |shi AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM ti WHERE len(w) >= 3) t),
+      |shn AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM tn WHERE len(w) >= 3) t),
+      |mhi AS (SELECT doc_id, sd.seed,
+      |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+      |  FROM shi CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+      |  GROUP BY doc_id, sd.seed),
+      |mhn AS (SELECT doc_id, sd.seed,
+      |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+      |  FROM shn CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+      |  GROUP BY doc_id, sd.seed),
+      |bi AS (SELECT doc_id, seed // 2 AS band,
+      |    min(CASE WHEN seed % 2 = 0 THEN h END)
+      |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+      |  FROM mhi GROUP BY doc_id, seed // 2),
+      |bn AS (SELECT doc_id, seed // 2 AS band,
+      |    min(CASE WHEN seed % 2 = 0 THEN h END)
+      |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+      |  FROM mhn GROUP BY doc_id, seed // 2),
+      |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+      |  FROM bn n JOIN bi i ON i.band = n.band AND i.bkey = n.bkey),
+      |inter AS (SELECT c.new_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM cand c JOIN shn sn ON sn.doc_id = c.new_id
+      |  JOIN shi si ON si.doc_id = c.index_id AND si.shingle = sn.shingle
+      |  GROUP BY c.new_id, c.index_id),
+      |szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+      |szi AS (SELECT doc_id, COUNT(*) AS n FROM shi GROUP BY doc_id)
+      |SELECT i.new_id, i.index_id,
+      |  CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) AS jaccard
+      |FROM inter i JOIN szn sn ON sn.doc_id = i.new_id
+      |JOIN szi si ON si.doc_id = i.index_id
+      |WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5""".stripMargin
+
+  /** q_phrase_topk's full statement — positional postings + adjacency
+    * join + phrase-tf ranking. Shared verbatim by q_phrase_stored:
+    * the persisted positional index (bucket layout, pruned scan,
+    * compaction) must be invisible in the answer. */
+  private val phraseTopkSql: String =
+    """WITH ppost AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |    FROM documents WHERE doc_id >= 20) d,
+      |  unnest(range(1, len(w) + 1)) AS t(i)),
+      |pq AS (SELECT doc_id AS query_id, w[1] AS t1, w[2] AS t2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |    FROM documents WHERE doc_id < 20) q WHERE len(w) >= 2),
+      |m AS (SELECT q.query_id, a.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS phrase_tf
+      |  FROM pq q
+      |  JOIN ppost a ON a.tok = q.t1
+      |  JOIN ppost b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |    AND b.tok = q.t2
+      |  GROUP BY q.query_id, a.doc_id)
+      |SELECT query_id, doc_id, rank, phrase_tf FROM (
+      |  SELECT query_id, doc_id, phrase_tf,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM m) t WHERE rank <= 3""".stripMargin
+
   /** Winnowing CTE block (TextOps.winnowFingerprints k=3, w=4) over a
     * `corpus(doc_id, text)` CTE: zipped positional unnest of the
     * 3-gram hex15 hashes, per-doc shingle count, and the 4-window
@@ -269,6 +348,21 @@ object ExtOracles {
        |e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM aniso),
+       |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20)""".stripMargin
+
+  /** e/cand over the ORGANIC fixture (ExtQueries.organicEmb): each
+    * document's 64-bucket feature-hash token-count profile via the
+    * shared hex15-md5 stream. Counts are small integers — exact in
+    * REAL and DOUBLE — and md5 is byte-identical in both engines, so
+    * the downstream integer-quantized chains replay bit-for-bit. */
+  private def organicECandCtes: String =
+    s"""WITH org AS (SELECT doc_id AS vec_id,
+       |    list_transform(range(0, 64), j ->
+       |      CAST(len(list_filter(list_transform(string_split(text, ' '),
+       |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 64),
+       |        b -> b = j)) AS DOUBLE)) AS v
+       |  FROM documents),
+       |e AS (SELECT vec_id, v FROM org),
        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 20)""".stripMargin
 
   /** e/cand + kmsrc over the raw candidate vectors + the fitted
@@ -1175,6 +1269,10 @@ object ExtOracles {
     // next to the isotropic control above
     "q_pq_recall_aniso" -> pqRecallSqlFrom(anisoECandCtes),
     "q_pq_rot_aniso" -> pqRotRecallSqlFrom(anisoECandCtes),
+    // the organic token-profile fixture: same replayed chains, the
+    // e/cand head swaps in the feature-hash profile derivation
+    "q_pq_recall_org" -> pqRecallSqlFrom(organicECandCtes),
+    "q_pq_rot_org" -> pqRotRecallSqlFrom(organicECandCtes),
 
     // quality routing: the lang-id argmax chain + the surprisal LM
     // chain + the gopher pass boolean, joined per doc and reduced to
@@ -1792,10 +1890,15 @@ object ExtOracles {
     // the persisted-index route answers from the on-disk artifact;
     // the oracle is the DIRECT chain's — the store must be invisible
     "q_ann_stored" -> ivfPqTopkSql,
+    // build(4/5 of the candidates) ∪ append(the rest) is exactly the
+    // q_ivf_pq_topk corpus again, and compaction of the cell-bucketed
+    // codes is physical only — same oracle, store invisible
+    "q_ann_compact" -> ivfPqTopkSql,
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
     "q_ivf_hier_curve" -> ivfHierCurveSql,
     "q_ivf_hier_curve_aniso" -> ivfHierCurveSqlFrom(anisoECandCtes),
+    "q_ivf_hier_curve_org" -> ivfHierCurveSqlFrom(organicECandCtes),
     "q_ivf_hier_recall" -> ivfHierRecallSql,
     "q_ivf_probe_curve" -> ivfProbeCurveSql,
 
@@ -2726,55 +2829,12 @@ object ExtOracles {
     // the persisted-store route must equal the DIRECT MinHash chain
     // over index = documents UNION the appended batch A; the store
     // (parquet round-trip, broadcast probes) never appears here
-    "q_incr_stored" ->
-      """WITH incA AS (
-        |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
-        |  FROM documents WHERE doc_id % 13 = 0),
-        |idx AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id, text FROM incA),
-        |inc AS (
-        |  SELECT doc_id + 800000 AS doc_id, text || ' graftincr fresh' AS text
-        |  FROM documents WHERE doc_id % 26 = 0),
-        |ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM idx),
-        |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
-        |shi AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM ti WHERE len(w) >= 3) t),
-        |shn AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM tn WHERE len(w) >= 3) t),
-        |mhi AS (SELECT doc_id, sd.seed,
-        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
-        |  FROM shi CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
-        |  GROUP BY doc_id, sd.seed),
-        |mhn AS (SELECT doc_id, sd.seed,
-        |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
-        |  FROM shn CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
-        |  GROUP BY doc_id, sd.seed),
-        |bi AS (SELECT doc_id, seed // 2 AS band,
-        |    min(CASE WHEN seed % 2 = 0 THEN h END)
-        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
-        |  FROM mhi GROUP BY doc_id, seed // 2),
-        |bn AS (SELECT doc_id, seed // 2 AS band,
-        |    min(CASE WHEN seed % 2 = 0 THEN h END)
-        |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
-        |  FROM mhn GROUP BY doc_id, seed // 2),
-        |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
-        |  FROM bn n JOIN bi i ON i.band = n.band AND i.bkey = n.bkey),
-        |inter AS (SELECT c.new_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS i
-        |  FROM cand c JOIN shn sn ON sn.doc_id = c.new_id
-        |  JOIN shi si ON si.doc_id = c.index_id AND si.shingle = sn.shingle
-        |  GROUP BY c.new_id, c.index_id),
-        |szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
-        |szi AS (SELECT doc_id, COUNT(*) AS n FROM shi GROUP BY doc_id)
-        |SELECT i.new_id, i.index_id,
-        |  CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) AS jaccard
-        |FROM inter i JOIN szn sn ON sn.doc_id = i.new_id
-        |JOIN szi si ON si.doc_id = i.index_id
-        |WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5""".stripMargin,
-
+    "q_incr_stored" -> incrStoredSql,
+    // the compaction gate replays the SAME oracle: compaction is
+    // physical only (the append's accreted band/set files fold into
+    // the base layout), so the store's probe answers must be
+    // bit-identical through it
+    "q_sig_compact" -> incrStoredSql,
     "q_incr_dedup" ->
       """WITH inc AS (
         |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
@@ -2949,6 +3009,38 @@ object ExtOracles {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score_q DESC, doc_id ASC) AS rank
          |  FROM capscored) r
+         |WHERE rank <= 5""".stripMargin,
+
+    // the pruned store's full lifecycle: the pruning window replays
+    // over the BUILD subset only (doc_id % 7 <> 0 — appended postings
+    // are not re-truncated, the store's snapshot-until-rebuild
+    // contract), the appended docs' postings union in whole, and
+    // scoring uses TRUE df over the union — exactly the sums the
+    // compaction fold must preserve (df deltas → one row per token,
+    // stats deltas → one totals row)
+    "q_bm25_compact" ->
+      s"""WITH $bm25Ctes,
+         |prunedA AS (SELECT tok, doc_id, tf, dl FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY tok
+         |    ORDER BY tf DESC, dl ASC, doc_id ASC) AS pr
+         |  FROM post WHERE doc_id % 7 <> 0) t
+         |  WHERE pr <= 3),
+         |keep AS (SELECT tok, doc_id, tf, dl FROM prunedA
+         |  UNION ALL
+         |  SELECT tok, doc_id, tf, dl FROM post WHERE doc_id % 7 = 0),
+         |cptscored AS (SELECT bq.query_id, p.doc_id,
+         |    CAST(SUM(GREATEST(0, length(bin(2 * (btot.n - d.df) + 1))
+         |                       - length(bin(2 * d.df + 1)))
+         |      * ((20480 * btot.t * p.tf)
+         |         // (8 * btot.t * p.tf + 3 * btot.t + 9 * p.dl * btot.n))
+         |    ) AS BIGINT) AS score_q
+         |  FROM bq JOIN keep p ON p.tok = bq.tok
+         |  JOIN dfreq d ON d.tok = bq.tok, btot
+         |  GROUP BY bq.query_id, p.doc_id)
+         |SELECT query_id, doc_id, rank, score_q FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_q DESC, doc_id ASC) AS rank
+         |  FROM cptscored) r
          |WHERE rank <= 5""".stripMargin,
 
     // hybrid RRF: dense exact-cosine top-20 (vec_id<20 queries, same
@@ -4220,26 +4312,11 @@ object ExtOracles {
 
     // exact-phrase retrieval: positional postings + adjacency join,
     // phrase-tf ranking — integer counts end to end
-    "q_phrase_topk" ->
-      """WITH ppost AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-        |    FROM documents WHERE doc_id >= 20) d,
-        |  unnest(range(1, len(w) + 1)) AS t(i)),
-        |pq AS (SELECT doc_id AS query_id, w[1] AS t1, w[2] AS t2
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-        |    FROM documents WHERE doc_id < 20) q WHERE len(w) >= 2),
-        |m AS (SELECT q.query_id, a.doc_id,
-        |    CAST(COUNT(*) AS BIGINT) AS phrase_tf
-        |  FROM pq q
-        |  JOIN ppost a ON a.tok = q.t1
-        |  JOIN ppost b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |    AND b.tok = q.t2
-        |  GROUP BY q.query_id, a.doc_id)
-        |SELECT query_id, doc_id, rank, phrase_tf FROM (
-        |  SELECT query_id, doc_id, phrase_tf,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank
-        |  FROM m) t WHERE rank <= 3""".stripMargin,
+    "q_phrase_topk" -> phraseTopkSql,
+    // the stored positional face replays the SAME oracle (build ∪
+    // append is exactly q_phrase_topk's corpus; bucket layout,
+    // pruned scan, and compaction must be invisible in the answer)
+    "q_phrase_stored" -> phraseTopkSql,
 
     // held-out generalization audit: train on the 4/5 md5-split
     // train fold, confusion on the unseen 1/5 — the figure a model

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, ReleaseStore, Retrieval, RetrievalIndexStore, Sampling, SignatureStore, Similarity, Sketches, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
+import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, ReleaseStore, Retrieval, RetrievalIndexStore, Sampling, SignatureStore, Similarity, Sketches, StoreMaintenance, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -675,6 +675,92 @@ object ExtQueries {
         k = 3, numSub = PqSub, subDim = PqDim))
   }
 
+  /** The ORGANIC embeddings fixture — structure the data brings, not
+    * a planted slab: each document's 64-dim feature-hash token
+    * profile (count of tokens hashing into each of 64 buckets via the
+    * shared hex15-md5 stream), as floats. Nothing is planted along
+    * any axis; whatever anisotropy, cluster structure, and length
+    * spread the fixture corpus's vocabulary and source mix actually
+    * carry is what the OPQ-rotation and w-sweep arms measure — the
+    * evidence tier between the isotropic control (raw embeddings
+    * table) and the synthetic rank-1 slab (anisoEmb), closing the
+    * "the anisotropic evidence is synthetic" gap. Deterministic and
+    * engine-exact: md5 is byte-identical in both engines, counts are
+    * small integers (exact in REAL and DOUBLE), so the downstream
+    * integer-quantized PQ/IVF chains replay bit-for-bit in DuckDB. */
+  private def organicEmb(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id").as("vec_id"), col("text"))
+    val counts = d
+      .select(col("vec_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("vec_id"), (TextOps.hex15(col("tok")) % 64).as("j"))
+      .groupBy("vec_id", "j").agg(count(lit(1)).as("c"))
+      .groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+        .as("__m"))
+    d.select("vec_id").join(counts, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        transform(sequence(lit(0L), lit(63L)),
+          j => coalesce(element_at(col("__m"), j), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
+  private def organicCands(spark: SparkSession, dir: String): DataFrame =
+    organicEmb(spark, dir).filter(col("vec_id") >= 20)
+      .select("vec_id", "embedding")
+
+  private def organicCodebook(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "pq_org") {
+      KMeans.codebook(
+        KMeans.fit(organicCands(spark, dir), "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+
+  private def organicRotCands(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "rotc_org") {
+      val c = organicCands(spark, dir)
+      Pca.opqRotate(c, "vec_id", "embedding", train = c)
+    }
+
+  private def organicRotCodebook(spark: SparkSession, dir: String)
+      : DataFrame =
+    memoized(spark, dir, "rotpq_org") {
+      KMeans.codebook(
+        KMeans.fit(organicRotCands(spark, dir), "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+
+  /** UNROTATED trained-PQ recall on the organic fixture — the third
+    * regime's control arm beside q_pq_recall (isotropic) and
+    * q_pq_recall_aniso (synthetic slab). */
+  def pqRecallOrg(spark: SparkSession, dir: String): DataFrame = {
+    val e = organicEmb(spark, dir)
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      organicCands(spark, dir), "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact,
+      Similarity.pqTopK(e.filter(col("vec_id") < 20),
+        organicCands(spark, dir), organicCodebook(spark, dir),
+        "vec_id", "embedding", k = 3, numSub = PqSub, subDim = PqDim))
+  }
+
+  /** ROTATED trained-PQ recall on the organic fixture — with this row
+    * the OPQ deployment rule is evidence-backed in all three regimes:
+    * measure Pca.topComponent's dominance, rotate iff it dominates;
+    * the organic row says which side of that line REAL token-profile
+    * structure falls on, not a fixture built to sit on either side. */
+  def pqRotOrg(spark: SparkSession, dir: String): DataFrame = {
+    val e = organicEmb(spark, dir)
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      organicCands(spark, dir), "vec_id", "embedding", k = 3)
+    val rotQ = Pca.opqRotate(e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", train = organicCands(spark, dir))
+    Similarity.recallAudit(exact,
+      Similarity.pqTopK(rotQ, organicRotCands(spark, dir),
+        organicRotCodebook(spark, dir), "vec_id", "embedding",
+        k = 3, numSub = PqSub, subDim = PqDim))
+  }
+
   /** The EXACT dedup pipeline COMPOSED end to end — the
     * no-false-negatives sibling of q_training_prep's LSH chain:
     * prefix-filter exact Jaccard pairs → connected components →
@@ -869,6 +955,14 @@ object ExtQueries {
     * production default reads off BOTH curves. */
   def ivfHierCurveAniso(spark: SparkSession, dir: String): DataFrame =
     ivfHierCurveOf(hierPartsOf(anisoEmb(spark, dir)))
+
+  /** The w-sweep on the ORGANIC token-profile fixture — the third
+    * regime beside the isotropic (q_ivf_hier_curve) and clustered-
+    * slab (q_ivf_hier_curve_aniso) sweeps: where real vocabulary
+    * structure puts the recall knee tells a deployment whether the
+    * w = 2 default is conservative or tight on data nobody shaped. */
+  def ivfHierCurveOrg(spark: SparkSession, dir: String): DataFrame =
+    ivfHierCurveOf(hierPartsOf(organicEmb(spark, dir)))
 
   private def ivfHierCurveOf(parts: (DataFrame, DataFrame, DataFrame))
       : DataFrame = {
@@ -1746,6 +1840,102 @@ object ExtQueries {
       "doc_id", "text", path, maxPostingsPerToken = 3)
     RetrievalIndexStore.query(spark, path, bm25Queries(d),
       "query_id", "terms", k = 5)
+  }
+
+  /** The PRUNED BM25 store through its FULL LIFECYCLE — build (cap 3)
+    * → append → COMPACT → query: the appended batch's postings land
+    * unpruned (snapshot-until-rebuild, the store's documented
+    * contract), the df/stats DELTA rows fold into one row per token /
+    * one totals row during compaction, and the query face must still
+    * be exact — df from the summed base (not the pruned scan), (N, T)
+    * from the folded stats. The oracle replays the pruning window
+    * over the BUILD subset only, unions the appended postings whole,
+    * and scores with TRUE df over the union — so a green row proves
+    * the compaction fold preserved exactly the sums scoring consumes
+    * on the one store where the scan is deliberately lossy. */
+  def bm25Compact(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_ristore_cpt_$tail"
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", path, maxPostingsPerToken = 3)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", path)
+    StoreMaintenance.compactRetrievalIndexStore(spark, path)
+    RetrievalIndexStore.query(spark, path, bm25Queries(d),
+      "query_id", "terms", k = 5)
+  }
+
+  /** The signature store through its full lifecycle INCLUDING
+    * compaction: q_incr_stored's exact fixture (build → append batch
+    * A → ingest batch B) with [[StoreMaintenance
+    * .compactSignatureStore]] folding the append's accreted files
+    * into the base between the append and the probe. Same oracle as
+    * q_incr_stored — compaction is physical only, so the store's
+    * answers must be bit-identical through it. */
+  def sigCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_cpt_$tail"
+    val d = docs(spark, dir).select("doc_id", "text")
+    val batchA = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    val batchB = d.filter(col("doc_id") % 26 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(col("text"), lit(" graftincr fresh")).as("text"))
+    SignatureStore.build(d, "doc_id", "text", store)
+    SignatureStore.append(batchA, "doc_id", "text", store)
+    StoreMaintenance.compactSignatureStore(spark, store)
+    SignatureStore.ingest(spark, store, batchB, "doc_id", "text")
+  }
+
+  /** The vector store through its full lifecycle including
+    * compaction: q_ann_stored's fixture split into a build part and
+    * an appended part (every 5th-mod-2 candidate arrives as the
+    * append), [[StoreMaintenance.compactVectorIndexStore]] folds the
+    * cell-bucketed code files, and the query must still equal
+    * q_ivf_pq_topk's oracle — the probed-cell partition pruning keyed
+    * on the PRESERVED bucket layout. */
+  def annCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_cpt_$tail"
+    val (queries, cands, cents, residualCb) = ivfPqParts(spark, dir)
+    VectorIndexStore.build(cands.filter(col("vec_id") % 5 =!= 2),
+      "vec_id", "embedding", path, cents, residualCb,
+      numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.append(cands.filter(col("vec_id") % 5 === 2),
+      "vec_id", "embedding", path)
+    StoreMaintenance.compactVectorIndexStore(spark, path)
+    VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+  }
+
+  /** The stored POSITIONAL face through its full lifecycle: build the
+    * index with positions (build subset) → append (the appended
+    * docs' positions land under the same bucket fn) → compact (the
+    * positional artifact folds with the rest) → answer q_phrase_topk's
+    * exact query batch from the store. Same oracle as q_phrase_topk:
+    * the persisted positions, bucket pruning, and compaction must be
+    * invisible in the answer — without this face a stored-index user
+    * issuing a quoted query would re-index the corpus per query. */
+  def phraseStored(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_ripos_$tail"
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", path, positional = true)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", path)
+    StoreMaintenance.compactRetrievalIndexStore(spark, path)
+    val q = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        element_at(TextOps.tokens(col("text")), 1).as("t1"),
+        element_at(TextOps.tokens(col("text")), 2).as("t2"))
+      .filter(col("t2").isNotNull)
+    RetrievalIndexStore.phraseQuery(spark, path, q,
+      "query_id", "t1", "t2", k = 3)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the dense exact-
@@ -2896,6 +3086,8 @@ object ExtQueries {
     "q_pq_rot_recall"     -> (pqRotRecall _),
     "q_pq_recall_aniso"   -> (pqRecallAniso _),
     "q_pq_rot_aniso"      -> (pqRotAniso _),
+    "q_pq_recall_org"     -> (pqRecallOrg _),
+    "q_pq_rot_org"        -> (pqRotOrg _),
     "q_quality_route"     -> (qualityRoute _),
     "q_prefix_join"       -> (prefixJoin _),
     "q_pair_budget"       -> (pairBudget _),
@@ -2912,6 +3104,7 @@ object ExtQueries {
     "q_ivf_hier_recall"   -> (ivfHierRecall _),
     "q_ivf_hier_curve"    -> (ivfHierCurve _),
     "q_ivf_hier_curve_aniso" -> (ivfHierCurveAniso _),
+    "q_ivf_hier_curve_org"   -> (ivfHierCurveOrg _),
     "q_ivf_probe_curve"   -> (ivfProbeCurve _),
     "q_dsir_select"       -> (dsirSelect _),
     "q_exact_prep"        -> (exactPrep _),
@@ -2935,6 +3128,10 @@ object ExtQueries {
     "q_bm25_topk"         -> (bm25TopKQ _),
     "q_bm25_stored"       -> (bm25Stored _),
     "q_bm25_capped"       -> (bm25Capped _),
+    "q_bm25_compact"      -> (bm25Compact _),
+    "q_sig_compact"       -> (sigCompact _),
+    "q_ann_compact"       -> (annCompact _),
+    "q_phrase_stored"     -> (phraseStored _),
     "q_rrf_fusion"        -> (rrfFusion _),
     "q_winnow_fp"         -> (winnowFp _),
     "q_winnow_overlap"    -> (winnowOverlapQ _),

@@ -702,19 +702,40 @@ object StarQueries {
   // §2.11 × ext — STREAMING INCREMENTAL NEAR-DUP through the gate:
   // the ingest batch (near-clones of every 13th doc) arrives as a
   // file-source stream; its MinHash band keys (a streaming-legal
-  // projection) join the STATIC corpus index's persisted band keys
-  // and the agreeing-band count per (new, index) pair aggregates in
-  // complete mode. The completed stream must equal the BATCH band
-  // join DuckDB runs — integer counts, no floats anywhere.
+  // projection) join the STATIC corpus index's PERSISTED band table —
+  // the SignatureStore artifact the batch ingest route probes, so the
+  // stream face matches the batch face's O(batch) posture: the corpus
+  // is never re-banded per micro-batch, the static side is a parquet
+  // scan of bands.parquet (built once, exists-checked on the store's
+  // WRITE-LAST params marker). The agreeing-band count per
+  // (new, index) pair aggregates in complete mode; the completed
+  // stream must equal the BATCH band join DuckDB runs — integer
+  // counts, no floats anywhere, store invisible in the answer.
   def streamNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
-    val indexBands = graft.ext.Dedup.nativeBands(d, "doc_id", "text")
-      .withColumnRenamed("doc_id", "index_id")
+    val indexBands = storedIndexBands(spark, dir, d)
     val incoming = d.filter(col("doc_id") % 13 === 0)
       .select((col("doc_id") + 600000).as("doc_id"),
         concat(col("text"), lit(" graftincr end")).as("text"))
     runStagedStream(spark, incoming, "q_stream_neardup", "complete")(src =>
       graft.streaming.StreamingOps.streamNearDupCandidates(src(), indexBands))
+  }
+
+  /** The static index side of [[streamNearDupQuery]]: the persisted
+    * [[graft.ext.SignatureStore]] band table over the corpus, built
+    * once per fixture dir (exists-check on the store's write-last
+    * params file — the ScaleBench staging convention). Exposed so the
+    * spec can pin that the gate's plan reads bands.parquet, not an
+    * in-plan re-banding of the corpus. */
+  def storedIndexBands(spark: SparkSession, dir: String,
+                       d: DataFrame): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_stream_$tail"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$store/params.parquet")))
+      graft.ext.SignatureStore.build(d, "doc_id", "text", store)
+    spark.read.parquet(s"$store/bands.parquet")
+      .withColumnRenamed("doc_id", "index_id")
   }
 
   // §2.11 × ext — STREAMING EXACT-SUBSTRING contamination check: the

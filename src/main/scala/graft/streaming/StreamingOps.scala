@@ -347,10 +347,35 @@ object StreamingOps {
         val out = s"$root/data/batch_id=$batchId"
         val m = graft.sources.Merge.mergeFiles(spark, base, out,
           batch.toDF(), keyCol)
+        // canonical unit names: a replayed batch re-merges the same
+        // base and batch, so after renaming away Spark's per-job file
+        // UUIDs its generation content is BYTE-IDENTICAL — which is
+        // what lets the no-replace publish below tell a benign replay
+        // (same bytes → fine) from a lost publish race (different
+        // bytes → raise). Names embed the batch id so base names stay
+        // unique across the generation chain (mergeFiles keys its
+        // file maps on base names).
+        canonicalizeUnits(out, batchId)
         publishManifest(root, batchId,
-          graft.sources.Merge.mergedFiles(base, out, m))
+          graft.sources.Merge.mergedFiles(base, out, m),
+          replace = false)
       }
       .start()
+
+  /** Rename each merge unit's single output file to a deterministic,
+    * chain-unique name (`g<batchId>-u<unit>.parquet`). Driver-side
+    * renames, one per touched unit — control-plane bounded. */
+  private def canonicalizeUnits(outPath: String, batchId: Long): Unit =
+    graft.sources.Layout.listParquet(outPath).foreach { p =>
+      "unit=(\\d+)/".r.findFirstMatchIn(p).foreach { m =>
+        val dir = p.substring(0, p.lastIndexOf('/'))
+        val tgt = s"$dir/g$batchId-u${m.group(1)}.parquet"
+        if (p != tgt)
+          java.nio.file.Files.move(java.nio.file.Paths.get(p),
+            java.nio.file.Paths.get(tgt),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   /** The manifest table's CURRENT file list (largest generation), or
     * None before the first publish. */
@@ -369,11 +394,28 @@ object StreamingOps {
     manifestFiles(root,
       below = if (gen == Long.MaxValue) gen else gen + 1)
 
+  /** The pinned-read face of [[filesAt]] with the vacuum contract
+    * enforced LOUDLY: a pin inside [[vacuumManifests]]' keep window
+    * resolves the exact table state it names; a pin the vacuum has
+    * passed fails here with a clear error — never a partial read of
+    * whatever files happen to survive. (An empty kept generation —
+    * an all-deletes batch — reads as an empty frame, same as
+    * [[graft.sources.Merge.mergedView]].) */
+  def tableAt(spark: SparkSession, root: String, gen: Long): DataFrame =
+    filesAt(root, gen) match {
+      case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+      case Some(_) => spark.emptyDataFrame
+      case None => throw new IllegalStateException(
+        s"no generation <= $gen survives under $root: the pin is " +
+          "outside the vacuum keep window (or the table has no " +
+          "generations yet) — re-pin to a kept generation")
+    }
+
   private def manifestFiles(root: String, below: Long)
       : Option[Seq[String]] = {
     val dir = new java.io.File(s"$root/_manifests")
     val gens = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "gen=(\\d+)$".r.findFirstMatchIn(f.getName)
+      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
         .map(_.group(1).toLong -> f))
       .filter(_._1 < below)
     if (gens.isEmpty) None
@@ -450,10 +492,18 @@ object StreamingOps {
       .sortBy(_._1)
     if (gens.isEmpty) return (0, 0)
     val (drop, keep) = gens.splitAt(math.max(0, gens.length - keepGens))
+    // normalize BOTH sides of the liveness comparison: manifests carry
+    // paths in whatever form the writer saw (absolute via listParquet,
+    // but seed files are caller-provided), while Files.walk yields
+    // paths in the caller's form of `root` — a relative or symlinked
+    // root would otherwise miss every referenced file and delete the
+    // live table
+    def canon(s: String): String =
+      java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
     val referenced = keep.flatMap { case (_, f) =>
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.readAllLines(f.toPath).asScala
-    }.toSet
+    }.map(canon).toSet
     val dataRoot = java.nio.file.Paths.get(s"$root/data")
     var removed = 0
     if (java.nio.file.Files.exists(dataRoot)) {
@@ -461,7 +511,7 @@ object StreamingOps {
       try it.iterator().forEachRemaining { p =>
         if (java.nio.file.Files.isRegularFile(p) &&
             p.toString.endsWith(".parquet") &&
-            !referenced.contains(p.toString)) {
+            !referenced.contains(canon(p.toString))) {
           java.nio.file.Files.delete(p)
           removed += 1
         }
@@ -471,16 +521,57 @@ object StreamingOps {
     (removed, drop.length)
   }
 
-  private def publishManifest(root: String, gen: Long,
-                              files: Seq[String]): Unit = {
+  /** Publish a generation file via temp-write + atomic rename.
+    *
+    * `replace = true` is the QUIESCED re-publish ([[compactManifest]]
+    * replacing gen N in place — single-writer by that method's
+    * contract). `replace = false` is the streaming sink's guarded
+    * publish: the rename never clobbers an existing generation, and
+    * the publish VERIFIES AFTER THE RENAME that the generation on
+    * disk is byte-equal to what this writer produced — equal means
+    * ours, or a benign replay republishing identical content
+    * (guaranteed by [[canonicalizeUnits]]' deterministic names);
+    * different means another writer owns this generation and this
+    * publish LOST — it raises instead of silently last-writer-wins,
+    * so a misconfigured second sink on the same root surfaces as a
+    * loud failure, never as interleaved table corruption
+    * (MergeSinkSpec pins both the race loser and the replay). */
+  private[graft] def publishManifest(root: String, gen: Long,
+                                     files: Seq[String],
+                                     replace: Boolean = true): Unit = {
     val dir = java.nio.file.Paths.get(s"$root/_manifests")
     java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s".gen=$gen.tmp")
-    java.nio.file.Files.write(tmp,
-      files.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve(s"gen=$gen"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val content = files.mkString("\n")
+    val tmp = dir.resolve(
+      s".gen=$gen.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    val target = dir.resolve(s"gen=$gen")
+    if (replace) {
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // hard-link, not rename: POSIX rename() silently REPLACES an
+      // existing target (ATOMIC_MOVE maps straight onto it), so the
+      // no-clobber publish uses link(2) — atomic creation that FAILS
+      // if the generation already exists, with no exists-check window
+      try {
+        java.nio.file.Files.createLink(target, tmp)
+        java.nio.file.Files.delete(tmp)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmp)
+      }
+      // re-read AFTER the link attempt: the winner is whoever's bytes
+      // are on disk now
+      val onDisk = new String(java.nio.file.Files.readAllBytes(target),
+        "UTF-8")
+      if (onDisk != content)
+        throw new IllegalStateException(
+          s"lost publish race on $root gen=$gen: the generation on " +
+            "disk is not this writer's — a second writer is publishing " +
+            "to the same manifest root (single-writer contract)")
+    }
   }
 
 

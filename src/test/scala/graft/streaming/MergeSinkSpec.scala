@@ -213,6 +213,58 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(textAt(1L) == "v1") // inside the window: still exact
   }
 
+  test("a second publisher on the same root loses loudly; a replay is benign") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink8")
+    val root = s"$base/table"
+    val mine = Seq("/data/a.parquet", "/data/b.parquet")
+    // writer 1 publishes generation 5
+    StreamingOps.publishManifest(root, 5L, mine, replace = false)
+    // a REPLAY republishes byte-identical content (canonical unit
+    // names make replay bytes deterministic) — benign, no raise
+    StreamingOps.publishManifest(root, 5L, mine, replace = false)
+    // a SECOND WRITER with different content must lose loudly —
+    // never silently last-writer-wins
+    intercept[IllegalStateException] {
+      StreamingOps.publishManifest(root, 5L, Seq("/data/c.parquet"),
+        replace = false)
+    }
+    // and the winner's generation is untouched by the loser's attempt
+    assert(StreamingOps.filesAt(root, 5L).get == mine)
+    // no orphaned temp files from the losing attempt
+    val leftovers = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).filterNot(_ == "gen=5")
+    assert(leftovers.isEmpty, s"leftovers: ${leftovers.toSeq}")
+  }
+
+  test("vacuum keep window: pinned readers inside survive, outside fail loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink9")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val s = MemoryStream[Up]
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt")
+    try {
+      Seq("v0", "v1", "v2").foreach { v =>
+        s.addData(Up(1L, v, 2L, _deleted = false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    StreamingOps.vacuumManifests(root, keepGens = 2)
+    // inside the window: the pin resolves the exact state AND every
+    // file it references is still on disk (the vacuum never deletes
+    // data a kept generation needs)
+    val pinned = StreamingOps.tableAt(spark, root, 1L)
+    StreamingOps.filesAt(root, 1L).get.foreach(p =>
+      assert(new java.io.File(p).exists(), s"kept-gen file $p deleted"))
+    assert(pinned.filter(col("doc_id") === 1L)
+      .select("text").head().getString(0) == "v1")
+    // outside the window: a clear error, never a partial read
+    val e = intercept[IllegalStateException] {
+      StreamingOps.tableAt(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("keep window"))
+  }
+
   test("deleting every key empties the table; the next batch re-seeds it") {
     val base = java.nio.file.Files.createTempDirectory("graft-msink6")
     val root = s"$base/table"
