@@ -185,6 +185,28 @@ object StoreMaintenance {
       rowsBefore, rowsAfter)
   }
 
+  /** Footer-only health audit — the number that tells a deployment
+    * WHEN to compact, at footer-read cost (zero data scanned): one
+    * row per artifact directory with its file/byte/row inventory and
+    * bytes-per-file. A store whose n_files grows daily while
+    * bytes_per_file shrinks is accreting the small-files decay the
+    * compaction path reverses; a deployment alerts on
+    * n_files / max(1, bytes div targetBytes). */
+  def auditArtifacts(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    dirs.map { d =>
+      val files =
+        if (!exists(d)) Seq.empty else graft.sources.Layout.listParquet(d)
+      if (files.isEmpty) (d, 0L, 0L, 0L, 0L)
+      else {
+        val r = graft.sources.Layout.parquetFileStatsFiles(spark, files)
+          .agg(sum("file_bytes").as("b"), sum("n_rows").as("r")).head()
+        (d, files.length.toLong, r.getLong(0), r.getLong(1),
+          r.getLong(0) / files.length)
+      }
+    }.toDF("artifact", "n_files", "bytes", "rows", "bytes_per_file")
+  }
+
   /** Reports as a frame, for specs/gates that want to assert on the
     * arithmetic relationally. */
   def reportDF(spark: SparkSession, reports: Seq[ArtifactReport])
@@ -210,6 +232,26 @@ object StoreMaintenance {
   def compactVectorIndexStore(spark: SparkSession, path: String)
       : Seq[ArtifactReport] = Seq(
     compactArtifact(spark, s"$path/codes.parquet", Some("cell_bucket")))
+
+  /** [[ReleaseStore]] maintenance: the three artifacts the daily loop
+    * APPENDS to — the signature index (bands/sets) plus the seen-url /
+    * seen-hash identity filters. The identity filters fold to
+    * DISTINCT: every batch appends ALL its urls/hashes (including ones
+    * the release had already seen — the filters track input history),
+    * so re-crawled urls accumulate duplicate rows that a membership
+    * probe never needed; the fold drops them while the invariant pins
+    * the only thing probes consume — the distinct member count. The
+    * frozen quality models (lm/lm_tot/profiles) are build-time
+    * artifacts and never accrete. */
+  def compactReleaseStore(spark: SparkSession, path: String)
+      : Seq[ArtifactReport] =
+    compactSignatureStore(spark, s"$path/sig") ++ Seq(
+      compactArtifact(spark, s"$path/urls.parquet", None,
+        fold = _.distinct(),
+        invariant = _.agg(countDistinct("norm_url").as("n_urls"))),
+      compactArtifact(spark, s"$path/hashes.parquet", None,
+        fold = _.distinct(),
+        invariant = _.agg(countDistinct("h").as("n_hashes"))))
 
   /** [[RetrievalIndexStore]] maintenance: postings (token-bucketed,
     * row-preserving), df (token-bucketed, delta rows SUMMED into one

@@ -334,16 +334,49 @@ object StreamingOps {
     * current file list + touched-file rewrite — q_merge_narrow's
     * flat-rewrite curve), so sink cost tracks the batch's key
     * locality, not table size. */
+  /** `maintainEvery = Some((k, targetBytes, keepGens))` makes the
+    * table SELF-MAINTAINING — legal without quiescing because the
+    * foreachBatch sink IS the table's single writer and runs its
+    * batches serially. On a maintenance batch (id a positive multiple
+    * of k) the sink compacts its BASE file list into
+    * `data/compact_batch=<id>` (deterministically named files) BEFORE
+    * merging, so the published generation carries the compacted table
+    * + this batch's units, then vacuums manifests/data beyond the
+    * newest max(keepGens, 2). Replay-safe by the same byte-identity
+    * argument as the publish guard: a replayed maintenance batch
+    * resolves the SAME base (the vacuum floor of 2 keeps the previous
+    * generation and, transitively, every file it references),
+    * re-compacts it into the same canonical paths (overwriting its
+    * own dead scratch), re-merges, and republishes identical bytes.
+    * Readers pinned beyond keepGens lose their pin at the next
+    * maintenance tick, by the vacuum contract — size keepGens to the
+    * reader horizon. */
   def runMergeSink(updates: DataFrame, root: String,
                    seedFiles: Seq[String], keyCol: String,
-                   checkpoint: String)
+                   checkpoint: String,
+                   maintainEvery: Option[(Int, Long, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val base = manifestFiles(root, below = batchId)
+        val base0 = manifestFiles(root, below = batchId)
           .getOrElse(seedFiles)
+        val maint = maintainEvery.filter { case (k, _, _) =>
+          batchId > 0 && batchId % k == 0 && base0.nonEmpty }
+        val base = maint match {
+          case Some((_, targetBytes, _)) =>
+            val cdir = s"$root/data/compact_batch=$batchId"
+            val verify = graft.sources.Layout
+              .compactGroupsFiles(spark, base0, cdir, targetBytes)
+            val bad = verify
+              .filter(!col("rows_match") || col("out_files") =!= 1L).count()
+            require(bad == 0, s"$bad group(s) failed footer verification" +
+              s" compacting base of batch $batchId; sources stay live")
+            canonicalizeCompact(cdir, batchId)
+            graft.sources.Layout.listParquet(cdir)
+          case None => base0
+        }
         val out = s"$root/data/batch_id=$batchId"
         val m = graft.sources.Merge.mergeFiles(spark, base, out,
           batch.toDF(), keyCol)
@@ -359,8 +392,26 @@ object StreamingOps {
         publishManifest(root, batchId,
           graft.sources.Merge.mergedFiles(base, out, m),
           replace = false)
+        maint.foreach { case (_, _, keepGens) =>
+          vacuumManifests(root, math.max(keepGens, 2))
+        }
       }
       .start()
+
+  /** [[canonicalizeUnits]] for a maintenance batch's base-compaction
+    * output: `group_id=<g>/` dirs each hold one file, renamed to the
+    * chain-unique deterministic `g<batchId>-c<g>.parquet`. */
+  private def canonicalizeCompact(cdir: String, batchId: Long): Unit =
+    graft.sources.Layout.listParquet(cdir).foreach { p =>
+      "group_id=(\\d+)/".r.findFirstMatchIn(p).foreach { m =>
+        val dir = p.substring(0, p.lastIndexOf('/'))
+        val tgt = s"$dir/g$batchId-c${m.group(1)}.parquet"
+        if (p != tgt)
+          java.nio.file.Files.move(java.nio.file.Paths.get(p),
+            java.nio.file.Paths.get(tgt),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   /** Rename each merge unit's single output file to a deterministic,
     * chain-unique name (`g<batchId>-u<unit>.parquet`). Driver-side

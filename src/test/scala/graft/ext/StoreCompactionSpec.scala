@@ -140,6 +140,50 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(posFiles.distinct.length == posFiles.length)
   }
 
+  test("release store: compaction between daily batches changes nothing downstream") {
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        concat(lit("https://ex.example/d/"), col("doc_id").cast("string"))
+          .as("url"))
+    val ledger = d.select(col("doc_id"), lit("kept").as("disposition"))
+    val bench = d.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
+    val a = "/tmp/graft_cptspec_rel_a"; val b = "/tmp/graft_cptspec_rel_b"
+    ReleaseStore.build(d, ledger, a)
+    ReleaseStore.build(d, ledger, b)
+    // day 1: same batch folds into both stores (re-crawls of seen urls
+    // land duplicate rows in the urls filter — the accretion the fold
+    // exists for)
+    // even ids re-crawl their seen url (the i1 drop + the duplicate
+    // urls-filter rows); odd ids arrive behind fresh urls and flow on
+    // to the hash/near-dup/quality stages
+    def batch(off: Long, every: Int, marker: String) =
+      d.filter(col("doc_id") % every === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(marker)).as("text"),
+          col("lang"), col("source"),
+          when(col("doc_id") % 2 === 0, col("url"))
+            .otherwise(concat(lit(s"https://fresh.example$marker/"),
+              (col("doc_id") + off).cast("string"))).as("url"))
+    Seq(a, b).foreach(p => ReleaseStore.incrementalRelease(spark, p,
+      batch(50000L, 5, " graftday1"), bench))
+    val urlRowsBefore = spark.read.parquet(s"$b/urls.parquet").count()
+    val reports = StoreMaintenance.compactReleaseStore(spark, b)
+    // the urls fold dropped the duplicate member rows day 1 appended
+    val urls = reports.find(_.artifact.endsWith("urls.parquet")).get
+    assert(urls.rowsAfter < urlRowsBefore)
+    assert(spark.read.parquet(s"$b/urls.parquet").distinct().count()
+      == urls.rowsAfter)
+    // day 2 (fold-free measurement face): the compacted store must
+    // route every disposition exactly like the un-compacted twin
+    def ledgerOf(p: String): Set[(Long, String)] =
+      ReleaseStore.incrementalRelease(spark, p,
+        batch(60000L, 7, " graftday2"), bench, foldBatch = false)
+        .ledger.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val la = ledgerOf(a)
+    assert(la == ledgerOf(b) && la.nonEmpty)
+  }
+
   test("crash recovery: every swap window rolls to a consistent state") {
     import java.nio.file.{Files, Paths}
     val spark2 = spark
@@ -177,6 +221,28 @@ class StoreCompactionSpec extends AnyFunSuite {
     mk(s"$e.__compact", 1)
     val r = StoreMaintenance.compactArtifact(spark, e, None)
     assert(r.rowsAfter == 7L && spark.read.parquet(e).count() == 7)
+  }
+
+  test("footer audit prices the accretion and the compaction's reversal") {
+    val store = "/tmp/graft_cptspec_audit"
+    val d = docs
+    SignatureStore.build(d.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", store)
+    (1 to 3).foreach(k => SignatureStore.append(
+      d.filter(col("doc_id") % 4 === k), "doc_id", "text", store))
+    val dirs = Seq(s"$store/bands.parquet", s"$store/sets.parquet")
+    val pre = StoreMaintenance.auditArtifacts(spark, dirs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    StoreMaintenance.compactSignatureStore(spark, store)
+    val post = StoreMaintenance.auditArtifacts(spark, dirs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    post.foreach { case (a, nf, rows) =>
+      assert(nf < pre(a), s"$a: $nf !< ${pre(a)}")
+      assert(rows > 0)
+    }
+    // empty dir: a zero row, not an error
+    assert(StoreMaintenance.auditArtifacts(spark, Seq("/tmp/graft_nodir"))
+      .head().getLong(1) == 0L)
   }
 
   test("the streaming near-dup gate's index side reads the persisted band table") {

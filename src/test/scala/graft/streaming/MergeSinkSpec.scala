@@ -265,6 +265,45 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keep window"))
   }
 
+  test("self-maintaining sink: files stay bounded, table exact, seeds intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-msink10")
+    val root = s"$base/table"
+    val sf = seed(base.toString)
+    val before = spark.read.parquet(sf: _*)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s = MemoryStream[Up]
+    // maintenance every 2 batches: compact the base into one group
+    // (1 GiB target) and vacuum beyond the newest 2 generations
+    val q = StreamingOps.runMergeSink(s.toDF(), root, sf, "doc_id",
+      s"$base/ckpt", maintainEvery = Some((2, 1L << 30, 2)))
+    try {
+      (0 to 5).foreach { i =>
+        s.addData(Up(999200L + i, s"ins $i", 5L, _deleted = false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = table(root)
+    (0 to 5).foreach(i => assert(got(999200L + i) == s"ins $i"))
+    val untouched = (before.keySet -- got.keySet.filter(_ >= 999200L))
+    untouched.take(5).foreach(k => assert(got(k) == before(k)))
+    assert(got.size == before.size + 6)
+    // without maintenance the table would reference the 6 seed files
+    // plus one unit per batch (≥ 12 by gen 5); the ticks keep the
+    // live list compacted
+    val cur = StreamingOps.currentFiles(root).get
+    assert(cur.size <= 4, s"expected a compacted file list, got $cur")
+    // the gen-4 tick vacuumed to {3, 4}; gen 5 published after it
+    val gens = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens == Seq("gen=3", "gen=4", "gen=5"), s"manifests: $gens")
+    // caller-owned seed files are never maintenance candidates
+    sf.foreach(p => assert(new java.io.File(p).exists(), s"seed $p deleted"))
+    // every file the live generations reference is on disk
+    (3L to 5L).foreach(g => StreamingOps.filesAt(root, g).get
+      .foreach(p => assert(new java.io.File(p).exists(), s"$p missing")))
+  }
+
   test("deleting every key empties the table; the next batch re-seeds it") {
     val base = java.nio.file.Files.createTempDirectory("graft-msink6")
     val root = s"$base/table"
