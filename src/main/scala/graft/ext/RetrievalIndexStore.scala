@@ -118,14 +118,20 @@ object RetrievalIndexStore {
         post.withColumn("__pr", row_number().over(w))
           .filter(col("__pr") <= maxPostingsPerToken).drop("__pr")
       }
-    kept.write.partitionBy("tok_bucket")
+    // bucket-keyed repartition before every partitionBy write: a
+    // partitionBy off the upstream partitioning mints up to
+    // (input partitions × buckets) files — ~25M on a 100 TB scan —
+    // while clustering on the bucket key bounds output at one file
+    // per (bucket, owning task): ≤ tok_buckets files total, the
+    // layout knob a deployment sizes buckets with in the first place
+    bucketed(kept).write.partitionBy("tok_bucket")
       .mode(SaveMode.Overwrite).parquet(s"$path/postings.parquet")
-    dfOf(post).write.partitionBy("tok_bucket")
+    bucketed(dfOf(post)).write.partitionBy("tok_bucket")
       .mode(SaveMode.Overwrite).parquet(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet")
     if (positional)
-      positionsOf(corpus, idCol, textCol, tokBuckets)
+      bucketed(positionsOf(corpus, idCol, textCol, tokBuckets))
         .write.partitionBy("tok_bucket")
         .mode(SaveMode.Overwrite).parquet(s"$path/positions.parquet")
     Seq(tokBuckets).toDF("tok_buckets").coalesce(1)
@@ -143,6 +149,11 @@ object RetrievalIndexStore {
       .select(col(idCol).cast("long").as("doc_id"), col("pos"), col("tok"))
       .withColumn("tok_bucket",
         pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)))
+
+  /** Cluster a bucket-partitioned artifact's rows on their bucket
+    * before the partitionBy write (see the [[build]] comment). */
+  private def bucketed(df: DataFrame): DataFrame =
+    df.repartition(col("tok_bucket"))
 
   private def hasPositions(path: String): Boolean =
     java.nio.file.Files.exists(
@@ -170,9 +181,9 @@ object RetrievalIndexStore {
     val tokBuckets = params(spark, path)
     val post = postingsOf(incoming, idCol, textCol, tokBuckets)
       .localCheckpoint()
-    post.write.partitionBy("tok_bucket")
+    bucketed(post).write.partitionBy("tok_bucket")
       .mode(SaveMode.Append).parquet(s"$path/postings.parquet")
-    dfOf(post).write.partitionBy("tok_bucket")
+    bucketed(dfOf(post)).write.partitionBy("tok_bucket")
       .mode(SaveMode.Append).parquet(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet")
@@ -181,7 +192,7 @@ object RetrievalIndexStore {
     // appended docs exactly as built ones (per-doc facts — no
     // cross-doc state to reconcile, same as the scored postings)
     if (hasPositions(path))
-      positionsOf(incoming, idCol, textCol, tokBuckets)
+      bucketed(positionsOf(incoming, idCol, textCol, tokBuckets))
         .write.partitionBy("tok_bucket")
         .mode(SaveMode.Append).parquet(s"$path/positions.parquet")
   }

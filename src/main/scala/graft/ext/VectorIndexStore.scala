@@ -73,12 +73,19 @@ object VectorIndexStore {
     Seq((numSub, subDim, cellBuckets))
       .toDF("num_sub", "sub_dim", "cell_buckets").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
+    // bucket-keyed repartition before the partitionBy write: off the
+    // encode's upstream partitioning the write would mint up to
+    // (input partitions × buckets) files — millions on a 100 TB
+    // corpus — while clustering on cell_bucket bounds output at one
+    // file per (bucket, owning task), the layout the probe scan and
+    // the compaction path both want
     encode(corpus, idCol, vecCol,
       normalized(centroids, idCol, vecCol).select(
         col("cid").as(idCol), col("vector").as(vecCol)),
       normalized(codebook, idCol, vecCol).select(
         col("cid").as(idCol), col("vector").as(vecCol)),
       numSub, subDim, cellBuckets)
+      .repartition(col("cell_bucket"))
       .write.partitionBy("cell_bucket").mode(SaveMode.Overwrite)
       .parquet(s"$path/codes.parquet")
   }
@@ -106,6 +113,7 @@ object VectorIndexStore {
       stored(spark, path, "centroids", idCol, vecCol),
       stored(spark, path, "codebook", idCol, vecCol),
       numSub, subDim, cellBuckets)
+      .repartition(col("cell_bucket"))
       .write.partitionBy("cell_bucket").mode(SaveMode.Append)
       .parquet(s"$path/codes.parquet")
   }
