@@ -112,10 +112,13 @@ object ScaleBench {
     "q_merge_narrow",
     // round 13: the store-lifecycle ladder (fragmented vs compacted
     // query face vs the fresh-build reference above), the stored
-    // positional face, and the composed daily release loop at a
-    // fixed batch
+    // positional face, the composed daily release loop at a fixed
+    // batch, and the full-lifecycle gates themselves (build + append
+    // + COMPACT + query — the maintenance-cost-at-scale curves; a
+    // compaction is one store rewrite, so linear is the pass bar)
     "q_bm25_frag_query", "q_bm25_defrag_query", "q_phrase_stored_query",
     "q_incr_release_ingest",
+    "q_sig_compact", "q_bm25_compact", "q_phrase_stored",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes

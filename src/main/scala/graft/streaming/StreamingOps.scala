@@ -415,18 +415,26 @@ object StreamingOps {
 
   /** Rename each merge unit's single output file to a deterministic,
     * chain-unique name (`g<batchId>-u<unit>.parquet`). Driver-side
-    * renames, one per touched unit — control-plane bounded. */
+    * renames, one per touched unit — control-plane bounded. Refuses
+    * a unit directory holding more than one file: the hash-inverse
+    * routing guarantees one, and renaming two onto one canonical
+    * name would silently drop rows if that invariant ever broke. */
   private def canonicalizeUnits(outPath: String, batchId: Long): Unit =
-    graft.sources.Layout.listParquet(outPath).foreach { p =>
-      "unit=(\\d+)/".r.findFirstMatchIn(p).foreach { m =>
-        val dir = p.substring(0, p.lastIndexOf('/'))
-        val tgt = s"$dir/g$batchId-u${m.group(1)}.parquet"
+    graft.sources.Layout.listParquet(outPath)
+      .flatMap(p => "unit=(\\d+)/".r.findFirstMatchIn(p)
+        .map(m => (p.substring(0, p.lastIndexOf('/')), m.group(1), p)))
+      .groupBy(_._1)
+      .foreach { case (dir, files) =>
+        require(files.length == 1,
+          s"unit dir $dir holds ${files.length} files; expected exactly " +
+            "one (hash-inverse routing) — not renaming")
+        val (_, unit, p) = files.head
+        val tgt = s"$dir/g$batchId-u$unit.parquet"
         if (p != tgt)
           java.nio.file.Files.move(java.nio.file.Paths.get(p),
             java.nio.file.Paths.get(tgt),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    }
 
   /** The manifest table's CURRENT file list (largest generation), or
     * None before the first publish. */
