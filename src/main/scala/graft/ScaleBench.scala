@@ -118,7 +118,7 @@ object ScaleBench {
     // compaction is one store rewrite, so linear is the pass bar)
     "q_bm25_frag_query", "q_bm25_defrag_query", "q_phrase_stored_query",
     "q_incr_release_ingest",
-    "q_sig_compact", "q_bm25_compact", "q_phrase_stored",
+    "q_sig_compact", "q_bm25_compact", "q_phrase_stored", "q_ann_compact",
     // binary-retrieval family: XOR+popcount scans (the linear floor
     // of the ANN ladder) and the shortlist-then-rerank composition;
     // hard-pair mining is the same scan with two conditional argmaxes
