@@ -730,7 +730,13 @@ object StarQueries {
   def storedIndexBands(spark: SparkSession, dir: String,
                        d: DataFrame): DataFrame = {
     val tail = dir.split('/').filter(_.nonEmpty).last
-    val store = s"/tmp/graft_sigstore_stream_$tail"
+    // the staging key carries the FULL fixture path's hash and a
+    // store-format version, not just the dir basename: /tmp persists
+    // across rounds, and a bare-basename exists-check would silently
+    // reuse a stale store from a prior layout or a different corpus
+    // sharing the tail (the r13 stale-layout hazard)
+    val fp = java.lang.Integer.toHexString(dir.hashCode)
+    val store = s"/tmp/graft_sigstore_stream_${tail}_${fp}_v2"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$store/params.parquet")))
       graft.ext.SignatureStore.build(d, "doc_id", "text", store)

@@ -355,7 +355,17 @@ object StreamingOps {
                    seedFiles: Seq[String], keyCol: String,
                    checkpoint: String,
                    maintainEvery: Option[(Int, Long, Int)] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at sink construction, not on micro-batch 1: k = 0 would
+    // throw on every batch's modulo, a negative k would silently
+    // never maintain, and non-positive sizes are config typos
+    maintainEvery.foreach { case (k, targetBytes, keepGens) =>
+      require(k > 0, s"maintainEvery cadence must be positive, got $k")
+      require(targetBytes > 0,
+        s"maintainEvery targetBytes must be positive, got $targetBytes")
+      require(keepGens >= 0,
+        s"maintainEvery keepGens must be non-negative, got $keepGens")
+    }
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -378,8 +388,13 @@ object StreamingOps {
           case None => base0
         }
         val out = s"$root/data/batch_id=$batchId"
+        // materialize the manifest BEFORE canonicalizeUnits renames
+        // the unit files: m's lazy plan references the pre-rename
+        // paths (the footer re-inventory side of the join), and only
+        // optimizer pruning keeps that reference from being read —
+        // pin the rows now so no lazy plan outlives the renames
         val m = graft.sources.Merge.mergeFiles(spark, base, out,
-          batch.toDF(), keyCol)
+          batch.toDF(), keyCol).localCheckpoint()
         // canonical unit names: a replayed batch re-merges the same
         // base and batch, so after renaming away Spark's per-job file
         // UUIDs its generation content is BYTE-IDENTICAL — which is
@@ -397,6 +412,7 @@ object StreamingOps {
         }
       }
       .start()
+  }
 
   /** [[canonicalizeUnits]] for a maintenance batch's base-compaction
     * output: `group_id=<g>/` dirs each hold one file, renamed to the
