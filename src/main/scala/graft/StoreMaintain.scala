@@ -11,14 +11,38 @@ import graft.ext.StoreMaintenance
   *   run_main.sh graft.StoreMaintain vector    <storePath>
   *   run_main.sh graft.StoreMaintain retrieval <storePath>
   *   run_main.sh graft.StoreMaintain release   <storePath>
+  *   run_main.sh graft.StoreMaintain enable    <kind> <storePath>
+  *   run_main.sh graft.StoreMaintain vacuum    <kind> <storePath> <keepGens>
   *
   * `audit` prints the footer-only health inventory (zero data read —
   * the WHEN); the store kinds run the corresponding compaction (the
   * crash-recoverable swap; re-running after any kill is the repair)
   * and print one JSON line per artifact with the before/after
   * arithmetic plus the wall seconds — the line an operator's log
-  * retention actually wants. */
+  * retention actually wants.
+  *
+  * Concurrency contract: on a NON-generational store the compaction
+  * swap parks-and-replaces the live artifact directory, so run this
+  * CLI QUIESCED — no concurrent readers or second maintenance
+  * process (a reader in the two-rename window hits ENOENT). A store
+  * whose artifacts carry a [[graft.ext.StoreGenerations]] chain
+  * (`StoreGenerations.enable`) compacts ONLINE instead: readers keep
+  * resolving their pinned generation while the compacted one
+  * publishes, and only [[graft.ext.StoreGenerations.vacuum]] retires
+  * bytes — the single-writer contract then covers writers only. */
 object StoreMaintain {
+
+  /** Minimal JSON string escaping — paths can carry quotes or
+    * backslashes, and an operator's log pipeline chokes on raw
+    * interpolation. */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: StoreMaintain <audit|sig|vector|retrieval|release> <path>...")
@@ -29,10 +53,18 @@ object StoreMaintain {
       case "audit" =>
         StoreMaintenance.auditArtifacts(spark, args.drop(1).toSeq)
           .collect().foreach { r =>
-            println(s"""{"artifact":"${r.getString(0)}","n_files":${r.getLong(1)},""" +
+            println(s"""{"artifact":${jstr(r.getString(0))},"n_files":${r.getLong(1)},""" +
               s""""bytes":${r.getLong(2)},"rows":${r.getLong(3)},""" +
               s""""bytes_per_file":${r.getLong(4)}}""")
           }
+      case "enable" =>
+        StoreMaintenance.enableStoreGenerations(args(1), args(2))
+        println(s"""{"enabled":${jstr(args(2))},"kind":${jstr(args(1))}}""")
+      case "vacuum" =>
+        val (nf, nm) = StoreMaintenance.vacuumStore(args(1), args(2),
+          args(3).toInt)
+        println(s"""{"vacuumed":${jstr(args(2))},"files_deleted":$nf,""" +
+          s""""manifests_deleted":$nm}""")
       case kind =>
         val path = args(1)
         val t0 = System.nanoTime()
@@ -45,11 +77,11 @@ object StoreMaintain {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         reports.foreach { r =>
-          println(s"""{"artifact":"${r.artifact}","files_before":${r.filesBefore},""" +
+          println(s"""{"artifact":${jstr(r.artifact)},"files_before":${r.filesBefore},""" +
             s""""files_after":${r.filesAfter},"rows_before":${r.rowsBefore},""" +
             s""""rows_after":${r.rowsAfter}}""")
         }
-        println(f"""{"kind":"$kind","path":"$path","sec":$sec%.2f}""")
+        println(f"""{"kind":${jstr(kind)},"path":${jstr(path)},"sec":$sec%.2f}""")
     }
     spark.stop()
   }

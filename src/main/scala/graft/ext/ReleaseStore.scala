@@ -110,12 +110,17 @@ object ReleaseStore {
                          batch: DataFrame, benchmark: DataFrame,
                          packTokens: Int = 512, shardTokens: Long = 2000L,
                          maxBucketSize: Int = Int.MaxValue,
-                         foldBatch: Boolean = true)
+                         foldBatch: Boolean = true,
+                         autoMaintain: Option[StoreMaintenance.AutoMaintain]
+                           = None)
       : CorpusRelease.Bundle = {
     // --- i1: seen-URL probe + within-batch url keeper -------------
     val nb = batch.withColumn("__nu", UrlOps.normalize(col("url")))
       .localCheckpoint()
-    val seenUrls = spark.read.parquet(s"$path/urls.parquet")
+    // generation-aware store probes: a chained store's readers hold
+    // the current generation's file list, so an in-band compaction
+    // (autoMaintain) never disturbs a probe already planned
+    val seenUrls = StoreGenerations.read(spark, s"$path/urls.parquet")
       .join(broadcast(nb.select(col("__nu").as("norm_url")).distinct()),
         Seq("norm_url"))
       .select(col("norm_url").as("__nu"))
@@ -134,7 +139,7 @@ object ReleaseStore {
 
     // --- i2: seen-hash probe + within-batch exact keeper ----------
     val hk = uk.withColumn("__h", md5(col("text"))).localCheckpoint()
-    val seenH = spark.read.parquet(s"$path/hashes.parquet")
+    val seenH = StoreGenerations.read(spark, s"$path/hashes.parquet")
       .join(broadcast(hk.select(col("__h").as("h")).distinct()), Seq("h"))
       .select(col("h").as("__h"))
     val ek = hk.join(seenH, Seq("__h"), "left_anti")
@@ -253,8 +258,14 @@ object ReleaseStore {
         "doc_id", "text", s"$path/sig")
       nb.select(col("__nu").as("norm_url")).distinct()
         .write.mode(SaveMode.Append).parquet(s"$path/urls.parquet")
+      StoreGenerations.commitAppend(s"$path/urls.parquet")
       nb.select(md5(col("text")).as("h")).distinct()
         .write.mode(SaveMode.Append).parquet(s"$path/hashes.parquet")
+      StoreGenerations.commitAppend(s"$path/hashes.parquet")
+      // in-band lifecycle knob (see SignatureStore.append): a daily
+      // loop with autoMaintain set needs no external compaction tick
+      autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
+        StoreMaintenance.artifactsOf("release", path), am))
     }
 
     CorpusRelease.Bundle(ledger, packs, shards, card, manifest)

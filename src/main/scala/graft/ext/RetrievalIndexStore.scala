@@ -176,25 +176,35 @@ object RetrievalIndexStore {
     * next rebuild — the same snapshot-until-rebuild posture as the
     * vector index's frozen geometry. df stays exact either way. */
   def append(incoming: DataFrame, idCol: String, textCol: String,
-             path: String): Unit = {
+             path: String,
+             autoMaintain: Option[StoreMaintenance.AutoMaintain] = None)
+      : Unit = {
     val spark = incoming.sparkSession
     val tokBuckets = params(spark, path)
     val post = postingsOf(incoming, idCol, textCol, tokBuckets)
       .localCheckpoint()
     bucketed(post).write.partitionBy("tok_bucket")
       .mode(SaveMode.Append).parquet(s"$path/postings.parquet")
+    StoreGenerations.commitAppend(s"$path/postings.parquet")
     bucketed(dfOf(post)).write.partitionBy("tok_bucket")
       .mode(SaveMode.Append).parquet(s"$path/df.parquet")
+    StoreGenerations.commitAppend(s"$path/df.parquet")
     statsOf(post).coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet")
+    StoreGenerations.commitAppend(s"$path/stats.parquet")
     // a positional store stays positional: the batch's positions land
     // under the same bucket fn, so tomorrow's phrase probe sees the
     // appended docs exactly as built ones (per-doc facts — no
     // cross-doc state to reconcile, same as the scored postings)
-    if (hasPositions(path))
+    if (hasPositions(path)) {
       bucketed(positionsOf(incoming, idCol, textCol, tokBuckets))
         .write.partitionBy("tok_bucket")
         .mode(SaveMode.Append).parquet(s"$path/positions.parquet")
+      StoreGenerations.commitAppend(s"$path/positions.parquet")
+    }
+    // in-band lifecycle knob — see SignatureStore.append
+    autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
+      StoreMaintenance.artifactsOf("retrieval", path), am))
   }
 
   /** Exact-phrase top-k against the STORED positional index (build
@@ -223,7 +233,7 @@ object RetrievalIndexStore {
     val buckets = qtoks
       .select(pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).as("__b"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val post = spark.read.parquet(s"$path/positions.parquet")
+    val post = StoreGenerations.read(spark, s"$path/positions.parquet")
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(qtoks), Seq("tok"))
       .select(col("doc_id"), col("pos"), col("tok"))
@@ -255,7 +265,9 @@ object RetrievalIndexStore {
     val qtoks = qterms.select("tok").distinct()
     // candidate postings = probed buckets ∩ query tokens; checkpoint
     // so dfreq and the score join share one scan
-    val post = spark.read.parquet(s"$path/postings.parquet")
+    // generation-aware reads: a chained store resolves the current
+    // generation's file list (bucket-dir pruning kept via basePath)
+    val post = StoreGenerations.read(spark, s"$path/postings.parquet")
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(qtoks), Seq("tok"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
@@ -263,11 +275,11 @@ object RetrievalIndexStore {
     // df from the persisted table (summed deltas), NOT from counting
     // the scan: on a pruned store the scan undercounts by design;
     // on an unpruned store the two are identical (spec-pinned)
-    val dfreq = spark.read.parquet(s"$path/df.parquet")
+    val dfreq = StoreGenerations.read(spark, s"$path/df.parquet")
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(qtoks), Seq("tok"))
       .groupBy("tok").agg(sum("df").as("__df"))
-    val tot = spark.read.parquet(s"$path/stats.parquet")
+    val tot = StoreGenerations.read(spark, s"$path/stats.parquet")
       .agg(sum("n_docs").as("__n"), sum("total_dl").as("__t"))
     Retrieval.bm25FromPostings(qterms, post, dfreq, tot, "doc_id", k)
   }

@@ -86,15 +86,29 @@ object SignatureStore {
     * bands/sets are derived under the STORE's config, so an appended
     * doc is probe-able tomorrow exactly as a built doc is). Caller
     * guarantees the batch's ids are new — the store has no dedup of
-    * its own (same contract as the direct route's id-disjointness). */
+    * its own (same contract as the direct route's id-disjointness).
+    *
+    * On a [[StoreGenerations]]-enabled store each artifact publishes
+    * the next generation after its write (readers never see a
+    * half-appended batch's files mixed into an older pin).
+    * `autoMaintain` is the in-band lifecycle knob (the store-side
+    * mirror of the merge sink's `maintainEvery`): consult the
+    * filesystem-metadata trigger after the fold and compact+vacuum
+    * exactly the artifacts whose file count crossed the ratio. */
   def append(incoming: DataFrame, idCol: String, textCol: String,
-             path: String): Unit = {
+             path: String,
+             autoMaintain: Option[StoreMaintenance.AutoMaintain] = None)
+      : Unit = {
     val spark = incoming.sparkSession
     val (shingleN, numHashes) = params(spark, path)
     bandsOf(incoming, idCol, textCol, shingleN, numHashes)
       .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet")
+    StoreGenerations.commitAppend(s"$path/bands.parquet")
     setsOf(incoming, idCol, textCol, shingleN)
       .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet")
+    StoreGenerations.commitAppend(s"$path/sets.parquet")
+    autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
+      StoreMaintenance.artifactsOf("sig", path), am))
   }
 
   /** The daily check: near-dups of `incoming` against the STORE
@@ -116,7 +130,9 @@ object SignatureStore {
                else identity[DataFrame] _
     val bN = bandsOf(incoming, idCol, textCol, shingleN, numHashes)
       .withColumnRenamed("doc_id", "new_id")
-    val bI = spark.read.parquet(s"$path/bands.parquet")
+    // generation-aware: a chained store's probe resolves the CURRENT
+    // generation's file list, so maintenance can compact concurrently
+    val bI = StoreGenerations.read(spark, s"$path/bands.parquet")
     // store rows inside probed buckets only: the broadcast join keeps
     // every index row of every bucket the batch touches, so counting
     // THESE rows per (band, bkey) reproduces the direct route's index
@@ -144,7 +160,7 @@ object SignatureStore {
     val setsN = setsOf(incoming, idCol, textCol, shingleN)
       .select(col("doc_id").as("new_id"), col("shingles").as("__seta"))
     val candIdx = mark(cand.select(col("index_id").as("doc_id")).distinct())
-    val setsI = spark.read.parquet(s"$path/sets.parquet")
+    val setsI = StoreGenerations.read(spark, s"$path/sets.parquet")
       .join(candIdx, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("index_id"), col("shingles").as("__setb"))
     val inter = size(array_intersect(col("__seta"), col("__setb")))

@@ -104,9 +104,13 @@ object VectorIndexStore {
 
   /** Fold new vectors into the index under the STORE's frozen
     * geometry (snapshot semantics — see the class doc). Caller
-    * guarantees new ids; the store has no dedup of its own. */
+    * guarantees new ids; the store has no dedup of its own.
+    * `autoMaintain`: the in-band lifecycle knob — see
+    * [[SignatureStore.append]]. */
   def append(newVectors: DataFrame, idCol: String, vecCol: String,
-             path: String): Unit = {
+             path: String,
+             autoMaintain: Option[StoreMaintenance.AutoMaintain] = None)
+      : Unit = {
     val spark = newVectors.sparkSession
     val (numSub, subDim, cellBuckets) = params(spark, path)
     encode(newVectors, idCol, vecCol,
@@ -116,6 +120,9 @@ object VectorIndexStore {
       .repartition(col("cell_bucket"))
       .write.partitionBy("cell_bucket").mode(SaveMode.Append)
       .parquet(s"$path/codes.parquet")
+    StoreGenerations.commitAppend(s"$path/codes.parquet")
+    autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
+      StoreMaintenance.artifactsOf("vector", path), am))
   }
 
   /** ADC top-k against the stored index: plan the batch's probed
@@ -147,7 +154,10 @@ object VectorIndexStore {
       .select("__cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val buckets = probedCells.map(_ % cellBuckets).distinct
-    val codes = spark.read.parquet(s"$path/codes.parquet")
+    // generation-aware read: a chained store's probe resolves the
+    // current generation's file list (bucket-dir partition pruning
+    // preserved via basePath), so compaction never blocks queries
+    val codes = StoreGenerations.read(spark, s"$path/codes.parquet")
       .filter(col("cell_bucket").isin(buckets: _*) &&
         col("cell").isin(probedCells: _*))
       .select(col("neighbor_id"), col("cell").as("__cell"),

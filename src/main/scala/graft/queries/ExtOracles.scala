@@ -2835,6 +2835,10 @@ object ExtOracles {
     // the base layout), so the store's probe answers must be
     // bit-identical through it
     "q_sig_compact" -> incrStoredSql,
+    // the GENERATIONAL gate replays the same oracle again: the chain,
+    // the online compaction, and the keep-window vacuum must all be
+    // invisible in a reader planned before the cycle started
+    "q_sig_gen" -> incrStoredSql,
     "q_incr_dedup" ->
       """WITH inc AS (
         |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text

@@ -1890,6 +1890,39 @@ object ExtQueries {
     SignatureStore.ingest(spark, store, batchB, "doc_id", "text")
   }
 
+  /** The GENERATIONAL store lifecycle through the gate — q_sig_compact
+    * with the chain enabled and the probe PLANNED BEFORE the online
+    * compaction runs: build → enable → append batch A → plan the
+    * ingest of batch B (its file index resolves the pre-compaction
+    * generation NOW) → [[StoreMaintenance.compactSignatureStore]]
+    * (generational: publishes the next generation, moves nothing a
+    * reader holds) → [[StoreMaintenance.vacuumStore]] with a keep
+    * window of 2 (retains the reader's generation) → RETURN the
+    * pinned frame, which the driver collects only after the whole
+    * cycle completed. Same oracle as q_incr_stored: the chain, the
+    * online compaction, and the vacuum must all be invisible in a
+    * concurrent reader's answer — the row that retires the
+    * quiesced-store assumption. */
+  def sigGen(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_gen_$tail"
+    val d = docs(spark, dir).select("doc_id", "text")
+    val batchA = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    val batchB = d.filter(col("doc_id") % 26 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(col("text"), lit(" graftincr fresh")).as("text"))
+    SignatureStore.build(d, "doc_id", "text", store)
+    StoreMaintenance.enableStoreGenerations("sig", store)
+    SignatureStore.append(batchA, "doc_id", "text", store)
+    val pinned = SignatureStore.ingest(spark, store, batchB,
+      "doc_id", "text")
+    StoreMaintenance.compactSignatureStore(spark, store)
+    StoreMaintenance.vacuumStore("sig", store, keepGens = 2)
+    pinned
+  }
+
   /** The vector store through its full lifecycle including
     * compaction: q_ann_stored's fixture split into a build part and
     * an appended part (every 5th-mod-2 candidate arrives as the
@@ -3130,6 +3163,7 @@ object ExtQueries {
     "q_bm25_capped"       -> (bm25Capped _),
     "q_bm25_compact"      -> (bm25Compact _),
     "q_sig_compact"       -> (sigCompact _),
+    "q_sig_gen"           -> (sigGen _),
     "q_ann_compact"       -> (annCompact _),
     "q_phrase_stored"     -> (phraseStored _),
     "q_rrf_fusion"        -> (rrfFusion _),
