@@ -125,6 +125,38 @@ object VectorIndexStore {
       StoreMaintenance.artifactsOf("vector", path), am))
   }
 
+  /** REBUILD: re-fit the index geometry over the CURRENT corpus and
+    * re-encode — the operation the recall audits (the documented
+    * drift monitor) point a deployment toward once appends from a
+    * shifted distribution have degraded the frozen-geometry recall.
+    * One coarse-quantizer derivation (deterministic √N stride sample
+    * by id — the same policy the direct IVFADC chain uses; a
+    * deployment with sparse ids derives its own centroids and calls
+    * [[build]]), one residual k-means fit, one encode pass — the
+    * exact cost of a fresh [[build]], which is the honest bar: a
+    * rebuild IS a fresh build over base + appends, so its output is
+    * bit-identical to one (spec-pinned), and the layout config
+    * (num_sub, sub_dim, cell_buckets) carries over from the store.
+    * Overwrites the store; a generation chain, like any rebuild's,
+    * starts fresh (re-enable after). */
+  def rebuild(corpus: DataFrame, idCol: String, vecCol: String,
+              path: String, k: Int, iters: Int): Unit = {
+    val spark = corpus.sparkSession
+    val (numSub, subDim, cellBuckets) = params(spark, path)
+    val stride = math.max(1L,
+      math.floor(math.sqrt(corpus.count().toDouble)).toLong)
+    val cents = corpus.filter(col(idCol) % stride === 0)
+    // the residual-trained codebook: fit on what it will quantize
+    // (residuals cluster near the origin), same as the direct chain
+    val res = Similarity.ivfResiduals(corpus, cents, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("__rv").as(vecCol))
+    val cb = KMeans.codebook(KMeans.fit(res, idCol, vecCol, k = k,
+        numSub = numSub, subDim = subDim, iters = iters))
+      .select(col("cid").as(idCol), col("vector").as(vecCol))
+    build(corpus, idCol, vecCol, path, cents, cb,
+      numSub, subDim, cellBuckets)
+  }
+
   /** ADC top-k against the stored index: plan the batch's probed
     * cells (q·nprobe longs to the driver — bounded-collect class),
     * scan ONLY their partitions, score. Output identical to

@@ -554,30 +554,59 @@ object ExtOracles {
         |    cand c) t WHERE rank <= 3)""".stripMargin + "\n" +
       recallTailSql
 
+  /** The argmin cell assignment of `src` against `cent`, with
+    * residual vectors — the shared CTE body of every IVF chain. */
+  private def asgCte(name: String, src: String): String =
+    s"""$name AS (SELECT neighbor_id, cell, rv FROM (
+       |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
+       |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i ->
+       |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
+       |      ct.cid ASC) AS rk
+       |  FROM $src c, cent ct) WHERE rk = 1)""".stripMargin
+
   /** IVF cells + residuals (identical to the r7 chain) + a km fit
     * whose kmsrc is the RESIDUAL vectors — the codebook the ADC
-    * probes against is trained on what it quantizes. */
-  private def ivfPreamble: String =
-    eCandCtes + ",\n" +
+    * probes against is trained on what it quantizes. `head` picks
+    * the e/cand source (raw embeddings, the organic fixture, the
+    * shifted rebuild corpus). */
+  private def ivfPreamble: String = ivfPreambleFrom(eCandCtes)
+
+  private def ivfPreambleFrom(head: String): String =
+    head + ",\n" +
       """stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
         |    AS m FROM cand),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM cand, stride
-        |  WHERE vec_id % stride.m = 0),
-        |asg AS (SELECT neighbor_id, cell, rv FROM (
-        |  SELECT c.vec_id AS neighbor_id, ct.cid AS cell,
-        |    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS rv,
-        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))) ASC,
-        |      ct.cid ASC) AS rk
-        |  FROM cand c, cent ct) WHERE rk = 1),
-        |kmsrc AS (SELECT neighbor_id AS rid, rv AS v FROM asg)""".stripMargin +
-      ",\n" +
+        |  WHERE vec_id % stride.m = 0)""".stripMargin + ",\n" +
+      asgCte("asg", "cand") +
+      ",\nkmsrc AS (SELECT neighbor_id AS rid, rv AS v FROM asg),\n" +
       kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
         ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
       kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters, ExtQueries.PqScale)
 
-  private def ivfBodyCtes(ns: Int, sd: Int): String =
+  /** Train-on-base, encode-all preamble — the FROZEN-geometry drift
+    * chain: `head` must define `tr` (the corpus the store was built
+    * on) beside `e`/`cand` (the full corpus including appends). The
+    * coarse quantizer (stride + cent) and the residual codebook fit
+    * come from `tr` only; `asg` — the codes source the ADC body reads
+    * — covers ALL of `cand`, exactly what [[graft.ext
+    * .VectorIndexStore.append]]'s snapshot semantics encode. */
+  private def ivfPreambleSplit(head: String): String =
+    head + ",\n" +
+      """stride AS (SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT))
+        |    AS m FROM tr),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM tr, stride
+        |  WHERE vec_id % stride.m = 0)""".stripMargin + ",\n" +
+      asgCte("asgt", "tr") +
+      ",\nkmsrc AS (SELECT neighbor_id AS rid, rv AS v FROM asgt),\n" +
+      kmChain(ExtQueries.PqK.toString, ExtQueries.PqSub, ExtQueries.PqDim,
+        ExtQueries.PqIters, ExtQueries.PqScale) + ",\n" +
+      kmCodebookCtes(ExtQueries.PqDim, ExtQueries.PqIters,
+        ExtQueries.PqScale) + ",\n" +
+      asgCte("asg", "cand")
+
+  private def ivfBodyCtes(ns: Int, sd: Int, q: String = qCte): String =
     s"""codes AS (SELECT neighbor_id, cell, m,
        |    list_indexof(ds, list_min(ds)) - 1 AS code FROM (
        |  SELECT a.neighbor_id, a.cell, k.m, list_transform(k.scl, sc ->
@@ -585,7 +614,7 @@ object ExtOracles {
        |      (a.rv[k.m * $sd + i] - sc[i])
        |      * (a.rv[k.m * $sd + i] - sc[i])))) AS ds
        |  FROM asg a, kmsub k) t),
-       |$qCte,
+       |$q,
        |probes AS (SELECT query_id, cell, qr FROM (
        |  SELECT q.query_id, ct.cid AS cell,
        |    list_transform(range(1, 65), i -> q.v[i] - ct.cv[i]) AS qr,
@@ -609,16 +638,72 @@ object ExtOracles {
        |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
        |  FROM adc)""".stripMargin
 
-  private def ivfPqTopkSql: String =
-    ivfPreamble + ",\n" + ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) +
-      "\n" +
-      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        |  adc_dist2
-        |FROM ranked WHERE rank <= 3""".stripMargin
+  private val ivfTopkTail: String =
+    """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |  adc_dist2
+      |FROM ranked WHERE rank <= 3""".stripMargin
 
-  private def ivfPqRecallSql: String =
-    ivfPreamble + ",\n" + ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) +
-      ",\n" +
+  private def ivfPqTopkSql: String = ivfPqTopkSqlFrom(eCandCtes)
+
+  private def ivfPqTopkSqlFrom(head: String): String =
+    ivfPreambleFrom(head) + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) + "\n" + ivfTopkTail
+
+  private def ivfPqRecallSql: String = ivfPqRecallSqlFrom(eCandCtes)
+
+  private def ivfPqRecallSqlFrom(head: String): String =
+    ivfPreambleFrom(head) + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) + ",\n" +
+      "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
+      exactL2Cte + "\n" + recallTailSql
+
+  /** Shifted-corpus head for the rebuild/drift gates: e = the raw
+    * embeddings ∪ a +64.0 element-wise-shifted copy (double add,
+    * REAL round-trip — the exact float chain the Spark fixture
+    * emits; ids +900000 — a second mode far from every base
+    * centroid). cand = base candidates ∪ shifted candidates. */
+  private val rebuildHead: String =
+    """WITH e0 AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sh AS (SELECT vec_id + 900000 AS vec_id,
+      |    list_transform(v, x -> CAST(CAST(x + 64.0 AS REAL) AS DOUBLE))
+      |      AS v
+      |  FROM e0),
+      |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM sh),
+      |cand AS (SELECT vec_id, v FROM e
+      |  WHERE (vec_id >= 20 AND vec_id < 900000) OR vec_id >= 900020)"""
+      .stripMargin
+
+  /** The mixed query set of the rebuild gates: the 20 original
+    * queries plus their shifted copies. */
+  private val rebuildQCte: String =
+    """q AS (SELECT vec_id AS query_id, v FROM e
+      |  WHERE vec_id < 20 OR (vec_id >= 900000 AND vec_id < 900020))"""
+      .stripMargin
+
+  /** Post-rebuild route == a fresh IVFADC derivation over the
+    * extended corpus (the rebuild contract), so the oracle is the
+    * standard chain on the shifted head with the mixed queries. */
+  private def annRebuildSql: String =
+    ivfPreambleFrom(rebuildHead) + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim, rebuildQCte) +
+      "\n" + ivfTopkTail
+
+  private def annRebuildRecallSql: String =
+    ivfPreambleFrom(rebuildHead) + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim, rebuildQCte) + ",\n" +
+      "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
+      exactL2Cte + "\n" + recallTailSql
+
+  /** Frozen-geometry drift audit: geometry trained on the BASE tier
+    * (`tr`), codes over the full corpus, recall vs exact L2 over the
+    * full corpus — the whole snapshot-semantics chain replayed. */
+  private def annDriftSql: String =
+    ivfPreambleSplit(rebuildHead +
+      ",\ntr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20 AND " +
+      "vec_id < 900000)") + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim, rebuildQCte) + ",\n" +
       "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
       exactL2Cte + "\n" + recallTailSql
 
@@ -1890,6 +1975,16 @@ object ExtOracles {
     // the persisted-index route answers from the on-disk artifact;
     // the oracle is the DIRECT chain's — the store must be invisible
     "q_ann_stored" -> ivfPqTopkSql,
+    // the ORGANIC-head stored route replays the same direct chain on
+    // the token-profile fixture: store plumbing, the append, and
+    // bucket pruning invisible on data nobody shaped
+    "q_ann_stored_org" -> ivfPqTopkSqlFrom(organicECandCtes),
+    "q_ann_recall_org" -> ivfPqRecallSqlFrom(organicECandCtes),
+    // frozen-geometry drift: train-on-base, encode-all, audited
+    "q_ann_drift" -> annDriftSql,
+    // rebuild == fresh derivation over the extended corpus
+    "q_ann_rebuild" -> annRebuildSql,
+    "q_ann_rebuild_recall" -> annRebuildRecallSql,
     // build(4/5 of the candidates) ∪ append(the rest) is exactly the
     // q_ivf_pq_topk corpus again, and compaction of the cell-bucketed
     // codes is physical only — same oracle, store invisible

@@ -863,6 +863,144 @@ object ExtQueries {
       "vec_id", "embedding", k = 3, nprobe = 3)
   }
 
+  /** The q_ivf_pq_topk fixture re-derived on the ORGANIC token-
+    * profile tier ([[organicEmb]]) — same √N-stride coarse structure,
+    * same residual-trained codebook recipe, data nobody shaped. */
+  private def ivfPqPartsOrg(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = organicEmb(spark, dir)
+    val cands = e.filter(col("vec_id") >= 20)
+    val stride = math.max(1L,
+      math.floor(math.sqrt(cands.count().toDouble)).toLong)
+    val cents = cands.filter(col("vec_id") % stride === 0)
+    val residualCb = memoized(spark, dir, "ivfpq_org") {
+      val res = Similarity.ivfResiduals(cands, cents, "vec_id", "embedding")
+        .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
+      KMeans.codebook(
+        KMeans.fit(res, "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+    (e.filter(col("vec_id") < 20), cands, cents, residualCb)
+  }
+
+  /** The PERSISTED IVFADC route on the ORGANIC head, lifecycle
+    * included (build the stride/residual-trained structure over the
+    * token-profile fixture, append every 5th-mod-2 candidate, answer
+    * from the store) — the row that carries the stored-ANN evidence
+    * onto the unshaped-data tier. The oracle replays the full direct
+    * IVFADC chain over the organic corpus: store plumbing, append,
+    * and bucket pruning must be invisible in the answer. */
+  def annStoredOrg(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_org_$tail"
+    val (queries, cands, cents, residualCb) = ivfPqPartsOrg(spark, dir)
+    VectorIndexStore.build(cands.filter(col("vec_id") % 5 =!= 2),
+      "vec_id", "embedding", path, cents, residualCb,
+      numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.append(cands.filter(col("vec_id") % 5 === 2),
+      "vec_id", "embedding", path)
+    VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+  }
+
+  /** Recall@3 of the stored organic route vs exact L2 — the
+    * unshaped-data recall figure BASELINE.md quotes beside the
+    * synthetic tiers' (the store answers, the audit measures). */
+  def annStoredOrgRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = organicEmb(spark, dir)
+    val exact = Similarity.bruteTopKL2(e.filter(col("vec_id") < 20),
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact, annStoredOrg(spark, dir))
+  }
+
+  /** +64.0 element-wise shift (double add, float round-trip — bit-
+    * replayable in DuckDB): the distribution-shifted append the
+    * rebuild gates drift the store with. Ids move +900000. */
+  private def shiftEmb(df: DataFrame): DataFrame =
+    df.select((col("vec_id") + 900000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") + lit(64.0)).cast("float")).as("embedding"))
+
+  /** The rebuild-family fixture: base = the embeddings candidates,
+    * shifted = their +64-shifted copies (a second mode far from every
+    * base centroid), qmix = original + shifted queries, base geometry
+    * = √N-stride centroids + residual codebook over BASE only (what
+    * the store froze at build time). */
+  private def rebuildParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") >= 20)
+    val full = base.unionByName(shiftEmb(base))
+    val qmix = e.filter(col("vec_id") < 20)
+      .unionByName(shiftEmb(e.filter(col("vec_id") < 20)))
+    val stride = math.max(1L,
+      math.floor(math.sqrt(base.count().toDouble)).toLong)
+    val cents = base.filter(col("vec_id") % stride === 0)
+    val cb = memoized(spark, dir, "annrb") {
+      val res = Similarity.ivfResiduals(base, cents, "vec_id", "embedding")
+        .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
+      KMeans.codebook(
+        KMeans.fit(res, "vec_id", "embedding",
+          k = PqK, numSub = PqSub, subDim = PqDim, iters = PqIters))
+        .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    }
+    (qmix, base, full, cents, cb)
+  }
+
+  /** FROZEN-geometry drift audit: build the store on the base corpus,
+    * append the shifted batch (encoded under the frozen base
+    * centroids/codebook — snapshot semantics), then measure recall@3
+    * of the mixed query set against exact L2 over the full corpus.
+    * The shifted mode sits far from every base centroid, so its
+    * queries' recall DEGRADES — this gate is the measured number the
+    * rebuild decision reads, and the DuckDB oracle replays the whole
+    * frozen chain (train-on-base, encode-all) plus the audit. */
+  def annDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_drift_$tail"
+    val (qmix, base, full, cents, cb) = rebuildParts(spark, dir)
+    VectorIndexStore.build(base, "vec_id", "embedding", path,
+      cents, cb, numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.append(shiftEmb(base), "vec_id", "embedding", path)
+    val exact = Similarity.bruteTopKL2(qmix, full,
+      "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact, VectorIndexStore.query(spark, path,
+      qmix, "vec_id", "embedding", k = 3, nprobe = 3))
+  }
+
+  /** The REBUILD through the gate ([[VectorIndexStore.rebuild]]):
+    * same drifted store (build on base, append shifted), then rebuild
+    * — re-derive the √N-stride coarse quantizer and re-fit the
+    * residual codebook over base + appends, re-encode — and answer
+    * the mixed query batch. The oracle replays the full direct IVFADC
+    * chain over the EXTENDED corpus: a rebuild must be bit-identical
+    * to a fresh build over the current corpus — the contract that
+    * makes "one fit + one encode pass" the honest cost bar. */
+  def annRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_rb_$tail"
+    val (qmix, base, full, cents, cb) = rebuildParts(spark, dir)
+    VectorIndexStore.build(base, "vec_id", "embedding", path,
+      cents, cb, numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.append(shiftEmb(base), "vec_id", "embedding", path)
+    VectorIndexStore.rebuild(full, "vec_id", "embedding", path,
+      k = PqK, iters = PqIters)
+    VectorIndexStore.query(spark, path, qmix,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+  }
+
+  /** Recall@3 after the rebuild — beside [[annDrift]] this is the
+    * degraded → restored pair: the spec pins restored > degraded and
+    * BASELINE.md quotes both. Oracle-checked through the same
+    * replayed chain + audit. */
+  def annRebuildRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (qmix, _, full, _, _) = rebuildParts(spark, dir)
+    val exact = Similarity.bruteTopKL2(qmix, full,
+      "vec_id", "embedding", k = 3)
+    Similarity.recallAudit(exact, annRebuild(spark, dir))
+  }
+
   /** The shared two-level coarse structure of the q_ivf_hier family:
     * K ≈ √N leaf centroids (every stride-th candidate — q_ivf_pq's
     * pick) and K1 ≈ √K top-level vectors (every tstride-th leaf, so
@@ -3132,6 +3270,11 @@ object ExtQueries {
     "q_abtt"              -> (abttQ _),
     "q_ivf_pq_topk"       -> (ivfPq _),
     "q_ann_stored"        -> (annStored _),
+    "q_ann_stored_org"    -> (annStoredOrg _),
+    "q_ann_recall_org"    -> (annStoredOrgRecall _),
+    "q_ann_drift"         -> (annDrift _),
+    "q_ann_rebuild"       -> (annRebuild _),
+    "q_ann_rebuild_recall" -> (annRebuildRecall _),
     "q_ivf_hier"          -> (ivfHier _),
     "q_ivf_hier_agree"    -> (ivfHierAgree _),
     "q_ivf_hier_recall"   -> (ivfHierRecall _),

@@ -252,4 +252,37 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(bands.inputFiles.forall(_.contains("bands.parquet")))
     assert(bands.columns.toSet == Set("index_id", "band", "bkey"))
   }
+
+  test("retrieval store: a crash mid artifact-sequence leaves a " +
+      "mixed-compaction store that answers exactly; re-running resumes") {
+    val store = "/tmp/graft_cptspec_resume"
+    val d = docs
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", store, tokBuckets = 16)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", store)
+    val probes = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        slice(TextOps.tokens(col("text")), 1, 3).as("terms"))
+    val expected = rows(RetrievalIndexStore.query(spark, store, probes,
+      "query_id", "terms", k = 5))
+    assert(expected.nonEmpty)
+    // "crash" after artifact 1 of the sequence: only postings compacted
+    StoreMaintenance.compactArtifact(spark, s"$store/postings.parquet",
+      Some("tok_bucket"))
+    // the mixed-compaction store is fully serviceable (each artifact
+    // is independently consistent — compaction is physical per dir)
+    assert(rows(RetrievalIndexStore.query(spark, store, probes,
+      "query_id", "terms", k = 5)) == expected)
+    // re-running the store-level call resumes: the already-compacted
+    // artifact folds to itself, the rest compact fresh
+    StoreMaintenance.compactRetrievalIndexStore(spark, store)
+    assert(rows(RetrievalIndexStore.query(spark, store, probes,
+      "query_id", "terms", k = 5)) == expected)
+    assert(spark.read.parquet(s"$store/stats.parquet").count() == 1)
+    val dfFiles = graft.sources.Layout.listParquet(s"$store/df.parquet")
+      .flatMap("tok_bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(dfFiles.distinct.length == dfFiles.length)
+  }
 }

@@ -103,4 +103,54 @@ class VectorIndexStoreSpec extends AnyFunSuite {
       codebook, numSub, subDim, cellBuckets = 7)
     assert(VectorIndexStore.params(spark, path) == ((numSub, subDim, 7)))
   }
+
+  test("rebuild equals a fresh build over base + appends, and restores " +
+      "the recall the frozen geometry lost to drift") {
+    val path = "/tmp/graft_vindex_spec_rb"
+    val freshPath = "/tmp/graft_vindex_spec_rbf"
+    def shift(df: DataFrame): DataFrame =
+      df.select((col("vec_id") + 900000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(64.0)).cast("float")).as("embedding"))
+    val shifted = shift(cands).localCheckpoint()
+    val full = cands.unionByName(shifted).localCheckpoint()
+    val qmix = queries.unionByName(shift(queries)).localCheckpoint()
+    val exact = Similarity.bruteTopKL2(qmix, full,
+      "vec_id", "embedding", k = 3).localCheckpoint()
+    def hits(approx: DataFrame): Long =
+      Similarity.recallAudit(exact, approx)
+        .agg(sum("n_hit")).head().getLong(0)
+    // drifted store: built on base geometry, appended under it
+    VectorIndexStore.build(cands, "vec_id", "embedding", path, cents,
+      codebook.localCheckpoint(), numSub, subDim)
+    VectorIndexStore.append(shifted, "vec_id", "embedding", path)
+    val frozenHits = hits(VectorIndexStore.query(spark, path, qmix,
+      "vec_id", "embedding", k = 3, nprobe = 3))
+    // rebuild re-derives the geometry over base + appends
+    VectorIndexStore.rebuild(full, "vec_id", "embedding", path,
+      k = 4, iters = 2)
+    val rebuilt = VectorIndexStore.query(spark, path, qmix,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+    // contract: a rebuild IS a fresh build over the current corpus —
+    // derive the same √N-stride centroids + residual codebook by hand
+    // and the two stores must answer bit-identically
+    val stride = math.max(1L,
+      math.floor(math.sqrt(full.count().toDouble)).toLong)
+    val fc = full.filter(col("vec_id") % stride === 0)
+    val fres = Similarity.ivfResiduals(full, fc, "vec_id", "embedding")
+      .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
+    val fcb = KMeans.codebook(
+      KMeans.fit(fres, "vec_id", "embedding",
+        k = 4, numSub = numSub, subDim = subDim, iters = 2))
+      .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+    VectorIndexStore.build(full, "vec_id", "embedding", freshPath,
+      fc, fcb, numSub, subDim)
+    assert(rows(rebuilt) == rows(VectorIndexStore.query(spark, freshPath,
+      qmix, "vec_id", "embedding", k = 3, nprobe = 3)))
+    // the drift story: shifted queries under frozen geometry lose
+    // recall; the rebuild restores it
+    val rebuiltHits = hits(rebuilt)
+    assert(frozenHits < rebuiltHits,
+      s"drifted recall $frozenHits should be below rebuilt $rebuiltHits")
+  }
 }
