@@ -591,6 +591,42 @@ object ScaleBench {
         d.split('/').filter(_.nonEmpty).last
       bm25FragQuery(s, d, path, compact = true)
     }),
+    // round 14: the SELF-MAINTAINING store — q_bm25_frag_query's
+    // exact 16-wave append history, but the store carries a
+    // generation chain and every append runs with autoMaintain
+    // (ratio 3: compact+vacuum in-band when an artifact's live file
+    // count crosses 3× its fresh-build ideal). ZERO external
+    // maintenance ticks. The timed query face must sit at
+    // q_bm25_stored_query's fresh-build figure, not
+    // q_bm25_frag_query's decayed one — the lifecycle closed from
+    // inside the ingest path.
+    "q_bm25_automaint_query" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_ristore_am_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") >= 20)
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/_STAGED"))) {
+        graft.ext.RetrievalIndexStore.build(
+          corpus.filter(pmod(col("doc_id"), lit(16)) === 0),
+          "doc_id", "text", path)
+        graft.ext.StoreMaintenance.enableStoreGenerations("retrieval", path)
+        (1 to 15).foreach { k =>
+          graft.ext.RetrievalIndexStore.append(
+            corpus.filter(pmod(col("doc_id"), lit(16)) === k),
+            "doc_id", "text", path,
+            autoMaintain = Some(graft.ext.StoreMaintenance.AutoMaintain(
+              ratio = 3.0)))
+        }
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$path/_STAGED"))
+      }
+      val probes = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          slice(graft.ext.TextOps.tokens(col("text")), 1, 3).as("terms"))
+      graft.ext.RetrievalIndexStore.query(s, path, probes,
+        "query_id", "terms", k = 5)
+    }),
     // the stored POSITIONAL face's query cost: a fixed 20-phrase batch
     // against the persisted positional index (build amortized via the
     // exists-check) — the probed-bucket scan + adjacency join should
@@ -859,8 +895,8 @@ object ScaleBench {
     * shape), optionally compacted; timed = the fixed 20-probe query.
     * Staging keys on a _STAGED marker written LAST, so an interrupted
     * staging restages (same policy as the sibling stores). */
-  private def bm25FragQuery(s: SparkSession, d: String, path: String,
-                            compact: Boolean): DataFrame = {
+  private[graft] def bm25FragQuery(s: SparkSession, d: String, path: String,
+                                   compact: Boolean): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") >= 20)
     if (!java.nio.file.Files.exists(

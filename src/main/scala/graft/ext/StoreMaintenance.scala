@@ -353,7 +353,7 @@ object StoreMaintenance {
       .map(s => StoreGenerations.vacuum(s.dir, keepGens))
       .foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
 
-  private[ext] def artifactsOf(kind: String, path: String)
+  private[graft] def artifactsOf(kind: String, path: String)
       : Seq[ArtifactSpec] = kind match {
     case "sig"       => sigArtifacts(path)
     case "vector"    => vectorArtifacts(path)

@@ -1975,6 +1975,10 @@ object ExtOracles {
     // the persisted-index route answers from the on-disk artifact;
     // the oracle is the DIRECT chain's — the store must be invisible
     "q_ann_stored" -> ivfPqTopkSql,
+    // the STREAMING probe face replays the same chain: per-trigger
+    // probe planning and the store itself invisible in the completed
+    // stream (top-k is per query; ids are disjoint across triggers)
+    "q_stream_ann" -> ivfPqTopkSql,
     // the ORGANIC-head stored route replays the same direct chain on
     // the token-profile fixture: store plumbing, the append, and
     // bucket pruning invisible on data nobody shaped

@@ -820,7 +820,7 @@ object ExtQueries {
   /** The q_ivf_pq_topk fixture pieces, shared with the stored-index
     * route: (queries, candidates, √N-stride centroids, the memoized
     * residual-trained codebook). */
-  private def ivfPqParts(spark: SparkSession, dir: String)
+  private[queries] def ivfPqParts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cands = e.filter(col("vec_id") >= 20)

@@ -744,6 +744,54 @@ object StarQueries {
       .withColumnRenamed("doc_id", "index_id")
   }
 
+  // §2.11 × ext — STREAMING ANN PROBES through the gate: a query-
+  // embedding stream probes the PERSISTED IVFADC index per micro-batch
+  // (maxFilesPerTrigger = 1 over a 4-file staging → four genuine
+  // triggers). Each trigger plans its own probed cells — a bounded
+  // driver-side collect, which is exactly why this face is
+  // foreachBatch and not a continuous plan — and scans only those
+  // cell-bucket partitions of the stored codes. Top-k is per query
+  // and query ids are disjoint across triggers, so the completed
+  // stream must equal the batch store query: q_ann_stored's DuckDB
+  // oracle verbatim, the store AND the micro-batching invisible.
+  def streamAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_stream_$tail"
+    val (queries, cands, cents, residualCb) =
+      graft.queries.ExtQueries.ivfPqParts(spark, dir)
+    graft.ext.VectorIndexStore.build(cands, "vec_id", "embedding", path,
+      cents, residualCb, numSub = graft.queries.ExtQueries.PqSub,
+      subDim = graft.queries.ExtQueries.PqDim)
+    val staged = java.nio.file.Files.createTempDirectory("q_stream_ann")
+    try {
+      queries.repartition(4).write.mode("overwrite")
+        .parquet(staged.toString)
+      val out =
+        new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+      @volatile var schema: org.apache.spark.sql.types.StructType = null
+      val q = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val res = graft.ext.VectorIndexStore.query(spark, path,
+              b.toDF(), "vec_id", "embedding", k = 3, nprobe = 3)
+            schema = res.schema
+            res.collect().foreach(out.add)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](out), schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // §2.11 × ext — STREAMING EXACT-SUBSTRING contamination check: the
   // ingest batch (marker-appended clones of every 13th doc) streams
   // against the STATIC corpus's persisted suffix-gram index
@@ -1256,6 +1304,7 @@ object StarQueries {
     "q_stream_drift"       -> (streamDriftQuery _),
     "q_stream_dedup"       -> (streamDedupQuery _),
     "q_stream_neardup"     -> (streamNearDupQuery _),
+    "q_stream_ann"         -> (streamAnnQuery _),
     "q_stream_substr"      -> (streamSubstrQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
     "q_stream_full_join"   -> (streamFullJoinQuery _),
