@@ -157,6 +157,38 @@ object VectorIndexStore {
       numSub, subDim, cellBuckets)
   }
 
+  /** Frozen-geometry ENCODE-DISTORTION audit — the cheap IN-BAND
+    * drift monitor. The recall audits are the store's documented
+    * drift monitor, but they need exact ground truth (a brute-force
+    * L2 pass over the corpus); this needs ONE projection over the
+    * batch: each vector's total quantization error under the STORE's
+    * frozen centroids + codebook — Σ over subspaces of the nearest-
+    * centroid residual d2, summed in sub_id order (the ADC fold, so
+    * the double is engine-exact and the gate DuckDB-replayable). A
+    * distribution-shifted batch lands far from every frozen centroid
+    * and its distortion profile jumps ORDERS above the build-time
+    * corpus's — the signal that says "rebuild" before recall decays
+    * in production, at append-time cost. Output: (id, distortion),
+    * one row per vector. Zero shuffle: broadcast structure, per-row
+    * fold, then an in-row ordered sum. */
+  def encodeDistortion(vectors: DataFrame, idCol: String, vecCol: String,
+                       path: String): DataFrame = {
+    val spark = vectors.sparkSession
+    val (numSub, subDim, _) = params(spark, path)
+    val res = Similarity.ivfResiduals(vectors,
+        stored(spark, path, "centroids", idCol, vecCol), idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("__rv").as(vecCol))
+    Similarity.pqEncode(res,
+        stored(spark, path, "codebook", idCol, vecCol),
+        idCol, vecCol, numSub, subDim)
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("sub_id"), col("dist2")))),
+          c => c.getField("dist2")),
+        lit(0.0), (acc, x) => acc + x).as("distortion"))
+  }
+
   /** ADC top-k against the stored index: plan the batch's probed
     * cells (q·nprobe longs to the driver — bounded-collect class),
     * scan ONLY their partitions, score. Output identical to

@@ -696,6 +696,24 @@ object ExtOracles {
       "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
       exactL2Cte + "\n" + recallTailSql
 
+  /** The in-band drift MONITOR: per-vector encode distortion under
+    * the frozen train-on-base geometry — codes kept WITH their
+    * per-subspace min d2, folded per vector in sub_id order (the
+    * proven ADC double-chain), no exact side at all. */
+  private def annDriftMonitorSql: String =
+    ivfPreambleSplit(rebuildHead +
+      ",\ntr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20 AND " +
+      "vec_id < 900000)") + ",\n" +
+      s"""codesd AS (SELECT neighbor_id, m, list_min(ds) AS d2 FROM (
+         |  SELECT a.neighbor_id, k.m, list_transform(k.scl, sc ->
+         |    list_sum(list_transform(range(1, ${ExtQueries.PqDim + 1}), i ->
+         |      (a.rv[k.m * ${ExtQueries.PqDim} + i] - sc[i])
+         |      * (a.rv[k.m * ${ExtQueries.PqDim} + i] - sc[i])))) AS ds
+         |  FROM asg a, kmsub k) t)
+         |SELECT neighbor_id AS vec_id,
+         |  list_sum(list(d2 ORDER BY m)) AS distortion
+         |FROM codesd GROUP BY neighbor_id""".stripMargin
+
   /** Frozen-geometry drift audit: geometry trained on the BASE tier
     * (`tr`), codes over the full corpus, recall vs exact L2 over the
     * full corpus — the whole snapshot-semantics chain replayed. */
@@ -1986,6 +2004,8 @@ object ExtOracles {
     "q_ann_recall_org" -> ivfPqRecallSqlFrom(organicECandCtes),
     // frozen-geometry drift: train-on-base, encode-all, audited
     "q_ann_drift" -> annDriftSql,
+    // the ground-truth-free monitor: per-vector encode distortion
+    "q_ann_drift_monitor" -> annDriftMonitorSql,
     // rebuild == fresh derivation over the extended corpus
     "q_ann_rebuild" -> annRebuildSql,
     "q_ann_rebuild_recall" -> annRebuildRecallSql,

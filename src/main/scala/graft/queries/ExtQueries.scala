@@ -969,6 +969,24 @@ object ExtQueries {
       qmix, "vec_id", "embedding", k = 3, nprobe = 3))
   }
 
+  /** The IN-BAND drift monitor through the gate ([[VectorIndexStore
+    * .encodeDistortion]]): per-vector quantization error of the full
+    * (base + shifted) corpus under the drifted store's FROZEN
+    * geometry — no ground truth, one projection. The shifted tier's
+    * distortion must sit orders above the base tier's (the signal
+    * that triggers [[VectorIndexStore.rebuild]] before recall decays
+    * in production); the DuckDB oracle replays the train-on-base
+    * codebook fit, the residual encode, and the sub_id-ordered
+    * distortion fold per vector. */
+  def annDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_dm_$tail"
+    val (_, base, full, cents, cb) = rebuildParts(spark, dir)
+    VectorIndexStore.build(base, "vec_id", "embedding", path,
+      cents, cb, numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.encodeDistortion(full, "vec_id", "embedding", path)
+  }
+
   /** The REBUILD through the gate ([[VectorIndexStore.rebuild]]):
     * same drifted store (build on base, append shifted), then rebuild
     * — re-derive the √N-stride coarse quantizer and re-fit the
@@ -3273,6 +3291,7 @@ object ExtQueries {
     "q_ann_stored_org"    -> (annStoredOrg _),
     "q_ann_recall_org"    -> (annStoredOrgRecall _),
     "q_ann_drift"         -> (annDrift _),
+    "q_ann_drift_monitor" -> (annDriftMonitor _),
     "q_ann_rebuild"       -> (annRebuild _),
     "q_ann_rebuild_recall" -> (annRebuildRecall _),
     "q_ivf_hier"          -> (ivfHier _),

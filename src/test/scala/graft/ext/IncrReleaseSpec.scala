@@ -143,6 +143,37 @@ class IncrReleaseSpec extends AnyFunSuite {
     assert(led2(920003L) == "near")
   }
 
+  test("generational release store: the daily loop self-maintains " +
+      "in-band with dispositions unchanged") {
+    val plain = "/tmp/graft_relstore_spec_genp"
+    val gen = "/tmp/graft_relstore_spec_geng"
+    freshStore(plain); freshStore(gen)
+    StoreMaintenance.enableStoreGenerations("release", gen)
+    val (kid, t) = keptDoc(plain)
+    val lang = corpus.filter(col("doc_id") === kid)
+      .select("lang").head().getString(0)
+    val fresh = t.split(" ").reverse.mkString(" ")
+    val b1 = mkBatch(Seq((920001L, fresh, lang)))
+    val b2 = mkBatch(Seq((920002L, fresh, lang),
+      (920003L, fresh + " pada padb", lang)))
+    // eager ratio so the in-band tick actually fires on the tiny
+    // store (ideal = 1 file per flat artifact)
+    def genLedger(b: DataFrame): Map[Long, String] =
+      ReleaseStore.incrementalRelease(spark, gen, b, bench,
+        maxBucketSize = 64,
+        autoMaintain = Some(StoreMaintenance.AutoMaintain(ratio = 1.0)))
+        .ledger.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(genLedger(b1) == ledgerOf(plain, b1))
+    assert(genLedger(b2) == ledgerOf(plain, b2))
+    // the chained artifacts stayed at fresh-build file counts with
+    // zero external ticks, and the chain is live (generations moved)
+    val urls = s"$gen/urls.parquet"
+    assert(StoreGenerations.isGenerational(urls))
+    assert(StoreGenerations.currentGen(urls).get > 0L)
+    assert(StoreGenerations.currentFiles(urls).get.length <= 2)
+  }
+
   test("a re-crawled url drops before its text is ever inspected") {
     val path = "/tmp/graft_relstore_spec_url"
     freshStore(path)

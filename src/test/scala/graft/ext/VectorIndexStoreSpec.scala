@@ -126,6 +126,17 @@ class VectorIndexStoreSpec extends AnyFunSuite {
     VectorIndexStore.append(shifted, "vec_id", "embedding", path)
     val frozenHits = hits(VectorIndexStore.query(spark, path, qmix,
       "vec_id", "embedding", k = 3, nprobe = 3))
+    // the in-band monitor sees the drift WITHOUT ground truth: the
+    // shifted tier's encode distortion under the frozen geometry sits
+    // orders above the base tier's
+    val dist = VectorIndexStore.encodeDistortion(full,
+      "vec_id", "embedding", path).localCheckpoint()
+    val baseMax = dist.filter(col("vec_id") < 900000L)
+      .agg(max("distortion")).head().getDouble(0)
+    val shiftMin = dist.filter(col("vec_id") >= 900000L)
+      .agg(min("distortion")).head().getDouble(0)
+    assert(shiftMin > 100 * math.max(baseMax, 1e-12),
+      s"shifted distortion floor $shiftMin vs base ceiling $baseMax")
     // rebuild re-derives the geometry over base + appends
     VectorIndexStore.rebuild(full, "vec_id", "embedding", path,
       k = 4, iters = 2)
