@@ -643,6 +643,34 @@ object ExtOracles {
       |  adc_dist2
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** The statically-PRUNED index chain: the pruning window (top-3
+    * impact postings per token — tf desc, dl asc, doc_id asc)
+    * replayed over the full posting table, scored with TRUE df (idf
+    * untouched by pruning) — the same integer chain otherwise.
+    * Shared by q_bm25_capped (one-shot build) and q_bm25_recap
+    * (capped build + unpruned appends + capped REBUILD — the rebuild
+    * must make the append history invisible). */
+  private def bm25CappedSql: String =
+    s"""WITH $bm25Ctes,
+       |pruned AS (SELECT tok, doc_id, tf, dl FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tok
+       |    ORDER BY tf DESC, dl ASC, doc_id ASC) AS pr FROM post) t
+       |  WHERE pr <= 3),
+       |capscored AS (SELECT bq.query_id, p.doc_id,
+       |    CAST(SUM(GREATEST(0, length(bin(2 * (btot.n - d.df) + 1))
+       |                       - length(bin(2 * d.df + 1)))
+       |      * ((20480 * btot.t * p.tf)
+       |         // (8 * btot.t * p.tf + 3 * btot.t + 9 * p.dl * btot.n))
+       |    ) AS BIGINT) AS score_q
+       |  FROM bq JOIN pruned p ON p.tok = bq.tok
+       |  JOIN dfreq d ON d.tok = bq.tok, btot
+       |  GROUP BY bq.query_id, p.doc_id)
+       |SELECT query_id, doc_id, rank, score_q FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_q DESC, doc_id ASC) AS rank
+       |  FROM capscored) r
+       |WHERE rank <= 5""".stripMargin
+
   private def ivfPqTopkSql: String = ivfPqTopkSqlFrom(eCandCtes)
 
   private def ivfPqTopkSqlFrom(head: String): String =
@@ -3113,26 +3141,12 @@ object ExtOracles {
     // postings per token — tf desc, dl asc, doc_id asc) replayed over
     // the full posting table, scored with TRUE df (idf untouched by
     // pruning) — the same integer chain otherwise
-    "q_bm25_capped" ->
-      s"""WITH $bm25Ctes,
-         |pruned AS (SELECT tok, doc_id, tf, dl FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY tok
-         |    ORDER BY tf DESC, dl ASC, doc_id ASC) AS pr FROM post) t
-         |  WHERE pr <= 3),
-         |capscored AS (SELECT bq.query_id, p.doc_id,
-         |    CAST(SUM(GREATEST(0, length(bin(2 * (btot.n - d.df) + 1))
-         |                       - length(bin(2 * d.df + 1)))
-         |      * ((20480 * btot.t * p.tf)
-         |         // (8 * btot.t * p.tf + 3 * btot.t + 9 * p.dl * btot.n))
-         |    ) AS BIGINT) AS score_q
-         |  FROM bq JOIN pruned p ON p.tok = bq.tok
-         |  JOIN dfreq d ON d.tok = bq.tok, btot
-         |  GROUP BY bq.query_id, p.doc_id)
-         |SELECT query_id, doc_id, rank, score_q FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score_q DESC, doc_id ASC) AS rank
-         |  FROM capscored) r
-         |WHERE rank <= 5""".stripMargin,
+    "q_bm25_capped" -> bm25CappedSql,
+    // REBUILD restores the pruning invariant: the capped store with
+    // an appended-unpruned history, rebuilt with the same cap over
+    // the full corpus, must equal the one-shot capped build — the
+    // oracle is q_bm25_capped's verbatim
+    "q_bm25_recap" -> bm25CappedSql,
 
     // the pruned store's full lifecycle: the pruning window replays
     // over the BUILD subset only (doc_id % 7 <> 0 — appended postings

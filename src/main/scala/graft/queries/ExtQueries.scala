@@ -1998,6 +1998,30 @@ object ExtQueries {
       "query_id", "terms", k = 5)
   }
 
+  /** REBUILD restores the pruning invariant — the snapshot-until-
+    * rebuild contract's other half, pinned: build the capped store on
+    * a subset, append the rest (appended postings land UNPRUNED, the
+    * documented posture), then REBUILD — `build` over the full corpus
+    * with the same cap, which re-truncates every token's postings to
+    * its top-3 impact window over the whole corpus — and answer the
+    * probes. Same oracle as q_bm25_capped (the one-shot capped build
+    * over the full corpus): the append history must be invisible
+    * after a rebuild. */
+  def bm25Recap(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_ristore_recap_$tail"
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", path, maxPostingsPerToken = 3)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", path)
+    RetrievalIndexStore.build(corpus, "doc_id", "text", path,
+      maxPostingsPerToken = 3)
+    RetrievalIndexStore.query(spark, path, bm25Queries(d),
+      "query_id", "terms", k = 5)
+  }
+
   /** The PRUNED BM25 store through its FULL LIFECYCLE — build (cap 3)
     * → append → COMPACT → query: the appended batch's postings land
     * unpruned (snapshot-until-rebuild, the store's documented
@@ -3323,6 +3347,7 @@ object ExtQueries {
     "q_bm25_topk"         -> (bm25TopKQ _),
     "q_bm25_stored"       -> (bm25Stored _),
     "q_bm25_capped"       -> (bm25Capped _),
+    "q_bm25_recap"        -> (bm25Recap _),
     "q_bm25_compact"      -> (bm25Compact _),
     "q_sig_compact"       -> (sigCompact _),
     "q_sig_gen"           -> (sigGen _),
