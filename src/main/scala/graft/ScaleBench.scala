@@ -534,6 +534,35 @@ object ScaleBench {
         e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, nprobe = 3)
     }),
+    // the drift MONITOR's tick cost (round 14): encode distortion of
+    // a FIXED ~40-vector batch under the staged store's frozen
+    // geometry — the monitor claims append-time cost (one broadcast
+    // projection + an in-row fold), so a flat curve here IS the
+    // "drift detection costs the batch, not the corpus" claim
+    "q_ann_monitor_tick" -> ((s: SparkSession, d: String) => {
+      val path = "/tmp/graft_vindex_scale_" +
+        d.split('/').filter(_.nonEmpty).last
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cands = e.filter(col("vec_id") >= 20)
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/params.parquet"))) {
+        val stride = math.max(1L,
+          math.floor(math.sqrt(cands.count().toDouble)).toLong)
+        val cents = cands.filter(col("vec_id") % stride === 0)
+        val res = graft.ext.Similarity
+          .ivfResiduals(cands, cents, "vec_id", "embedding")
+          .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
+        val cb = graft.ext.KMeans.codebook(
+          graft.ext.KMeans.fit(res, "vec_id", "embedding",
+            k = 256, numSub = 16, subDim = 4, iters = 4))
+          .select(col("cid").as("vec_id"), col("vector").as("embedding"))
+        graft.ext.VectorIndexStore.build(cands, "vec_id", "embedding",
+          path, cents, cb, numSub = 16, subDim = 4)
+      }
+      graft.ext.VectorIndexStore.encodeDistortion(
+        e.filter(col("vec_id") % 13 === 0 && col("vec_id") < 540),
+        "vec_id", "embedding", path)
+    }),
     // the persisted BM25 index's QUERY face (build amortized via the
     // exists-check, same policy as the other two stores): the fixed
     // 20-probe batch against the stored postings — the probed-bucket
