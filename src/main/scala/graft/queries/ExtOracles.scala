@@ -685,23 +685,40 @@ object ExtOracles {
       "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
       exactL2Cte + "\n" + recallTailSql
 
-  /** Shifted-corpus head for the rebuild/drift gates: e = the raw
-    * embeddings ∪ a +64.0 element-wise-shifted copy (double add,
-    * REAL round-trip — the exact float chain the Spark fixture
-    * emits; ids +900000 — a second mode far from every base
-    * centroid). cand = base candidates ∪ shifted candidates. */
-  private val rebuildHead: String =
+  /** Shifted-corpus head for the rebuild/drift gates: e = `e0` ∪ a
+    * +64.0 element-wise-shifted copy (double add, REAL round-trip —
+    * the exact float chain the Spark fixture emits; ids +900000 — a
+    * second mode far from every base centroid). cand = base
+    * candidates ∪ shifted candidates. `e0Cte` picks the base tier
+    * (raw embeddings, or the organic token-profile fixture — whose
+    * small-integer counts stay exact through the REAL round-trip). */
+  private def shiftedHeadFrom(e0Cte: String): String =
+    e0Cte + ",\n" +
+      """sh AS (SELECT vec_id + 900000 AS vec_id,
+        |    list_transform(v, x -> CAST(CAST(x + 64.0 AS REAL) AS DOUBLE))
+        |      AS v
+        |  FROM e0),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM sh),
+        |cand AS (SELECT vec_id, v FROM e
+        |  WHERE (vec_id >= 20 AND vec_id < 900000) OR vec_id >= 900020)"""
+        .stripMargin
+
+  private val rebuildHead: String = shiftedHeadFrom(
     """WITH e0 AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |sh AS (SELECT vec_id + 900000 AS vec_id,
-      |    list_transform(v, x -> CAST(CAST(x + 64.0 AS REAL) AS DOUBLE))
-      |      AS v
-      |  FROM e0),
-      |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM sh),
-      |cand AS (SELECT vec_id, v FROM e
-      |  WHERE (vec_id >= 20 AND vec_id < 900000) OR vec_id >= 900020)"""
-      .stripMargin
+      |  FROM embeddings)""".stripMargin)
+
+  private val orgRebuildHead: String = shiftedHeadFrom(
+    """WITH e0 AS (SELECT doc_id AS vec_id,
+      |    list_transform(range(0, 64), j ->
+      |      CAST(len(list_filter(list_transform(string_split(text, ' '),
+      |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 64),
+      |        b -> b = j)) AS DOUBLE)) AS v
+      |  FROM documents)""".stripMargin)
+
+  private val baseTrCte: String =
+    ",\ntr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20 AND " +
+      "vec_id < 900000)"
 
   /** The mixed query set of the rebuild gates: the 20 original
     * queries plus their shifted copies. */
@@ -713,8 +730,10 @@ object ExtOracles {
   /** Post-rebuild route == a fresh IVFADC derivation over the
     * extended corpus (the rebuild contract), so the oracle is the
     * standard chain on the shifted head with the mixed queries. */
-  private def annRebuildSql: String =
-    ivfPreambleFrom(rebuildHead) + ",\n" +
+  private def annRebuildSql: String = annRebuildSqlFrom(rebuildHead)
+
+  private def annRebuildSqlFrom(head: String): String =
+    ivfPreambleFrom(head) + ",\n" +
       ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim, rebuildQCte) +
       "\n" + ivfTopkTail
 
@@ -729,9 +748,10 @@ object ExtOracles {
     * per-subspace min d2, folded per vector in sub_id order (the
     * proven ADC double-chain), no exact side at all. */
   private def annDriftMonitorSql: String =
-    ivfPreambleSplit(rebuildHead +
-      ",\ntr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20 AND " +
-      "vec_id < 900000)") + ",\n" +
+    annDriftMonitorSqlFrom(rebuildHead)
+
+  private def annDriftMonitorSqlFrom(head: String): String =
+    ivfPreambleSplit(head + baseTrCte) + ",\n" +
       s"""codesd AS (SELECT neighbor_id, m, list_min(ds) AS d2 FROM (
          |  SELECT a.neighbor_id, k.m, list_transform(k.scl, sc ->
          |    list_sum(list_transform(range(1, ${ExtQueries.PqDim + 1}), i ->
@@ -746,9 +766,7 @@ object ExtOracles {
     * (`tr`), codes over the full corpus, recall vs exact L2 over the
     * full corpus — the whole snapshot-semantics chain replayed. */
   private def annDriftSql: String =
-    ivfPreambleSplit(rebuildHead +
-      ",\ntr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20 AND " +
-      "vec_id < 900000)") + ",\n" +
+    ivfPreambleSplit(rebuildHead + baseTrCte) + ",\n" +
       ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim, rebuildQCte) + ",\n" +
       "approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),\n" +
       exactL2Cte + "\n" + recallTailSql
@@ -2034,6 +2052,11 @@ object ExtOracles {
     "q_ann_drift" -> annDriftSql,
     // the ground-truth-free monitor: per-vector encode distortion
     "q_ann_drift_monitor" -> annDriftMonitorSql,
+    // the same monitor separation question on the ORGANIC base tier
+    // (is a drifted batch distinguishable when the base profiles are
+    // irregular?) and the rebuild == fresh-derivation contract there
+    "q_ann_monitor_org" -> annDriftMonitorSqlFrom(orgRebuildHead),
+    "q_ann_rebuild_org" -> annRebuildSqlFrom(orgRebuildHead),
     // rebuild == fresh derivation over the extended corpus
     "q_ann_rebuild" -> annRebuildSql,
     "q_ann_rebuild_recall" -> annRebuildRecallSql,

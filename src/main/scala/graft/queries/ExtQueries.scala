@@ -928,8 +928,22 @@ object ExtQueries {
     * = √N-stride centroids + residual codebook over BASE only (what
     * the store froze at build time). */
   private def rebuildParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    rebuildPartsOf(spark, dir,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), "annrb")
+
+  /** The same fixture on the ORGANIC tier — irregular base profiles,
+    * the planted shift on top (the shift must stay planted to be a
+    * controlled drift; the question the organic arm answers is
+    * whether the monitor separation and the rebuild contract hold
+    * when the BASE is data nobody shaped). */
+  private def rebuildPartsOrg(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    rebuildPartsOf(spark, dir, organicEmb(spark, dir), "annrb_org")
+
+  private def rebuildPartsOf(spark: SparkSession, dir: String,
+                             e: DataFrame, tag: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val base = e.filter(col("vec_id") >= 20)
     val full = base.unionByName(shiftEmb(base))
     val qmix = e.filter(col("vec_id") < 20)
@@ -937,7 +951,7 @@ object ExtQueries {
     val stride = math.max(1L,
       math.floor(math.sqrt(base.count().toDouble)).toLong)
     val cents = base.filter(col("vec_id") % stride === 0)
-    val cb = memoized(spark, dir, "annrb") {
+    val cb = memoized(spark, dir, tag) {
       val res = Similarity.ivfResiduals(base, cents, "vec_id", "embedding")
         .select(col("neighbor_id").as("vec_id"), col("__rv").as("embedding"))
       KMeans.codebook(
@@ -946,6 +960,35 @@ object ExtQueries {
         .select(col("cid").as("vec_id"), col("vector").as("embedding"))
     }
     (qmix, base, full, cents, cb)
+  }
+
+  /** [[annDriftMonitor]] on the ORGANIC base tier: the monitor must
+    * still separate a drifted batch when the build-time profiles are
+    * irregular (a wide base-distortion spread could swallow the
+    * signal — this row shows it does not). */
+  def annMonitorOrg(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_dmo_$tail"
+    val (_, base, full, cents, cb) = rebuildPartsOrg(spark, dir)
+    VectorIndexStore.build(base, "vec_id", "embedding", path,
+      cents, cb, numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.encodeDistortion(full, "vec_id", "embedding", path)
+  }
+
+  /** [[annRebuild]] on the ORGANIC base tier: drifted store → rebuild
+    * → mixed query batch == the fresh IVFADC derivation over the
+    * extended organic corpus, oracle-checked. */
+  def annRebuildOrg(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_rbo_$tail"
+    val (qmix, base, full, cents, cb) = rebuildPartsOrg(spark, dir)
+    VectorIndexStore.build(base, "vec_id", "embedding", path,
+      cents, cb, numSub = PqSub, subDim = PqDim)
+    VectorIndexStore.append(shiftEmb(base), "vec_id", "embedding", path)
+    VectorIndexStore.rebuild(full, "vec_id", "embedding", path,
+      k = PqK, iters = PqIters)
+    VectorIndexStore.query(spark, path, qmix,
+      "vec_id", "embedding", k = 3, nprobe = 3)
   }
 
   /** FROZEN-geometry drift audit: build the store on the base corpus,
@@ -3316,6 +3359,8 @@ object ExtQueries {
     "q_ann_recall_org"    -> (annStoredOrgRecall _),
     "q_ann_drift"         -> (annDrift _),
     "q_ann_drift_monitor" -> (annDriftMonitor _),
+    "q_ann_monitor_org"   -> (annMonitorOrg _),
+    "q_ann_rebuild_org"   -> (annRebuildOrg _),
     "q_ann_rebuild"       -> (annRebuild _),
     "q_ann_rebuild_recall" -> (annRebuildRecall _),
     "q_ivf_hier"          -> (ivfHier _),
