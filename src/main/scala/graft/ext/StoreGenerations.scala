@@ -145,8 +145,13 @@ object StoreGenerations {
     * disk no surviving manifest references (the files the append
     * just wrote), EXCLUDING [[CompactName]]-stamped files (a crashed
     * compaction's unpublished output duplicates live rows; the
-    * vacuum retires it). No-op (None) on a non-generational
-    * artifact, so append paths call this unconditionally. */
+    * vacuum retires it). When nothing unreferenced is found — an
+    * empty batch, or a REPLAYED batch whose canonical files the
+    * chain already adopted — no generation is published (the commit
+    * is already on the chain; this is what makes a replayed
+    * streaming append a no-op rather than generation churn). No-op
+    * (None) on a non-generational artifact, so append paths call
+    * this unconditionally. */
   def commitAppend(dir: String): Option[Long] =
     currentGen(dir).map { cur =>
       val ref = referenced(dir)
@@ -154,9 +159,12 @@ object StoreGenerations {
         .filterNot(p => ref.contains(canon(p)))
         .filterNot(p => CompactName
           .findFirstIn(p.substring(p.lastIndexOf('/') + 1)).isDefined)
-      val next = cur + 1
-      publish(dir, next, currentFiles(dir).get ++ fresh)
-      next
+      if (fresh.isEmpty) cur
+      else {
+        val next = cur + 1
+        publish(dir, next, currentFiles(dir).get ++ fresh)
+        next
+      }
     }
 
   /** Retire generations beyond the newest `keepGens` and every

@@ -125,6 +125,68 @@ object VectorIndexStore {
       StoreMaintenance.artifactsOf("vector", path), am))
   }
 
+  /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store
+    * state from idempotence, the merge-sink argument applied to the
+    * vector store. Requires a [[StoreGenerations]] chain on the codes
+    * artifact: the batch encodes under the frozen geometry into a
+    * batch-scratch, lands as ONE canonical file per populated bucket
+    * (`cell_bucket=X/gb<batchId>.parquet` — the bucket-clustered
+    * repartition guarantees one file per bucket, enforced), and the
+    * chain adopts exactly the unreferenced files. A REPLAYED batch
+    * overwrites its own canonical files (REPLACE_EXISTING — nothing
+    * else ever carries its name) and its commit finds nothing
+    * unreferenced, so the chain — and every reader — is untouched: a
+    * mid-batch crash leaves only unreferenced files the replay
+    * overwrites and the vacuum would sweep. Single-writer contract
+    * unchanged (the streaming sink's serial batches ARE it). */
+  def appendCanonical(newVectors: DataFrame, idCol: String, vecCol: String,
+                      path: String, batchId: Long): Unit = {
+    val spark = newVectors.sparkSession
+    val codes = s"$path/codes.parquet"
+    require(StoreGenerations.isGenerational(codes),
+      s"streaming append needs a generation chain on $codes " +
+        "(StoreGenerations.enable / StoreMaintain enable) — without " +
+        "one a replayed micro-batch would double its rows")
+    val (numSub, subDim, cellBuckets) = params(spark, path)
+    val scratch = s"$codes.__append_b$batchId"
+    encode(newVectors, idCol, vecCol,
+      stored(spark, path, "centroids", idCol, vecCol),
+      stored(spark, path, "codebook", idCol, vecCol),
+      numSub, subDim, cellBuckets)
+      .repartition(col("cell_bucket"))
+      .write.partitionBy("cell_bucket").mode(SaveMode.Overwrite)
+      .parquet(scratch)
+    val rx = "cell_bucket=(-?\\d+)/".r
+    graft.sources.Layout.listParquet(scratch)
+      .flatMap(p => rx.findFirstMatchIn(p).map(m => (m.group(1), p)))
+      .groupBy(_._1)
+      .foreach { case (bucket, files) =>
+        require(files.length == 1,
+          s"bucket $bucket holds ${files.length} scratch files; the " +
+            "bucket-clustered write guarantees one — not renaming")
+        val tgt = java.nio.file.Paths.get(
+          s"$codes/cell_bucket=$bucket/gb$batchId.parquet")
+        java.nio.file.Files.createDirectories(tgt.getParent)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(files.head._2), tgt,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    deleteScratch(scratch)
+    StoreGenerations.commitAppend(codes)
+  }
+
+  private def deleteScratch(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      val it = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      } finally it.close()
+    }
+  }
+
   /** REBUILD: re-fit the index geometry over the CURRENT corpus and
     * re-encode — the operation the recall audits (the documented
     * drift monitor) point a deployment toward once appends from a

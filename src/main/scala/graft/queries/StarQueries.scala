@@ -792,6 +792,46 @@ object StarQueries {
     }
   }
 
+  // §2.11 × ext — STREAMING INGEST into the persisted vector store:
+  // every 5th-mod-2 candidate arrives as a file-source stream in four
+  // genuine micro-batch triggers; each lands through the replay-safe
+  // canonical append (one gb<batchId> file per bucket, adopted by the
+  // codes artifact's generation chain), and the post-stream store
+  // query over the standard batch must equal the direct IVFADC chain
+  // over the FULL corpus — q_ivf_pq_topk's oracle verbatim: the
+  // stream, the chain, and the canonical landing all invisible.
+  def streamAnnIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_si_$tail"
+    val (queries, cands, cents, residualCb) =
+      graft.queries.ExtQueries.ivfPqParts(spark, dir)
+    graft.ext.VectorIndexStore.build(
+      cands.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding",
+      path, cents, residualCb, numSub = graft.queries.ExtQueries.PqSub,
+      subDim = graft.queries.ExtQueries.PqDim)
+    graft.ext.StoreGenerations.enable(s"$path/codes.parquet")
+    val staged = java.nio.file.Files.createTempDirectory("q_stream_anni")
+    val ckpt = java.nio.file.Files.createTempDirectory("q_stream_anni_ck")
+    try {
+      cands.filter(col("vec_id") % 5 === 2).repartition(4)
+        .write.mode("overwrite").parquet(staged.toString)
+      val src = spark.readStream
+        .schema(cands.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = graft.streaming.StreamingOps.runVectorIngestSink(
+        src, path, "vec_id", "embedding", ckpt.toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.ext.VectorIndexStore.query(spark, path, queries,
+        "vec_id", "embedding", k = 3, nprobe = 3)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(staged, ckpt).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   // §2.11 × ext — STREAMING EXACT-SUBSTRING contamination check: the
   // ingest batch (marker-appended clones of every 13th doc) streams
   // against the STATIC corpus's persisted suffix-gram index
@@ -1305,6 +1345,7 @@ object StarQueries {
     "q_stream_dedup"       -> (streamDedupQuery _),
     "q_stream_neardup"     -> (streamNearDupQuery _),
     "q_stream_ann"         -> (streamAnnQuery _),
+    "q_stream_ann_ingest"  -> (streamAnnIngestQuery _),
     "q_stream_substr"      -> (streamSubstrQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
     "q_stream_full_join"   -> (streamFullJoinQuery _),

@@ -650,6 +650,32 @@ object StreamingOps {
   }
 
 
+  /** Streaming INGEST into the persisted vector index — the write
+    * sibling of the stream-probe face: each micro-batch encodes under
+    * the store's frozen geometry and lands via [[graft.ext
+    * .VectorIndexStore.appendCanonical]] (one canonical
+    * `gb<batchId>` file per populated bucket, adopted by the codes
+    * artifact's generation chain). Exactly-once store state from
+    * idempotence, the merge-sink argument: a replayed batch
+    * overwrites its own canonical files and its commit finds nothing
+    * unreferenced, so the chain never moves twice for one batch —
+    * MID-BATCH CRASHES INCLUDED (unreferenced leftovers are
+    * overwritten by the replay; the vacuum would sweep orphans).
+    * Readers keep resolving their pinned generation throughout; the
+    * sink's serial batches are the store's single writer. */
+  def runVectorIngestSink(updates: DataFrame, path: String,
+                          idCol: String, vecCol: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.ext.VectorIndexStore.appendCanonical(batch.toDF(),
+          idCol, vecCol, path, batchId)
+      }
+      .start()
+
   /** Streaming incremental near-dup CANDIDATES: the stream side's
     * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure
     * projection + explode, streaming-legal) joined against a STATIC

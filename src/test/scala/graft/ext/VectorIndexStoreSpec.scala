@@ -104,6 +104,51 @@ class VectorIndexStoreSpec extends AnyFunSuite {
     assert(VectorIndexStore.params(spark, path) == ((numSub, subDim, 7)))
   }
 
+  test("canonical streaming append: replay is a no-op (exactly-once " +
+      "store state), sequential batches accumulate, crash leftovers heal") {
+    val path = "/tmp/graft_vindex_spec_si"
+    VectorIndexStore.build(cands.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", path, cents, codebook.localCheckpoint(),
+      numSub, subDim)
+    val codesDir = s"$path/codes.parquet"
+    StoreGenerations.enable(codesDir)
+    def ask(): Set[(Long, Long, Int, Double)] =
+      rows(VectorIndexStore.query(spark, path, queries,
+        "vec_id", "embedding", k = 3, nprobe = 3))
+    val b1 = cands.filter(col("vec_id") % 5 === 1)
+    VectorIndexStore.appendCanonical(b1, "vec_id", "embedding", path, 0L)
+    val afterB1 = ask()
+    val gen1 = StoreGenerations.currentGen(codesDir).get
+    val files1 = StoreGenerations.currentFiles(codesDir).get.toSet
+    // REPLAY of batch 0: same canonical names, nothing unreferenced —
+    // the chain does not move and the answers do not change
+    VectorIndexStore.appendCanonical(b1, "vec_id", "embedding", path, 0L)
+    assert(StoreGenerations.currentGen(codesDir).get == gen1)
+    assert(StoreGenerations.currentFiles(codesDir).get.toSet == files1)
+    assert(ask() == afterB1)
+    // a mid-batch crash window: batch 1's canonical file exists but
+    // was never committed (simulated by planting an unreferenced
+    // gb1 file) — the replay overwrites it and commits exactly once
+    val seed = files1.head
+    val dead = s"${seed.substring(0, seed.lastIndexOf('/'))}/gb1.parquet"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(seed),
+      java.nio.file.Paths.get(dead))
+    val b2 = cands.filter(col("vec_id") % 5 === 2)
+    VectorIndexStore.appendCanonical(b2, "vec_id", "embedding", path, 1L)
+    val gen2 = StoreGenerations.currentGen(codesDir).get
+    assert(gen2 == gen1 + 1)
+    // batches accumulate: the store now answers like a batch append
+    // of b1 ∪ b2 onto the same base
+    val path2 = "/tmp/graft_vindex_spec_si2"
+    VectorIndexStore.build(cands.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", path2, cents, codebook.localCheckpoint(),
+      numSub, subDim)
+    VectorIndexStore.append(b1.unionByName(b2), "vec_id", "embedding",
+      path2)
+    assert(ask() == rows(VectorIndexStore.query(spark, path2, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3)))
+  }
+
   test("rebuild equals a fresh build over base + appends, and restores " +
       "the recall the frozen geometry lost to drift") {
     val path = "/tmp/graft_vindex_spec_rb"
