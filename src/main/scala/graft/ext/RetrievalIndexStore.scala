@@ -207,6 +207,32 @@ object RetrievalIndexStore {
       StoreMaintenance.artifactsOf("retrieval", path), am))
   }
 
+  /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store
+    * state from idempotence ([[StoreGenerations]] canonical landing:
+    * one `gb<batchId>` file per bucket dir for the bucketed artifacts
+    * and one per batch for stats; a replayed batch overwrites its own
+    * files and commits nothing). Requires chains on every accreting
+    * artifact (`StoreMaintain enable retrieval <path>`). Same
+    * derivation as [[append]] — per-doc facts under the store's
+    * bucket fn, df/stats as delta rows readers sum. */
+  def appendCanonical(incoming: DataFrame, idCol: String, textCol: String,
+                      path: String, batchId: Long): Unit = {
+    val spark = incoming.sparkSession
+    val tokBuckets = params(spark, path)
+    val post = postingsOf(incoming, idCol, textCol, tokBuckets)
+      .localCheckpoint()
+    StoreGenerations.landCanonicalBucketed(post,
+      s"$path/postings.parquet", "tok_bucket", batchId)
+    StoreGenerations.landCanonicalBucketed(dfOf(post),
+      s"$path/df.parquet", "tok_bucket", batchId)
+    StoreGenerations.landCanonical(statsOf(post),
+      s"$path/stats.parquet", batchId)
+    if (hasPositions(path))
+      StoreGenerations.landCanonicalBucketed(
+        positionsOf(incoming, idCol, textCol, tokBuckets),
+        s"$path/positions.parquet", "tok_bucket", batchId)
+  }
+
   /** Exact-phrase top-k against the STORED positional index (build
     * with `positional = true`): plan the two-term batch's probed
     * buckets (one tiny job over the query phrases — bounded-collect

@@ -111,6 +111,25 @@ object SignatureStore {
       StoreMaintenance.artifactsOf("sig", path), am))
   }
 
+  /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store
+    * state from idempotence ([[StoreGenerations.landCanonical]]: one
+    * canonical `gb<batchId>` file per artifact per batch, adopted by
+    * the generation chains; a replayed batch overwrites its own files
+    * and commits nothing). Requires chains on bands + sets
+    * (`StoreMaintain enable sig <path>`). The batch's bands/sets
+    * derive under the STORE's config, same as [[append]]. */
+  def appendCanonical(incoming: DataFrame, idCol: String, textCol: String,
+                      path: String, batchId: Long): Unit = {
+    val spark = incoming.sparkSession
+    val (shingleN, numHashes) = params(spark, path)
+    StoreGenerations.landCanonical(
+      bandsOf(incoming, idCol, textCol, shingleN, numHashes),
+      s"$path/bands.parquet", batchId)
+    StoreGenerations.landCanonical(
+      setsOf(incoming, idCol, textCol, shingleN),
+      s"$path/sets.parquet", batchId)
+  }
+
   /** The daily check: near-dups of `incoming` against the STORE
     * (never the raw index). Output (new_id, index_id, jaccard) —
     * bit-identical to [[Dedup.incrementalNearDups]] over the same

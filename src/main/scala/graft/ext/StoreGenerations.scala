@@ -167,6 +167,80 @@ object StoreGenerations {
       }
     }
 
+  /** Land a micro-batch's rows as ONE canonical file in a FLAT
+    * generational artifact (`<dir>/gb<batchId>.parquet`) and commit —
+    * the replay-safe streaming-append primitive: a replayed batch
+    * overwrites its own file (REPLACE_EXISTING; nothing else ever
+    * carries its name) and its commit finds nothing unreferenced, so
+    * the chain — and every pinned reader — is untouched. A mid-batch
+    * crash leaves only an unreferenced file the replay overwrites.
+    * Micro-batches are small by definition, so one file per batch IS
+    * the fresh-build landing (the auto-maintenance ratio still
+    * bounds the long-run count). Returns the chain generation. */
+  def landCanonical(df: DataFrame, dir: String, batchId: Long): Long = {
+    require(isGenerational(dir),
+      s"streaming append needs a generation chain on $dir — without " +
+        "one a replayed micro-batch would double its rows")
+    val scratch = s"$dir.__append_b$batchId"
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val files = graft.sources.Layout.listParquet(scratch)
+    require(files.length <= 1,
+      s"coalesce(1) landed ${files.length} files under $scratch")
+    files.foreach { p =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(p),
+        java.nio.file.Paths.get(s"$dir/gb$batchId.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteTree(scratch)
+    commitAppend(dir).get
+  }
+
+  /** [[landCanonical]] for a BUCKET-PARTITIONED artifact: the batch
+    * lands as one canonical `gb<batchId>.parquet` per POPULATED
+    * bucket directory (the bucket-clustered repartition guarantees
+    * one scratch file per bucket — enforced), preserving the layout
+    * probe-time partition pruning keys on. Same replay/crash
+    * contract as the flat form. */
+  def landCanonicalBucketed(df: DataFrame, dir: String,
+                            bucketCol: String, batchId: Long): Long = {
+    require(isGenerational(dir),
+      s"streaming append needs a generation chain on $dir — without " +
+        "one a replayed micro-batch would double its rows")
+    val scratch = s"$dir.__append_b$batchId"
+    df.repartition(org.apache.spark.sql.functions.col(bucketCol))
+      .write.partitionBy(bucketCol).mode("overwrite").parquet(scratch)
+    val rx = (java.util.regex.Pattern.quote(s"$bucketCol=") +
+      "(-?\\d+)/").r
+    graft.sources.Layout.listParquet(scratch)
+      .flatMap(p => rx.findFirstMatchIn(p).map(m => (m.group(1), p)))
+      .groupBy(_._1)
+      .foreach { case (bucket, files) =>
+        require(files.length == 1,
+          s"bucket $bucket holds ${files.length} scratch files; the " +
+            "bucket-clustered write guarantees one — not renaming")
+        val tgt = java.nio.file.Paths.get(
+          s"$dir/$bucketCol=$bucket/gb$batchId.parquet")
+        java.nio.file.Files.createDirectories(tgt.getParent)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(files.head._2), tgt,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    deleteTree(scratch)
+    commitAppend(dir).get
+  }
+
+  private def deleteTree(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      val it = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      } finally it.close()
+    }
+  }
+
   /** Retire generations beyond the newest `keepGens` and every
     * parquet file under the artifact no kept manifest references —
     * including dead compaction scratch output. Keeps at least one

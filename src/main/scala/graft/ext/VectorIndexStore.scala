@@ -148,43 +148,12 @@ object VectorIndexStore {
         "(StoreGenerations.enable / StoreMaintain enable) — without " +
         "one a replayed micro-batch would double its rows")
     val (numSub, subDim, cellBuckets) = params(spark, path)
-    val scratch = s"$codes.__append_b$batchId"
-    encode(newVectors, idCol, vecCol,
-      stored(spark, path, "centroids", idCol, vecCol),
-      stored(spark, path, "codebook", idCol, vecCol),
-      numSub, subDim, cellBuckets)
-      .repartition(col("cell_bucket"))
-      .write.partitionBy("cell_bucket").mode(SaveMode.Overwrite)
-      .parquet(scratch)
-    val rx = "cell_bucket=(-?\\d+)/".r
-    graft.sources.Layout.listParquet(scratch)
-      .flatMap(p => rx.findFirstMatchIn(p).map(m => (m.group(1), p)))
-      .groupBy(_._1)
-      .foreach { case (bucket, files) =>
-        require(files.length == 1,
-          s"bucket $bucket holds ${files.length} scratch files; the " +
-            "bucket-clustered write guarantees one — not renaming")
-        val tgt = java.nio.file.Paths.get(
-          s"$codes/cell_bucket=$bucket/gb$batchId.parquet")
-        java.nio.file.Files.createDirectories(tgt.getParent)
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(files.head._2), tgt,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    deleteScratch(scratch)
-    StoreGenerations.commitAppend(codes)
-  }
-
-  private def deleteScratch(p: String): Unit = {
-    val root = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(root)) {
-      val it = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      } finally it.close()
-    }
+    StoreGenerations.landCanonicalBucketed(
+      encode(newVectors, idCol, vecCol,
+        stored(spark, path, "centroids", idCol, vecCol),
+        stored(spark, path, "codebook", idCol, vecCol),
+        numSub, subDim, cellBuckets),
+      codes, "cell_bucket", batchId)
   }
 
   /** REBUILD: re-fit the index geometry over the CURRENT corpus and

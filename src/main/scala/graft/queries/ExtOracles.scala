@@ -90,7 +90,7 @@ object ExtOracles {
     * verbatim by q_sig_compact: compaction is physical only, so the
     * persisted store's probe answers must be bit-identical through
     * it. */
-  private val incrStoredSql: String =
+  private def incrStoredSql: String =
     """WITH incA AS (
       |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
       |  FROM documents WHERE doc_id % 13 = 0),
@@ -98,8 +98,33 @@ object ExtOracles {
       |  UNION ALL SELECT doc_id, text FROM incA),
       |inc AS (
       |  SELECT doc_id + 800000 AS doc_id, text || ' graftincr fresh' AS text
+      |  FROM documents WHERE doc_id % 26 = 0)""".stripMargin +
+      ",\n" + minhashProbeChainSql
+
+  /** The streaming-ingest head: index = documents ∪ BOTH streamed
+    * waves (the fold must be visible to the post-stream probe —
+    * B's clones match the base doc, wave A1's clone of it, and wave
+    * A2's), probed by the same batch B. */
+  private def streamSigIngestSql: String =
+    """WITH incA1 AS (
+      |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |incA2 AS (
+      |  SELECT doc_id + 810000 AS doc_id, text || ' graftincr end2' AS text
       |  FROM documents WHERE doc_id % 26 = 0),
-      |ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM idx),
+      |idx AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM incA1
+      |  UNION ALL SELECT doc_id, text FROM incA2),
+      |inc AS (
+      |  SELECT doc_id + 800000 AS doc_id, text || ' graftincr fresh' AS text
+      |  FROM documents WHERE doc_id % 26 = 0)""".stripMargin +
+      ",\n" + minhashProbeChainSql
+
+  /** The MinHash probe chain over (idx, inc) CTEs — shingles,
+    * 8-seed signatures, 2-row bands, band-collision candidates,
+    * exact-Jaccard verification at 0.5. */
+  private val minhashProbeChainSql: String =
+    """ti AS (SELECT doc_id, string_split(text, ' ') AS w FROM idx),
       |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
       |shi AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
@@ -3009,6 +3034,8 @@ object ExtOracles {
     // the base layout), so the store's probe answers must be
     // bit-identical through it
     "q_sig_compact" -> incrStoredSql,
+    // streaming fold: the probe must see base ∪ BOTH streamed waves
+    "q_stream_sig_ingest" -> streamSigIngestSql,
     // the GENERATIONAL gate replays the same oracle again: the chain,
     // the online compaction, and the keep-window vacuum must all be
     // invisible in a reader planned before the cycle started
@@ -3163,6 +3190,10 @@ object ExtOracles {
     // append is exactly q_bm25_topk's corpus, and the store must be
     // invisible in the answer (same policy as q_ann_stored)
     "q_bm25_stored" -> bm25TopkSql,
+    // the streaming-ingest face lands the same logical corpus
+    // (build subset + streamed rest), so the same direct chain is
+    // its truth — stream and chains invisible
+    "q_stream_bm25_ingest" -> bm25TopkSql,
 
     // the statically-PRUNED index: the pruning window (top-3 impact
     // postings per token — tf desc, dl asc, doc_id asc) replayed over

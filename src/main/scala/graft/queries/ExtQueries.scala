@@ -1984,7 +1984,7 @@ object ExtQueries {
     * tokens of each query doc — short keyword-ish probes, derived
     * identically in the oracle. Queries are doc_id < 20; the corpus
     * is the rest (same split convention as the ANN family). */
-  private def bm25Queries(d: DataFrame): DataFrame =
+  private[queries] def bm25Queries(d: DataFrame): DataFrame =
     d.filter(col("doc_id") < 20)
       .select(col("doc_id").as("query_id"),
         slice(TextOps.tokens(col("text")), 1, 3).as("terms"))

@@ -792,6 +792,88 @@ object StarQueries {
     }
   }
 
+  // §2.11 × ext — STREAMING INGEST into the persisted BM25 index:
+  // every 7th corpus doc arrives as a file-source stream in four
+  // micro-batch triggers (postings/df/stats landing canonically under
+  // the store's bucket fn, adopted by the generation chains); the
+  // post-stream query batch must answer the direct BM25 chain over
+  // the FULL corpus — q_bm25_stored's oracle verbatim: the stream,
+  // the chains, and the per-batch delta landing all invisible.
+  def streamBm25IngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_ristore_si_$tail"
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") >= 20)
+    graft.ext.RetrievalIndexStore.build(
+      corpus.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", store)
+    graft.ext.StoreMaintenance.enableStoreGenerations("retrieval", store)
+    val staged = java.nio.file.Files.createTempDirectory("q_stream_bm25i")
+    val ckpt = java.nio.file.Files.createTempDirectory("q_stream_bm25i_ck")
+    try {
+      corpus.filter(col("doc_id") % 7 === 0).repartition(4)
+        .write.mode("overwrite").parquet(staged.toString)
+      val src = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = graft.streaming.StreamingOps.runRetrievalIngestSink(
+        src, store, "doc_id", "text", ckpt.toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.ext.RetrievalIndexStore.query(spark, store,
+        graft.queries.ExtQueries.bm25Queries(d), "query_id", "terms",
+        k = 5)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(staged, ckpt).foreach { dd =>
+        java.nio.file.Files.walk(dd).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  // §2.11 × ext — STREAMING INGEST into the persisted SIGNATURE
+  // store: two clone waves arrive as a file-source stream in four
+  // micro-batch triggers, each landing through the replay-safe
+  // canonical append (bands + sets, one gb<batchId> file per artifact
+  // per batch, adopted by the generation chains); the post-stream
+  // probe batch must see the base corpus AND both streamed waves —
+  // the DuckDB oracle replays the direct MinHash chain over
+  // documents ∪ wave1 ∪ wave2, so the stream, the chains, and the
+  // canonical landing are all invisible in the probe's answer.
+  def streamSigIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_si_$tail"
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    graft.ext.SignatureStore.build(d, "doc_id", "text", store)
+    graft.ext.StoreGenerations.enable(s"$store/bands.parquet")
+    graft.ext.StoreGenerations.enable(s"$store/sets.parquet")
+    val waves = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 26 === 0)
+        .select((col("doc_id") + 810000).as("doc_id"),
+          concat(col("text"), lit(" graftincr end2")).as("text")))
+    val probe = d.filter(col("doc_id") % 26 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(col("text"), lit(" graftincr fresh")).as("text"))
+    val staged = java.nio.file.Files.createTempDirectory("q_stream_sigi")
+    val ckpt = java.nio.file.Files.createTempDirectory("q_stream_sigi_ck")
+    try {
+      waves.repartition(4).write.mode("overwrite").parquet(staged.toString)
+      val src = spark.readStream.schema(waves.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = graft.streaming.StreamingOps.runSigIngestSink(
+        src, store, "doc_id", "text", ckpt.toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.ext.SignatureStore.ingest(spark, store, probe,
+        "doc_id", "text")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(staged, ckpt).foreach { dd =>
+        java.nio.file.Files.walk(dd).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   // §2.11 × ext — STREAMING INGEST into the persisted vector store:
   // every 5th-mod-2 candidate arrives as a file-source stream in four
   // genuine micro-batch triggers; each lands through the replay-safe
@@ -1346,6 +1428,8 @@ object StarQueries {
     "q_stream_neardup"     -> (streamNearDupQuery _),
     "q_stream_ann"         -> (streamAnnQuery _),
     "q_stream_ann_ingest"  -> (streamAnnIngestQuery _),
+    "q_stream_sig_ingest"  -> (streamSigIngestQuery _),
+    "q_stream_bm25_ingest" -> (streamBm25IngestQuery _),
     "q_stream_substr"      -> (streamSubstrQuery _),
     "q_stream_left_join"   -> (streamLeftJoinQuery _),
     "q_stream_full_join"   -> (streamFullJoinQuery _),

@@ -676,6 +676,48 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming INGEST into the persisted signature store — the FOLD
+    * side of the incremental near-dup loop as a stream: each
+    * micro-batch's bands/sets derive under the store's config and
+    * land canonically ([[graft.ext.SignatureStore.appendCanonical]]),
+    * so tomorrow's probes see today's stream exactly once, across
+    * crashes and replays. A production loop that also wants per-batch
+    * CANDIDATES runs `SignatureStore.ingest` first inside its own
+    * foreachBatch (probe-then-fold, the incremental-release order);
+    * this sink is the fold alone. */
+  def runSigIngestSink(updates: DataFrame, path: String,
+                       idCol: String, textCol: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.ext.SignatureStore.appendCanonical(batch.toDF(),
+          idCol, textCol, path, batchId)
+      }
+      .start()
+
+  /** Streaming INGEST into the persisted BM25 index — the lexical
+    * member of the streaming-ingest family ([[runVectorIngestSink]],
+    * [[runSigIngestSink]]): each micro-batch's postings/df/stats (and
+    * positions on a positional store) land canonically under the
+    * store's bucket fn, adopted by the artifacts' generation chains —
+    * exactly-once serving state across crashes and replays, readers
+    * pinned throughout. */
+  def runRetrievalIngestSink(updates: DataFrame, path: String,
+                             idCol: String, textCol: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.ext.RetrievalIndexStore.appendCanonical(batch.toDF(),
+          idCol, textCol, path, batchId)
+      }
+      .start()
+
   /** Streaming incremental near-dup CANDIDATES: the stream side's
     * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure
     * projection + explode, streaming-legal) joined against a STATIC
