@@ -12,6 +12,7 @@ import graft.ext.StoreMaintenance
   *   run_main.sh graft.StoreMaintain retrieval <storePath>
   *   run_main.sh graft.StoreMaintain release   <storePath>
   *   run_main.sh graft.StoreMaintain enable    <kind> <storePath>
+  *   run_main.sh graft.StoreMaintain snapshot  <kind> <storePath>
   *   run_main.sh graft.StoreMaintain vacuum    <kind> <storePath> <keepGens>
   *
   * `audit` prints the footer-only health inventory (zero data read —
@@ -43,9 +44,20 @@ object StoreMaintain {
       case c => c.toString
     } + "\""
 
+  private val Usage =
+    "usage: StoreMaintain audit <artifactDir>... | " +
+      "<sig|vector|retrieval|release> <storePath> | " +
+      "enable <kind> <storePath> | snapshot <kind> <storePath> | " +
+      "vacuum <kind> <storePath> <keepGens>"
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: StoreMaintain <audit|sig|vector|retrieval|release> <path>...")
+    // per-subcommand arity up front: a short invocation dies with the
+    // usage line, never an ArrayIndexOutOfBoundsException
+    val arity = Map("audit" -> 2, "enable" -> 3, "snapshot" -> 3,
+      "vacuum" -> 4,
+      "sig" -> 2, "vector" -> 2, "retrieval" -> 2, "release" -> 2)
+    require(args.nonEmpty && arity.contains(args(0)) &&
+      args.length >= arity(args(0)), Usage)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,6 +72,9 @@ object StoreMaintain {
       case "enable" =>
         StoreMaintenance.enableStoreGenerations(args(1), args(2))
         println(s"""{"enabled":${jstr(args(2))},"kind":${jstr(args(1))}}""")
+      case "snapshot" =>
+        val gen = graft.ext.StoreSnapshots.enable(args(1), args(2))
+        println(s"""{"snapshotted":${jstr(args(2))},"kind":${jstr(args(1))},"gen":$gen}""")
       case "vacuum" =>
         val (nf, nm) = StoreMaintenance.vacuumStore(args(1), args(2),
           args(3).toInt)
@@ -75,6 +90,9 @@ object StoreMaintain {
           case "release"   => StoreMaintenance.compactReleaseStore(spark, path)
           case other => sys.error(s"unknown store kind: $other")
         }
+        // a snapshotted store's readers resolve through the store
+        // manifest: pin the post-compaction generations so they see it
+        graft.ext.StoreSnapshots.commitIfSnapshotted(kind, path)
         val sec = (System.nanoTime() - t0) / 1e9
         reports.foreach { r =>
           println(s"""{"artifact":${jstr(r.artifact)},"files_before":${r.filesBefore},""" +

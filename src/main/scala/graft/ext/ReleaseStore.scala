@@ -117,10 +117,13 @@ object ReleaseStore {
     // --- i1: seen-URL probe + within-batch url keeper -------------
     val nb = batch.withColumn("__nu", UrlOps.normalize(col("url")))
       .localCheckpoint()
-    // generation-aware store probes: a chained store's readers hold
-    // the current generation's file list, so an in-band compaction
-    // (autoMaintain) never disturbs a probe already planned
-    val seenUrls = StoreGenerations.read(spark, s"$path/urls.parquet")
+    // generation-aware store probes through ONE resolver: a chained
+    // store's readers hold a pinned file list, so an in-band
+    // compaction (autoMaintain) never disturbs a probe already
+    // planned; on a snapshotted store, urls/hashes/sig all resolve
+    // from the SAME snapshot (and the frozen quality models verify)
+    val rd = StoreSnapshots.reader(spark, path)
+    val seenUrls = rd(s"$path/urls.parquet")
       .join(broadcast(nb.select(col("__nu").as("norm_url")).distinct()),
         Seq("norm_url"))
       .select(col("norm_url").as("__nu"))
@@ -139,7 +142,7 @@ object ReleaseStore {
 
     // --- i2: seen-hash probe + within-batch exact keeper ----------
     val hk = uk.withColumn("__h", md5(col("text"))).localCheckpoint()
-    val seenH = StoreGenerations.read(spark, s"$path/hashes.parquet")
+    val seenH = rd(s"$path/hashes.parquet")
       .join(broadcast(hk.select(col("__h").as("h")).distinct()), Seq("h"))
       .select(col("h").as("__h"))
     val ek = hk.join(seenH, Seq("__h"), "left_anti")
@@ -156,7 +159,7 @@ object ReleaseStore {
     // index-match propagation through batch components --------------
     val ingest = SignatureStore.ingest(spark, s"$path/sig",
       se.select("doc_id", "text"), "doc_id", "text",
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, resolve = Some(rd))
     val im = ingest.select(col("new_id").as("id")).distinct()
     val bp = Dedup.nearDupPairs(se.select("doc_id", "text"),
       "doc_id", "text", maxBucketSize = maxBucketSize)
@@ -262,10 +265,14 @@ object ReleaseStore {
       nb.select(md5(col("text")).as("h")).distinct()
         .write.mode(SaveMode.Append).parquet(s"$path/hashes.parquet")
       StoreGenerations.commitAppend(s"$path/hashes.parquet")
+      // store-level atomic commit: tomorrow's probes see today's fold
+      // across sig/urls/hashes all at once, never a partial batch
+      StoreSnapshots.commitIfSnapshotted("release", path)
       // in-band lifecycle knob (see SignatureStore.append): a daily
       // loop with autoMaintain set needs no external compaction tick
       autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
-        StoreMaintenance.artifactsOf("release", path), am))
+        StoreMaintenance.artifactsOf("release", path), am,
+        snapshot = Some(("release", path))))
     }
 
     CorpusRelease.Bundle(ledger, packs, shards, card, manifest)

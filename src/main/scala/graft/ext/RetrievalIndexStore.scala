@@ -202,9 +202,15 @@ object RetrievalIndexStore {
         .mode(SaveMode.Append).parquet(s"$path/positions.parquet")
       StoreGenerations.commitAppend(s"$path/positions.parquet")
     }
+    // the store-level atomic commit point: on a snapshotted store a
+    // reader between the per-artifact commits above keeps resolving
+    // the previous snapshot — new postings are never scored against
+    // stale document frequencies (all-old or all-new)
+    StoreSnapshots.commitIfSnapshotted("retrieval", path)
     // in-band lifecycle knob — see SignatureStore.append
     autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
-      StoreMaintenance.artifactsOf("retrieval", path), am))
+      StoreMaintenance.artifactsOf("retrieval", path), am,
+      snapshot = Some(("retrieval", path))))
   }
 
   /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store
@@ -216,21 +222,23 @@ object RetrievalIndexStore {
     * derivation as [[append]] — per-doc facts under the store's
     * bucket fn, df/stats as delta rows readers sum. */
   def appendCanonical(incoming: DataFrame, idCol: String, textCol: String,
-                      path: String, batchId: Long): Unit = {
+                      path: String, batchId: Long,
+                      runTag: String = ""): Unit = {
     val spark = incoming.sparkSession
     val tokBuckets = params(spark, path)
     val post = postingsOf(incoming, idCol, textCol, tokBuckets)
       .localCheckpoint()
     StoreGenerations.landCanonicalBucketed(post,
-      s"$path/postings.parquet", "tok_bucket", batchId)
+      s"$path/postings.parquet", "tok_bucket", batchId, runTag)
     StoreGenerations.landCanonicalBucketed(dfOf(post),
-      s"$path/df.parquet", "tok_bucket", batchId)
+      s"$path/df.parquet", "tok_bucket", batchId, runTag)
     StoreGenerations.landCanonical(statsOf(post),
-      s"$path/stats.parquet", batchId)
+      s"$path/stats.parquet", batchId, runTag)
     if (hasPositions(path))
       StoreGenerations.landCanonicalBucketed(
         positionsOf(incoming, idCol, textCol, tokBuckets),
-        s"$path/positions.parquet", "tok_bucket", batchId)
+        s"$path/positions.parquet", "tok_bucket", batchId, runTag)
+    StoreSnapshots.commitIfSnapshotted("retrieval", path)
   }
 
   /** Exact-phrase top-k against the STORED positional index (build
@@ -251,6 +259,8 @@ object RetrievalIndexStore {
                   k: Int): DataFrame = {
     require(hasPositions(path),
       s"$path has no positional face; build(positional = true)")
+    // resolve FIRST — seed verification before any scan (see query)
+    val rd = StoreSnapshots.reader(spark, path)
     val tokBuckets = params(spark, path)
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(t1Col).as("__t1"), col(t2Col).as("__t2")).localCheckpoint()
@@ -259,7 +269,7 @@ object RetrievalIndexStore {
     val buckets = qtoks
       .select(pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).as("__b"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val post = StoreGenerations.read(spark, s"$path/positions.parquet")
+    val post = rd(s"$path/positions.parquet")
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(qtoks), Seq("tok"))
       .select(col("doc_id"), col("pos"), col("tok"))
@@ -277,6 +287,9 @@ object RetrievalIndexStore {
     * (query_id, doc_id, rank, score_q). */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             queryIdCol: String, termsCol: String, k: Int): DataFrame = {
+    // resolve FIRST: on a snapshotted store this verifies the frozen
+    // seeds (params) loudly before any scan plans
+    val rd = StoreSnapshots.reader(spark, path)
     val tokBuckets = params(spark, path)
     // the query batch's distinct terms: small by definition (same
     // bounded class as an ingest batch); checkpointed because it
@@ -291,9 +304,12 @@ object RetrievalIndexStore {
     val qtoks = qterms.select("tok").distinct()
     // candidate postings = probed buckets ∩ query tokens; checkpoint
     // so dfreq and the score join share one scan
-    // generation-aware reads: a chained store resolves the current
-    // generation's file list (bucket-dir pruning kept via basePath)
-    val post = StoreGenerations.read(spark, s"$path/postings.parquet")
+    // generation-aware reads through ONE resolver: on a snapshotted
+    // store, postings/df/stats all resolve from the SAME snapshot —
+    // a batch's new postings are never scored against the previous
+    // generation's df/(N,T) however the reader interleaves with an
+    // in-flight append (bucket-dir pruning kept via basePath)
+    val post = rd(s"$path/postings.parquet")
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(qtoks), Seq("tok"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
@@ -301,11 +317,11 @@ object RetrievalIndexStore {
     // df from the persisted table (summed deltas), NOT from counting
     // the scan: on a pruned store the scan undercounts by design;
     // on an unpruned store the two are identical (spec-pinned)
-    val dfreq = StoreGenerations.read(spark, s"$path/df.parquet")
+    val dfreq = rd(s"$path/df.parquet")
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(qtoks), Seq("tok"))
       .groupBy("tok").agg(sum("df").as("__df"))
-    val tot = StoreGenerations.read(spark, s"$path/stats.parquet")
+    val tot = rd(s"$path/stats.parquet")
       .agg(sum("n_docs").as("__n"), sum("total_dl").as("__t"))
     Retrieval.bm25FromPostings(qterms, post, dfreq, tot, "doc_id", k)
   }

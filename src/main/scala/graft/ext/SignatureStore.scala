@@ -107,8 +107,13 @@ object SignatureStore {
     setsOf(incoming, idCol, textCol, shingleN)
       .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet")
     StoreGenerations.commitAppend(s"$path/sets.parquet")
+    // the store-level atomic commit point: on a snapshotted store,
+    // readers keep resolving the previous snapshot's (bands, sets)
+    // pair until BOTH artifact commits above are pinned together here
+    StoreSnapshots.commitIfSnapshotted("sig", path)
     autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
-      StoreMaintenance.artifactsOf("sig", path), am))
+      StoreMaintenance.artifactsOf("sig", path), am,
+      snapshot = Some(("sig", path))))
   }
 
   /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store
@@ -119,15 +124,17 @@ object SignatureStore {
     * (`StoreMaintain enable sig <path>`). The batch's bands/sets
     * derive under the STORE's config, same as [[append]]. */
   def appendCanonical(incoming: DataFrame, idCol: String, textCol: String,
-                      path: String, batchId: Long): Unit = {
+                      path: String, batchId: Long,
+                      runTag: String = ""): Unit = {
     val spark = incoming.sparkSession
     val (shingleN, numHashes) = params(spark, path)
     StoreGenerations.landCanonical(
       bandsOf(incoming, idCol, textCol, shingleN, numHashes),
-      s"$path/bands.parquet", batchId)
+      s"$path/bands.parquet", batchId, runTag)
     StoreGenerations.landCanonical(
       setsOf(incoming, idCol, textCol, shingleN),
-      s"$path/sets.parquet", batchId)
+      s"$path/sets.parquet", batchId, runTag)
+    StoreSnapshots.commitIfSnapshotted("sig", path)
   }
 
   /** The daily check: near-dups of `incoming` against the STORE
@@ -143,15 +150,24 @@ object SignatureStore {
              idCol: String, textCol: String,
              minJaccard: Double = 0.5,
              maxBucketSize: Int = Int.MaxValue,
-             broadcastBatch: Boolean = true): DataFrame = {
+             broadcastBatch: Boolean = true,
+             resolve: Option[String => DataFrame] = None): DataFrame = {
+    // resolve FIRST: on a snapshotted store this verifies the frozen
+    // seeds (params) loudly before any scan plans
+    val rd = resolve.getOrElse(StoreSnapshots.reader(spark, path))
     val (shingleN, numHashes) = params(spark, path)
     val mark = if (broadcastBatch) (df: DataFrame) => broadcast(df)
                else identity[DataFrame] _
     val bN = bandsOf(incoming, idCol, textCol, shingleN, numHashes)
       .withColumnRenamed("doc_id", "new_id")
-    // generation-aware: a chained store's probe resolves the CURRENT
-    // generation's file list, so maintenance can compact concurrently
-    val bI = StoreGenerations.read(spark, s"$path/bands.parquet")
+    // generation-aware: a chained store's probe resolves a pinned
+    // file list, so maintenance can compact concurrently. ONE
+    // resolver for bands AND sets: on a snapshotted store both come
+    // from the same snapshot (a candidate id surfaced by the band
+    // probe always has its verification set — mixed generations
+    // could silently drop a pair). `resolve` lets a composed caller
+    // (the release loop) thread ITS store-level pin through.
+    val bI = rd(s"$path/bands.parquet")
     // store rows inside probed buckets only: the broadcast join keeps
     // every index row of every bucket the batch touches, so counting
     // THESE rows per (band, bkey) reproduces the direct route's index
@@ -179,7 +195,7 @@ object SignatureStore {
     val setsN = setsOf(incoming, idCol, textCol, shingleN)
       .select(col("doc_id").as("new_id"), col("shingles").as("__seta"))
     val candIdx = mark(cand.select(col("index_id").as("doc_id")).distinct())
-    val setsI = StoreGenerations.read(spark, s"$path/sets.parquet")
+    val setsI = rd(s"$path/sets.parquet")
       .join(candIdx, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("index_id"), col("shingles").as("__setb"))
     val inter = size(array_intersect(col("__seta"), col("__setb")))

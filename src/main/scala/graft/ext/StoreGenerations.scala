@@ -32,7 +32,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - SINGLE WRITER: appends and compactions on one artifact
   *    serialize (the store contract); a lost race surfaces loudly
   *    through the no-clobber generation publish, never as silent
-  *    last-writer-wins (same `link(2)` primitive as the merge sink).
+  *    last-writer-wins (the merge sink's guarded publish — an atomic
+  *    conditional create via [[graft.sources.ManifestIO]]: `link(2)`
+  *    on POSIX, a conditional PUT on an object store; the chain
+  *    protocol assumes nothing POSIX-specific).
   *  - READERS ARE FREE: any number, any time; a reader holds the
   *    file list of the generation it resolved, which survives every
   *    compaction and every vacuum within the keep window.
@@ -54,52 +57,79 @@ object StoreGenerations {
 
   private def manifestsDir(dir: String) = s"$dir/_manifests"
 
-  private def exists(p: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+  // all manifest IO rides the storage seam: POSIX by default, the
+  // object-store transport when the path is registered against one —
+  // the chain protocol itself assumes nothing beyond list / read /
+  // conditional-create (see graft.sources.ManifestIO)
+  private def io(dir: String): graft.sources.ManifestIO =
+    graft.sources.ManifestIO.forPath(dir)
 
   /** Whether the artifact carries a generation chain. */
-  def isGenerational(dir: String): Boolean = exists(manifestsDir(dir))
+  def isGenerational(dir: String): Boolean = gens(dir).nonEmpty
 
-  private def gens(dir: String): Seq[(Long, java.io.File)] =
-    Option(new java.io.File(manifestsDir(dir)).listFiles())
-      .getOrElse(Array.empty)
-      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toLong -> f))
-      .sortBy(_._1).toSeq
+  private def gens(dir: String): Seq[Long] =
+    io(dir).list(manifestsDir(dir))
+      .flatMap(n => "^gen=(\\d+)$".r.findFirstMatchIn(n)
+        .map(_.group(1).toLong))
+      .sorted
 
-  private def readManifest(f: java.io.File): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
-      .filter(_.nonEmpty)
-  }
+  private def readManifest(dir: String, gen: Long): Seq[String] =
+    io(dir).read(s"${manifestsDir(dir)}/gen=$gen")
+      .getOrElse(throw new IllegalStateException(
+        s"manifest gen=$gen under $dir vanished mid-read"))
+      .split("\n", -1).toSeq.filter(_.nonEmpty)
 
   /** The newest published generation number, if any. */
-  def currentGen(dir: String): Option[Long] = gens(dir).lastOption.map(_._1)
+  def currentGen(dir: String): Option[Long] = gens(dir).lastOption
+
+  /** The artifact's VISIBLE parquet inventory — [[graft.sources
+    * .Layout.listParquet]] minus any file under a path segment
+    * starting with `_` or `.` (Spark's hidden-path convention,
+    * mirroring what `spark.read.parquet(dir)` ignores). [[enable]]
+    * and [[commitAppend]] inventory through this, never the raw
+    * listing: a crashed `SaveMode.Append` leaves task-attempt
+    * part files under `_temporary/`, which Spark's own directory
+    * reader hides — adopting them as "freshly appended" would
+    * publish duplicated/partial rows into the chain. */
+  private def visibleParquet(dir: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    graft.sources.Layout.listParquet(dir).filterNot { p =>
+      val rel = base.relativize(
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize).toString
+      rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+    }
+  }
 
   /** The artifact's file list AT a generation — the largest published
     * generation <= `gen`, or None if none that old survives (same
     * time-travel contract as the merge-sink table's `filesAt`). */
   def filesAt(dir: String, gen: Long): Option[Seq[String]] =
-    gens(dir).filter(_._1 <= gen).lastOption.map(g => readManifest(g._2))
+    gens(dir).filter(_ <= gen).lastOption.map(g => readManifest(dir, g))
 
   /** The CURRENT generation's file list (None = non-generational). */
   def currentFiles(dir: String): Option[Seq[String]] =
-    gens(dir).lastOption.map(g => readManifest(g._2))
+    gens(dir).lastOption.map(g => readManifest(dir, g))
 
   /** Publish generation `gen` — no-clobber (`link(2)` + read-back,
     * via the merge sink's guarded publish): a second writer racing
     * onto the same generation RAISES instead of corrupting the
     * chain. */
   private[ext] def publish(dir: String, gen: Long,
-                           files: Seq[String]): Unit =
+                           files: Seq[String]): Unit = {
+    // never publish an empty manifest: a store artifact is never
+    // logically empty (enable requires files, commits only add), and
+    // an empty generation would read as a schemaless frame downstream
+    require(files.nonEmpty,
+      s"refusing to publish empty generation $gen under $dir")
     graft.streaming.StreamingOps.publishManifest(dir, gen,
       files.sorted, replace = false)
+  }
 
   /** Start the chain: generation 0 = the directory's current parquet
     * inventory. Idempotent (an already-generational artifact keeps
     * its chain). Returns the current generation. */
   def enable(dir: String): Long = currentGen(dir).getOrElse {
-    val files = graft.sources.Layout.listParquet(dir)
+    val files = visibleParquet(dir)
     require(files.nonEmpty, s"nothing to version under $dir")
     publish(dir, 0L, files)
     0L
@@ -110,7 +140,7 @@ object StoreGenerations {
 
   /** Every file any surviving manifest references (canonicalized). */
   private def referenced(dir: String): Set[String] =
-    gens(dir).flatMap(g => readManifest(g._2)).map(canon).toSet
+    gens(dir).flatMap(g => readManifest(dir, g)).map(canon).toSet
 
   /** Read the artifact: the current generation's file list when a
     * chain exists (with `basePath` so bucket-partition directories
@@ -120,7 +150,9 @@ object StoreGenerations {
     currentFiles(dir) match {
       case Some(files) if files.nonEmpty =>
         spark.read.option("basePath", dir).parquet(files: _*)
-      case Some(_) => spark.emptyDataFrame
+      case Some(_) => throw new IllegalStateException(
+        s"empty manifest under $dir — publish requires non-empty " +
+          "file lists, so an empty generation means a corrupted chain")
       case None => spark.read.parquet(dir)
     }
 
@@ -133,7 +165,9 @@ object StoreGenerations {
     filesAt(dir, gen) match {
       case Some(files) if files.nonEmpty =>
         spark.read.option("basePath", dir).parquet(files: _*)
-      case Some(_) => spark.emptyDataFrame
+      case Some(_) => throw new IllegalStateException(
+        s"empty manifest under $dir — publish requires non-empty " +
+          "file lists, so an empty generation means a corrupted chain")
       case None => throw new IllegalStateException(
         s"no generation <= $gen survives under $dir: the pin is " +
           "outside the vacuum keep window (or the artifact has no " +
@@ -155,7 +189,7 @@ object StoreGenerations {
   def commitAppend(dir: String): Option[Long] =
     currentGen(dir).map { cur =>
       val ref = referenced(dir)
-      val fresh = graft.sources.Layout.listParquet(dir)
+      val fresh = visibleParquet(dir)
         .filterNot(p => ref.contains(canon(p)))
         .filterNot(p => CompactName
           .findFirstIn(p.substring(p.lastIndexOf('/') + 1)).isDefined)
@@ -167,17 +201,36 @@ object StoreGenerations {
       }
     }
 
+  /** The canonical base name of a landed batch's file:
+    * `gb<batchId>` when no run tag is supplied, `r<tag>-gb<batchId>`
+    * otherwise. The run tag exists because REPLACE_EXISTING assumes
+    * the name identifies ONE logical batch forever: a SECOND stream
+    * (fresh checkpoint — batch ids restart at 0) ingesting into the
+    * same store would silently overwrite the first run's committed
+    * `gb0` under the live generation. The ingest sinks derive the tag
+    * from the checkpoint path, so a genuine replay (same checkpoint)
+    * still overwrites its own bytes while a different run lands under
+    * names of its own and accumulates correctly. */
+  private[graft] def canonicalName(batchId: Long, runTag: String): String = {
+    require(runTag.matches("[A-Za-z0-9]*"),
+      s"run tag must be alphanumeric, got '$runTag'")
+    if (runTag.isEmpty) s"gb$batchId" else s"r$runTag-gb$batchId"
+  }
+
   /** Land a micro-batch's rows as ONE canonical file in a FLAT
-    * generational artifact (`<dir>/gb<batchId>.parquet`) and commit —
-    * the replay-safe streaming-append primitive: a replayed batch
-    * overwrites its own file (REPLACE_EXISTING; nothing else ever
-    * carries its name) and its commit finds nothing unreferenced, so
-    * the chain — and every pinned reader — is untouched. A mid-batch
-    * crash leaves only an unreferenced file the replay overwrites.
-    * Micro-batches are small by definition, so one file per batch IS
-    * the fresh-build landing (the auto-maintenance ratio still
-    * bounds the long-run count). Returns the chain generation. */
-  def landCanonical(df: DataFrame, dir: String, batchId: Long): Long = {
+    * generational artifact (`<dir>/[r<tag>-]gb<batchId>.parquet`, see
+    * [[canonicalName]]) and commit — the replay-safe streaming-append
+    * primitive: a replayed batch overwrites its own file
+    * (REPLACE_EXISTING; nothing else ever carries its name — batch id
+    * AND run tag pin the identity) and its commit finds nothing
+    * unreferenced, so the chain — and every pinned reader — is
+    * untouched. A mid-batch crash leaves only an unreferenced file the
+    * replay overwrites. Micro-batches are small by definition, so one
+    * file per batch IS the fresh-build landing (the auto-maintenance
+    * ratio still bounds the long-run count). Returns the chain
+    * generation. */
+  def landCanonical(df: DataFrame, dir: String, batchId: Long,
+                    runTag: String = ""): Long = {
     require(isGenerational(dir),
       s"streaming append needs a generation chain on $dir — without " +
         "one a replayed micro-batch would double its rows")
@@ -188,7 +241,8 @@ object StoreGenerations {
       s"coalesce(1) landed ${files.length} files under $scratch")
     files.foreach { p =>
       java.nio.file.Files.move(java.nio.file.Paths.get(p),
-        java.nio.file.Paths.get(s"$dir/gb$batchId.parquet"),
+        java.nio.file.Paths.get(
+          s"$dir/${canonicalName(batchId, runTag)}.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     deleteTree(scratch)
@@ -196,13 +250,14 @@ object StoreGenerations {
   }
 
   /** [[landCanonical]] for a BUCKET-PARTITIONED artifact: the batch
-    * lands as one canonical `gb<batchId>.parquet` per POPULATED
-    * bucket directory (the bucket-clustered repartition guarantees
-    * one scratch file per bucket — enforced), preserving the layout
-    * probe-time partition pruning keys on. Same replay/crash
-    * contract as the flat form. */
+    * lands as one canonical `[r<tag>-]gb<batchId>.parquet` per
+    * POPULATED bucket directory (the bucket-clustered repartition
+    * guarantees one scratch file per bucket — enforced), preserving
+    * the layout probe-time partition pruning keys on. Same
+    * replay/crash/run-tag contract as the flat form. */
   def landCanonicalBucketed(df: DataFrame, dir: String,
-                            bucketCol: String, batchId: Long): Long = {
+                            bucketCol: String, batchId: Long,
+                            runTag: String = ""): Long = {
     require(isGenerational(dir),
       s"streaming append needs a generation chain on $dir — without " +
         "one a replayed micro-batch would double its rows")
@@ -219,7 +274,7 @@ object StoreGenerations {
           s"bucket $bucket holds ${files.length} scratch files; the " +
             "bucket-clustered write guarantees one — not renaming")
         val tgt = java.nio.file.Paths.get(
-          s"$dir/$bucketCol=$bucket/gb$batchId.parquet")
+          s"$dir/$bucketCol=$bucket/${canonicalName(batchId, runTag)}.parquet")
         java.nio.file.Files.createDirectories(tgt.getParent)
         java.nio.file.Files.move(
           java.nio.file.Paths.get(files.head._2), tgt,
@@ -248,17 +303,27 @@ object StoreGenerations {
     * single-writer cadence as the merge-sink vacuum: run it from the
     * maintenance path, not concurrently with a reader pinned older
     * than the kept window. */
-  def vacuum(dir: String, keepGens: Int): (Int, Int) = {
-    require(keepGens >= 1, "must keep at least one generation")
+  def vacuum(dir: String, keepGens: Int): (Int, Int) =
+    vacuumKeeping(dir, keepLatest = keepGens, alsoKeep = Set.empty)
+
+  /** [[vacuum]] with an EXTERNAL pin set: keep the newest `keepLatest`
+    * generations PLUS every generation in `alsoKeep` — the hook
+    * [[StoreSnapshots]] uses so a store-level manifest's pinned
+    * artifact generations survive any per-artifact vacuum cadence. */
+  private[ext] def vacuumKeeping(dir: String, keepLatest: Int,
+                                 alsoKeep: Set[Long]): (Int, Int) = {
+    require(keepLatest >= 1, "must keep at least one generation")
     val all = gens(dir)
     if (all.isEmpty) return (0, 0)
-    val (drop, keep) = all.splitAt(math.max(0, all.length - keepGens))
-    val kept = keep.flatMap(g => readManifest(g._2)).map(canon).toSet
+    val latest = all.takeRight(keepLatest).toSet
+    val keep = all.filter(g => latest.contains(g) || alsoKeep.contains(g))
+    val drop = all.filterNot(keep.contains)
+    val kept = keep.flatMap(g => readManifest(dir, g)).map(canon).toSet
     val dead = graft.sources.Layout.listParquet(dir)
       .filterNot(p => kept.contains(canon(p)))
     dead.foreach(p =>
       java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
-    drop.foreach { case (_, f) => java.nio.file.Files.delete(f.toPath) }
+    drop.foreach(g => io(dir).delete(s"${manifestsDir(dir)}/gen=$g"))
     (dead.length, drop.length)
   }
 }

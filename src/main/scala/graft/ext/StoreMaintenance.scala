@@ -310,10 +310,22 @@ object StoreMaintenance {
     * what actually compacted (usually empty — that is the point of a
     * threshold). The trigger is pure filesystem metadata; sizing the
     * flat ideal uses file lengths, not footers, so a quiet tick
-    * launches zero Spark jobs. */
+    * launches zero Spark jobs.
+    *
+    * `snapshot = Some((kind, storePath))`: when the store carries a
+    * [[StoreSnapshots]] chain, a tick that compacted anything commits
+    * ONE new store snapshot pinning the post-compaction generations,
+    * then vacuums snapshot-aware (artifact generations any surviving
+    * snapshot pins are kept, whatever the per-artifact keep window
+    * says) — the per-artifact vacuum below would otherwise retire
+    * generations a kept snapshot still names. */
   def maintainIfNeeded(spark: SparkSession, specs: Seq[ArtifactSpec],
-                       am: AutoMaintain): Seq[ArtifactReport] =
-    specs.flatMap { s =>
+                       am: AutoMaintain,
+                       snapshot: Option[(String, String)] = None)
+      : Seq[ArtifactReport] = {
+    val snapped = snapshot.filter { case (_, p) =>
+      StoreSnapshots.isSnapshotted(p) }
+    val reports = specs.flatMap { s =>
       if (!exists(s.dir)) None
       else {
         val files = StoreGenerations.currentFiles(s.dir)
@@ -332,12 +344,18 @@ object StoreMaintenance {
         if (files.length <= am.ratio * ideal) None
         else {
           val r = compact(spark, s, am.targetBytes)
-          if (StoreGenerations.isGenerational(s.dir))
+          if (snapped.isEmpty && StoreGenerations.isGenerational(s.dir))
             StoreGenerations.vacuum(s.dir, am.keepGens)
           Some(r)
         }
       }
     }
+    if (reports.nonEmpty) snapped.foreach { case (kind, p) =>
+      StoreSnapshots.commit(kind, p)
+      StoreSnapshots.vacuum(kind, p, am.keepGens)
+    }
+    reports
+  }
 
   /** [[StoreGenerations.enable]] on every accreting artifact of a
     * store (`kind` ∈ sig | vector | retrieval | release) — the
@@ -346,9 +364,13 @@ object StoreMaintenance {
     artifactsOf(kind, path).foreach(s => StoreGenerations.enable(s.dir))
 
   /** [[StoreGenerations.vacuum]] across a store's accreting
-    * artifacts; returns (files deleted, manifests deleted) summed. */
+    * artifacts; returns (files deleted, manifests deleted) summed.
+    * On a [[StoreSnapshots]]-enabled store, routes through the
+    * snapshot-aware vacuum so no kept snapshot's pins retire. */
   def vacuumStore(kind: String, path: String, keepGens: Int): (Int, Int) =
-    artifactsOf(kind, path)
+    if (StoreSnapshots.isSnapshotted(path))
+      StoreSnapshots.vacuum(kind, path, keepGens)
+    else artifactsOf(kind, path)
       .filter(s => StoreGenerations.isGenerational(s.dir))
       .map(s => StoreGenerations.vacuum(s.dir, keepGens))
       .foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }

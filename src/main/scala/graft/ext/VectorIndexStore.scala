@@ -121,8 +121,10 @@ object VectorIndexStore {
       .write.partitionBy("cell_bucket").mode(SaveMode.Append)
       .parquet(s"$path/codes.parquet")
     StoreGenerations.commitAppend(s"$path/codes.parquet")
+    StoreSnapshots.commitIfSnapshotted("vector", path)
     autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
-      StoreMaintenance.artifactsOf("vector", path), am))
+      StoreMaintenance.artifactsOf("vector", path), am,
+      snapshot = Some(("vector", path))))
   }
 
   /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store
@@ -140,7 +142,8 @@ object VectorIndexStore {
     * overwrites and the vacuum would sweep. Single-writer contract
     * unchanged (the streaming sink's serial batches ARE it). */
   def appendCanonical(newVectors: DataFrame, idCol: String, vecCol: String,
-                      path: String, batchId: Long): Unit = {
+                      path: String, batchId: Long,
+                      runTag: String = ""): Unit = {
     val spark = newVectors.sparkSession
     val codes = s"$path/codes.parquet"
     require(StoreGenerations.isGenerational(codes),
@@ -153,7 +156,8 @@ object VectorIndexStore {
         stored(spark, path, "centroids", idCol, vecCol),
         stored(spark, path, "codebook", idCol, vecCol),
         numSub, subDim, cellBuckets),
-      codes, "cell_bucket", batchId)
+      codes, "cell_bucket", batchId, runTag)
+    StoreSnapshots.commitIfSnapshotted("vector", path)
   }
 
   /** REBUILD: re-fit the index geometry over the CURRENT corpus and
@@ -227,6 +231,9 @@ object VectorIndexStore {
     * (query_id, neighbor_id, rank, adc_dist2). */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    // resolve FIRST: on a snapshotted store this verifies the frozen
+    // seeds (centroids/codebook/params) loudly before any scan plans
+    val rd = StoreSnapshots.reader(spark, path)
     val (numSub, subDim, cellBuckets) = params(spark, path)
     val centroids = stored(spark, path, "centroids", idCol, vecCol)
     val codebook = stored(spark, path, "codebook", idCol, vecCol)
@@ -249,10 +256,10 @@ object VectorIndexStore {
       .select("__cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val buckets = probedCells.map(_ % cellBuckets).distinct
-    // generation-aware read: a chained store's probe resolves the
-    // current generation's file list (bucket-dir partition pruning
-    // preserved via basePath), so compaction never blocks queries
-    val codes = StoreGenerations.read(spark, s"$path/codes.parquet")
+    // generation-aware read: a chained store's probe resolves a
+    // pinned file list (bucket-dir partition pruning preserved via
+    // basePath), so compaction never blocks queries
+    val codes = rd(s"$path/codes.parquet")
       .filter(col("cell_bucket").isin(buckets: _*) &&
         col("cell").isin(probedCells: _*))
       .select(col("neighbor_id"), col("cell").as("__cell"),

@@ -486,20 +486,21 @@ object StreamingOps {
           "generations yet) — re-pin to a kept generation")
     }
 
+  /** Manifest generation numbers under `root`, via the storage seam. */
+  private def manifestGens(root: String): Seq[Long] =
+    graft.sources.ManifestIO.forPath(root).list(s"$root/_manifests")
+      .flatMap(n => "^gen=(\\d+)$".r.findFirstMatchIn(n)
+        .map(_.group(1).toLong)).sorted
+
   private def manifestFiles(root: String, below: Long)
       : Option[Seq[String]] = {
-    val dir = new java.io.File(s"$root/_manifests")
-    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toLong -> f))
-      .filter(_._1 < below)
+    val gens = manifestGens(root).filter(_ < below)
     if (gens.isEmpty) None
-    else {
-      import scala.jdk.CollectionConverters._
-      Some(java.nio.file.Files
-        .readAllLines(gens.maxBy(_._1)._2.toPath).asScala.toSeq
-        .filter(_.nonEmpty))
-    }
+    else Some(graft.sources.ManifestIO.forPath(root)
+      .read(s"$root/_manifests/gen=${gens.max}")
+      .getOrElse(throw new IllegalStateException(
+        s"manifest gen=${gens.max} under $root vanished mid-read"))
+      .split("\n", -1).toSeq.filter(_.nonEmpty))
   }
 
   /** The manifest table's COMPACTION — small unit files accumulated
@@ -519,10 +520,7 @@ object StreamingOps {
     * own retirement gate); returns the verification frame. */
   def compactManifest(spark: SparkSession, root: String,
                       targetBytes: Long): DataFrame = {
-    val dir = new java.io.File(s"$root/_manifests")
-    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toLong))
+    val gens = manifestGens(root)
     require(gens.nonEmpty, s"no manifest generations under $root")
     val gen = gens.max
     val files = currentFiles(root).get
@@ -560,11 +558,8 @@ object StreamingOps {
     * reader older than the kept window. */
   def vacuumManifests(root: String, keepGens: Int): (Int, Int) = {
     require(keepGens >= 1, s"must keep at least one generation")
-    val dir = new java.io.File(s"$root/_manifests")
-    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^gen=(\\d+)$".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toLong -> f))
-      .sortBy(_._1)
+    val io = graft.sources.ManifestIO.forPath(root)
+    val gens = manifestGens(root)
     if (gens.isEmpty) return (0, 0)
     val (drop, keep) = gens.splitAt(math.max(0, gens.length - keepGens))
     // normalize BOTH sides of the liveness comparison: manifests carry
@@ -575,9 +570,9 @@ object StreamingOps {
     // live table
     def canon(s: String): String =
       java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
-    val referenced = keep.flatMap { case (_, f) =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(f.toPath).asScala
+    val referenced = keep.flatMap { g =>
+      io.read(s"$root/_manifests/gen=$g").getOrElse("")
+        .split("\n", -1).toSeq.filter(_.nonEmpty)
     }.map(canon).toSet
     val dataRoot = java.nio.file.Paths.get(s"$root/data")
     var removed = 0
@@ -592,11 +587,11 @@ object StreamingOps {
         }
       } finally it.close()
     }
-    drop.foreach { case (_, f) => java.nio.file.Files.delete(f.toPath) }
+    drop.foreach(g => io.delete(s"$root/_manifests/gen=$g"))
     (removed, drop.length)
   }
 
-  /** Publish a generation file via temp-write + atomic rename.
+  /** Publish a generation file via the storage seam.
     *
     * `replace = true` is the QUIESCED re-publish ([[compactManifest]]
     * replacing gen N in place — single-writer by that method's
@@ -610,41 +605,30 @@ object StreamingOps {
     * publish LOST — it raises instead of silently last-writer-wins,
     * so a misconfigured second sink on the same root surfaces as a
     * loud failure, never as interleaved table corruption
-    * (MergeSinkSpec pins both the race loser and the replay). */
+    * (MergeSinkSpec pins both the race loser and the replay).
+    *
+    * The publish speaks only [[graft.sources.ManifestIO]]: `put` for
+    * the quiesced replace, `putIfAbsent` (an atomic conditional
+    * create — `link(2)` on POSIX, a conditional PUT on an object
+    * store) for the guarded path, then a read-back AFTER the attempt:
+    * the winner is whoever's bytes are stored now — equal means ours
+    * or a benign byte-identical replay, different means this publish
+    * LOST and it raises. Nothing in the protocol assumes rename,
+    * hard links, or directories. */
   private[graft] def publishManifest(root: String, gen: Long,
                                      files: Seq[String],
                                      replace: Boolean = true): Unit = {
-    val dir = java.nio.file.Paths.get(s"$root/_manifests")
-    java.nio.file.Files.createDirectories(dir)
+    val io = graft.sources.ManifestIO.forPath(root)
     val content = files.mkString("\n")
-    val tmp = dir.resolve(
-      s".gen=$gen.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-    val target = dir.resolve(s"gen=$gen")
-    if (replace) {
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      // hard-link, not rename: POSIX rename() silently REPLACES an
-      // existing target (ATOMIC_MOVE maps straight onto it), so the
-      // no-clobber publish uses link(2) — atomic creation that FAILS
-      // if the generation already exists, with no exists-check window
-      try {
-        java.nio.file.Files.createLink(target, tmp)
-        java.nio.file.Files.delete(tmp)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.delete(tmp)
-      }
-      // re-read AFTER the link attempt: the winner is whoever's bytes
-      // are on disk now
-      val onDisk = new String(java.nio.file.Files.readAllBytes(target),
-        "UTF-8")
-      if (onDisk != content)
+    val target = s"$root/_manifests/gen=$gen"
+    if (replace) io.put(target, content)
+    else {
+      io.putIfAbsent(target, content)
+      val stored = io.read(target).getOrElse("")
+      if (stored != content)
         throw new IllegalStateException(
-          s"lost publish race on $root gen=$gen: the generation on " +
-            "disk is not this writer's — a second writer is publishing " +
+          s"lost publish race on $root gen=$gen: the generation " +
+            "stored is not this writer's — a second writer is publishing " +
             "to the same manifest root (single-writer contract)")
     }
   }
@@ -663,18 +647,32 @@ object StreamingOps {
     * overwritten by the replay; the vacuum would sweep orphans).
     * Readers keep resolving their pinned generation throughout; the
     * sink's serial batches are the store's single writer. */
+  /** Deterministic run tag for a streaming ingest's canonical file
+    * names ([[graft.ext.StoreGenerations.canonicalName]]): a hash of
+    * the canonical checkpoint path. Same checkpoint → same tag, so a
+    * replay overwrites its own files; a DIFFERENT checkpoint (a second
+    * stream whose batch ids restart at 0) lands under names of its own
+    * and accumulates instead of silently overwriting the first run's
+    * committed bytes. */
+  private[graft] def checkpointRunTag(checkpoint: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(
+      java.nio.file.Paths.get(checkpoint)
+        .toAbsolutePath.normalize.toString)}%08x"
+
   def runVectorIngestSink(updates: DataFrame, path: String,
                           idCol: String, vecCol: String,
                           checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = checkpointRunTag(checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         graft.ext.VectorIndexStore.appendCanonical(batch.toDF(),
-          idCol, vecCol, path, batchId)
+          idCol, vecCol, path, batchId, tag)
       }
       .start()
+  }
 
   /** Streaming INGEST into the persisted signature store — the FOLD
     * side of the incremental near-dup loop as a stream: each
@@ -688,15 +686,17 @@ object StreamingOps {
   def runSigIngestSink(updates: DataFrame, path: String,
                        idCol: String, textCol: String,
                        checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = checkpointRunTag(checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         graft.ext.SignatureStore.appendCanonical(batch.toDF(),
-          idCol, textCol, path, batchId)
+          idCol, textCol, path, batchId, tag)
       }
       .start()
+  }
 
   /** Streaming INGEST into the persisted BM25 index — the lexical
     * member of the streaming-ingest family ([[runVectorIngestSink]],
@@ -708,15 +708,17 @@ object StreamingOps {
   def runRetrievalIngestSink(updates: DataFrame, path: String,
                              idCol: String, textCol: String,
                              checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = checkpointRunTag(checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         graft.ext.RetrievalIndexStore.appendCanonical(batch.toDF(),
-          idCol, textCol, path, batchId)
+          idCol, textCol, path, batchId, tag)
       }
       .start()
+  }
 
   /** Streaming incremental near-dup CANDIDATES: the stream side's
     * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure

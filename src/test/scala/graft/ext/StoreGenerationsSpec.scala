@@ -12,10 +12,20 @@ import graft.TestSpark
   * the keep window, appends publish generations, crashed-compaction
   * leftovers are never adopted, the no-clobber publish surfaces a
   * racing writer, and the audit-triggered auto-maintenance knob
-  * fires exactly at its threshold with answers unchanged. */
-class StoreGenerationsSpec extends AnyFunSuite {
+  * fires exactly at its threshold with answers unchanged.
+  *
+  * The behavior runs TWICE: once on the default POSIX manifest
+  * transport and once with every store root registered against
+  * [[graft.sources.ObjectStoreManifestIO]] — the chain protocol must
+  * need nothing beyond list/read/conditional-create (the object-store
+  * primitive set), so the whole suite passing under both transports
+  * is the portability proof. */
+abstract class StoreGenerationsBehavior(tag: String, objectStore: Boolean)
+    extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  private lazy val objIo = new graft.sources.ObjectStoreManifestIO
 
   private def docs: DataFrame =
     graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
@@ -23,7 +33,8 @@ class StoreGenerationsSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
-  private def fresh(path: String): String = {
+  private def fresh(path0: String): String = {
+    val path = s"${path0}_$tag"
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       val it = java.nio.file.Files.walk(p)
@@ -33,6 +44,7 @@ class StoreGenerationsSpec extends AnyFunSuite {
           .foreach(java.nio.file.Files.delete)
       } finally it.close()
     }
+    if (objectStore) graft.sources.ManifestIO.register(path, objIo)
     path
   }
 
@@ -221,3 +233,12 @@ class StoreGenerationsSpec extends AnyFunSuite {
       "doc_id", "text")) == expected)
   }
 }
+
+class StoreGenerationsSpec
+    extends StoreGenerationsBehavior("posix", objectStore = false)
+
+/** The same behavior with the manifest transport swapped for the
+  * object-store model — no rename, no hard links, no directories,
+  * just LIST / GET / conditional PUT. */
+class StoreGenerationsObjectStoreSpec
+    extends StoreGenerationsBehavior("objstore", objectStore = true)

@@ -12,11 +12,28 @@ import graft.TestSpark
   * (never copied, never rewritten), and (c) converge to the same
   * table when a batch replays after a mid-commit kill — exactly-once
   * table states from idempotence, with one manifest per batch id. */
-class MergeSinkSpec extends AnyFunSuite {
+abstract class MergeSinkBehavior(objectStore: Boolean)
+    extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
   private implicit def sqlCtx: org.apache.spark.sql.SQLContext =
     spark.sqlContext
+
+  private lazy val objIo = new graft.sources.ObjectStoreManifestIO
+
+  /** Temp base for one test, registered against the object-store
+    * manifest transport when this suite instance exercises it. */
+  private def tempBase(tag: String): java.nio.file.Path = {
+    val b = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    if (objectStore)
+      graft.sources.ManifestIO.register(b.toString, objIo)
+    b
+  }
+
+  /** Manifest entry names via the transport (gen=* plus any temp
+    * leftovers), so assertions hold under both implementations. */
+  private def manifestNames(root: String): Seq[String] =
+    graft.sources.ManifestIO.forPath(root).list(s"$root/_manifests")
 
   case class Up(doc_id: Long, text: String, n_chars: Long,
                 _deleted: Boolean)
@@ -37,7 +54,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("per-batch MERGE against the previous generation") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink1")
+    val base = tempBase("msink1")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val before = spark.read.parquet(sf: _*)
@@ -64,7 +81,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("untouched seed files ride every generation by reference") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink2")
+    val base = tempBase("msink2")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val mtimes = sf.map(p => p -> new java.io.File(p).lastModified()).toMap
@@ -88,7 +105,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("a replayed batch converges: same table, one manifest per batch id") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink3")
+    val base = tempBase("msink3")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val ckpt = s"$base/ckpt"
@@ -114,13 +131,13 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(got(999003L) == "b1")
     assert(got.size == afterA.size + 1)
     // one manifest per batch id, none duplicated by the replay
-    val gens = new java.io.File(s"$root/_manifests").listFiles()
-      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    val gens = manifestNames(root)
+      .filter(_.startsWith("gen=")).sorted
     assert(gens == Seq("gen=0", "gen=1"), s"manifests: $gens")
   }
 
   test("vacuum retires unreferenced generations; the current table is intact") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink4")
+    val base = tempBase("msink4")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val s = MemoryStream[Up]
@@ -151,7 +168,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("compaction collapses unit files in place; vacuum then retires them") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink5")
+    val base = tempBase("msink5")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val s = MemoryStream[Up]
@@ -186,7 +203,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("generation-pinned reads resolve each historical table state") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink7")
+    val base = tempBase("msink7")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val s = MemoryStream[Up]
@@ -214,7 +231,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("a second publisher on the same root loses loudly; a replay is benign") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink8")
+    val base = tempBase("msink8")
     val root = s"$base/table"
     val mine = Seq("/data/a.parquet", "/data/b.parquet")
     // writer 1 publishes generation 5
@@ -231,13 +248,12 @@ class MergeSinkSpec extends AnyFunSuite {
     // and the winner's generation is untouched by the loser's attempt
     assert(StreamingOps.filesAt(root, 5L).get == mine)
     // no orphaned temp files from the losing attempt
-    val leftovers = new java.io.File(s"$root/_manifests").listFiles()
-      .map(_.getName).filterNot(_ == "gen=5")
+    val leftovers = manifestNames(root).filterNot(_ == "gen=5")
     assert(leftovers.isEmpty, s"leftovers: ${leftovers.toSeq}")
   }
 
   test("vacuum keep window: pinned readers inside survive, outside fail loudly") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink9")
+    val base = tempBase("msink9")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val s = MemoryStream[Up]
@@ -266,7 +282,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("self-maintaining sink: files stay bounded, table exact, seeds intact") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink10")
+    val base = tempBase("msink10")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val before = spark.read.parquet(sf: _*)
@@ -294,8 +310,8 @@ class MergeSinkSpec extends AnyFunSuite {
     val cur = StreamingOps.currentFiles(root).get
     assert(cur.size <= 4, s"expected a compacted file list, got $cur")
     // the gen-4 tick vacuumed to {3, 4}; gen 5 published after it
-    val gens = new java.io.File(s"$root/_manifests").listFiles()
-      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    val gens = manifestNames(root)
+      .filter(_.startsWith("gen=")).sorted
     assert(gens == Seq("gen=3", "gen=4", "gen=5"), s"manifests: $gens")
     // caller-owned seed files are never maintenance candidates
     sf.foreach(p => assert(new java.io.File(p).exists(), s"seed $p deleted"))
@@ -305,7 +321,7 @@ class MergeSinkSpec extends AnyFunSuite {
   }
 
   test("deleting every key empties the table; the next batch re-seeds it") {
-    val base = java.nio.file.Files.createTempDirectory("graft-msink6")
+    val base = tempBase("msink6")
     val root = s"$base/table"
     val sf = seed(base.toString)
     val allKeys = spark.read.parquet(sf: _*)
@@ -324,3 +340,9 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(table(root) == Map(7770L -> "reborn"))
   }
 }
+
+class MergeSinkSpec extends MergeSinkBehavior(objectStore = false)
+
+/** The same behavior with the manifest transport swapped for the
+  * object-store model (LIST / GET / conditional PUT only). */
+class MergeSinkObjectStoreSpec extends MergeSinkBehavior(objectStore = true)
