@@ -37,5 +37,5 @@ object SparkEntry {
     "q_stream_neardup", "q_stream_drift", "q_stream_quality",
     "q_stream_phash", "q_stream_substr", "q_stream_rate",
     "q_stream_cooc", "q_stream_ann", "q_stream_ann_ingest",
-    "q_stream_sig_ingest", "q_stream_bm25_ingest")
+    "q_stream_sig_ingest", "q_stream_bm25_ingest", "q_stream_release")
 }

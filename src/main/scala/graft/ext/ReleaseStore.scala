@@ -64,6 +64,7 @@ object ReleaseStore {
     * same two aggregations the direct incremental route pays PER
     * ingest run. */
   def build(corpus: DataFrame, ledger: DataFrame, path: String): Unit = {
+    StoreSnapshots.invalidate(path) // a rebuild starts un-snapshotted
     val kept = corpus.join(
       ledger.filter(col("disposition") === "kept").select("doc_id"),
       Seq("doc_id")).select("doc_id", "text")
@@ -105,14 +106,25 @@ object ReleaseStore {
     * same work) on every run, and the fold's cost is separately
     * measured flat (q_incr_fixed_ingest's curve + two batch-sized
     * appends). Production runs keep the default true — the loop
-    * closes by folding today's batch into tomorrow's probes. */
+    * closes by folding today's batch into tomorrow's probes.
+    *
+    * `canonicalBatch = Some((batchId, runTag))`: the STREAMING fold —
+    * every i6 write lands as one canonical `[r<tag>-]gb<batchId>`
+    * file per artifact ([[StoreGenerations.landCanonical]]; requires
+    * chains on sig bands/sets + urls/hashes — `StoreMaintain enable
+    * release <path>`), so a replayed micro-batch overwrites its own
+    * bytes and commits nothing: the whole daily loop becomes
+    * exactly-once per micro-batch, the merge-sink argument applied to
+    * the release store. The probe/route stages are reads and are
+    * replay-idempotent by construction. */
   def incrementalRelease(spark: SparkSession, path: String,
                          batch: DataFrame, benchmark: DataFrame,
                          packTokens: Int = 512, shardTokens: Long = 2000L,
                          maxBucketSize: Int = Int.MaxValue,
                          foldBatch: Boolean = true,
                          autoMaintain: Option[StoreMaintenance.AutoMaintain]
-                           = None)
+                           = None,
+                         canonicalBatch: Option[(Long, String)] = None)
       : CorpusRelease.Bundle = {
     // --- i1: seen-URL probe + within-batch url keeper -------------
     val nb = batch.withColumn("__nu", UrlOps.normalize(col("url")))
@@ -256,23 +268,37 @@ object ReleaseStore {
     // --- fold the batch into the store: survivors join the released
     // index, every batch url/hash joins the seen filters — the NEXT
     // batch probes today's ----------------------------------------
-    if (foldBatch) {
-      SignatureStore.append(fin.select("doc_id", "text"),
-        "doc_id", "text", s"$path/sig")
-      nb.select(col("__nu").as("norm_url")).distinct()
-        .write.mode(SaveMode.Append).parquet(s"$path/urls.parquet")
-      StoreGenerations.commitAppend(s"$path/urls.parquet")
-      nb.select(md5(col("text")).as("h")).distinct()
-        .write.mode(SaveMode.Append).parquet(s"$path/hashes.parquet")
-      StoreGenerations.commitAppend(s"$path/hashes.parquet")
-      // store-level atomic commit: tomorrow's probes see today's fold
-      // across sig/urls/hashes all at once, never a partial batch
-      StoreSnapshots.commitIfSnapshotted("release", path)
-      // in-band lifecycle knob (see SignatureStore.append): a daily
-      // loop with autoMaintain set needs no external compaction tick
-      autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
-        StoreMaintenance.artifactsOf("release", path), am,
-        snapshot = Some(("release", path))))
+    if (foldBatch) canonicalBatch match {
+      case Some((batchId, runTag)) =>
+        SignatureStore.appendCanonical(fin.select("doc_id", "text"),
+          "doc_id", "text", s"$path/sig", batchId, runTag)
+        StoreGenerations.landCanonical(
+          nb.select(col("__nu").as("norm_url")).distinct(),
+          s"$path/urls.parquet", batchId, runTag)
+        StoreGenerations.landCanonical(
+          nb.select(md5(col("text")).as("h")).distinct(),
+          s"$path/hashes.parquet", batchId, runTag)
+        StoreSnapshots.commitIfSnapshotted("release", path)
+        autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
+          StoreMaintenance.artifactsOf("release", path), am,
+          snapshot = Some(("release", path))))
+      case None =>
+        SignatureStore.append(fin.select("doc_id", "text"),
+          "doc_id", "text", s"$path/sig")
+        nb.select(col("__nu").as("norm_url")).distinct()
+          .write.mode(SaveMode.Append).parquet(s"$path/urls.parquet")
+        StoreGenerations.commitAppend(s"$path/urls.parquet")
+        nb.select(md5(col("text")).as("h")).distinct()
+          .write.mode(SaveMode.Append).parquet(s"$path/hashes.parquet")
+        StoreGenerations.commitAppend(s"$path/hashes.parquet")
+        // store-level atomic commit: tomorrow's probes see today's
+        // fold across sig/urls/hashes all at once, never partially
+        StoreSnapshots.commitIfSnapshotted("release", path)
+        // in-band lifecycle knob (see SignatureStore.append): a daily
+        // loop with autoMaintain set needs no external compaction tick
+        autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
+          StoreMaintenance.artifactsOf("release", path), am,
+          snapshot = Some(("release", path))))
     }
 
     CorpusRelease.Bundle(ledger, packs, shards, card, manifest)

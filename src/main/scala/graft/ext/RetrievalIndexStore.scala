@@ -105,6 +105,7 @@ object RetrievalIndexStore {
             path: String, tokBuckets: Int = 256,
             maxPostingsPerToken: Int = Int.MaxValue,
             positional: Boolean = false): Unit = {
+    StoreSnapshots.invalidate(path) // a rebuild starts un-snapshotted
     val spark = corpus.sparkSession
     import spark.implicits._
     val post = postingsOf(corpus, idCol, textCol, tokBuckets)

@@ -64,6 +64,7 @@ object SignatureStore {
     * are the same aggregations the direct route pays PER RUN. */
   def build(index: DataFrame, idCol: String, textCol: String, path: String,
             shingleN: Int = 3, numHashes: Int = 8): Unit = {
+    StoreSnapshots.invalidate(path) // a rebuild starts un-snapshotted
     val spark = index.sparkSession
     import spark.implicits._
     bandsOf(index, idCol, textCol, shingleN, numHashes)

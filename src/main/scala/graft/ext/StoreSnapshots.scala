@@ -136,6 +136,16 @@ object StoreSnapshots {
           "writer is committing to the same store (single-writer contract)")
   }
 
+  /** Drop the snapshot chain (every store manifest) — called by each
+    * store's `build`: an overwrite deletes the per-artifact chains the
+    * snapshots pin, so the rebuilt store starts UN-SNAPSHOTTED until
+    * [[enable]]d again — the store-level face of the contract the
+    * artifact chains document for `SaveMode.Overwrite` (a stale
+    * snapshot over fresh artifacts would otherwise fail every commit
+    * with a missing-chain error). */
+  def invalidate(path: String): Unit =
+    gens(path).foreach(g => io(path).delete(s"${mdir(path)}/gen=$g"))
+
   /** Start the snapshot chain: establish per-artifact chains on every
     * accreting artifact (idempotent), then publish snapshot 0 pinning
     * each at its current generation plus the frozen inventory.

@@ -64,6 +64,7 @@ object VectorIndexStore {
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             centroids: DataFrame, codebook: DataFrame,
             numSub: Int, subDim: Int, cellBuckets: Int = 1024): Unit = {
+    StoreSnapshots.invalidate(path) // a rebuild starts un-snapshotted
     val spark = corpus.sparkSession
     import spark.implicits._
     normalized(centroids, idCol, vecCol)
@@ -222,6 +223,59 @@ object VectorIndexStore {
           array_sort(collect_list(struct(col("sub_id"), col("dist2")))),
           c => c.getField("dist2")),
         lit(0.0), (acc, x) => acc + x).as("distortion"))
+  }
+
+  /** Persist the drift-trigger CALIBRATION: the mean frozen-geometry
+    * [[encodeDistortion]] of `reference` (normally the build corpus)
+    * — the number [[appendOrRebuild]] compares every batch mean
+    * against. One projection over the reference + one scalar row;
+    * the fold is sub_id-ordered, so the stored double is
+    * DuckDB-replayable like the monitor itself. */
+  def calibrate(reference: DataFrame, idCol: String, vecCol: String,
+                path: String): Double = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val m = encodeDistortion(reference, idCol, vecCol, path)
+      .agg(avg("distortion")).head().getDouble(0)
+    Seq(m).toDF("mean_distortion").coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/calibration.parquet")
+    m
+  }
+
+  /** The stored calibration — 1 row, driver-side. */
+  def calibration(spark: SparkSession, path: String): Double =
+    spark.read.parquet(s"$path/calibration.parquet").head()
+      .getAs[Double]("mean_distortion")
+
+  /** Drift-triggered REFRESH policy — the ANN analogue of
+    * [[StoreMaintenance.AutoMaintain]]: the monitor says WHEN
+    * ([[encodeDistortion]]'s batch mean vs `factor ×` the stored
+    * [[calibrate]]d base mean — one in-band projection, zero ground
+    * truth), the rebuild says HOW ([[rebuild]] over `corpus`, the
+    * caller's full raw table — the store persists codes, not
+    * vectors). The batch measures under the CURRENT frozen geometry,
+    * appends, and past the threshold the store rebuilds and
+    * RE-CALIBRATES over the extended corpus — so a continuing stream
+    * from the same shifted mode triggers exactly once: the next wave
+    * measures near the new calibration and folds in as a plain
+    * append. Returns true when this batch triggered the rebuild.
+    * In-distribution batches cost one extra projection; the rebuild
+    * costs exactly a fresh build (the honest bar, spec-pinned). */
+  def appendOrRebuild(newVectors: DataFrame, idCol: String, vecCol: String,
+                      path: String, corpus: DataFrame, factor: Double,
+                      k: Int, iters: Int): Boolean = {
+    require(factor >= 1.0, s"trigger factor must be >= 1, got $factor")
+    val spark = newVectors.sparkSession
+    val batchMean = encodeDistortion(newVectors, idCol, vecCol, path)
+      .agg(avg("distortion")).head().getDouble(0)
+    val cal = calibration(spark, path)
+    append(newVectors, idCol, vecCol, path)
+    if (batchMean > factor * cal) {
+      rebuild(corpus, idCol, vecCol, path, k, iters)
+      calibrate(corpus, idCol, vecCol, path)
+      true
+    } else false
   }
 
   /** ADC top-k against the stored index: plan the batch's probed

@@ -1056,6 +1056,195 @@ object ExtOracles {
          |  (COALESCE(c.component, p.vec_id) = p.vec_id) AS is_rep
          |FROM pv p LEFT JOIN comp c ON c.id = p.vec_id""".stripMargin
 
+  /** q_incr_release's oracle: replays the full release chain to its
+    * kept set and frozen models, then the planted batch chain
+    * DIRECTLY (no store). Shared verbatim by q_stream_release — the
+    * two-trigger streamed loop must compose to the same ledger. */
+  private lazy val incrReleaseSql: String = releaseChainCtes + """,
+    |bsrc AS MATERIALIZED (SELECT u0.doc_id, u0.text, u0.url,
+    |    d0.lang, d0.source
+    |  FROM u0 JOIN documents d0 ON d0.doc_id = u0.doc_id),
+    |batch AS MATERIALIZED (
+    |  SELECT doc_id + 400000 AS doc_id,
+    |    text || ' graftrecrawl' AS text, url, lang, source
+    |  FROM bsrc WHERE doc_id % 21 = 0
+    |  UNION ALL SELECT doc_id + 410000, text,
+    |    'https://batch.example/b/' || CAST(doc_id AS VARCHAR),
+    |    lang, source
+    |  FROM bsrc WHERE doc_id % 23 = 0
+    |  UNION ALL SELECT doc_id + 420000, text || ' graftbatch end',
+    |    'https://batch.example/n/' || CAST(doc_id AS VARCHAR),
+    |    lang, source
+    |  FROM bsrc WHERE doc_id % 17 = 0
+    |  UNION ALL SELECT doc_id + 430000,
+    |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' '),
+    |    'https://batch.example/c/' || CAST(doc_id AS VARCHAR),
+    |    lang, source
+    |  FROM bsrc WHERE doc_id % 37 = 0
+    |  UNION ALL SELECT doc_id + 440000,
+    |    array_to_string(list_reverse(string_split(text, ' ')), ' '),
+    |    'https://batch.example/f/' || CAST(doc_id AS VARCHAR),
+    |    lang, source
+    |  FROM bsrc WHERE doc_id % 29 = 0),
+    |bnu AS MATERIALIZED (SELECT doc_id, text, lang, source,
+    |    scheme || '://' || host || path ||
+    |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url
+    |  FROM (SELECT doc_id, text, lang, source,
+    |      lower(regexp_extract(url,
+    |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    |      regexp_replace(
+    |        CASE lower(regexp_extract(url,
+    |            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+    |          WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
+    |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+    |          WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
+    |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+    |          ELSE lower(regexp_extract(url,
+    |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END,
+    |        '^www\.', '') AS host,
+    |      regexp_replace(regexp_extract(url,
+    |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+    |        '/+$', '') AS path,
+    |      COALESCE(array_to_string(list_sort(list_filter(
+    |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+    |        p -> p <> '' AND NOT regexp_matches(p,
+    |          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&'), '') AS q
+    |    FROM batch) c),
+    |busurv AS MATERIALIZED (SELECT doc_id, text, lang, source FROM (
+    |  SELECT doc_id, text, lang, source,
+    |      min(doc_id) OVER (PARTITION BY norm_url) AS k
+    |  FROM bnu WHERE norm_url NOT IN (SELECT norm_url FROM nu)) t
+    |  WHERE doc_id = k),
+    |besurv AS MATERIALIZED (SELECT doc_id, text, lang, source FROM (
+    |  SELECT doc_id, text, lang, source,
+    |      min(doc_id) OVER (PARTITION BY md5(text)) AS k
+    |  FROM busurv WHERE md5(text) NOT IN
+    |    (SELECT DISTINCT md5(text) FROM corpus)) t
+    |  WHERE doc_id = k),
+    |btk AS (SELECT doc_id, string_split(text, ' ') AS w FROM besurv),
+    |bsh2 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+    |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+    |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    |  FROM btk WHERE len(w) >= 3) t),
+    |bmh2 AS (SELECT doc_id, sd.seed,
+    |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
+    |  FROM bsh2 CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
+    |  GROUP BY doc_id, sd.seed),
+    |bbn2 AS MATERIALIZED (SELECT doc_id, seed // 2 AS band,
+    |    min(CASE WHEN seed % 2 = 0 THEN h END)
+    |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
+    |  FROM bmh2 GROUP BY doc_id, seed // 2),
+    |finb AS MATERIALIZED (SELECT b.doc_id, b.band, b.bkey FROM bands b
+    |  JOIN fin f ON f.doc_id = b.doc_id),
+    |fbsz AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+    |  FROM finb GROUP BY 1, 2),
+    |bbsz2 AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+    |  FROM bbn2 GROUP BY 1, 2),
+    |bszs AS (SELECT doc_id, COUNT(*) AS n FROM bsh2 GROUP BY doc_id),
+    |icand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+    |  FROM bbn2 n JOIN finb i ON i.band = n.band AND i.bkey = n.bkey
+    |  JOIN fbsz z ON z.band = n.band AND z.bkey = n.bkey AND z.n <= 64),
+    |iint AS (SELECT c.new_id, c.index_id, COUNT(*) AS i
+    |  FROM icand c JOIN bsh2 sn ON sn.doc_id = c.new_id
+    |  JOIN sh si ON si.doc_id = c.index_id AND si.shingle = sn.shingle
+    |  GROUP BY 1, 2),
+    |imatch AS MATERIALIZED (SELECT DISTINCT i.new_id AS id FROM iint i
+    |  JOIN bszs sn ON sn.doc_id = i.new_id
+    |  JOIN sizes si ON si.doc_id = i.index_id
+    |  WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5),
+    |bcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    |  FROM bbn2 a JOIN bbn2 b ON a.band = b.band AND a.bkey = b.bkey
+    |    AND a.doc_id < b.doc_id
+    |  JOIN bbsz2 z ON z.band = a.band AND z.bkey = a.bkey AND z.n <= 64),
+    |bint AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+    |  FROM bcand c JOIN bsh2 sa ON sa.doc_id = c.doc_a
+    |  JOIN bsh2 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    |  GROUP BY 1, 2),
+    |bpair AS MATERIALIZED (SELECT i.doc_a, i.doc_b FROM bint i
+    |  JOIN bszs na ON na.doc_id = i.doc_a
+    |  JOIN bszs nb ON nb.doc_id = i.doc_b
+    |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+    |bedges AS (SELECT doc_a AS s, doc_b AS d FROM bpair
+    |  UNION SELECT doc_b, doc_a FROM bpair),
+    |breach(id, r) AS (SELECT s, s FROM bedges
+    |  UNION SELECT e.s, r.r FROM bedges e JOIN breach r ON e.d = r.id),
+    |bcomp0 AS (SELECT id, min(r) AS component FROM breach GROUP BY id),
+    |bcomp AS MATERIALIZED (SELECT b.doc_id AS id,
+    |    COALESCE(c.component, b.doc_id) AS component
+    |  FROM besurv b LEFT JOIN bcomp0 c ON c.id = b.doc_id),
+    |badcomp AS (SELECT DISTINCT c.component FROM bcomp c
+    |  JOIN imatch m ON m.id = c.id),
+    |bneardrop AS MATERIALIZED (SELECT id AS doc_id FROM bcomp
+    |  WHERE component IN (SELECT component FROM badcomp)
+    |    OR id <> component),
+    |bclean0 AS MATERIALIZED (SELECT * FROM besurv
+    |  WHERE doc_id NOT IN (SELECT doc_id FROM bneardrop)),
+    |bdt AS (SELECT doc_id, string_split(text, ' ') AS w FROM bclean0),
+    |bds AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+    |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+    |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+    |      || ' ' || w[i+4])) AS shingle
+    |  FROM bdt WHERE len(w) >= 5) t),
+    |bcontam AS MATERIALIZED (SELECT bds.doc_id FROM bds JOIN bs
+    |    ON bds.shingle = bs.shingle
+    |  GROUP BY bds.doc_id HAVING COUNT(*) >= 3),
+    |bclean AS MATERIALIZED (SELECT b.* FROM bclean0 b
+    |  LEFT JOIN bcontam c ON c.doc_id = b.doc_id
+    |  WHERE c.doc_id IS NULL),
+    |bg AS MATERIALIZED (SELECT doc_id, lang, substr(text, i, 3) AS gram
+    |  FROM bclean, unnest(range(1, len(text) - 1)) AS t(i)),
+    |bdg AS (SELECT DISTINCT doc_id, gram FROM bg),
+    |bhits AS (SELECT bdg.doc_id, prof.lang AS cand2,
+    |    CAST(COUNT(*) AS BIGINT) AS ovl
+    |  FROM bdg JOIN prof ON prof.gram = bdg.gram GROUP BY 1, 2),
+    |bpred AS MATERIALIZED (SELECT doc_id, pred_lang FROM (
+    |  SELECT d.doc_id, l.cand2 AS pred_lang, row_number() OVER (
+    |      PARTITION BY d.doc_id
+    |      ORDER BY COALESCE(h.ovl, 0) DESC, l.cand2 ASC) AS rk
+    |  FROM bclean d CROSS JOIN langs l
+    |  LEFT JOIN bhits h ON h.doc_id = d.doc_id AND h.cand2 = l.cand2)
+    |  WHERE rk = 1),
+    |bqt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    |  FROM bclean),
+    |bsurp AS MATERIALIZED (SELECT t.doc_id,
+    |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    |    CAST(SUM(length(bin(tot.n + tot.v))
+    |      - length(bin(COALESCE(u.c, 0) + 1))) AS BIGINT)
+    |      AS surprisal_bits
+    |  FROM bqt t LEFT JOIN u ON u.tok = t.tok, tot GROUP BY t.doc_id),
+    |bgq AS MATERIALIZED (SELECT doc_id,
+    |    (len(w) BETWEEN 30 AND 100000)
+    |    AND (CAST(ch - (len(w) - 1) AS DOUBLE) / len(w)
+    |      BETWEEN 3.0 AND 10.0)
+    |    AND (CAST(len(list_filter(w, t2 ->
+    |      regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / len(w) >= 0.8)
+    |    AND (len(list_filter(w, t2 -> t2 IN
+    |      ('the','a','of','and','to','in','is','data'))) >= 2)
+    |      AS gopher_pass
+    |  FROM (SELECT doc_id, length(text) AS ch,
+    |    string_split(text, ' ') AS w FROM bclean)),
+    |broute AS MATERIALIZED (SELECT d.doc_id,
+    |    CASE WHEN NOT gq.gopher_pass THEN 'quality_drop'
+    |      WHEN NOT (p.pred_lang = d.lang)
+    |        OR s.surprisal_bits * 5 > s.n_tokens * 26
+    |        THEN 'quality_review'
+    |      ELSE 'kept' END AS disposition
+    |  FROM bclean d
+    |  JOIN bpred p ON p.doc_id = d.doc_id
+    |  JOIN bsurp s ON s.doc_id = d.doc_id
+    |  JOIN bgq gq ON gq.doc_id = d.doc_id)
+    |SELECT doc_id, 'url' AS disposition FROM batch
+    |WHERE doc_id NOT IN (SELECT doc_id FROM busurv)
+    |UNION ALL
+    |SELECT doc_id, 'exact' FROM busurv
+    |WHERE doc_id NOT IN (SELECT doc_id FROM besurv)
+    |UNION ALL
+    |SELECT doc_id, 'near' FROM bneardrop
+    |UNION ALL
+    |SELECT doc_id, 'contaminated' FROM bcontam
+    |UNION ALL
+    |SELECT doc_id, disposition FROM broute""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_dedup_exact" ->
@@ -2088,11 +2277,15 @@ object ExtOracles {
     "q_ann_rebuild_org" -> annRebuildSqlFrom(orgRebuildHead),
     // rebuild == fresh derivation over the extended corpus
     "q_ann_rebuild" -> annRebuildSql,
+    // a TRIGGERED rebuild is a fresh build over base + appends — the
+    // composed policy gate answers the rebuild oracle verbatim
+    "q_ann_autorebuild" -> annRebuildSql,
     "q_ann_rebuild_recall" -> annRebuildRecallSql,
     // build(4/5 of the candidates) ∪ append(the rest) is exactly the
     // q_ivf_pq_topk corpus again, and compaction of the cell-bucketed
     // codes is physical only — same oracle, store invisible
     "q_ann_compact" -> ivfPqTopkSql,
+    "q_ann_snapshot" -> ivfPqTopkSql,
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
     "q_ivf_hier_curve" -> ivfHierCurveSql,
@@ -3040,6 +3233,10 @@ object ExtOracles {
     // the online compaction, and the keep-window vacuum must all be
     // invisible in a reader planned before the cycle started
     "q_sig_gen" -> incrStoredSql,
+    // the store-level snapshot layer is opt-in plumbing over the
+    // same logical stores: all three lifecycle gates answer their
+    // non-snapshot siblings' oracles verbatim
+    "q_sig_snapshot" -> incrStoredSql,
     "q_incr_dedup" ->
       """WITH inc AS (
         |  SELECT doc_id + 600000 AS doc_id, text || ' graftincr end' AS text
@@ -3190,6 +3387,7 @@ object ExtOracles {
     // append is exactly q_bm25_topk's corpus, and the store must be
     // invisible in the answer (same policy as q_ann_stored)
     "q_bm25_stored" -> bm25TopkSql,
+    "q_bm25_snapshot" -> bm25TopkSql,
     // the streaming-ingest face lands the same logical corpus
     // (build subset + streamed rest), so the same direct chain is
     // its truth — stream and chains invisible
@@ -3728,190 +3926,10 @@ object ExtOracles {
     // index-match propagation through batch components, benchmark
     // decon, and frozen-model quality routing with the unseen-token
     // smoothing path (LEFT JOIN u, COALESCE(c,0)+1)
-    "q_incr_release" -> (releaseChainCtes + """,
-      |bsrc AS MATERIALIZED (SELECT u0.doc_id, u0.text, u0.url,
-      |    d0.lang, d0.source
-      |  FROM u0 JOIN documents d0 ON d0.doc_id = u0.doc_id),
-      |batch AS MATERIALIZED (
-      |  SELECT doc_id + 400000 AS doc_id,
-      |    text || ' graftrecrawl' AS text, url, lang, source
-      |  FROM bsrc WHERE doc_id % 21 = 0
-      |  UNION ALL SELECT doc_id + 410000, text,
-      |    'https://batch.example/b/' || CAST(doc_id AS VARCHAR),
-      |    lang, source
-      |  FROM bsrc WHERE doc_id % 23 = 0
-      |  UNION ALL SELECT doc_id + 420000, text || ' graftbatch end',
-      |    'https://batch.example/n/' || CAST(doc_id AS VARCHAR),
-      |    lang, source
-      |  FROM bsrc WHERE doc_id % 17 = 0
-      |  UNION ALL SELECT doc_id + 430000,
-      |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' '),
-      |    'https://batch.example/c/' || CAST(doc_id AS VARCHAR),
-      |    lang, source
-      |  FROM bsrc WHERE doc_id % 37 = 0
-      |  UNION ALL SELECT doc_id + 440000,
-      |    array_to_string(list_reverse(string_split(text, ' ')), ' '),
-      |    'https://batch.example/f/' || CAST(doc_id AS VARCHAR),
-      |    lang, source
-      |  FROM bsrc WHERE doc_id % 29 = 0),
-      |bnu AS MATERIALIZED (SELECT doc_id, text, lang, source,
-      |    scheme || '://' || host || path ||
-      |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url
-      |  FROM (SELECT doc_id, text, lang, source,
-      |      lower(regexp_extract(url,
-      |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |      regexp_replace(
-      |        CASE lower(regexp_extract(url,
-      |            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-      |          WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
-      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
-      |          WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
-      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
-      |          ELSE lower(regexp_extract(url,
-      |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END,
-      |        '^www\.', '') AS host,
-      |      regexp_replace(regexp_extract(url,
-      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
-      |        '/+$', '') AS path,
-      |      COALESCE(array_to_string(list_sort(list_filter(
-      |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-      |        p -> p <> '' AND NOT regexp_matches(p,
-      |          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&'), '') AS q
-      |    FROM batch) c),
-      |busurv AS MATERIALIZED (SELECT doc_id, text, lang, source FROM (
-      |  SELECT doc_id, text, lang, source,
-      |      min(doc_id) OVER (PARTITION BY norm_url) AS k
-      |  FROM bnu WHERE norm_url NOT IN (SELECT norm_url FROM nu)) t
-      |  WHERE doc_id = k),
-      |besurv AS MATERIALIZED (SELECT doc_id, text, lang, source FROM (
-      |  SELECT doc_id, text, lang, source,
-      |      min(doc_id) OVER (PARTITION BY md5(text)) AS k
-      |  FROM busurv WHERE md5(text) NOT IN
-      |    (SELECT DISTINCT md5(text) FROM corpus)) t
-      |  WHERE doc_id = k),
-      |btk AS (SELECT doc_id, string_split(text, ' ') AS w FROM besurv),
-      |bsh2 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM btk WHERE len(w) >= 3) t),
-      |bmh2 AS (SELECT doc_id, sd.seed,
-      |    min(md5(sd.seed::VARCHAR || '|' || shingle)) AS h
-      |  FROM bsh2 CROSS JOIN (SELECT unnest(range(8)) AS seed) sd
-      |  GROUP BY doc_id, sd.seed),
-      |bbn2 AS MATERIALIZED (SELECT doc_id, seed // 2 AS band,
-      |    min(CASE WHEN seed % 2 = 0 THEN h END)
-      |      || min(CASE WHEN seed % 2 = 1 THEN h END) AS bkey
-      |  FROM bmh2 GROUP BY doc_id, seed // 2),
-      |finb AS MATERIALIZED (SELECT b.doc_id, b.band, b.bkey FROM bands b
-      |  JOIN fin f ON f.doc_id = b.doc_id),
-      |fbsz AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM finb GROUP BY 1, 2),
-      |bbsz2 AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM bbn2 GROUP BY 1, 2),
-      |bszs AS (SELECT doc_id, COUNT(*) AS n FROM bsh2 GROUP BY doc_id),
-      |icand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
-      |  FROM bbn2 n JOIN finb i ON i.band = n.band AND i.bkey = n.bkey
-      |  JOIN fbsz z ON z.band = n.band AND z.bkey = n.bkey AND z.n <= 64),
-      |iint AS (SELECT c.new_id, c.index_id, COUNT(*) AS i
-      |  FROM icand c JOIN bsh2 sn ON sn.doc_id = c.new_id
-      |  JOIN sh si ON si.doc_id = c.index_id AND si.shingle = sn.shingle
-      |  GROUP BY 1, 2),
-      |imatch AS MATERIALIZED (SELECT DISTINCT i.new_id AS id FROM iint i
-      |  JOIN bszs sn ON sn.doc_id = i.new_id
-      |  JOIN sizes si ON si.doc_id = i.index_id
-      |  WHERE CAST(i.i AS DOUBLE) / (sn.n + si.n - i.i) >= 0.5),
-      |bcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bbn2 a JOIN bbn2 b ON a.band = b.band AND a.bkey = b.bkey
-      |    AND a.doc_id < b.doc_id
-      |  JOIN bbsz2 z ON z.band = a.band AND z.bkey = a.bkey AND z.n <= 64),
-      |bint AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-      |  FROM bcand c JOIN bsh2 sa ON sa.doc_id = c.doc_a
-      |  JOIN bsh2 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-      |  GROUP BY 1, 2),
-      |bpair AS MATERIALIZED (SELECT i.doc_a, i.doc_b FROM bint i
-      |  JOIN bszs na ON na.doc_id = i.doc_a
-      |  JOIN bszs nb ON nb.doc_id = i.doc_b
-      |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
-      |bedges AS (SELECT doc_a AS s, doc_b AS d FROM bpair
-      |  UNION SELECT doc_b, doc_a FROM bpair),
-      |breach(id, r) AS (SELECT s, s FROM bedges
-      |  UNION SELECT e.s, r.r FROM bedges e JOIN breach r ON e.d = r.id),
-      |bcomp0 AS (SELECT id, min(r) AS component FROM breach GROUP BY id),
-      |bcomp AS MATERIALIZED (SELECT b.doc_id AS id,
-      |    COALESCE(c.component, b.doc_id) AS component
-      |  FROM besurv b LEFT JOIN bcomp0 c ON c.id = b.doc_id),
-      |badcomp AS (SELECT DISTINCT c.component FROM bcomp c
-      |  JOIN imatch m ON m.id = c.id),
-      |bneardrop AS MATERIALIZED (SELECT id AS doc_id FROM bcomp
-      |  WHERE component IN (SELECT component FROM badcomp)
-      |    OR id <> component),
-      |bclean0 AS MATERIALIZED (SELECT * FROM besurv
-      |  WHERE doc_id NOT IN (SELECT doc_id FROM bneardrop)),
-      |bdt AS (SELECT doc_id, string_split(text, ' ') AS w FROM bclean0),
-      |bds AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-      |      || ' ' || w[i+4])) AS shingle
-      |  FROM bdt WHERE len(w) >= 5) t),
-      |bcontam AS MATERIALIZED (SELECT bds.doc_id FROM bds JOIN bs
-      |    ON bds.shingle = bs.shingle
-      |  GROUP BY bds.doc_id HAVING COUNT(*) >= 3),
-      |bclean AS MATERIALIZED (SELECT b.* FROM bclean0 b
-      |  LEFT JOIN bcontam c ON c.doc_id = b.doc_id
-      |  WHERE c.doc_id IS NULL),
-      |bg AS MATERIALIZED (SELECT doc_id, lang, substr(text, i, 3) AS gram
-      |  FROM bclean, unnest(range(1, len(text) - 1)) AS t(i)),
-      |bdg AS (SELECT DISTINCT doc_id, gram FROM bg),
-      |bhits AS (SELECT bdg.doc_id, prof.lang AS cand2,
-      |    CAST(COUNT(*) AS BIGINT) AS ovl
-      |  FROM bdg JOIN prof ON prof.gram = bdg.gram GROUP BY 1, 2),
-      |bpred AS MATERIALIZED (SELECT doc_id, pred_lang FROM (
-      |  SELECT d.doc_id, l.cand2 AS pred_lang, row_number() OVER (
-      |      PARTITION BY d.doc_id
-      |      ORDER BY COALESCE(h.ovl, 0) DESC, l.cand2 ASC) AS rk
-      |  FROM bclean d CROSS JOIN langs l
-      |  LEFT JOIN bhits h ON h.doc_id = d.doc_id AND h.cand2 = l.cand2)
-      |  WHERE rk = 1),
-      |bqt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      |  FROM bclean),
-      |bsurp AS MATERIALIZED (SELECT t.doc_id,
-      |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |    CAST(SUM(length(bin(tot.n + tot.v))
-      |      - length(bin(COALESCE(u.c, 0) + 1))) AS BIGINT)
-      |      AS surprisal_bits
-      |  FROM bqt t LEFT JOIN u ON u.tok = t.tok, tot GROUP BY t.doc_id),
-      |bgq AS MATERIALIZED (SELECT doc_id,
-      |    (len(w) BETWEEN 30 AND 100000)
-      |    AND (CAST(ch - (len(w) - 1) AS DOUBLE) / len(w)
-      |      BETWEEN 3.0 AND 10.0)
-      |    AND (CAST(len(list_filter(w, t2 ->
-      |      regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / len(w) >= 0.8)
-      |    AND (len(list_filter(w, t2 -> t2 IN
-      |      ('the','a','of','and','to','in','is','data'))) >= 2)
-      |      AS gopher_pass
-      |  FROM (SELECT doc_id, length(text) AS ch,
-      |    string_split(text, ' ') AS w FROM bclean)),
-      |broute AS MATERIALIZED (SELECT d.doc_id,
-      |    CASE WHEN NOT gq.gopher_pass THEN 'quality_drop'
-      |      WHEN NOT (p.pred_lang = d.lang)
-      |        OR s.surprisal_bits * 5 > s.n_tokens * 26
-      |        THEN 'quality_review'
-      |      ELSE 'kept' END AS disposition
-      |  FROM bclean d
-      |  JOIN bpred p ON p.doc_id = d.doc_id
-      |  JOIN bsurp s ON s.doc_id = d.doc_id
-      |  JOIN bgq gq ON gq.doc_id = d.doc_id)
-      |SELECT doc_id, 'url' AS disposition FROM batch
-      |WHERE doc_id NOT IN (SELECT doc_id FROM busurv)
-      |UNION ALL
-      |SELECT doc_id, 'exact' FROM busurv
-      |WHERE doc_id NOT IN (SELECT doc_id FROM besurv)
-      |UNION ALL
-      |SELECT doc_id, 'near' FROM bneardrop
-      |UNION ALL
-      |SELECT doc_id, 'contaminated' FROM bcontam
-      |UNION ALL
-      |SELECT doc_id, disposition FROM broute""".stripMargin),
+    "q_incr_release" -> incrReleaseSql,
+    // the composed STREAMING loop answers the single-batch
+    // loop's oracle verbatim (composition-safe wave split)
+    "q_stream_release" -> incrReleaseSql,
 
     "q_dedup_cascade" ->
       """WITH RECURSIVE u0 AS (SELECT doc_id, text,

@@ -720,6 +720,45 @@ object StreamingOps {
       .start()
   }
 
+  /** The COMPOSED streaming daily-release loop — the whole
+    * [[graft.ext.ReleaseStore.incrementalRelease]] chain per
+    * micro-batch (seen-url probe → within-batch url keeper →
+    * seen-hash probe → exact keeper → near-dup vs the store with
+    * index-match propagation → benchmark decon → frozen-model quality
+    * routing → pack/shard/card), with the fold landing CANONICALLY
+    * (`[r<tag>-]gb<batchId>` files adopted by the generation chains)
+    * so batch N+1 probes batch N's fold and a replayed batch commits
+    * nothing — the daily release loop, exactly-once, as a stream.
+    * [[runSigIngestSink]] is the fold alone; this is the loop.
+    *
+    * Requires chains on the release store's accreting artifacts
+    * (`StoreMaintain enable release <path>`). `benchmark` is the
+    * static decon reference. `onBatch` receives each micro-batch's
+    * bundle (ledger/packs/shards/card/manifest) — the delta artifacts
+    * a deployment lands wherever its training pipeline reads; the
+    * default discards them (the store fold IS the durable effect). */
+  def runReleaseSink(updates: DataFrame, path: String,
+                     benchmark: DataFrame, checkpoint: String,
+                     packTokens: Int = 512, shardTokens: Long = 2000L,
+                     maxBucketSize: Int = Int.MaxValue,
+                     onBatch: (graft.ext.CorpusRelease.Bundle, Long)
+                       => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = checkpointRunTag(checkpoint)
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val bundle = graft.ext.ReleaseStore.incrementalRelease(
+          batch.sparkSession, path, batch.toDF(), benchmark,
+          packTokens = packTokens, shardTokens = shardTokens,
+          maxBucketSize = maxBucketSize,
+          canonicalBatch = Some((batchId, tag)))
+        onBatch(bundle, batchId)
+      }
+      .start()
+  }
+
   /** Streaming incremental near-dup CANDIDATES: the stream side's
     * MinHash band keys ([[graft.ext.Dedup.nativeBands]] — a pure
     * projection + explode, streaming-legal) joined against a STATIC

@@ -131,4 +131,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains(s""""${al("q_jitter")}":"""), line)
     assert(line.contains(s""""${al("q_stable")}":"""), line)
   }
+
+  test("every query recorded >= 2 s survives curation on the COMMITTED " +
+      "baseline at the live registry size") {
+    // the headroom pin the drop ladder's escalation must never break:
+    // the curated stdout set keys on bench_recorded.json, and its
+    // highest rung drops sub-0.5 s queries only — so a multi-second
+    // lifecycle row can never be the one curated away, whatever the
+    // registry grows to. Run against the REAL committed figures (new
+    // queries without a recorded row key on their own measurement —
+    // model them at a heavy 10 s: they too must survive).
+    val f = new java.io.File("bench_recorded.json")
+    assert(f.exists, "bench_recorded.json must be committed")
+    val rx = """"([^"]+)":([0-9.]+)""".r
+    val recorded = rx.findAllMatchIn(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(recorded.size >= 200, s"unexpected baseline size ${recorded.size}")
+    val live = SparkEntry.queries.keys.toSeq.sorted
+    val results = live.map(n => n -> recorded.getOrElse(n, 10.0))
+    val line = BenchFormat.choose(results, "/root/testdata/sf0.1",
+      recorded = recorded)
+    assert(line.length <= BenchFormat.Limit, s"line is ${line.length} chars")
+    val al = BenchFormat.aliases(live)
+    val heavies = results.filter { case (n, v) =>
+      recorded.getOrElse(n, v) >= 2.0 }
+    assert(heavies.size >= 50, s"fixture degenerate: ${heavies.size} heavies")
+    heavies.foreach { case (n, _) =>
+      assert(line.contains("\"" + al(n) + "\":"),
+        s"recorded-heavy $n curated away") }
+  }
 }

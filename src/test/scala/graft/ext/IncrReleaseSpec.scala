@@ -183,4 +183,73 @@ class IncrReleaseSpec extends AnyFunSuite {
         .withColumn("url", lit(someUrl)))
     assert(led(930001L) == "url")
   }
+
+  case class RelUp(doc_id: Long, text: String, lang: String,
+                   source: String, url: String)
+
+  test("composed streaming release loop: per-batch dispositions equal " +
+      "the batch loop's, a replayed batch commits nothing to the store") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val streamed = "/tmp/graft_relstore_spec_stream"
+    val twin = "/tmp/graft_relstore_spec_streamtwin"
+    freshStore(streamed); freshStore(twin)
+    StoreMaintenance.enableStoreGenerations("release", streamed)
+    val (kid, t) = keptDoc(twin)
+    val lang = corpus.filter(col("doc_id") === kid)
+      .select("lang").head().getString(0)
+    val fresh = t.split(" ").reverse.mkString(" ")
+    def up(id: Long, text: String) = RelUp(id, text, lang, "batch",
+      s"https://batch.example/x/$id")
+    val batchA = Seq(up(940001L, fresh))
+    val batchB = Seq(up(940002L, fresh),                 // exact vs A's fold
+      up(940003L, fresh + " pada padb"))                 // near vs A's fold
+    // the sequential BATCH loop is the truth the stream must equal
+    val ledA = ledgerOf(twin, mkBatch(Seq((940001L, fresh, lang))))
+    val ledB = ledgerOf(twin, mkBatch(Seq((940002L, fresh, lang),
+      (940003L, fresh + " pada padb", lang))))
+    assume(ledA(940001L) == "kept", s"fixture: ${ledA(940001L)}")
+    assert(ledB(940002L) == "exact" && ledB(940003L) == "near",
+      "batch B must be judged against batch A's fold")
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-relsink-ck").toString
+    val got = scala.collection.concurrent.TrieMap[Long, String]()
+    def sink(src: DataFrame) =
+      graft.streaming.StreamingOps.runReleaseSink(src, streamed, bench,
+        ckpt, maxBucketSize = 64, onBatch = (bundle, _) =>
+          bundle.ledger.collect().foreach(r =>
+            got.put(r.getLong(0), r.getString(1))))
+    val s1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[RelUp]
+    val q1 = sink(s1.toDF())
+    try { s1.addData(batchA: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(got.toMap == ledA, "batch 0's streamed ledger")
+    // store state after batch 0 — the replay below must not move it
+    def chainState: Map[String, (Long, Int)] =
+      StoreMaintenance.artifactsOf("release", streamed).map(_.dir)
+        .map(d => d -> ((StoreGenerations.currentGen(d).get,
+          StoreGenerations.currentFiles(d).get.length))).toMap
+    val afterA = chainState
+    // restart on the same checkpoint: the recovered source REPLAYS
+    // batch 0 (the at-least-once path a mid-commit kill produces),
+    // then batch B applies exactly once on top of A's fold
+    val s2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[RelUp]
+    s2.addData(batchA: _*)
+    val q2 = sink(s2.toDF())
+    try {
+      q2.processAllAvailable()
+      assert(chainState == afterA,
+        "a replayed batch must publish no generation and land no file")
+      s2.addData(batchB: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got.toMap == ledA ++ ledB,
+      "the streamed loop's dispositions must equal the batch loop's")
+    // batch B's fold advanced every accreting artifact exactly once
+    chainState.foreach { case (d, (g, _)) =>
+      assert(g == afterA(d)._1 + 1, s"$d at gen $g") }
+  }
 }

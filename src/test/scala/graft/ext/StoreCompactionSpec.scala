@@ -285,4 +285,70 @@ class StoreCompactionSpec extends AnyFunSuite {
       .flatMap("tok_bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
     assert(dfFiles.distinct.length == dfFiles.length)
   }
+
+  test("positional retrieval store: a kill BETWEEN artifacts plus a " +
+      "kill INSIDE the next one heal on re-run to the fully-compacted " +
+      "state, answers unchanged") {
+    val store = "/tmp/graft_cptspec_resume2"
+    val d = docs
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", store, tokBuckets = 16, positional = true)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", store)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", store)
+    val probes = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        slice(TextOps.tokens(col("text")), 1, 3).as("terms"))
+    val phrases = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        element_at(TextOps.tokens(col("text")), 1).as("t1"),
+        element_at(TextOps.tokens(col("text")), 2).as("t2"))
+    val expQ = rows(RetrievalIndexStore.query(spark, store, probes,
+      "query_id", "terms", k = 5))
+    val expP = rows(RetrievalIndexStore.phraseQuery(spark, store,
+      phrases, "query_id", "t1", "t2", k = 5))
+    assert(expQ.nonEmpty && expP.nonEmpty)
+    // kill #1: the sequence completed its FIRST artifact only
+    StoreMaintenance.compactArtifact(spark, s"$store/postings.parquet",
+      Some("tok_bucket"))
+    // kill #2: the NEXT run died inside the df artifact's compaction
+    // BEFORE verification — an unverified scratch directory is on
+    // disk (the state recoverArtifact's "clean" window repairs)
+    val deadScratch = s"$store/df.parquet.__compact"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(deadScratch))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$deadScratch/junk.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    // the mixed + crashed store still answers exactly (artifacts are
+    // independently consistent; the dead scratch is outside every dir
+    // a reader lists)
+    assert(rows(RetrievalIndexStore.query(spark, store, probes,
+      "query_id", "terms", k = 5)) == expQ)
+    // ONE re-run heals everything: recovery sweeps the dead scratch,
+    // the compacted artifact folds to itself, the rest compact fresh
+    StoreMaintenance.compactRetrievalIndexStore(spark, store)
+    assert(rows(RetrievalIndexStore.query(spark, store, probes,
+      "query_id", "terms", k = 5)) == expQ)
+    assert(rows(RetrievalIndexStore.phraseQuery(spark, store,
+      phrases, "query_id", "t1", "t2", k = 5)) == expP)
+    // FULLY-compacted state: one file per populated bucket dir on
+    // every bucketed artifact, one stats file, zero crash leftovers
+    Seq("postings", "df", "positions").foreach { a =>
+      val per = graft.sources.Layout.listParquet(s"$store/$a.parquet")
+        .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      assert(per.values.forall(_.length == 1),
+        s"$a not fully compacted: ${per.view.mapValues(_.length).toMap}")
+    }
+    assert(graft.sources.Layout
+      .listParquet(s"$store/stats.parquet").length == 1)
+    Seq("postings", "df", "stats", "positions").foreach { a =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$store/$a.parquet.__compact")), s"$a scratch leftover")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$store/$a.parquet.__retired")), s"$a retired leftover")
+    }
+  }
 }

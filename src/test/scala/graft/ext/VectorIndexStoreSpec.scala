@@ -209,4 +209,63 @@ class VectorIndexStoreSpec extends AnyFunSuite {
     assert(frozenHits < rebuiltHits,
       s"drifted recall $frozenHits should be below rebuilt $rebuiltHits")
   }
+
+  test("drift-triggered auto-rebuild fires EXACTLY ONCE across shifted " +
+      "waves: in-distribution waves never trigger, the first shifted " +
+      "wave does, the re-calibrated store absorbs the rest as appends") {
+    val path = "/tmp/graft_vindex_spec_arb"
+    def shift(df: DataFrame): DataFrame =
+      df.select((col("vec_id") + 900000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(64.0)).cast("float")).as("embedding"))
+    val baseA = cands.filter(col("vec_id") % 3 =!= 0).localCheckpoint()
+    val wave0 = cands.filter(col("vec_id") % 3 === 0).localCheckpoint()
+    val wave1 = shift(cands.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint()
+    val wave2 = shift(cands.filter(col("vec_id") % 2 =!= 0))
+      .localCheckpoint()
+    VectorIndexStore.build(baseA, "vec_id", "embedding", path, cents,
+      codebook.localCheckpoint(), numSub, subDim)
+    val cal0 = VectorIndexStore.calibrate(baseA, "vec_id", "embedding",
+      path)
+    def ingest(wave: DataFrame, corpusSoFar: DataFrame): Boolean =
+      VectorIndexStore.appendOrRebuild(wave, "vec_id", "embedding",
+        path, corpusSoFar, factor = 100.0, k = 4, iters = 2)
+    // wave 0 is in-distribution: one monitor projection, NO rebuild
+    assert(!ingest(wave0, baseA.unionByName(wave0)),
+      "an in-distribution wave must not trigger")
+    assert(VectorIndexStore.calibration(spark, path) == cal0,
+      "no rebuild → calibration untouched")
+    // wave 1 is the shifted mode: the trigger FIRES, the store
+    // rebuilds over the extended corpus and re-calibrates
+    val c1 = cands.unionByName(wave1).localCheckpoint()
+    assert(ingest(wave1, c1), "the first shifted wave must trigger")
+    val cal1 = VectorIndexStore.calibration(spark, path)
+    assert(cal1 != cal0)
+    // wave 2 continues the SAME shifted stream: the new geometry
+    // covers the mode, so it folds in as a plain append — exactly once
+    val c2 = c1.unionByName(wave2).localCheckpoint()
+    assert(!ingest(wave2, c2),
+      "a continuing shifted stream must not re-trigger after rebuild")
+    assert(VectorIndexStore.calibration(spark, path) == cal1)
+    // the final store serves every wave: all ids reachable, and the
+    // post-rebuild store answers ≥ as well as a frozen one would
+    val qmix = queries.unionByName(shift(queries)).localCheckpoint()
+    val exact = Similarity.bruteTopKL2(qmix, c2,
+      "vec_id", "embedding", k = 3).localCheckpoint()
+    def hits(approx: DataFrame): Long =
+      Similarity.recallAudit(exact, approx)
+        .agg(sum("n_hit")).head().getLong(0)
+    val served = VectorIndexStore.query(spark, path, qmix,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+    val frozen = "/tmp/graft_vindex_spec_arbf"
+    VectorIndexStore.build(baseA, "vec_id", "embedding", frozen, cents,
+      codebook.localCheckpoint(), numSub, subDim)
+    Seq(wave0, wave1, wave2).foreach(w =>
+      VectorIndexStore.append(w, "vec_id", "embedding", frozen))
+    val frozenServed = VectorIndexStore.query(spark, frozen, qmix,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+    assert(hits(served) > hits(frozenServed),
+      "the policy's rebuild must restore recall a frozen store lost")
+  }
 }
