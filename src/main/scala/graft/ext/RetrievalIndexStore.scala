@@ -287,10 +287,16 @@ object RetrievalIndexStore {
     * `Retrieval.bm25TopK` on the same logical corpus:
     * (query_id, doc_id, rank, score_q). */
   def query(spark: SparkSession, path: String, queries: DataFrame,
-            queryIdCol: String, termsCol: String, k: Int): DataFrame = {
+            queryIdCol: String, termsCol: String, k: Int,
+            asOf: Option[Long] = None): DataFrame = {
     // resolve FIRST: on a snapshotted store this verifies the frozen
-    // seeds (params) loudly before any scan plans
-    val rd = StoreSnapshots.reader(spark, path)
+    // seeds (params) loudly before any scan plans. `asOf` = store-
+    // level time travel: answer from snapshot `asOf`'s mutually-
+    // consistent artifact generations (historical postings scored
+    // with the HISTORICAL df and (N, T)) — within the vacuum keep
+    // window, loud outside it
+    val rd = asOf.map(g => StoreSnapshots.readerAt(spark, path, g))
+      .getOrElse(StoreSnapshots.reader(spark, path))
     val tokBuckets = params(spark, path)
     // the query batch's distinct terms: small by definition (same
     // bounded class as an ingest batch); checkpointed because it

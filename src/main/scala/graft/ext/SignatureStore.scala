@@ -95,7 +95,21 @@ object SignatureStore {
     * `autoMaintain` is the in-band lifecycle knob (the store-side
     * mirror of the merge sink's `maintainEvery`): consult the
     * filesystem-metadata trigger after the fold and compact+vacuum
-    * exactly the artifacts whose file count crossed the ratio. */
+    * exactly the artifacts whose file count crossed the ratio.
+    *
+    * SINGLE WRITER — and why concurrency stops here: this append's
+    * consistency unit spans TWO chains (bands and sets must cover the
+    * same doc set, or a band-probe candidate loses its verification
+    * set), and per-chain commits — however each one is made, CAS
+    * included — can interleave across writers so that a store-level
+    * snapshot taken between them pins a torn cross-artifact state.
+    * Stores whose append touches ONE accreting artifact take
+    * concurrent writers today ([[VectorIndexStore.appendOwn]] via
+    * [[StoreGenerations.commitOwn]]); lifting it for multi-artifact
+    * stores needs the snapshot manifest itself to be the lone commit
+    * point, naming each writer's files across all artifacts in one
+    * conditional create (the Iceberg model one level up) — a
+    * deliberate non-goal for the chain layer. */
   def append(incoming: DataFrame, idCol: String, textCol: String,
              path: String,
              autoMaintain: Option[StoreMaintenance.AutoMaintain] = None)

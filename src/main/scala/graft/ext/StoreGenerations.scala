@@ -191,8 +191,11 @@ object StoreGenerations {
       val ref = referenced(dir)
       val fresh = visibleParquet(dir)
         .filterNot(p => ref.contains(canon(p)))
-        .filterNot(p => CompactName
-          .findFirstIn(p.substring(p.lastIndexOf('/') + 1)).isDefined)
+        .filterNot { p =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          CompactName.findFirstIn(name).isDefined ||
+            OwnName.findFirstIn(name).isDefined
+        }
       if (fresh.isEmpty) cur
       else {
         val next = cur + 1
@@ -200,6 +203,135 @@ object StoreGenerations {
         next
       }
     }
+
+  /** Basename pattern of files a CONCURRENT writer landed via
+    * [[landOwn]]/[[landOwnBucketed]] — owned by exactly one
+    * [[commitOwn]] call. The adopt-everything [[commitAppend]] path
+    * must never fold them in: between a concurrent writer's land and
+    * its commit they are in-flight private state, and adopting half
+    * of another writer's batch is exactly the torn visibility the
+    * exact-file-set commit exists to rule out. */
+  private[ext] val OwnName = "^w[A-Za-z0-9]*-u[0-9a-f]{8}\\.parquet$".r
+
+  /** OPTIMISTIC-CONCURRENCY commit of an EXACT file set — the
+    * multi-writer append primitive (the Iceberg commit model applied
+    * to an artifact chain): publish generation N+1 = the current
+    * list + precisely `files` (this writer's fully-landed data
+    * files), and when the conditional create loses the race to
+    * another writer, RE-BASE on the winner's generation and retry —
+    * each surviving generation then differs from its parent by
+    * exactly one writer's whole batch, so no reader ever observes a
+    * torn batch and no file is adopted twice (already-referenced
+    * files are filtered on every attempt, which also makes a replay
+    * of the same commit a no-op).
+    *
+    * This lifts the single-WRITER bound to single-accreting-artifact
+    * stores (the vector store's codes chain, the merge-sink table):
+    * any number of appenders land privately ([[landOwn]]) and race
+    * their commits here. Multi-ARTIFACT appends (sig bands+sets,
+    * BM25 postings+df+stats) keep the single-writer contract — their
+    * consistency unit spans chains, and interleaved per-chain commits
+    * could pin a torn cross-artifact state however each chain
+    * commits. MAINTENANCE stays exclusive as documented ([[vacuum]]
+    * deletes unreferenced files, which a landed-uncommitted batch
+    * is; the store maintenance cadence already serializes against
+    * writers). */
+  def commitOwn(dir: String, files: Seq[String],
+                maxAttempts: Int = 16): Long = {
+    require(files.nonEmpty, s"commitOwn with no files under $dir")
+    val mine = files.map(canon)
+    val base = canon(dir)
+    mine.foreach { p =>
+      require(p.startsWith(base + "/"),
+        s"commitOwn file outside the artifact: $p is not under $dir")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"commitOwn file does not exist (land before committing): $p")
+    }
+    var attempt = 0
+    while (true) {
+      val cur = currentGen(dir).getOrElse(sys.error(
+        s"$dir has no generation chain — concurrent appends need one " +
+          "(StoreGenerations.enable first)"))
+      val fresh = mine.filterNot(referenced(dir))
+      if (fresh.isEmpty) return cur // replay: the whole batch is on the chain
+      require(fresh.length == mine.length,
+        s"commitOwn batch under $dir is PARTIALLY referenced " +
+          s"(${mine.length - fresh.length}/${mine.length} files already " +
+          "on the chain) — a foreign commit adopted part of this batch; " +
+          "mixing commitAppend-path writers with commitOwn writers on " +
+          "one artifact breaks the exact-batch contract")
+      try {
+        publish(dir, cur + 1, currentFiles(dir).get ++ fresh)
+        return cur + 1
+      } catch {
+        case e: graft.sources.LostPublishRace =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Land a concurrent writer's batch as private files in a FLAT
+    * artifact: write to a writer-scoped scratch, move in under
+    * `w<tag>-u<uuid8>` names (no-replace — the names are unique, and
+    * [[commitAppend]] ignores the `w…-u…` pattern), return the landed
+    * paths for [[commitOwn]]. Until that commit the files are
+    * unreferenced: invisible to every chain reader, swept by a vacuum
+    * (which maintenance runs exclusively) if the writer dies. */
+  def landOwn(df: DataFrame, dir: String, writerTag: String): Seq[String] = {
+    require(writerTag.matches("[A-Za-z0-9]+"),
+      s"writer tag must be alphanumeric, got '$writerTag'")
+    require(isGenerational(dir),
+      s"concurrent append needs a generation chain on $dir")
+    val scratch = s"$dir.__own_$writerTag${uuid8()}"
+    df.write.mode("overwrite").parquet(scratch)
+    val landed = graft.sources.Layout.listParquet(scratch).map { p =>
+      val tgt = java.nio.file.Paths.get(
+        s"$dir/w$writerTag-u${uuid8()}.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(p), tgt)
+      tgt.toString
+    }
+    deleteTree(scratch)
+    landed
+  }
+
+  /** [[landOwn]] for a BUCKET-PARTITIONED artifact: the batch lands
+    * as one private file per POPULATED bucket directory (the
+    * bucket-clustered repartition guarantees one scratch file per
+    * bucket — enforced), preserving the partition keys probe-time
+    * pruning needs. Same private-until-commit contract. */
+  def landOwnBucketed(df: DataFrame, dir: String, bucketCol: String,
+                      writerTag: String): Seq[String] = {
+    require(writerTag.matches("[A-Za-z0-9]+"),
+      s"writer tag must be alphanumeric, got '$writerTag'")
+    require(isGenerational(dir),
+      s"concurrent append needs a generation chain on $dir")
+    val scratch = s"$dir.__own_$writerTag${uuid8()}"
+    df.repartition(org.apache.spark.sql.functions.col(bucketCol))
+      .write.partitionBy(bucketCol).mode("overwrite").parquet(scratch)
+    val rx = (java.util.regex.Pattern.quote(s"$bucketCol=") +
+      "(-?\\d+)/").r
+    val landed = graft.sources.Layout.listParquet(scratch)
+      .flatMap(p => rx.findFirstMatchIn(p).map(m => (m.group(1), p)))
+      .groupBy(_._1)
+      .map { case (bucket, files) =>
+        require(files.length == 1,
+          s"bucket $bucket holds ${files.length} scratch files; the " +
+            "bucket-clustered write guarantees one — not renaming")
+        val tgt = java.nio.file.Paths.get(
+          s"$dir/$bucketCol=$bucket/w$writerTag-u${uuid8()}.parquet")
+        java.nio.file.Files.createDirectories(tgt.getParent)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(files.head._2), tgt)
+        tgt.toString
+      }.toSeq
+    deleteTree(scratch)
+    landed
+  }
+
+  private def uuid8(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   /** The canonical base name of a landed batch's file:
     * `gb<batchId>` when no run tag is supplied, `r<tag>-gb<batchId>`

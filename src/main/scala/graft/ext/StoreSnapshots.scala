@@ -131,9 +131,11 @@ object StoreSnapshots {
     io(path).putIfAbsent(target, content)
     val stored = io(path).read(target).getOrElse("")
     if (stored != content)
-      throw new IllegalStateException(
+      throw new graft.sources.LostPublishRace(
         s"lost publish race on store snapshot $path gen=$gen — a second " +
-          "writer is committing to the same store (single-writer contract)")
+          "writer is committing to the same store (single-writer contract " +
+          "for multi-artifact mutations; [[commit]] itself retries, since " +
+          "a snapshot only pins the store's current state)")
   }
 
   /** Drop the snapshot chain (every store manifest) — called by each
@@ -162,19 +164,40 @@ object StoreSnapshots {
     * or compaction: until this publishes, every reader keeps resolving
     * the previous snapshot's mutually-consistent generations. Skips
     * publishing (returns the current generation) when nothing moved,
-    * so replayed/idempotent appends cause no snapshot churn. */
+    * so replayed/idempotent appends cause no snapshot churn.
+    *
+    * A lost publish race here is RETRIED (bounded): a snapshot commit
+    * carries no writer-private content — it pins whatever the store's
+    * current artifact generations are — so when another committer wins
+    * the generation number, re-reading and re-pinning the (possibly
+    * newer) current state is always sound. This is what lets the
+    * single-accreting-artifact concurrent appenders
+    * ([[StoreGenerations.commitOwn]], e.g. the vector store's codes
+    * chain) each snapshot-commit after their chain commit without
+    * coordinating. The single-writer contract REMAINS for
+    * multi-artifact mutations (a sig/BM25 append spans chains, and
+    * concurrent interleavings could snapshot a torn cross-artifact
+    * state — see [[SignatureStore.append]]'s scaladoc). */
   def commit(kind: String, path: String): Long = {
-    val cur = currentGen(path).getOrElse(
-      sys.error(s"$path has no store snapshot chain — StoreSnapshots" +
-        ".enable first"))
-    val lines = entries(kind, path)
-    val unchanged = io(path).read(s"${mdir(path)}/gen=$cur")
-      .contains(lines.mkString("\n"))
-    if (unchanged) cur
-    else {
-      publish(path, cur + 1, lines)
-      cur + 1
+    var attempt = 0
+    while (true) {
+      val cur = currentGen(path).getOrElse(
+        sys.error(s"$path has no store snapshot chain — StoreSnapshots" +
+          ".enable first"))
+      val lines = entries(kind, path)
+      val unchanged = io(path).read(s"${mdir(path)}/gen=$cur")
+        .contains(lines.mkString("\n"))
+      if (unchanged) return cur
+      try {
+        publish(path, cur + 1, lines)
+        return cur + 1
+      } catch {
+        case e: graft.sources.LostPublishRace =>
+          attempt += 1
+          if (attempt >= 16) throw e
+      }
     }
+    sys.error("unreachable")
   }
 
   /** [[commit]] when the store is snapshotted, no-op otherwise — the
@@ -257,6 +280,20 @@ object StoreSnapshots {
       val p = pin(spark, path)
       dir => p.read(dir)
     } else dir => StoreGenerations.read(spark, dir)
+
+  /** [[reader]] pinned to an EXPLICIT snapshot generation — store-level
+    * TIME TRAVEL: every artifact resolves at the generation snapshot
+    * `gen` pinned (mutually consistent by construction — for BM25 that
+    * means the historical postings score against the HISTORICAL df and
+    * (N, T), not today's), seeds verified, and a vacuumed generation
+    * fails loudly at resolve ([[pinAt]]'s contract). Requires a
+    * snapshotted store: per-artifact chains alone have no cross-
+    * artifact generation mapping to travel along. */
+  def readerAt(spark: SparkSession, path: String,
+               gen: Long): String => DataFrame = {
+    val p = pinAt(spark, path, gen)
+    dir => p.read(dir)
+  }
 
   /** Snapshot-aware store vacuum: retire store snapshots beyond the
     * newest `keepGens`, then vacuum each chained artifact keeping its

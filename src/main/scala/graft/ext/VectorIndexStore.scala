@@ -161,6 +161,43 @@ object VectorIndexStore {
     StoreSnapshots.commitIfSnapshotted("vector", path)
   }
 
+  /** CONCURRENT append — any number of writers fold batches into the
+    * index AT ONCE. The vector store is the index store where this is
+    * sound without a cross-artifact protocol: its frozen geometry
+    * (centroids/codebook/params) never changes on append, so `codes`
+    * is the ONLY accreting artifact and a single chain commit is the
+    * whole consistency unit. Each writer encodes under the frozen
+    * geometry, lands its files privately
+    * ([[StoreGenerations.landOwnBucketed]] — one file per populated
+    * bucket, invisible until committed), then races the exact-file-set
+    * CAS commit ([[StoreGenerations.commitOwn]]): the loser re-bases
+    * on the winner's generation, so every surviving generation differs
+    * from its parent by exactly one writer's whole batch — no torn
+    * batches, no double adoption, pinned readers untouched. The
+    * snapshot commit (when enabled) retries the same way; it pins
+    * current state, so losing that race just means pinning a newer
+    * consistent state. Caller guarantees new ids, as for [[append]].
+    * Returns the codes-chain generation this writer's commit
+    * published. */
+  def appendOwn(newVectors: DataFrame, idCol: String, vecCol: String,
+                path: String, writerTag: String): Long = {
+    val spark = newVectors.sparkSession
+    val codes = s"$path/codes.parquet"
+    require(StoreGenerations.isGenerational(codes),
+      s"concurrent append needs a generation chain on $codes " +
+        "(StoreGenerations.enable / StoreMaintain enable)")
+    val (numSub, subDim, cellBuckets) = params(spark, path)
+    val landed = StoreGenerations.landOwnBucketed(
+      encode(newVectors, idCol, vecCol,
+        stored(spark, path, "centroids", idCol, vecCol),
+        stored(spark, path, "codebook", idCol, vecCol),
+        numSub, subDim, cellBuckets),
+      codes, "cell_bucket", writerTag)
+    val gen = StoreGenerations.commitOwn(codes, landed)
+    StoreSnapshots.commitIfSnapshotted("vector", path)
+    gen
+  }
+
   /** REBUILD: re-fit the index geometry over the CURRENT corpus and
     * re-encode — the operation the recall audits (the documented
     * drift monitor) point a deployment toward once appends from a
@@ -284,10 +321,15 @@ object VectorIndexStore {
     * `Similarity.ivfPqTopK` on the same logical corpus:
     * (query_id, neighbor_id, rank, adc_dist2). */
   def query(spark: SparkSession, path: String, queries: DataFrame,
-            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+            idCol: String, vecCol: String, k: Int, nprobe: Int,
+            asOf: Option[Long] = None): DataFrame = {
     // resolve FIRST: on a snapshotted store this verifies the frozen
-    // seeds (centroids/codebook/params) loudly before any scan plans
-    val rd = StoreSnapshots.reader(spark, path)
+    // seeds (centroids/codebook/params) loudly before any scan plans.
+    // `asOf` = store-level time travel (StoreSnapshots.readerAt):
+    // the codes resolve at the generation snapshot `asOf` pinned —
+    // the index as it stood at that commit, frozen geometry verified
+    val rd = asOf.map(g => StoreSnapshots.readerAt(spark, path, g))
+      .getOrElse(StoreSnapshots.reader(spark, path))
     val (numSub, subDim, cellBuckets) = params(spark, path)
     val centroids = stored(spark, path, "centroids", idCol, vecCol)
     val codebook = stored(spark, path, "codebook", idCol, vecCol)

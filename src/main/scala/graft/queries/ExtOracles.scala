@@ -48,15 +48,20 @@ object ExtOracles {
     * idf in clamped whole bits, tf saturation as one integral
     * division in 2^10 fixed point (k1 = 3/2, b = 3/4 multiplied
     * through by 8T). */
-  private val bm25Ctes: String =
-    """post AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+  /** The BM25 integer chain parameterized by the CORPUS predicate —
+    * the base form scores doc_id >= 20; the time-travel oracle scores
+    * only the store's BUILD corpus (df and (N, T) shrink with it,
+    * which is exactly what a snapshot-pinned historical read must
+    * reproduce). */
+  private def bm25CtesFrom(corpusWhere: String): String =
+    s"""post AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
       |    MAX(dl) AS dl
       |  FROM (SELECT doc_id,
       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
       |      unnest(string_split(text, ' ')) AS tok
-      |    FROM documents WHERE doc_id >= 20) tk
-      |  GROUP BY doc_id, tok),
-      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |    FROM documents WHERE $corpusWhere) tk
+      |  GROUP BY doc_id, tok),""".stripMargin + "\n" +
+    """dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
       |  FROM post GROUP BY tok),
       |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(dl) AS BIGINT) AS t
@@ -75,15 +80,27 @@ object ExtOracles {
       |  JOIN dfreq d ON d.tok = bq.tok, btot
       |  GROUP BY bq.query_id, p.doc_id)""".stripMargin
 
+  private val bm25Ctes: String = bm25CtesFrom("doc_id >= 20")
+
   /** q_bm25_topk's full statement — shared verbatim by q_bm25_stored
     * (the persisted index must be invisible in the answer). */
-  private def bm25TopkSql: String =
-    s"""WITH $bm25Ctes
+  private def bm25TopkSql: String = bm25TopkSqlFrom(bm25Ctes)
+
+  private def bm25TopkSqlFrom(ctes: String): String =
+    s"""WITH $ctes
        |SELECT query_id, doc_id, rank, score_q FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_q DESC, doc_id ASC) AS rank
        |  FROM bm25scored) r
        |WHERE rank <= 5""".stripMargin
+
+  /** q_bm25_timetravel: the store's snapshot-0 (pre-append) state —
+    * BM25 over the BUILD corpus alone, with the build corpus's df and
+    * (N, T): a historical read that resolved any artifact at today's
+    * generation would produce different SCORES, which is the property
+    * the one-pin cross-artifact resolve exists for. */
+  private def bm25TimetravelSql: String =
+    bm25TopkSqlFrom(bm25CtesFrom("doc_id >= 20 AND doc_id % 7 <> 0"))
 
   /** q_incr_stored's full statement — the DIRECT MinHash chain over
     * index = documents ∪ appended batch A, probed by batch B. Shared
@@ -786,6 +803,22 @@ object ExtOracles {
          |SELECT neighbor_id AS vec_id,
          |  list_sum(list(d2 ORDER BY m)) AS distortion
          |FROM codesd GROUP BY neighbor_id""".stripMargin
+
+  /** q_ann_timetravel: the vector store at SNAPSHOT 0 — geometry
+    * trained on the FULL corpus (the gate builds with the full
+    * corpus's centroids/codebook, per the frozen-quantizer contract),
+    * codes over only the build FIFTH (what the store held when
+    * snapshot 0 committed). `ivfPreambleSplit` reversed: tr = all
+    * candidates, cand = the fifth. */
+  private def annTimetravelSql: String =
+    ivfPreambleSplit(
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+        |cand AS (SELECT vec_id, v FROM tr WHERE vec_id % 5 = 0)"""
+        .stripMargin) + ",\n" +
+      ivfBodyCtes(ExtQueries.PqSub, ExtQueries.PqDim) + "\n" + ivfTopkTail
 
   /** Frozen-geometry drift audit: geometry trained on the BASE tier
     * (`tr`), codes over the full corpus, recall vs exact L2 over the
@@ -2285,7 +2318,13 @@ object ExtOracles {
     // q_ivf_pq_topk corpus again, and compaction of the cell-bucketed
     // codes is physical only — same oracle, store invisible
     "q_ann_compact" -> ivfPqTopkSql,
+    "q_ann_concurrent" -> ivfPqTopkSql,
     "q_ann_snapshot" -> ivfPqTopkSql,
+    // store-level time travel: snapshot-0 answers, cross-artifact
+    // consistent (BM25's historical df/(N,T), the vector store's
+    // pre-append codes)
+    "q_ann_timetravel" -> annTimetravelSql,
+    "q_bm25_timetravel" -> bm25TimetravelSql,
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
     "q_ivf_hier_curve" -> ivfHierCurveSql,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, ReleaseStore, Retrieval, RetrievalIndexStore, Sampling, SignatureStore, Similarity, Sketches, StoreMaintenance, StoreSnapshots, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
+import graft.ext.{Classifier, CorpusRelease, Dedup, GraphOps, KMeans, Multimodal, Pca, ReleaseStore, Retrieval, RetrievalIndexStore, Sampling, SignatureStore, Similarity, Sketches, StoreGenerations, StoreMaintenance, StoreSnapshots, TextOps, TrainingDataPipeline, UrlOps, VectorIndexStore}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (brief §ext) over the driver's
@@ -2257,6 +2257,54 @@ object ExtQueries {
     pinned
   }
 
+  /** Store-level TIME TRAVEL on the vector store: build on a FIFTH
+    * of the corpus (under the full corpus's geometry — the frozen-
+    * quantizer contract), snapshot-enable (snapshot 0 pins the base
+    * codes), append the other four fifths (snapshot 1), then answer
+    * the query batch `asOf` SNAPSHOT 0 — the index exactly as it
+    * stood before the append, however much has landed since. Oracle:
+    * the train-on-all/encode-fifth IVFADC chain in DuckDB
+    * (`ivfPreambleSplit` with tr = the full corpus, cand = the build
+    * fifth). The face a deployment uses to reproduce yesterday's
+    * retrieval for an audit without restoring a backup. */
+  def annTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_tt_$tail"
+    val (queries, cands, cents, residualCb) = ivfPqParts(spark, dir)
+    VectorIndexStore.build(cands.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", path, cents, residualCb,
+      numSub = PqSub, subDim = PqDim)
+    StoreSnapshots.enable("vector", path)
+    VectorIndexStore.append(cands.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", path)
+    VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3, asOf = Some(0L))
+  }
+
+  /** Store-level TIME TRAVEL on the BM25 store — the cross-artifact
+    * case that makes time travel non-trivial: at snapshot 0 the
+    * store held only the base corpus, so the historical answer needs
+    * the historical postings scored with the HISTORICAL df and
+    * (N, T) — resolving any artifact at today's generation gives
+    * wrong SCORES, not just extra docs. One `asOf` pin resolves
+    * postings/df/stats mutually consistently at snapshot 0 and the
+    * answer equals BM25 over the base corpus alone (its own DuckDB
+    * chain), while the same store's current face keeps answering the
+    * full-corpus oracle (q_bm25_snapshot). */
+  def bm25Timetravel(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_ristore_tt_$tail"
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", path)
+    StoreSnapshots.enable("retrieval", path)
+    RetrievalIndexStore.append(corpus.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", path)
+    RetrievalIndexStore.query(spark, path, bm25Queries(d),
+      "query_id", "terms", k = 5, asOf = Some(0L))
+  }
+
   /** The vector store through its full lifecycle including
     * compaction: q_ann_stored's fixture split into a build part and
     * an appended part (every 5th-mod-2 candidate arrives as the
@@ -2274,6 +2322,41 @@ object ExtQueries {
     VectorIndexStore.append(cands.filter(col("vec_id") % 5 === 2),
       "vec_id", "embedding", path)
     StoreMaintenance.compactVectorIndexStore(spark, path)
+    VectorIndexStore.query(spark, path, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+  }
+
+  /** MULTI-WRITER lifecycle on the vector store — the gate that
+    * retires the single-writer assumption where it is sound to: build
+    * on a fifth of the corpus, then FOUR writers race
+    * [[VectorIndexStore.appendOwn]] (land privately → exact-file-set
+    * CAS commit → re-base on a lost race; the snapshot chain advances
+    * through its own retrying commit) for the other four fifths
+    * CONCURRENTLY, then answer q_ann_topk's exact query batch from
+    * the store. Same oracle as q_ann_compact (`ivfPqTopkSql`): the
+    * interleaving is nondeterministic, the ANSWER must not be — every
+    * surviving generation is one writer's whole batch, and the final
+    * state is the union regardless of commit order. */
+  def annConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_vindex_conc_$tail"
+    val (queries, cands, cents, residualCb) = ivfPqParts(spark, dir)
+    VectorIndexStore.build(cands.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", path, cents, residualCb,
+      numSub = PqSub, subDim = PqDim)
+    StoreGenerations.enable(s"$path/codes.parquet")
+    StoreSnapshots.enable("vector", path)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    Await.result(Future.sequence((1 to 4).map { m =>
+      Future {
+        barrier.await()
+        VectorIndexStore.appendOwn(cands.filter(col("vec_id") % 5 === m),
+          "vec_id", "embedding", path, writerTag = s"cw$m")
+      }
+    }), 10.minutes)
     VectorIndexStore.query(spark, path, queries,
       "vec_id", "embedding", k = 3, nprobe = 3)
   }
@@ -3596,9 +3679,12 @@ object ExtQueries {
     "q_sig_snapshot"      -> (sigSnapshot _),
     "q_bm25_snapshot"     -> (bm25Snapshot _),
     "q_ann_snapshot"      -> (annSnapshot _),
+    "q_ann_timetravel"    -> (annTimetravel _),
+    "q_bm25_timetravel"   -> (bm25Timetravel _),
     "q_ann_autorebuild"   -> (annAutoRebuild _),
     "q_stream_release"    -> (streamRelease _),
     "q_ann_compact"       -> (annCompact _),
+    "q_ann_concurrent"    -> (annConcurrent _),
     "q_phrase_stored"     -> (phraseStored _),
     "q_rrf_fusion"        -> (rrfFusion _),
     "q_winnow_fp"         -> (winnowFp _),

@@ -24,6 +24,15 @@ package graft.sources
   * the object-store spec suite registers its store roots against
   * [[ObjectStoreManifestIO]] and the whole chain/commit/vacuum
   * machinery runs through conditional-PUT semantics unchanged. */
+/** A conditional-create publish found the target generation already
+  * written by ANOTHER writer — the typed signal of a lost commit
+  * race. Under the single-writer contract this is a loud failure;
+  * [[graft.ext.StoreGenerations.commitOwn]]'s optimistic-concurrency
+  * loop catches exactly this type and re-bases on the winner's
+  * generation instead. */
+final class LostPublishRace(msg: String)
+  extends IllegalStateException(msg)
+
 trait ManifestIO {
 
   /** Entry NAMES directly under `dir` (no recursion) — the manifest

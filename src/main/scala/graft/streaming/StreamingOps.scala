@@ -626,10 +626,11 @@ object StreamingOps {
       io.putIfAbsent(target, content)
       val stored = io.read(target).getOrElse("")
       if (stored != content)
-        throw new IllegalStateException(
+        throw new graft.sources.LostPublishRace(
           s"lost publish race on $root gen=$gen: the generation " +
             "stored is not this writer's — a second writer is publishing " +
-            "to the same manifest root (single-writer contract)")
+            "to the same manifest root (single-writer contract; " +
+            "concurrent appenders go through StoreGenerations.commitOwn)")
     }
   }
 
