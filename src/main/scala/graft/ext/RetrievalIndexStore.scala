@@ -222,6 +222,43 @@ object RetrievalIndexStore {
     * artifact (`StoreMaintain enable retrieval <path>`). Same
     * derivation as [[append]] — per-doc facts under the store's
     * bucket fn, df/stats as delta rows readers sum. */
+  /** CONCURRENT append — the BM25 sibling of
+    * [[SignatureStore.appendOwn]], and the store the file-level
+    * snapshot commit exists for: the batch's postings, df deltas,
+    * stats row (and positions on a positional store) land privately
+    * in their artifacts, then ONE conditional create
+    * ([[StoreSnapshots.commitOwnStore]]) publishes all of them as a
+    * snapshot — a reader can never score the batch's postings against
+    * document frequencies that don't include them (all-old or
+    * all-new, per writer, however many writers race). Requires a
+    * snapshotted store; maintenance's [[StoreSnapshots.fold]] later
+    * adopts the files into the chains. Returns the published snapshot
+    * generation. */
+  def appendOwn(incoming: DataFrame, idCol: String, textCol: String,
+                path: String, writerTag: String): Long = {
+    val spark = incoming.sparkSession
+    require(StoreSnapshots.isSnapshotted(path),
+      s"concurrent multi-artifact append needs store snapshots on $path " +
+        "(StoreSnapshots.enable first) — the snapshot manifest is the " +
+        "lone commit point that keeps postings, df, and stats atomic")
+    val tokBuckets = params(spark, path)
+    val post = postingsOf(incoming, idCol, textCol, tokBuckets)
+      .localCheckpoint()
+    val landed = Seq.newBuilder[(String, Seq[String])]
+    landed += s"$path/postings.parquet" -> StoreGenerations.landOwnBucketed(
+      post, s"$path/postings.parquet", "tok_bucket", writerTag)
+    landed += s"$path/df.parquet" -> StoreGenerations.landOwnBucketed(
+      dfOf(post), s"$path/df.parquet", "tok_bucket", writerTag)
+    landed += s"$path/stats.parquet" -> StoreGenerations.landOwn(
+      statsOf(post).coalesce(1), s"$path/stats.parquet", writerTag)
+    if (hasPositions(path))
+      landed += s"$path/positions.parquet" ->
+        StoreGenerations.landOwnBucketed(
+          positionsOf(incoming, idCol, textCol, tokBuckets),
+          s"$path/positions.parquet", "tok_bucket", writerTag)
+    StoreSnapshots.commitOwnStore("retrieval", path, landed.result().toMap)
+  }
+
   def appendCanonical(incoming: DataFrame, idCol: String, textCol: String,
                       path: String, batchId: Long,
                       runTag: String = ""): Unit = {

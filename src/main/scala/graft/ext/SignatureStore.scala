@@ -97,19 +97,17 @@ object SignatureStore {
     * filesystem-metadata trigger after the fold and compact+vacuum
     * exactly the artifacts whose file count crossed the ratio.
     *
-    * SINGLE WRITER — and why concurrency stops here: this append's
-    * consistency unit spans TWO chains (bands and sets must cover the
-    * same doc set, or a band-probe candidate loses its verification
-    * set), and per-chain commits — however each one is made, CAS
-    * included — can interleave across writers so that a store-level
-    * snapshot taken between them pins a torn cross-artifact state.
-    * Stores whose append touches ONE accreting artifact take
-    * concurrent writers today ([[VectorIndexStore.appendOwn]] via
-    * [[StoreGenerations.commitOwn]]); lifting it for multi-artifact
-    * stores needs the snapshot manifest itself to be the lone commit
-    * point, naming each writer's files across all artifacts in one
-    * conditional create (the Iceberg model one level up) — a
-    * deliberate non-goal for the chain layer. */
+    * SINGLE WRITER on THIS path — this append's consistency unit
+    * spans TWO chains (bands and sets must cover the same doc set, or
+    * a band-probe candidate loses its verification set), and
+    * per-chain commits — however each one is made, CAS included — can
+    * interleave across writers so that a store-level snapshot taken
+    * between them pins a torn cross-artifact state. CONCURRENT
+    * writers therefore commit through the snapshot manifest itself as
+    * the lone commit point ([[appendOwn]] →
+    * [[StoreSnapshots.commitOwnStore]]: one conditional create names
+    * the writer's files across ALL artifacts), never through the
+    * chains. */
   def append(incoming: DataFrame, idCol: String, textCol: String,
              path: String,
              autoMaintain: Option[StoreMaintenance.AutoMaintain] = None)
@@ -129,6 +127,38 @@ object SignatureStore {
     autoMaintain.foreach(am => StoreMaintenance.maintainIfNeeded(spark,
       StoreMaintenance.artifactsOf("sig", path), am,
       snapshot = Some(("sig", path))))
+  }
+
+  /** CONCURRENT append — any number of writers fold verified batches
+    * into the store AT ONCE, on a SNAPSHOTTED store: the batch's
+    * bands and sets land privately in both artifacts
+    * ([[StoreGenerations.landOwn]] — chains untouched, files
+    * invisible), then ONE file-level snapshot commit
+    * ([[StoreSnapshots.commitOwnStore]]) publishes them atomically
+    * across both artifacts — a reader pins the whole batch or none of
+    * it (bands always with their verification sets), a lost race
+    * re-bases on the winner's snapshot and retries, and the exclusive
+    * maintenance path's [[StoreSnapshots.fold]] later adopts the
+    * files into the chains. Same derivation and id-disjointness
+    * contract as [[append]]. Returns the published snapshot
+    * generation. */
+  def appendOwn(incoming: DataFrame, idCol: String, textCol: String,
+                path: String, writerTag: String): Long = {
+    val spark = incoming.sparkSession
+    require(StoreSnapshots.isSnapshotted(path),
+      s"concurrent multi-artifact append needs store snapshots on $path " +
+        "(StoreSnapshots.enable first) — the snapshot manifest is the " +
+        "lone commit point that keeps bands and sets atomic")
+    val (shingleN, numHashes) = params(spark, path)
+    val bands = StoreGenerations.landOwn(
+      bandsOf(incoming, idCol, textCol, shingleN, numHashes),
+      s"$path/bands.parquet", writerTag)
+    val sets = StoreGenerations.landOwn(
+      setsOf(incoming, idCol, textCol, shingleN),
+      s"$path/sets.parquet", writerTag)
+    StoreSnapshots.commitOwnStore("sig", path, Map(
+      s"$path/bands.parquet" -> bands,
+      s"$path/sets.parquet" -> sets))
   }
 
   /** REPLAY-SAFE append for a STREAMING ingest — exactly-once store

@@ -439,18 +439,23 @@ object StoreGenerations {
     vacuumKeeping(dir, keepLatest = keepGens, alsoKeep = Set.empty)
 
   /** [[vacuum]] with an EXTERNAL pin set: keep the newest `keepLatest`
-    * generations PLUS every generation in `alsoKeep` — the hook
-    * [[StoreSnapshots]] uses so a store-level manifest's pinned
-    * artifact generations survive any per-artifact vacuum cadence. */
+    * generations PLUS every generation in `alsoKeep`, and never delete
+    * a file in `alsoKeepFiles` — the hooks [[StoreSnapshots]] uses so
+    * a store-level manifest's pinned artifact generations AND its
+    * file-level commit entries (a concurrent writer's batch the chain
+    * has not folded in yet) survive any per-artifact vacuum cadence. */
   private[ext] def vacuumKeeping(dir: String, keepLatest: Int,
-                                 alsoKeep: Set[Long]): (Int, Int) = {
+                                 alsoKeep: Set[Long],
+                                 alsoKeepFiles: Set[String] = Set.empty)
+      : (Int, Int) = {
     require(keepLatest >= 1, "must keep at least one generation")
     val all = gens(dir)
     if (all.isEmpty) return (0, 0)
     val latest = all.takeRight(keepLatest).toSet
     val keep = all.filter(g => latest.contains(g) || alsoKeep.contains(g))
     val drop = all.filterNot(keep.contains)
-    val kept = keep.flatMap(g => readManifest(dir, g)).map(canon).toSet
+    val kept = keep.flatMap(g => readManifest(dir, g)).map(canon).toSet ++
+      alsoKeepFiles.map(canon)
     val dead = graft.sources.Layout.listParquet(dir)
       .filterNot(p => kept.contains(canon(p)))
     dead.foreach(p =>

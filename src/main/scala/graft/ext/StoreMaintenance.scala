@@ -325,6 +325,12 @@ object StoreMaintenance {
       : Seq[ArtifactReport] = {
     val snapped = snapshot.filter { case (_, p) =>
       StoreSnapshots.isSnapshotted(p) }
+    // adopt pending file-level commits (concurrent writers' batches)
+    // into the chains FIRST: the trigger below counts chain files,
+    // and compaction folds chain files — unfolded d-entries would be
+    // invisible to both (maintenance runs exclusively, so nothing
+    // lands while this folds)
+    snapped.foreach { case (kind, p) => StoreSnapshots.fold(kind, p) }
     val reports = specs.flatMap { s =>
       if (!exists(s.dir)) None
       else {
@@ -399,8 +405,10 @@ object StoreMaintenance {
 
   def compactSignatureStore(spark: SparkSession, path: String,
                             targetBytes: Long = 128L << 20)
-      : Seq[ArtifactReport] =
+      : Seq[ArtifactReport] = {
+    StoreSnapshots.fold("sig", path) // adopt pending file-level commits
     sigArtifacts(path).map(s => compact(spark, s, targetBytes))
+  }
 
   /** [[VectorIndexStore]] artifacts: codes (cell-bucketed, row-
     * preserving — the layout probe-time pruning keys on is preserved
@@ -410,8 +418,10 @@ object StoreMaintenance {
     spec(s"$path/codes.parquet", Some("cell_bucket")))
 
   def compactVectorIndexStore(spark: SparkSession, path: String)
-      : Seq[ArtifactReport] =
+      : Seq[ArtifactReport] = {
+    StoreSnapshots.fold("vector", path) // adopt pending file-level commits
     vectorArtifacts(path).map(s => compact(spark, s))
+  }
 
   /** [[ReleaseStore]] artifacts: the three the daily loop APPENDS
     * to — the signature index (bands/sets) plus the seen-url /
@@ -431,8 +441,10 @@ object StoreMaintenance {
         invariant = _.agg(countDistinct("h").as("n_hashes"))))
 
   def compactReleaseStore(spark: SparkSession, path: String)
-      : Seq[ArtifactReport] =
+      : Seq[ArtifactReport] = {
+    StoreSnapshots.fold("release", path) // adopt pending file-level commits
     releaseArtifacts(path).map(s => compact(spark, s))
+  }
 
   /** [[RetrievalIndexStore]] artifacts: postings (token-bucketed,
     * row-preserving), df (token-bucketed, delta rows SUMMED into one
@@ -470,6 +482,8 @@ object StoreMaintenance {
   }
 
   def compactRetrievalIndexStore(spark: SparkSession, path: String)
-      : Seq[ArtifactReport] =
+      : Seq[ArtifactReport] = {
+    StoreSnapshots.fold("retrieval", path) // adopt pending file-level commits
     retrievalArtifacts(path).map(s => compact(spark, s))
+  }
 }

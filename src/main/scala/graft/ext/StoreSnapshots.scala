@@ -27,6 +27,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   a <tab> <relArtifactDir> <tab> <artifactGen>   (chained artifact)
   *   f <tab> <relFilePath>    <tab> <bytes>         (frozen/seed file)
+  *   d <tab> <relArtifactDir> <tab> <relFilePath>   (file-level commit:
+  *       a concurrent writer's landed file, read IN ADDITION to the
+  *       artifact's pinned generation — see [[commitOwnStore]])
   *
   * The `f` entries inventory the store's FROZEN artifacts — the seed
   * files an append never touches (params, trained centroids/codebook,
@@ -103,7 +106,12 @@ object StoreSnapshots {
 
   /** The snapshot's content lines for the store's CURRENT state:
     * every existing chained artifact at its current generation, every
-    * frozen file with its size. */
+    * frozen file with its size, PLUS the previous snapshot's pending
+    * file-level commits (`d` lines) whose files the artifact's pinned
+    * generation has not adopted yet — a single-writer commit must
+    * never drop a concurrent writer's committed-but-unfolded batch
+    * (once [[fold]] adopts the files into the chain, the pinned
+    * generation covers them and the `d` lines retire here). */
   private def entries(kind: String, path: String): Seq[String] = {
     val chained = StoreMaintenance.artifactsOf(kind, path)
       .map(_.dir).filter(exists)
@@ -120,7 +128,20 @@ object StoreSnapshots {
         s"f\t${rel(path, p)}\t${java.nio.file.Files.size(java.nio.file.Paths.get(p))}"
       }
     }
-    aLines ++ fLines
+    val dLines = currentGen(path).toSeq.flatMap { cur =>
+      val chainCovered: Map[String, Set[String]] = chained.map { dir =>
+        canon(dir) -> StoreGenerations.currentFiles(dir)
+          .getOrElse(Seq.empty).map(canon).toSet
+      }.toMap
+      io(path).read(s"${mdir(path)}/gen=$cur").getOrElse("")
+        .split("\n", -1).toSeq.filter(_.startsWith("d\t"))
+        .filter { l =>
+          val Array(_, rDir, rFile) = l.split("\t", 3)
+          !chainCovered.getOrElse(canon(s"$path/$rDir"), Set.empty)
+            .contains(canon(s"$path/$rFile"))
+        }
+    }
+    aLines ++ fLines ++ dLines
   }
 
   private def publish(path: String, gen: Long, lines: Seq[String]): Unit = {
@@ -205,18 +226,145 @@ object StoreSnapshots {
   def commitIfSnapshotted(kind: String, path: String): Option[Long] =
     if (isSnapshotted(path)) Some(commit(kind, path)) else None
 
+  /** FILE-LEVEL store commit — the multi-writer append primitive for
+    * MULTI-ARTIFACT stores, where per-chain commits cannot work
+    * ([[SignatureStore.append]]'s scaladoc has the torn-state
+    * argument): the snapshot manifest itself becomes the lone commit
+    * point. The writer lands its batch PRIVATELY in every artifact
+    * ([[StoreGenerations.landOwn]]/[[landOwnBucketed]] — untouched
+    * chains, invisible files), then CAS-publishes the next snapshot =
+    * the current snapshot's lines + one `d` entry per landed file.
+    * One conditional create spans ALL artifacts, so a reader pins
+    * either the whole batch or none of it — bands always with their
+    * sets, postings always with their df; and a lost race re-bases on
+    * the winner's snapshot (which carries the winner's `d` lines) and
+    * retries, so every surviving snapshot differs from its parent by
+    * exactly one writer's whole cross-artifact batch.
+    *
+    * The chains stay behind deliberately: [[fold]] (run from the
+    * exclusive maintenance path) adopts pending `d` files into each
+    * artifact's chain and retires the `d` lines — compaction and
+    * vacuum then see them as ordinary chained files. Replaying a
+    * commit whose files are all covered (as `d` lines or folded into
+    * the pinned chains) returns the current snapshot unchanged;
+    * partial foreign coverage fails loudly. */
+  def commitOwnStore(kind: String, path: String,
+                     filesByArtifact: Map[String, Seq[String]],
+                     maxAttempts: Int = 16): Long = {
+    require(filesByArtifact.nonEmpty, "commitOwnStore with no artifacts")
+    val base = canon(path)
+    val mine: Seq[(String, String)] = filesByArtifact.toSeq.flatMap {
+      case (dir, files) =>
+        require(files.nonEmpty, s"commitOwnStore with no files for $dir")
+        val cDir = canon(dir)
+        require(cDir.startsWith(base + "/"),
+          s"artifact outside the store: $dir is not under $path")
+        files.map { f =>
+          val cf = canon(f)
+          require(cf.startsWith(cDir + "/"),
+            s"commitOwnStore file outside its artifact: $f not under $dir")
+          require(exists(cf),
+            s"commitOwnStore file does not exist (land first): $f")
+          (cDir, cf)
+        }
+    }
+    val myLines = mine.map { case (d, f) =>
+      s"d\t${rel(path, d)}\t${rel(path, f)}"
+    }
+    var attempt = 0
+    while (true) {
+      val cur = currentGen(path).getOrElse(sys.error(
+        s"$path has no store snapshot chain — concurrent multi-artifact " +
+          "appends need one (StoreSnapshots.enable first)"))
+      val content = io(path).read(s"${mdir(path)}/gen=$cur").getOrElse(
+        throw new IllegalStateException(
+          s"store snapshot gen=$cur under $path vanished mid-commit"))
+      val lines = content.split("\n", -1).toSeq.filter(_.nonEmpty)
+      val coveredD = lines.filter(_.startsWith("d\t")).toSet
+      val pinnedChainFiles: Map[String, Set[String]] = lines.collect {
+        case l if l.startsWith("a\t") =>
+          val Array(_, r, g) = l.split("\t", 3)
+          val dir = canon(s"$path/$r")
+          dir -> StoreGenerations.filesAt(dir, g.toLong)
+            .getOrElse(Seq.empty).map(canon).toSet
+      }.toMap
+      val covered = mine.zip(myLines).count { case ((d, f), l) =>
+        coveredD.contains(l) ||
+          pinnedChainFiles.getOrElse(d, Set.empty).contains(f)
+      }
+      if (covered == mine.length) return cur // replay: whole batch committed
+      require(covered == 0,
+        s"commitOwnStore batch under $path is PARTIALLY covered " +
+          s"($covered/${mine.length} files already committed) — a foreign " +
+          "commit adopted part of this batch; one batch must be committed " +
+          "by exactly one commitOwnStore call")
+      mine.foreach { case (d, _) =>
+        require(pinnedChainFiles.contains(d),
+          s"$d is not pinned by the current store snapshot of $path — " +
+            "the artifact did not exist at enable time (re-commit the " +
+            "store to adopt it before concurrent appends)")
+      }
+      try {
+        publish(path, cur + 1, lines ++ myLines)
+        return cur + 1
+      } catch {
+        case e: graft.sources.LostPublishRace =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Adopt every pending file-level commit into its artifact's chain
+    * and publish the snapshot that retires the `d` lines — run from
+    * the EXCLUSIVE maintenance path before compaction/vacuum, so
+    * those only ever see ordinary chained files. No-op (returns the
+    * current generation) when nothing is pending or the store is not
+    * snapshotted. */
+  def fold(kind: String, path: String): Option[Long] =
+    currentGen(path).map { cur =>
+      val content = io(path).read(s"${mdir(path)}/gen=$cur").getOrElse("")
+      val pending = content.split("\n", -1).toSeq
+        .filter(_.startsWith("d\t"))
+        .map { l =>
+          val Array(_, rDir, rFile) = l.split("\t", 3)
+          (s"$path/$rDir", s"$path/$rFile")
+        }
+        .groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2) }
+      if (pending.isEmpty) cur
+      else {
+        pending.foreach { case (dir, files) =>
+          StoreGenerations.commitOwn(dir, files)
+        }
+        commit(kind, path) // entries() drops the now-chain-covered d lines
+      }
+    }
+
   /** One resolved snapshot: every chained artifact's pinned
     * generation, seeds verified. Readers hold a Pin for the duration
     * of one logical query — every artifact read through it is
     * mutually consistent however many commits land meanwhile. */
   final class Pin private[StoreSnapshots] (
       spark: SparkSession, storePath: String, val gen: Long,
-      pins: Map[String, Long]) {
+      pins: Map[String, Long], dFiles: Map[String, Seq[String]]) {
 
-    /** The artifact at ITS PINNED GENERATION — never the current one. */
+    /** The artifact at ITS PINNED GENERATION — never the current one —
+      * PLUS any file-level commit entries this snapshot carries for it
+      * (a concurrent writer's batch the chain has not folded yet):
+      * one combined file list, one scan, `basePath` preserved so
+      * bucket-partition directories keep their partition column. */
     def read(artifactDir: String): DataFrame =
       pins.get(canon(artifactDir)) match {
-        case Some(g) => StoreGenerations.readAt(spark, artifactDir, g)
+        case Some(g) =>
+          val chainFiles = StoreGenerations.filesAt(artifactDir, g)
+            .getOrElse(throw new IllegalStateException(
+              s"no generation <= $g survives under $artifactDir: store " +
+                s"snapshot gen=$gen pins outside the artifact's vacuum " +
+                "keep window — re-pin to a kept snapshot"))
+          val extra = dFiles.getOrElse(canon(artifactDir), Seq.empty)
+          spark.read.option("basePath", artifactDir)
+            .parquet((chainFiles ++ extra): _*)
         case None => throw new IllegalStateException(
           s"$artifactDir is not pinned by store snapshot gen=$gen of " +
             s"$storePath — the artifact did not exist when the snapshot " +
@@ -224,6 +372,7 @@ object StoreSnapshots {
       }
 
     private[ext] def pinnedGens: Map[String, Long] = pins
+    private[ext] def pinnedDFiles: Map[String, Seq[String]] = dFiles
   }
 
   /** Resolve the CURRENT snapshot: parse its artifact pins and verify
@@ -250,6 +399,11 @@ object StoreSnapshots {
         val Array(_, r, g) = l.split("\t", 3)
         canon(s"$path/$r") -> g.toLong
     }.toMap
+    val dFiles = lines.collect {
+      case l if l.startsWith("d\t") =>
+        val Array(_, rDir, rFile) = l.split("\t", 3)
+        canon(s"$path/$rDir") -> s"$path/$rFile"
+    }.groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2) }
     lines.foreach {
       case l if l.startsWith("f\t") =>
         val Array(_, r, sz) = l.split("\t", 3)
@@ -268,7 +422,7 @@ object StoreSnapshots {
               "the store to adopt the new seed")
       case _ => ()
     }
-    new Pin(spark, path, gen, pins)
+    new Pin(spark, path, gen, pins, dFiles)
   }
 
   /** The read hook every store face uses: a snapshot-pinned resolver
@@ -306,20 +460,32 @@ object StoreSnapshots {
     val all = gens(path)
     require(all.nonEmpty, s"no store snapshots under $path")
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepGens))
-    val pinned: Map[String, Set[Long]] = keep
-      .flatMap { g =>
-        io(path).read(s"${mdir(path)}/gen=$g").getOrElse("")
-          .split("\n", -1).toSeq.filter(_.startsWith("a\t"))
-          .map { l =>
-            val Array(_, r, ag) = l.split("\t", 3)
-            canon(s"$path/$r") -> ag.toLong
-          }
+    val keptLines = keep.flatMap { g =>
+      io(path).read(s"${mdir(path)}/gen=$g").getOrElse("")
+        .split("\n", -1).toSeq.filter(_.nonEmpty)
+    }
+    val pinned: Map[String, Set[Long]] = keptLines
+      .filter(_.startsWith("a\t"))
+      .map { l =>
+        val Array(_, r, ag) = l.split("\t", 3)
+        canon(s"$path/$r") -> ag.toLong
       }
       .groupBy(_._1).map { case (d, gs) => d -> gs.map(_._2).toSet }
+    // file-level commit entries of surviving snapshots: not chained
+    // yet (fold retires them), so the artifact vacuum must be told
+    // explicitly to spare them
+    val dPinned: Map[String, Set[String]] = keptLines
+      .filter(_.startsWith("d\t"))
+      .map { l =>
+        val Array(_, rDir, rFile) = l.split("\t", 3)
+        canon(s"$path/$rDir") -> s"$path/$rFile"
+      }
+      .groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
     val (nf, nm) = StoreMaintenance.artifactsOf(kind, path)
       .map(_.dir).filter(StoreGenerations.isGenerational)
       .map(d => StoreGenerations.vacuumKeeping(d, 1,
-        pinned.getOrElse(canon(d), Set.empty)))
+        pinned.getOrElse(canon(d), Set.empty),
+        dPinned.getOrElse(canon(d), Set.empty)))
       .foldLeft((0, 0)) { case ((a, b), (c, e)) => (a + c, b + e) }
     drop.foreach(g => io(path).delete(s"${mdir(path)}/gen=$g"))
     (nf, nm + drop.length)

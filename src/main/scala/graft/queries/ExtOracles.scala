@@ -2319,6 +2319,11 @@ object ExtOracles {
     // codes is physical only — same oracle, store invisible
     "q_ann_compact" -> ivfPqTopkSql,
     "q_ann_concurrent" -> ivfPqTopkSql,
+    // multi-artifact multi-writer: the file-level snapshot commit —
+    // however the racing writers interleave, the probe/query answers
+    // the sequential chains' oracles verbatim
+    "q_sig_concurrent" -> incrStoredSql,
+    "q_bm25_concurrent" -> bm25TopkSql,
     "q_ann_snapshot" -> ivfPqTopkSql,
     // store-level time travel: snapshot-0 answers, cross-artifact
     // consistent (BM25's historical df/(N,T), the vector store's

@@ -2257,6 +2257,75 @@ object ExtQueries {
     pinned
   }
 
+  /** MULTI-WRITER append on the MULTI-ARTIFACT signature store — the
+    * file-level snapshot commit under real concurrency: batch A
+    * (q_incr_stored's append) splits in two, TWO writers race
+    * [[SignatureStore.appendOwn]] (land bands+sets privately in both
+    * artifacts → ONE conditional create names the whole cross-artifact
+    * batch → re-base on a lost race), then batch B probes the store.
+    * Same oracle as q_incr_stored: however the two commits interleave,
+    * the probe must see base ∪ all of batch A with every candidate's
+    * verification set present — the atomicity the snapshot-as-lone-
+    * commit-point exists for. */
+  def sigConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_conc_$tail"
+    val d = docs(spark, dir).select("doc_id", "text")
+    def half(m: Int) = d.filter(col("doc_id") % 26 === m)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    val batchB = d.filter(col("doc_id") % 26 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(col("text"), lit(" graftincr fresh")).as("text"))
+    SignatureStore.build(d, "doc_id", "text", store)
+    StoreSnapshots.enable("sig", store)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    Await.result(Future.sequence(Seq(0, 13).map { m =>
+      Future {
+        barrier.await()
+        SignatureStore.appendOwn(half(m), "doc_id", "text", store,
+          writerTag = s"sc$m")
+      }
+    }), 10.minutes)
+    SignatureStore.ingest(spark, store, batchB, "doc_id", "text")
+  }
+
+  /** MULTI-WRITER append on the BM25 store — the store the file-level
+    * commit exists for: two writers race [[RetrievalIndexStore
+    * .appendOwn]] (postings, df deltas, and the stats row land
+    * privately, ONE conditional create publishes each writer's whole
+    * batch), then q_bm25_topk's query batch runs against the store.
+    * Same oracle as q_bm25_stored: new postings are NEVER scored
+    * against document frequencies that don't include them, whatever
+    * the interleaving — wrong df means wrong SCORES, which the
+    * integer-exact oracle would catch. */
+  def bm25Concurrent(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val path = s"/tmp/graft_ristore_conc_$tail"
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") >= 20)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", path)
+    StoreSnapshots.enable("retrieval", path)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    Await.result(Future.sequence(Seq(0, 7).map { m =>
+      Future {
+        barrier.await()
+        RetrievalIndexStore.appendOwn(
+          corpus.filter(col("doc_id") % 14 === m),
+          "doc_id", "text", path, writerTag = s"bc$m")
+      }
+    }), 10.minutes)
+    RetrievalIndexStore.query(spark, path, bm25Queries(d),
+      "query_id", "terms", k = 5)
+  }
+
   /** Store-level TIME TRAVEL on the vector store: build on a FIFTH
     * of the corpus (under the full corpus's geometry — the frozen-
     * quantizer contract), snapshot-enable (snapshot 0 pins the base
@@ -3685,6 +3754,8 @@ object ExtQueries {
     "q_stream_release"    -> (streamRelease _),
     "q_ann_compact"       -> (annCompact _),
     "q_ann_concurrent"    -> (annConcurrent _),
+    "q_sig_concurrent"    -> (sigConcurrent _),
+    "q_bm25_concurrent"   -> (bm25Concurrent _),
     "q_phrase_stored"     -> (phraseStored _),
     "q_rrf_fusion"        -> (rrfFusion _),
     "q_winnow_fp"         -> (winnowFp _),

@@ -180,6 +180,177 @@ class ConcurrentAppendSpec extends AnyFunSuite {
     assert(chainIds(path) == Set(0L, 50L, 60L))
   }
 
+  // ---- multi-artifact stores: the file-level snapshot commit ----
+
+  private def docs: DataFrame =
+    graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+
+  private def snapDocIds(path: String, artifact: String, gen: Long): Set[Long] =
+    StoreSnapshots.pinAt(spark, path, gen).read(s"$path/$artifact")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+  test("racing sig-store writers commit bands and sets ATOMICALLY: " +
+    "every surviving snapshot's bands cover exactly its sets") {
+    val path = "/tmp/graft_concspec_sig"
+    deleteTree(path)
+    val base = docs.filter(col("doc_id") < 200)
+    SignatureStore.build(base, "doc_id", "text", path)
+    StoreSnapshots.enable("sig", path)
+    val writers = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val futures = (1 to writers).map { w =>
+      Future {
+        val batch = docs
+          .filter(col("doc_id") >= 200 && col("doc_id") % writers === w - 1)
+          .select((col("doc_id") + 10000L * w).as("doc_id"), col("text"))
+        barrier.await()
+        SignatureStore.appendOwn(batch, "doc_id", "text", path,
+          writerTag = s"sw$w")
+      }
+    }
+    Await.result(Future.sequence(futures), 10.minutes)
+    val cur = StoreSnapshots.currentGen(path).get
+    assert(cur == writers.toLong) // one snapshot per writer, re-based
+    // THE atomicity audit: at EVERY snapshot, a band-probe candidate
+    // always has its verification set — doc sets identical per pin
+    (0L to cur).foreach { g =>
+      val bandDocs = snapDocIds(path, "bands.parquet", g)
+      val setDocs = snapDocIds(path, "sets.parquet", g)
+      assert(bandDocs == setDocs,
+        s"snapshot $g is TORN: bands ${bandDocs.size} docs vs sets " +
+          s"${setDocs.size}")
+    }
+    // and the final state carries every writer's whole batch
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = baseIds ++ (1 to writers).flatMap { w =>
+      docs.filter(col("doc_id") >= 200 && col("doc_id") % writers === w - 1)
+        .collect().map(r => r.getLong(0) + 10000L * w)
+    }.toSet
+    assert(snapDocIds(path, "bands.parquet", cur) == want)
+  }
+
+  test("a store pin between a writer's private lands sees NOTHING of " +
+    "the batch; the file-level commit then publishes all of it") {
+    val path = "/tmp/graft_concspec_sig2"
+    deleteTree(path)
+    val base = docs.filter(col("doc_id") < 100)
+    SignatureStore.build(base, "doc_id", "text", path)
+    StoreSnapshots.enable("sig", path)
+    val before = snapDocIds(path, "bands.parquet",
+      StoreSnapshots.currentGen(path).get)
+    val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val (shingleN, numHashes) = SignatureStore.params(spark, path)
+    // land privately (the writer's first half-step)…
+    val bands = StoreGenerations.landOwn(
+      Dedup.nativeBands(batch, "doc_id", "text", shingleN, numHashes)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("band"), col("bkey")),
+      s"$path/bands.parquet", "half")
+    // …a reader pinning NOW sees the pre-batch store exactly
+    val mid = StoreSnapshots.pin(spark, path)
+    assert(mid.read(s"$path/bands.parquet")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == before)
+    // finish the batch and commit it as one snapshot
+    val sets = StoreGenerations.landOwn(
+      Dedup.shingleRows(batch, "doc_id", "text", shingleN)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("shingle")).as("shingles"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("shingles")),
+      s"$path/sets.parquet", "half")
+    StoreSnapshots.commitOwnStore("sig", path, Map(
+      s"$path/bands.parquet" -> bands, s"$path/sets.parquet" -> sets))
+    val cur = StoreSnapshots.currentGen(path).get
+    val after = snapDocIds(path, "bands.parquet", cur)
+    assert(after == before ++ batch.collect().map(_.getLong(0)))
+    assert(snapDocIds(path, "sets.parquet", cur) == after)
+    // the mid-flight pin STILL resolves the pre-batch store
+    assert(mid.read(s"$path/bands.parquet")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == before)
+  }
+
+  test("fold adopts pending file-level commits into the chains and " +
+    "compaction answers unchanged") {
+    val path = "/tmp/graft_concspec_sigfold"
+    deleteTree(path)
+    SignatureStore.build(docs.filter(col("doc_id") < 200),
+      "doc_id", "text", path)
+    StoreSnapshots.enable("sig", path)
+    val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+    SignatureStore.appendOwn(batch, "doc_id", "text", path, "fw")
+    val probe = docs.filter(col("doc_id") >= 260 && col("doc_id") < 290)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    def answers(): Set[(Long, Long)] =
+      SignatureStore.ingest(spark, path, probe, "doc_id", "text")
+        .select("new_id", "index_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeFold = answers()
+    // the current snapshot carries d-lines; compaction folds them
+    // into the chains first, then compacts — answers unchanged and
+    // the post-compaction snapshot carries no d-lines
+    StoreMaintenance.compactSignatureStore(spark, path)
+    StoreSnapshots.commit("sig", path)
+    assert(answers() == beforeFold)
+    val io = graft.sources.ManifestIO.forPath(path)
+    val cur = StoreSnapshots.currentGen(path).get
+    val content = io.read(s"$path/_store_manifests/gen=$cur").get
+    assert(!content.contains("d\t"),
+      s"post-fold snapshot still carries file-level entries:\n$content")
+  }
+
+  test("snapshot vacuum spares unfolded file-level commits") {
+    val path = "/tmp/graft_concspec_sigvac"
+    deleteTree(path)
+    SignatureStore.build(docs.filter(col("doc_id") < 150),
+      "doc_id", "text", path)
+    StoreSnapshots.enable("sig", path)
+    val batch = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+    SignatureStore.appendOwn(batch, "doc_id", "text", path, "vw")
+    // keep only the newest snapshot: its d-files must survive the
+    // artifact vacuums even though NO chain references them
+    StoreSnapshots.vacuum("sig", path, keepGens = 1)
+    val cur = StoreSnapshots.currentGen(path).get
+    val ids = snapDocIds(path, "bands.parquet", cur)
+    assert(batch.collect().map(_.getLong(0)).toSet.subsetOf(ids))
+    assert(snapDocIds(path, "sets.parquet", cur) == ids)
+  }
+
+  test("racing BM25 writers never let postings outrun df/stats: at " +
+    "every snapshot, stats' N equals the postings' distinct docs") {
+    val path = "/tmp/graft_concspec_bm25"
+    deleteTree(path)
+    val corpus = docs.filter(col("doc_id") >= 20 && col("doc_id") < 300)
+    RetrievalIndexStore.build(corpus.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", path)
+    StoreSnapshots.enable("retrieval", path)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val futures = Seq(1, 2).map { m =>
+      Future {
+        barrier.await()
+        RetrievalIndexStore.appendOwn(
+          corpus.filter(col("doc_id") % 3 === m),
+          "doc_id", "text", path, writerTag = s"bw$m")
+      }
+    }
+    Await.result(Future.sequence(futures), 10.minutes)
+    val cur = StoreSnapshots.currentGen(path).get
+    (0L to cur).foreach { g =>
+      val pin = StoreSnapshots.pinAt(spark, path, g)
+      val nPost = pin.read(s"$path/postings.parquet")
+        .select("doc_id").distinct().count()
+      val nStats = pin.read(s"$path/stats.parquet")
+        .agg(sum("n_docs")).collect()(0).getLong(0)
+      assert(nPost == nStats,
+        s"snapshot $g TORN: $nPost posting docs vs stats N=$nStats")
+    }
+    assert(StoreSnapshots.pinAt(spark, path, cur)
+      .read(s"$path/postings.parquet")
+      .select("doc_id").distinct().count() == corpus.count())
+  }
+
   // ---- the vector store's concurrent face ----
 
   private val (numSub, subDim) = (4, 2)
