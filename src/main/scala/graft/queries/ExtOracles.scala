@@ -118,6 +118,17 @@ object ExtOracles {
       |  FROM documents WHERE doc_id % 26 = 0)""".stripMargin +
       ",\n" + minhashProbeChainSql
 
+  /** q_sig_timetravel: the signature store at SNAPSHOT 0 — batch B
+    * probed against the BASE index alone; batch A (committed as
+    * snapshot 1 before the probe) must be invisible to the pinned
+    * resolve, so every A-clone candidate pair is absent. */
+  private def incrTimetravelSql: String =
+    """WITH idx AS (SELECT doc_id, text FROM documents),
+      |inc AS (
+      |  SELECT doc_id + 800000 AS doc_id, text || ' graftincr fresh' AS text
+      |  FROM documents WHERE doc_id % 26 = 0)""".stripMargin +
+      ",\n" + minhashProbeChainSql
+
   /** The streaming-ingest head: index = documents ∪ BOTH streamed
     * waves (the fold must be visible to the post-stream probe —
     * B's clones match the base doc, wave A1's clone of it, and wave
@@ -2330,6 +2341,7 @@ object ExtOracles {
     // pre-append codes)
     "q_ann_timetravel" -> annTimetravelSql,
     "q_bm25_timetravel" -> bm25TimetravelSql,
+    "q_sig_timetravel" -> incrTimetravelSql,
     "q_ivf_hier" -> ivfHierSql,
     "q_ivf_hier_agree" -> ivfHierAgreeSql,
     "q_ivf_hier_curve" -> ivfHierCurveSql,

@@ -2374,6 +2374,31 @@ object ExtQueries {
       "query_id", "terms", k = 5, asOf = Some(0L))
   }
 
+  /** Store-level TIME TRAVEL on the signature store — completing the
+    * family across all three index stores: build → snapshot-enable →
+    * append batch A (snapshot 1) → probe batch B `asOf` SNAPSHOT 0
+    * through [[SignatureStore.ingest]]'s resolve hook. The appended
+    * batch must be INVISIBLE to the pinned probe (no A-clone pair in
+    * the answer), while bands and sets both resolve from the same
+    * historical commit. Oracle: the direct MinHash chain over the
+    * base index alone. */
+  def sigTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val tail = dir.split('/').filter(_.nonEmpty).last
+    val store = s"/tmp/graft_sigstore_tt_$tail"
+    val d = docs(spark, dir).select("doc_id", "text")
+    val batchA = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" graftincr end")).as("text"))
+    val batchB = d.filter(col("doc_id") % 26 === 0)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(col("text"), lit(" graftincr fresh")).as("text"))
+    SignatureStore.build(d, "doc_id", "text", store)
+    StoreSnapshots.enable("sig", store)
+    SignatureStore.append(batchA, "doc_id", "text", store)
+    SignatureStore.ingest(spark, store, batchB, "doc_id", "text",
+      resolve = Some(StoreSnapshots.readerAt(spark, store, 0L)))
+  }
+
   /** The vector store through its full lifecycle including
     * compaction: q_ann_stored's fixture split into a build part and
     * an appended part (every 5th-mod-2 candidate arrives as the
@@ -3750,6 +3775,7 @@ object ExtQueries {
     "q_ann_snapshot"      -> (annSnapshot _),
     "q_ann_timetravel"    -> (annTimetravel _),
     "q_bm25_timetravel"   -> (bm25Timetravel _),
+    "q_sig_timetravel"    -> (sigTimetravel _),
     "q_ann_autorebuild"   -> (annAutoRebuild _),
     "q_stream_release"    -> (streamRelease _),
     "q_ann_compact"       -> (annCompact _),
