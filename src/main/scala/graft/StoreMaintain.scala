@@ -13,6 +13,7 @@ import graft.ext.StoreMaintenance
   *   run_main.sh graft.StoreMaintain release   <storePath>
   *   run_main.sh graft.StoreMaintain enable    <kind> <storePath>
   *   run_main.sh graft.StoreMaintain snapshot  <kind> <storePath>
+  *   run_main.sh graft.StoreMaintain fold      <kind> <storePath>
   *   run_main.sh graft.StoreMaintain vacuum    <kind> <storePath> <keepGens>
   *
   * `audit` prints the footer-only health inventory (zero data read —
@@ -48,13 +49,14 @@ object StoreMaintain {
     "usage: StoreMaintain audit <artifactDir>... | " +
       "<sig|vector|retrieval|release> <storePath> | " +
       "enable <kind> <storePath> | snapshot <kind> <storePath> | " +
+      "fold <kind> <storePath> | " +
       "vacuum <kind> <storePath> <keepGens>"
 
   def main(args: Array[String]): Unit = {
     // per-subcommand arity up front: a short invocation dies with the
     // usage line, never an ArrayIndexOutOfBoundsException
     val arity = Map("audit" -> 2, "enable" -> 3, "snapshot" -> 3,
-      "vacuum" -> 4,
+      "fold" -> 3, "vacuum" -> 4,
       "sig" -> 2, "vector" -> 2, "retrieval" -> 2, "release" -> 2)
     require(args.nonEmpty && arity.contains(args(0)) &&
       args.length >= arity(args(0)), Usage)
@@ -75,6 +77,14 @@ object StoreMaintain {
       case "snapshot" =>
         val gen = graft.ext.StoreSnapshots.enable(args(1), args(2))
         println(s"""{"snapshotted":${jstr(args(2))},"kind":${jstr(args(1))},"gen":$gen}""")
+      case "fold" =>
+        // adopt pending file-level commits (concurrent writers'
+        // batches) into the artifact chains without compacting —
+        // the standalone face of what every compaction does first
+        val gen = graft.ext.StoreSnapshots.fold(args(1), args(2))
+          .getOrElse(sys.error(
+            s"${args(2)} has no store snapshot chain — nothing to fold"))
+        println(s"""{"folded":${jstr(args(2))},"kind":${jstr(args(1))},"gen":$gen}""")
       case "vacuum" =>
         val (nf, nm) = StoreMaintenance.vacuumStore(args(1), args(2),
           args(3).toInt)

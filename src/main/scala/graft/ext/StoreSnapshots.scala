@@ -39,12 +39,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[pin]] verifies every `f` entry's existence AND size at RESOLVE
   * time and fails loudly naming the seed, before any Spark job runs.
   *
-  * Contracts (inherited from the chain layer):
-  *  - SINGLE WRITER per store: appends, compactions, and snapshot
-  *    commits serialize; a lost publish race raises.
+  * Contracts:
+  *  - WRITERS: the plain append paths (chain commits + [[commit]])
+  *    remain single-writer per store; CONCURRENT appenders go through
+  *    [[commitOwnStore]] (multi-artifact, file-level entries) or
+  *    [[StoreGenerations.commitOwn]] (single-accreting-artifact) —
+  *    any number may race; a lost publish race re-bases and retries.
+  *    MAINTENANCE (compaction, [[fold]], vacuum) stays exclusive.
   *  - READERS ARE FREE: a [[Pin]] resolves every artifact at the
-  *    generation one snapshot names; those generations survive any
-  *    vacuum that keeps the snapshot ([[vacuum]] pins them).
+  *    generation (plus file-level entries) one snapshot names; those
+  *    survive any vacuum that keeps the snapshot ([[vacuum]] pins
+  *    them).
   *  - OPT-IN: a store without `_store_manifests` behaves exactly as
   *    before (per-artifact current-generation reads) — every
   *    pre-existing gate is unchanged by construction.

@@ -351,6 +351,53 @@ class ConcurrentAppendSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() == corpus.count())
   }
 
+  test("a streaming canonical append and a concurrent file-level " +
+    "writer coexist: both batches land, every snapshot consistent, " +
+    "replay still commits nothing") {
+    val path = "/tmp/graft_concspec_interplay"
+    deleteTree(path)
+    SignatureStore.build(docs.filter(col("doc_id") < 150),
+      "doc_id", "text", path)
+    StoreSnapshots.enable("sig", path)
+    val canonical = docs
+      .filter(col("doc_id") >= 150 && col("doc_id") < 200)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val own = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fCanon = Future {
+      barrier.await()
+      // what runSigIngestSink does per micro-batch
+      SignatureStore.appendCanonical(canonical, "doc_id", "text", path,
+        batchId = 0L, runTag = "ip")
+    }
+    val fOwn = Future {
+      barrier.await()
+      SignatureStore.appendOwn(own, "doc_id", "text", path, "ipw")
+    }
+    Await.result(Future.sequence(Seq(fCanon, fOwn)), 10.minutes)
+    val cur = StoreSnapshots.currentGen(path).get
+    // every surviving snapshot is cross-artifact consistent, however
+    // the chain commits, the snapshot commit, and the file-level CAS
+    // interleaved
+    (0L to cur).foreach { g =>
+      assert(snapDocIds(path, "bands.parquet", g)
+        == snapDocIds(path, "sets.parquet", g), s"snapshot $g torn")
+    }
+    val want = docs.filter(col("doc_id") < 150)
+      .collect().map(_.getLong(0)).toSet ++
+      canonical.collect().map(_.getLong(0)) ++
+      own.collect().map(_.getLong(0))
+    assert(snapDocIds(path, "bands.parquet", cur) == want)
+    // a replayed micro-batch overwrites its own canonical files and
+    // commits nothing — no new snapshot, state unchanged
+    SignatureStore.appendCanonical(canonical, "doc_id", "text", path,
+      batchId = 0L, runTag = "ip")
+    assert(StoreSnapshots.currentGen(path).get == cur)
+    assert(snapDocIds(path, "bands.parquet", cur) == want)
+  }
+
   // ---- the vector store's concurrent face ----
 
   private val (numSub, subDim) = (4, 2)
