@@ -70,6 +70,24 @@ object KMeans {
         array_sort(collect_list(struct(col("cid"), col("__cv")))),
         c => c.getField("__cv")).as("__cs")))
 
+  /** [[centRows]] from the driver-side centroid table the fit loop
+    * keeps (one LOCAL row per subspace — no aggregation exchange, no
+    * broadcast-build job over a distributed frame; each fit round was
+    * otherwise paying both just to re-shape k·numSub tiny rows). */
+  private def centRowsLocal(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sub_id", IntegerType, nullable = false),
+      StructField("__cs", ArrayType(ArrayType(LongType)), nullable = false)))
+    val rows = new java.util.ArrayList[Row](cents.length)
+    cents.zipWithIndex.foreach { case (cs, sub) =>
+      rows.add(Row(sub, cs.map(_.toSeq).toSeq))
+    }
+    broadcast(spark.createDataFrame(rows, schema))
+  }
+
   /** Argmin assignment: (id, sub_id, __qv) → + __cid. In-row argmin
     * over the broadcast centroid array via the native
     * [[graft.catalyst.NearestCentroid]] loop (min d2, ties to the
@@ -77,9 +95,13 @@ object KMeans {
     * which interpreted ~k zip/fold lambdas per row), corpus never
     * shuffled. */
   private def assign(quant: DataFrame, cents: DataFrame,
-                     subDim: Int): DataFrame = {
+                     subDim: Int): DataFrame =
+    assignRows(quant, centRows(cents), subDim)
+
+  private def assignRows(quant: DataFrame, centRows: DataFrame,
+                         subDim: Int): DataFrame = {
     graft.catalyst.NearestCentroid.register(quant.sparkSession)
-    quant.join(centRows(cents), Seq("sub_id"))
+    quant.join(centRows, Seq("sub_id"))
       .withColumn("__best", call_function("graft_nearest_centroid",
         col("__qv"), col("__cs"), lit(0), lit(subDim)))
       .select(col("__id"), col("sub_id"), col("__qv"),
@@ -115,57 +137,101 @@ object KMeans {
         slice(col("__q"), col("sub_id") * subDim + 1, lit(subDim)).as("__qv"))
       .localCheckpoint()
     // k-spread init: smallest k MINSTD-keyed ids, cid in key order.
-    // orderBy.limit is a TakeOrdered (no global sort shuffle); the
-    // row_number window then ranks k rows only.
-    val keyed = df
-      .select(col(idCol).as("__id"),
+    // orderBy.limit is a TakeOrdered (no global sort shuffle); the k
+    // seed vectors collect to the driver — the centroid table is
+    // k·numSub CONFIG-sized rows (the codebook dimensions), never
+    // corpus-sized, so the fit loop keeps it driver-side: each Lloyd
+    // round is then ONE distributed job (assign + map-side-combined
+    // per-cell sums) feeding a bounded collect, instead of the
+    // previous chain of centroid-reshape aggregation + broadcast
+    // build + join + checkpoint + moved-count jobs per round (~5
+    // exchanges of k·numSub rows per iteration, pure fixed cost —
+    // the same bounded-collect posture as MLlib's own k-means and
+    // this repo's probed-cell plans).
+    val seedRows = df
+      .select(col(idCol).cast("long").as("__id"),
         pmod(col(idCol).cast("long") * lit(48271L), lit(2147483647L)).as("__key"),
         quantizeVec(Similarity.toDouble(col(vecCol)), scale).as("__q"))
       .orderBy(col("__key"), col("__id")).limit(k)
-    val wInit = Window.orderBy(col("__key"), col("__id"))
-    var cents = keyed
-      .withColumn("cid", (row_number().over(wInit) - 1).cast("long"))
-      .select(col("cid"), subIds, col("__q"))
-      .select(col("cid"), col("sub_id"),
-        slice(col("__q"), col("sub_id") * subDim + 1, lit(subDim)).as("__cv"))
-      .localCheckpoint()
+      .collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0))) // driver re-sort: limit's output order is not contractual
+    // cents(sub)(cid)(dim): quantized centroid components, cid 0..k-1
+    // in (key, id) seed order — identical to the row_number init
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(numSub) { sub =>
+      seedRows.map { r =>
+        r.getSeq[Long](2).slice(sub * subDim, sub * subDim + subDim).toArray
+      }
+    }
+    val spark = df.sparkSession
     var iter = 0
     var movedLast = -1L
     while (iter < iters && movedLast != 0) {
-      val sums = assign(quant, cents, subDim)
+      val sums = assignRows(quant, centRowsLocal(spark, cents), subDim)
         .groupBy(col("sub_id"), col("__cid").as("cid"))
         .agg(count(lit(1)).as("__n"),
           (0 until subDim).map(i =>
             sum(element_at(col("__qv"), i + 1)).as(s"__s$i")): _*)
+        .collect()
       // round-half-up mean, exact: floor((2s+n)/(2n)) with s,n exact
       // integers under 2^52 — the double division is correctly
-      // rounded, so every engine floors the same value
-      val upd = sums.select(col("sub_id"), col("cid"),
-        array((0 until subDim).map(i =>
-          floor((lit(2.0) * col(s"__s$i") + col("__n")) /
-            (lit(2.0) * col("__n"))).cast("long")): _*).as("__ncv"))
-      // empty cell: keep its previous position (observable as
-      // n_members = 0 in the output)
-      val merged = cents.join(upd, Seq("sub_id", "cid"), "left")
-        .select(col("sub_id"), col("cid"), col("__cv").as("__prev"),
-          coalesce(col("__ncv"), col("__cv")).as("__cv"))
-        .localCheckpoint()
-      movedLast = merged.filter(col("__cv") =!= col("__prev")).count()
-      cents = merged.select("sub_id", "cid", "__cv")
+      // rounded, so every engine floors the same value (this is the
+      // same arithmetic the in-plan update ran; the DuckDB oracle
+      // replays it unchanged). Empty cell: keep its previous position
+      // (observable as n_members = 0 in the output).
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val sub = r.getInt(0)
+        val cid = r.getLong(1).toInt
+        val n = r.getLong(2)
+        var i = 0
+        while (i < subDim) {
+          val s = r.getLong(3 + i)
+          next(sub)(cid)(i) =
+            math.floor((2.0 * s + n) / (2.0 * n)).toLong
+          i += 1
+        }
+      }
+      movedLast = (for {
+        sub <- cents.indices; cid <- 0 until k
+        if !java.util.Arrays.equals(cents(sub)(cid), next(sub)(cid))
+      } yield 1).size.toLong
+      cents = next
       iter += 1
       System.err.println(
         s"[graft.KMeans] iteration $iter/$iters: $movedLast centroid(s) moved")
     }
-    val members = assign(quant, cents, subDim)
+    val members = assignRows(quant, centRowsLocal(spark, cents), subDim)
       .groupBy(col("sub_id"), col("__cid").as("cid"))
       .agg(count(lit(1)).as("__m"))
-    cents.join(members, Seq("sub_id", "cid"), "left")
+    // explicit hint: members is k·numSub rows at most, but its
+    // aggregate-over-RDD estimate is too big for auto-broadcast and
+    // the left-outer would otherwise sort-merge two tiny sides
+    centsTable(spark, cents).join(broadcast(members), Seq("sub_id", "cid"), "left")
       .select(col("sub_id"), col("cid"),
         posexplode(col("__cv")).as(Seq("dim_id", "c")),
         coalesce(col("__m"), lit(0L)).as("n_members"))
       .select(col("sub_id").cast("long").as("sub_id"), col("cid"),
         col("dim_id").cast("long").as("dim_id"),
         col("c"), col("n_members"))
+  }
+
+  /** The fit loop's driver-side centroids as the (sub_id, cid, __cv)
+    * frame the output join expects — a k·numSub-row local relation. */
+  private def centsTable(spark: org.apache.spark.sql.SparkSession,
+                         cents: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sub_id", IntegerType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("__cv", ArrayType(LongType), nullable = false)))
+    val rows = new java.util.ArrayList[Row]()
+    cents.zipWithIndex.foreach { case (cs, sub) =>
+      cs.zipWithIndex.foreach { case (cv, cid) =>
+        rows.add(Row(sub, cid.toLong, cv.toSeq))
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Nearest-centroid assignment of a corpus under a [[fit]] result:

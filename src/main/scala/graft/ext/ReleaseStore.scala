@@ -68,12 +68,6 @@ object ReleaseStore {
     val kept = corpus.join(
       ledger.filter(col("disposition") === "kept").select("doc_id"),
       Seq("doc_id")).select("doc_id", "text")
-    SignatureStore.build(kept, "doc_id", "text", s"$path/sig")
-    corpus.select(UrlOps.normalize(col("url")).as("norm_url"))
-      .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/urls.parquet")
-    corpus.select(md5(col("text")).as("h")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes.parquet")
     // the quality models train on what the release's did: the
     // post-dedup post-decon survivors (ledger dispositions kept /
     // quality_drop / quality_review = the routing stage's input)
@@ -82,13 +76,22 @@ object ReleaseStore {
         .select("doc_id"),
       Seq("doc_id"))
     val (uni, tot) = TextOps.lmModel(clean, "text")
-    uni.select(col("tok"), col("__c").as("c"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/lm.parquet")
-    tot.select(col("__n").as("n"), col("__v").as("v")).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/lm_tot.parquet")
-    TextOps.langProfiles(clean, "text", "lang")
-      .select(col("__lang").as("lang"), col("__prof").as("prof"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/profiles.parquet")
+    // the five store members are independent derivations over corpus/
+    // ledger — overlap their builds/writes (guide §2.6 via Par)
+    Par.run(
+      () => SignatureStore.build(kept, "doc_id", "text", s"$path/sig"),
+      () => corpus.select(UrlOps.normalize(col("url")).as("norm_url"))
+        .distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/urls.parquet"),
+      () => corpus.select(md5(col("text")).as("h")).distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes.parquet"),
+      () => uni.select(col("tok"), col("__c").as("c"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/lm.parquet"),
+      () => tot.select(col("__n").as("n"), col("__v").as("v")).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/lm_tot.parquet"),
+      () => TextOps.langProfiles(clean, "text", "lang")
+        .select(col("__lang").as("lang"), col("__prof").as("prof"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/profiles.parquet"))
   }
 
   /** Release N+1 from release N's store + one raw batch

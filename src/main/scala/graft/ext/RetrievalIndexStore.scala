@@ -125,18 +125,21 @@ object RetrievalIndexStore {
     // while clustering on the bucket key bounds output at one file
     // per (bucket, owning task): ≤ tok_buckets files total, the
     // layout knob a deployment sizes buckets with in the first place
-    bucketed(kept).write.partitionBy("tok_bucket")
-      .mode(SaveMode.Overwrite).parquet(s"$path/postings.parquet")
-    bucketed(dfOf(post)).write.partitionBy("tok_bucket")
-      .mode(SaveMode.Overwrite).parquet(s"$path/df.parquet")
-    statsOf(post).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet")
-    if (positional)
-      bucketed(positionsOf(corpus, idCol, textCol, tokBuckets))
-        .write.partitionBy("tok_bucket")
-        .mode(SaveMode.Overwrite).parquet(s"$path/positions.parquet")
-    Seq(tokBuckets).toDF("tok_buckets").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
+    // the artifacts all derive from the shared checkpointed postings
+    // (or the corpus) independently — overlap their writes (Par doc)
+    Par.run(
+      () => bucketed(kept).write.partitionBy("tok_bucket")
+        .mode(SaveMode.Overwrite).parquet(s"$path/postings.parquet"),
+      () => bucketed(dfOf(post)).write.partitionBy("tok_bucket")
+        .mode(SaveMode.Overwrite).parquet(s"$path/df.parquet"),
+      () => statsOf(post).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet"),
+      () => if (positional)
+        bucketed(positionsOf(corpus, idCol, textCol, tokBuckets))
+          .write.partitionBy("tok_bucket")
+          .mode(SaveMode.Overwrite).parquet(s"$path/positions.parquet"),
+      () => Seq(tokBuckets).toDF("tok_buckets").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet"))
   }
 
   /** Positional postings under the store's bucket layout: (doc_id,
@@ -184,25 +187,29 @@ object RetrievalIndexStore {
     val tokBuckets = params(spark, path)
     val post = postingsOf(incoming, idCol, textCol, tokBuckets)
       .localCheckpoint()
-    bucketed(post).write.partitionBy("tok_bucket")
-      .mode(SaveMode.Append).parquet(s"$path/postings.parquet")
-    StoreGenerations.commitAppend(s"$path/postings.parquet")
-    bucketed(dfOf(post)).write.partitionBy("tok_bucket")
-      .mode(SaveMode.Append).parquet(s"$path/df.parquet")
-    StoreGenerations.commitAppend(s"$path/df.parquet")
-    statsOf(post).coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet")
-    StoreGenerations.commitAppend(s"$path/stats.parquet")
     // a positional store stays positional: the batch's positions land
     // under the same bucket fn, so tomorrow's phrase probe sees the
     // appended docs exactly as built ones (per-doc facts — no
-    // cross-doc state to reconcile, same as the scored postings)
-    if (hasPositions(path)) {
-      bucketed(positionsOf(incoming, idCol, textCol, tokBuckets))
-        .write.partitionBy("tok_bucket")
-        .mode(SaveMode.Append).parquet(s"$path/positions.parquet")
+    // cross-doc state to reconcile, same as the scored postings).
+    // All four artifact WRITES are independent — overlap them (guide
+    // §2.6); the chain commits keep their documented order below
+    val positional = hasPositions(path)
+    Par.run(
+      () => bucketed(post).write.partitionBy("tok_bucket")
+        .mode(SaveMode.Append).parquet(s"$path/postings.parquet"),
+      () => bucketed(dfOf(post)).write.partitionBy("tok_bucket")
+        .mode(SaveMode.Append).parquet(s"$path/df.parquet"),
+      () => statsOf(post).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$path/stats.parquet"),
+      () => if (positional)
+        bucketed(positionsOf(incoming, idCol, textCol, tokBuckets))
+          .write.partitionBy("tok_bucket")
+          .mode(SaveMode.Append).parquet(s"$path/positions.parquet"))
+    StoreGenerations.commitAppend(s"$path/postings.parquet")
+    StoreGenerations.commitAppend(s"$path/df.parquet")
+    StoreGenerations.commitAppend(s"$path/stats.parquet")
+    if (positional)
       StoreGenerations.commitAppend(s"$path/positions.parquet")
-    }
     // the store-level atomic commit point: on a snapshotted store a
     // reader between the per-artifact commits above keeps resolving
     // the previous snapshot — new postings are never scored against

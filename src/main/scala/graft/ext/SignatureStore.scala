@@ -67,13 +67,16 @@ object SignatureStore {
     StoreSnapshots.invalidate(path) // a rebuild starts un-snapshotted
     val spark = index.sparkSession
     import spark.implicits._
-    bandsOf(index, idCol, textCol, shingleN, numHashes)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
-    setsOf(index, idCol, textCol, shingleN)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
-    Seq((shingleN, numHashes)).toDF("shingle_n", "num_hashes")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
+    // the three artifacts are independent derivations — overlap their
+    // writes so each one's stage tail back-fills the others (Par doc)
+    Par.run(
+      () => bandsOf(index, idCol, textCol, shingleN, numHashes)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet"),
+      () => setsOf(index, idCol, textCol, shingleN)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet"),
+      () => Seq((shingleN, numHashes)).toDF("shingle_n", "num_hashes")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet"))
   }
 
   /** The store's signature config — 1 row, driver-side (the
@@ -114,11 +117,14 @@ object SignatureStore {
       : Unit = {
     val spark = incoming.sparkSession
     val (shingleN, numHashes) = params(spark, path)
-    bandsOf(incoming, idCol, textCol, shingleN, numHashes)
-      .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet")
+    // overlap the two independent artifact WRITES (guide §2.6); the
+    // chain commits keep their documented order below, after both
+    Par.run(
+      () => bandsOf(incoming, idCol, textCol, shingleN, numHashes)
+        .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet"),
+      () => setsOf(incoming, idCol, textCol, shingleN)
+        .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet"))
     StoreGenerations.commitAppend(s"$path/bands.parquet")
-    setsOf(incoming, idCol, textCol, shingleN)
-      .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet")
     StoreGenerations.commitAppend(s"$path/sets.parquet")
     // the store-level atomic commit point: on a snapshotted store,
     // readers keep resolving the previous snapshot's (bands, sets)

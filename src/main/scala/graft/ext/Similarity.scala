@@ -821,7 +821,17 @@ object Similarity {
   /** The IVFADC encode stage alone: per assigned residual, the
     * sub_id-sorted PQ code list — (neighbor_id, __cell, __codes).
     * Split out of [[adcTopK]] so the codes can be PERSISTED
-    * ([[VectorIndexStore]]) instead of recomputed per query batch. */
+    * ([[VectorIndexStore]]) instead of recomputed per query batch.
+    *
+    * IN-ROW assembly (guide §2.4 — remove shuffles outright): the
+    * code list builds as one `transform` over sub_id 0..numSub-1,
+    * with the native argmin reading subspace m through its `offset`
+    * parameter — already sub_id-ascending by construction, so this
+    * is value-identical to the explode → groupBy(neighbor_id) →
+    * sort_array(collect_list(...)) form it replaces (same argmin,
+    * same tie rule, same struct fields) MINUS that form's full
+    * corpus-sized shuffle per encode pass (one exchange per
+    * build/append/rebuild, gone). */
   private[ext] def encodeCodes(assigned: DataFrame, seeds: DataFrame,
                                idCol: String, vecCol: String,
                                numSub: Int, subDim: Int): DataFrame = {
@@ -830,13 +840,10 @@ object Similarity {
     assigned
       .crossJoin(cb)
       .select(col("neighbor_id"), col("__cell"),
-        explode(sequence(lit(0), lit(numSub - 1))).as("sub_id"),
-        col("__rv"), col("__cb"))
-      .withColumn("__best",
-        nearestSub(assigned)(col("__rv"), col("__cb"), col("sub_id"), subDim))
-      .groupBy(col("neighbor_id"), col("__cell"))
-      .agg(sort_array(collect_list(struct(col("sub_id").cast("long").as("sub_id"),
-        col("__best").getField("j").cast("long").as("code")))).as("__codes"))
+        transform(sequence(lit(0), lit(numSub - 1)), m =>
+          struct(m.cast("long").as("sub_id"),
+            nearestSub(assigned)(col("__rv"), col("__cb"), m, subDim)
+              .getField("j").cast("long").as("code"))).as("__codes"))
   }
 
   /** The IVFADC probe/LUT/scan stage over an already-encoded codes

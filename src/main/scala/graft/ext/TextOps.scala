@@ -37,7 +37,24 @@ object TextOps {
     if (df.isStreaming) return df // micro-batches size themselves;
     // (and .rdd is illegal on a streaming frame)
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Decide from the LOGICAL plan's size estimate, not df.rdd:
+    // .rdd forces full physical planning + codegen of the frame just
+    // to read its partition count, then throws that plan away — at
+    // ~0.3 s per probe it dominated multi-operator pipelines (21
+    // probes inside one q_incr_release run). stats.sizeInBytes needs
+    // only analysis+optimization; it over-estimates after filters and
+    // joins, which errs toward NOT repartitioning — acceptable,
+    // because a frame that is big by estimate is either a splittable
+    // file scan (parquet — already one partition per split) or a
+    // shuffle output (already spark.sql.shuffle.partitions wide):
+    // neither needs the guard. The guard's real target — a small or
+    // single-split input feeding CPU-heavy per-row work (shingling,
+    // minhash, k-means assignment) — always sits under the
+    // p × maxPartitionBytes line and repartitions to p.
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(p.toLong) * maxSplit) df.repartition(p)
+    else df
   }
 
   /** First 15 hex chars of md5 as a non-negative long. */

@@ -67,28 +67,31 @@ object VectorIndexStore {
     StoreSnapshots.invalidate(path) // a rebuild starts un-snapshotted
     val spark = corpus.sparkSession
     import spark.implicits._
-    normalized(centroids, idCol, vecCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
-    normalized(codebook, idCol, vecCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebook.parquet")
-    Seq((numSub, subDim, cellBuckets))
-      .toDF("num_sub", "sub_dim", "cell_buckets").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet")
     // bucket-keyed repartition before the partitionBy write: off the
     // encode's upstream partitioning the write would mint up to
     // (input partitions × buckets) files — millions on a 100 TB
     // corpus — while clustering on cell_bucket bounds output at one
     // file per (bucket, owning task), the layout the probe scan and
-    // the compaction path both want
-    encode(corpus, idCol, vecCol,
-      normalized(centroids, idCol, vecCol).select(
-        col("cid").as(idCol), col("vector").as(vecCol)),
-      normalized(codebook, idCol, vecCol).select(
-        col("cid").as(idCol), col("vector").as(vecCol)),
-      numSub, subDim, cellBuckets)
-      .repartition(col("cell_bucket"))
-      .write.partitionBy("cell_bucket").mode(SaveMode.Overwrite)
-      .parquet(s"$path/codes.parquet")
+    // the compaction path both want.
+    // The four artifacts are independent derivations — overlap their
+    // writes so the three tiny ones ride the codes write's tail (Par)
+    Par.run(
+      () => normalized(centroids, idCol, vecCol)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet"),
+      () => normalized(codebook, idCol, vecCol)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/codebook.parquet"),
+      () => Seq((numSub, subDim, cellBuckets))
+        .toDF("num_sub", "sub_dim", "cell_buckets").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/params.parquet"),
+      () => encode(corpus, idCol, vecCol,
+        normalized(centroids, idCol, vecCol).select(
+          col("cid").as(idCol), col("vector").as(vecCol)),
+        normalized(codebook, idCol, vecCol).select(
+          col("cid").as(idCol), col("vector").as(vecCol)),
+        numSub, subDim, cellBuckets)
+        .repartition(col("cell_bucket"))
+        .write.partitionBy("cell_bucket").mode(SaveMode.Overwrite)
+        .parquet(s"$path/codes.parquet"))
   }
 
   /** The index config — 1 row, driver-side (bounded-collect class). */

@@ -942,8 +942,16 @@ object ExtQueries {
     rebuildPartsOf(spark, dir, organicEmb(spark, dir), "annrb_org")
 
   private def rebuildPartsOf(spark: SparkSession, dir: String,
-                             e: DataFrame, tag: String)
+                             rawE: DataFrame, tag: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // ONE materialization of the source embeddings per query call:
+    // the lifecycle composites downstream run 10+ actions over
+    // base/full/qmix, and on the ORGANIC tier each action would
+    // otherwise re-run the tokenize + double-groupBy fixture
+    // derivation (organicEmb) from scratch. Per-call localCheckpoint
+    // — never memoized across queries — so every bench invocation
+    // still derives the corpus from the parquet inputs exactly once.
+    val e = rawE.localCheckpoint()
     val base = e.filter(col("vec_id") >= 20)
     val full = base.unionByName(shiftEmb(base))
     val qmix = e.filter(col("vec_id") < 20)
